@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * One parquet file per table under `sfDir`. All queries in [[SparkEntry]]
+  * take the sfDir as a parameter so the same code runs at any scale factor
+  * (sf0.001 smoke → sf0.1 bench → a real 100 TB lake: the path is the only
+  * thing that changes; the plans are declarative and partition-parallel).
+  */
+object Tables {
+  /** TPC-H-ish star schema + events stream table + LLM-pipeline tables. */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Dimension tables small enough to broadcast at any realistic scale. */
+  val broadcastable: Set[String] = Set("region", "nation")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view (for spark.sql / SQL tests). */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The relational query surface.
+  *
+  * The reference (`/root/reference`, see SURVEY.md §2.2) has no relational
+  * operators beyond scan→convert→insert, so this module is the "query
+  * capabilities" half of the north star: scans, filter/project, joins
+  * (broadcast/shuffle/semi/anti), aggregations (hash, distinct, rollup,
+  * having, conditional), windows, sort/limit, set ops, scalar subqueries,
+  * string/date/JSON functions — all expressed declaratively on the
+  * DataFrame API so Catalyst does pushdown/pruning/reorder and AQE picks
+  * physical strategies at runtime.
+  *
+  * Numeric convention for oracle stability: monetary aggregates are summed
+  * as DECIMAL (exact, order-independent — a distributed sum of doubles is
+  * not reproducible across partitionings) and surfaced as DOUBLE. Every
+  * query ends in a total ORDER BY so results are row-order deterministic.
+  */
+object RelationalOps {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  /** Exact decimal sum of a double expression, surfaced as double.
+    *
+    * IMPORTANT: only apply to raw COLUMNS (which carry exact 2-decimal
+    * values), never to products of doubles — Spark casts double→decimal via
+    * the shortest string representation while DuckDB rounds the exact binary
+    * value, so a full-precision double product can round differently at the
+    * cast. Products are instead built from decimal-cast factors (see
+    * [[money]]/[[rate]]) so all arithmetic is exact and engine-agnostic. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(28,8)")).cast("double")
+
+  /** 2-decimal monetary column as exact decimal. (12,2)*(5,2)*(5,2) stays
+    * within precision 38 in both Spark and DuckDB → no rounding anywhere. */
+  private def money(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** (1 ± rate) as exact decimal(5,2). */
+  private def onePlus(c: Column): Column =
+    lit(1).cast("decimal(4,2)") + c.cast("decimal(4,2)")
+  private def oneMinus(c: Column): Column =
+    lit(1).cast("decimal(4,2)") - c.cast("decimal(4,2)")
+
+  // ---------------------------------------------------------------- q1
+  /** Full-scan hash aggregation (TPC-H Q1 shape): map-side partial agg +
+    * final agg on 2 low-cardinality keys; no shuffle pressure at any SF. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        sum(money($"l_extendedprice") * oneMinus($"l_discount"))
+          .cast("double").as("sum_disc_price"),
+        sum(money($"l_extendedprice") * oneMinus($"l_discount") * onePlus($"l_tax"))
+          .cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q2
+  /** Selective filter + projection. The predicates and the 4-column read
+    * schema must reach the parquet scan (PushedFilters / ReadSchema) —
+    * at 100 TB this is the difference between reading 4 columns of a few
+    * row groups and reading everything. */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
+              $"l_discount" >= 0.05 && $"l_quantity" < 10.0)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q2FilterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_quantity < 10.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** Multi-way join with broadcast dims (TPC-H Q5 shape): revenue by
+    * nation for one region/year. nation/region are broadcast (25/5 rows
+    * at ANY scale factor — they are dimension tables); the big side
+    * (orders⋈customer) shuffles on the join key once. */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = t(spark, dir, "customer")
+    val orders   = t(spark, dir, "orders")
+    val nation   = t(spark, dir, "nation")
+    val region   = t(spark, dir, "region")
+    orders
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1997-01-01").cast("timestamp"))
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region.filter($"r_name" === "ASIA")),
+            $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(dsum($"o_totalprice").as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy($"n_name")
+  }
+
+  val q3JoinAggSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q4
+  /** Global top-K (sort + limit). Spark plans TakeOrderedAndProject:
+    * per-partition top-K then a K-row merge on the driver — no global
+    * sort, safe at any scale. Tie-broken on the key so the K rows are
+    * deterministic. */
+  def q4TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(100)
+  }
+
+  val q4TopKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  /** Windowed top-N per group: row_number over (partition by customer).
+    * One shuffle on o_custkey; within-partition sort only. */
+  def q5WindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    t(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rnk")
+      .orderBy($"o_custkey", $"rnk")
+  }
+
+  val q5WindowTopNSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |  FROM orders) t
+      |WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> (q1Agg _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_join_agg"       -> (q3JoinAgg _),
+    "q4_topk"           -> (q4TopK _),
+    "q5_window_topn"    -> (q5WindowTopN _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg"            -> q1AggSql,
+    "q2_filter_project" -> q2FilterProjectSql,
+    "q3_join_agg"       -> q3JoinAggSql,
+    "q4_topk"           -> q4TopKSql,
+    "q5_window_topn"    -> q5WindowTopNSql,
+  )
+}
