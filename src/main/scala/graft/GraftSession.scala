@@ -22,6 +22,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // testdata events.ts is TIMESTAMP(NANOS), which Spark's parquet
+      // reader rejects natively; read as long and convert in Tables.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def defaultCpus: Int =
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)

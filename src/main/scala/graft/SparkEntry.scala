@@ -17,10 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalOps.queries
+    RelationalOps.queries ++ TextOps.queries ++ DedupOps.queries ++
+      SimilarityOps.queries ++ EventOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalOps.oracles
+    RelationalOps.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
+      SimilarityOps.oracles ++ EventOps.oracles
 }

@@ -10,6 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * thing that changes; the plans are declarative and partition-parallel).
   */
 object Tables {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.LongType
+
   /** TPC-H-ish star schema + events stream table + LLM-pipeline tables. */
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
@@ -18,8 +21,15 @@ object Tables {
   /** Dimension tables small enough to broadcast at any realistic scale. */
   val broadcastable: Set[String] = Set("region", "nation")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark reads as raw
+    // nanos (spark.sql.legacy.parquet.nanosAsLong, set in GraftSession);
+    // truncate to micros exactly like DuckDB does when it reads the file.
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 
   /** Register every table as a temp view (for spark.sql / SQL tests). */
   def registerViews(spark: SparkSession, sfDir: String): Unit =

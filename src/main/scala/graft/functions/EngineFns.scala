@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-agnostic deterministic primitives shared by operators and their
+  * DuckDB oracles.
+  *
+  * The correctness gate (scripts/oracle_check.py, and the driver's
+  * CORRECTNESS_r{N}.json) compares Spark results to DuckDB results value by
+  * value, so every numeric path here is chosen to be bit-identical across
+  * engines:
+  *
+  *  - hashing: md5 (both engines implement RFC 1321 over UTF-8 bytes), with
+  *    a 60-bit numeric projection taken from the first 15 hex chars;
+  *  - ratios: `floor(1000.0 * a / b)` — a single IEEE-754 double divide and
+  *    floor, deterministic on both engines;
+  *  - dot products: sequential left-fold over array<double> (Spark
+  *    `aggregate` and DuckDB `list_reduce` both fold left; a fold seeded
+  *    with 0.0 equals a fold seeded with the first element because
+  *    0.0 + x == x exactly).
+  */
+object EngineFns {
+
+  /** 60-bit deterministic hash of a string column via md5.
+    * DuckDB equivalent: [[sqlMd5Long]]. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB SQL text equivalent of [[md5Long]]. */
+  def sqlMd5Long(expr: String): String =
+    s"CAST(CONCAT('0x', SUBSTR(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Sequential left-fold dot product of two array<double> columns.
+    * DuckDB equivalent: [[sqlDot]]. Bit-identical across engines because
+    * both fold left in element order with double adds/multiplies. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** DuckDB SQL text equivalent of [[dot]]. */
+  def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (x, y) -> x + y)"
+
+  /** Cosine similarity computed as dot/(sqrt(dot)*sqrt(dot)) — sqrt is
+    * correctly rounded in IEEE-754 so this is engine-exact given exact dots. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  def sqlCosine(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  /** floor(1000 * a / b) as long — engine-exact permille ratio. */
+  def permille(a: Column, b: Column): Column =
+    floor(lit(1000.0) * a / b).cast("long")
+
+  def sqlPermille(a: String, b: String): String =
+    s"CAST(FLOOR(1000.0 * $a / $b) AS BIGINT)"
+
+  /** floor(x * 1e6) as long — stable fixed-point projection of a double
+    * that is bit-identical across engines (see cosine). */
+  def micro(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
+
+  def sqlMicro(expr: String): String =
+    s"CAST(FLOOR(($expr) * 1000000.0) AS BIGINT)"
+
+  /** Token list of a whitespace-separated document. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word-level n-grams (n=3) of a token array column, joined by
+    * single spaces. DuckDB equivalent: [[sqlTrigrams]]. */
+  def trigrams(l: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(l) - 2, lit(0))),
+      i => concat_ws(" ", element_at(l, i), element_at(l, i + 1), element_at(l, i + 2))))
+
+  /** DuckDB SQL: distinct trigram LIST from a token LIST expression. */
+  def sqlTrigrams(l: String): String =
+    s"list_distinct(list_transform(generate_series(1, greatest(len($l) - 2, 0)), i -> $l[i] || ' ' || $l[i+1] || ' ' || $l[i+2]))"
+}

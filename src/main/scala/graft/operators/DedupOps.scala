@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.EngineFns._
+
+/** Deduplication operators over `documents` / `embeddings` — exact,
+  * set-normalized, n-gram Jaccard, MinHash+LSH, and embedding-cosine
+  * near-dup. The reference has none of these (SURVEY.md §2.2); they are the
+  * north-star training-data-pipeline surface.
+  *
+  * Scale design: exact and normalized dedup are one hash-shuffle on the
+  * signature (not the full text — we group on a fixed-width md5, so the
+  * shuffle carries 32 bytes/doc, not documents). Pairwise similarity is
+  * never computed all-pairs at scale: Jaccard joins on shared grams,
+  * MinHash joins on LSH band buckets, cosine joins on a coarse blocking
+  * key — each candidate-generation join is linear in the number of
+  * colliding pairs, which is the standard 100 TB-safe shape.
+  */
+object DedupOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+
+  // ---------------------------------------------------------------- d1
+  /** Exact dedup: keep the lowest doc_id per identical text, reporting
+    * group size. Grouping key is md5(text) so the shuffle is fixed-width. */
+  def d1DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", md5($"text".cast("binary")).as("sig"))
+      .groupBy($"sig")
+      .agg(min($"doc_id").as("kept_doc"), count(lit(1)).as("n_copies"))
+      .select($"kept_doc", $"n_copies")
+      .orderBy($"kept_doc")
+  }
+
+  val d1DedupExactSql: String =
+    """SELECT MIN(doc_id) AS kept_doc, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY kept_doc""".stripMargin
+
+  // ---------------------------------------------------------------- d2
+  /** Set-normalized dedup: documents whose sorted distinct-token sets are
+    * identical (word-order/multiplicity-insensitive near-dup lite). Only
+    * groups with 2+ members are emitted. */
+  def d2DedupNormSet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val normSig =
+      md5(concat_ws(" ", array_sort(array_distinct(tokens($"text")))).cast("binary"))
+    docs(spark, dir)
+      .select($"doc_id", normSig.as("sig"))
+      .groupBy($"sig")
+      .agg(min($"doc_id").as("kept_doc"), count(lit(1)).as("n_members"))
+      .filter($"n_members" >= 2)
+      .select($"kept_doc", $"n_members")
+      .orderBy($"kept_doc")
+  }
+
+  val d2DedupNormSetSql: String =
+    """SELECT MIN(doc_id) AS kept_doc, COUNT(*) AS n_members
+      |FROM documents
+      |GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      |HAVING COUNT(*) >= 2
+      |ORDER BY kept_doc""".stripMargin
+
+  // ---------------------------------------------------------------- d3
+  /** Word-trigram Jaccard near-dup pairs (threshold 0.6). Candidate pairs
+    * come from a join on shared grams (shuffle keyed on gram), so cost is
+    * proportional to actual collisions, never |docs|². The threshold test
+    * is cross-multiplied integer math: 10*shared >= 6*union. */
+  def d3NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Grams are hashed to 60-bit ints BEFORE the self-join, so the shuffle
+    // carries (long, long, int) instead of ~30-byte gram strings; the
+    // per-doc gram count rides along to avoid a second join. Both engines
+    // hash identically, so results agree even in the (2^-60) collision case.
+    val grams = docs(spark, dir)
+      .select($"doc_id", trigrams(tokens($"text")).as("grams"))
+      .select($"doc_id", size($"grams").as("c"),
+              explode(transform($"grams", g => md5Long(g))).as("gh"))
+    grams.as("a").join(grams.as("b"),
+        $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+               $"a.c".as("ca"), $"b.c".as("cb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("unions", $"ca" + $"cb" - $"shared")
+      .filter($"shared" * 10 >= $"unions" * 6)
+      .select($"i", $"j", $"shared", $"unions",
+              permille($"shared", $"unions").as("jac_milli"))
+      .orderBy($"i", $"j")
+  }
+
+  val d3NgramJaccardSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |gr AS (SELECT doc_id, ${sqlTrigrams("l")} AS grams FROM toks),
+       |grams AS (
+       |  SELECT doc_id, len(grams) AS c,
+       |         unnest(list_transform(grams, g -> ${sqlMd5Long("g")})) AS gh
+       |  FROM gr),
+       |shared AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, a.c AS ca, b.c AS cb,
+       |         COUNT(*) AS shared
+       |  FROM grams a JOIN grams b ON a.gh = b.gh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT i, j, shared, ca + cb - shared AS unions,
+       |  ${sqlPermille("shared", "(ca + cb - shared)")} AS jac_milli
+       |FROM shared
+       |WHERE shared * 10 >= (ca + cb - shared) * 6
+       |ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------- d4
+  /** MinHash + LSH candidate pairs: 16 md5-derived min-hashes over distinct
+    * word trigrams, banded 4×4; docs colliding in any band are candidates.
+    * The only join is on (band, band-signature) — the LSH bucket — which is
+    * the crossJoin-free scale path for fuzzy dedup. */
+  /** MD5-hex → 60-bit long, driver-side twin of [[md5Long]] (same value as
+    * the engine expression and the DuckDB oracle formula). */
+  private def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  private val P31 = 2147483647L
+
+  def d4MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // One strong 60-bit md5 per gram, then a cheap affine hash family
+    // h_s(x) = (a_s·x + b_s) mod p (p = 2^31-1, the classic construction).
+    // Shape matters at scale: grams explode to (doc_id, h) LONG rows and
+    // the 16 signature slots are codegen'd min() aggregates with map-side
+    // partial aggregation — one narrow shuffle keyed on doc_id. (The
+    // all-higher-order-function formulation re-evaluates the whole
+    // signature expression once per band key after Catalyst's projection
+    // collapse — measured 10× slower.)
+    val gramRows = docs(spark, dir)
+      .select($"doc_id", explode(trigrams(tokens($"text"))).as("g"))
+      .select($"doc_id", pmod(md5Long($"g"), lit(P31)).as("h"))
+    val minAggs = (0 until 16).map { s =>
+      val a = md5Long60("A" + s) % (P31 - 1) + 1
+      val b = md5Long60("B" + s) % P31
+      min(pmod(lit(a) * $"h" + lit(b), lit(P31))).as(s"m$s")
+    }
+    val sig = gramRows.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
+    // band key b in 0..3 = md5 of the 4 signature slots of the band
+    val bandKeys = array((0 until 4).map { b =>
+      md5(concat_ws(",",
+        (0 until 4).map(i => col(s"m${b * 4 + i}").cast("string")): _*).cast("binary"))
+    }: _*)
+    val banded = sig.select($"doc_id", posexplode(bandKeys).as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .distinct()
+      .orderBy($"i", $"j")
+  }
+
+  val d4MinhashLshSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |gr AS (SELECT doc_id,
+       |  list_transform(${sqlTrigrams("l")}, g -> ${sqlMd5Long("g")} % 2147483647) AS gh
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, 15), s ->
+       |      list_min(list_transform(gh, h ->
+       |        (((${sqlMd5Long("'A' || CAST(s AS VARCHAR)")} % 2147483646) + 1) * h
+       |          + (${sqlMd5Long("'B' || CAST(s AS VARCHAR)")} % 2147483647))
+       |        % 2147483647))) AS sig
+       |  FROM gr),
+       |bands AS (
+       |  SELECT doc_id, u.b AS band,
+       |    md5(array_to_string(list_transform(sig[u.b*4+1:u.b*4+4],
+       |        x -> CAST(x AS VARCHAR)), ',')) AS key
+       |  FROM sig, UNNEST(generate_series(0, 3)) AS u(b))
+       |SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------- d5
+  /** Embedding-cosine near-dup pairs (threshold 0.35) with coarse blocking
+    * on the label column (the IVF-style candidate generation: only
+    * same-block pairs are scored, so the join is |block|²·blocks, not
+    * |all|²). Cosine is an engine-exact double fold; the reported value is
+    * a fixed-point micro projection. */
+  def d5CosineDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Norms are computed once per vector before the pair join (N folds
+    // instead of 2·pairs), so each candidate pair costs one dot product.
+    val e = emb(spark, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    e.as("a").join(e.as("b"),
+        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
+      .filter($"cos" >= 0.35)
+      .select($"a.vec_id".as("i"), $"b.vec_id".as("j"),
+              $"a.label".as("label"), micro($"cos").as("cos_micro"))
+      .orderBy($"i", $"j")
+  }
+
+  val d5CosineDupSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+       |  FROM embeddings)
+       |SELECT a.vec_id AS i, b.vec_id AS j, a.label AS label,
+       |  ${sqlMicro(sqlDot("a.v", "b.v") + " / (a.nrm * b.nrm)")} AS cos_micro
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35
+       |ORDER BY i, j""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact"   -> (d1DedupExact _),
+    "d2_dedup_normset" -> (d2DedupNormSet _),
+    "d3_ngram_jaccard" -> (d3NgramJaccard _),
+    "d4_minhash_lsh"   -> (d4MinhashLsh _),
+    "d5_cosine_dup"    -> (d5CosineDup _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "d1_dedup_exact"   -> d1DedupExactSql,
+    "d2_dedup_normset" -> d2DedupNormSetSql,
+    "d3_ngram_jaccard" -> d3NgramJaccardSql,
+    "d4_minhash_lsh"   -> d4MinhashLshSql,
+    "d5_cosine_dup"    -> d5CosineDupSql,
+  )
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream analytics over the `events` table: tumbling/sliding
+  * windows, JSON property extraction, and gap-based sessionization.
+  *
+  * These are the batch duals of the Structured Streaming pipeline in
+  * [[graft.streaming.StreamSync]] — the same window/sessionize logic runs
+  * identically in `readStream` mode with `withWatermark` (see the streaming
+  * specs). Batch form keeps them oracle-checkable by DuckDB.
+  *
+  * The reference is batch-snapshot-only with no time semantics at all
+  * (SURVEY.md §1.1 "Stream: none"), so this whole module is north-star
+  * extension surface.
+  */
+object EventOps {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+
+  /** Exact decimal sum of the 2-decimal `value` column, as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(28,8)")).cast("double")
+
+  private val dsumSql = "CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- e1
+  /** Tumbling 1-hour window aggregation per event type. Spark's `window`
+    * is epoch-aligned, identical to date_trunc('hour') for a 1h tumble. */
+  def e1HourlyAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+      .select($"w.start".as("hour"), $"event_type", $"n_events", $"total_value")
+      .orderBy($"hour", $"event_type")
+  }
+
+  val e1HourlyAggSql: String =
+    s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+       |  COUNT(*) AS n_events, $dsumSql AS total_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY hour, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- e2
+  /** JSON property extraction (`props` is a JSON object column) feeding a
+    * group-by: per event type, stats of the numeric `k` property. */
+  def e2JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = get_json_object($"props", "$.k").cast("int")
+    events(spark, dir)
+      .select($"event_type", k.as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), count($"k").as("n_k"),
+           sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val e2JsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- e3
+  /** Gap-based sessionization (30-minute inactivity gap): classic
+    * lag → new-session flag → running sum → per-session rollup. One
+    * shuffle on user_id; all window work is within-partition. Durations
+    * are exact epoch-microsecond integers. */
+  def e3Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = lit(30L * 60 * 1000000)
+    val us = unix_micros($"ts")
+    events(spark, dir)
+      .withColumn("prev_us", lag(us, 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || us - $"prev_us" > gapUs, 1).otherwise(0))
+      .withColumn("sess_id", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"),
+           (max(us) - min(us)).as("dur_us"),
+           countDistinct($"event_type").as("n_types"))
+      .orderBy($"user_id", $"sess_id")
+  }
+
+  val e3SessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_type, us,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+      |  FROM flagged)
+      |SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |  CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us,
+      |  COUNT(DISTINCT event_type) AS n_types
+      |FROM sess
+      |GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_id""".stripMargin
+
+  // ---------------------------------------------------------------- e4
+  /** Sliding window (1 hour long, 30-minute slide): every event lands in
+    * exactly two windows. Spark's `window(ts, len, slide)` is expressed in
+    * the oracle as the two epoch-aligned 30-minute slots covering t. */
+  def e4SlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+      .select($"w.start".as("win_start"), $"n_events", $"total_value")
+      .orderBy($"win_start")
+  }
+
+  val e4SlidingWindowSql: String =
+    s"""SELECT TIMESTAMP '1970-01-01 00:00:00'
+       |    + ((epoch_us(ts) // 1000000 // 1800 - u.o) * 1800) * INTERVAL '1 second' AS win_start,
+       |  COUNT(*) AS n_events, $dsumSql AS total_value
+       |FROM events, UNNEST([0, 1]) AS u(o)
+       |GROUP BY 1
+       |ORDER BY win_start""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_hourly_agg"  -> (e1HourlyAgg _),
+    "e2_json_extract" -> (e2JsonExtract _),
+    "e3_sessionize"  -> (e3Sessionize _),
+    "e4_sliding_window" -> (e4SlidingWindow _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "e1_hourly_agg"  -> e1HourlyAggSql,
+    "e2_json_extract" -> e2JsonExtractSql,
+    "e3_sessionize"  -> e3SessionizeSql,
+    "e4_sliding_window" -> e4SlidingWindowSql,
+  )
+}

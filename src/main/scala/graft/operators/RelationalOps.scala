@@ -179,20 +179,190 @@ object RelationalOps {
       |WHERE rnk <= 3
       |ORDER BY o_custkey, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q6
+  /** Left-semi join (EXISTS): customers having at least one big order.
+    * Semi joins ship only the join key of the build side and stop probing
+    * on first match — at scale this beats inner-join+distinct. */
+  def q6SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigOrders = t(spark, dir, "orders").filter($"o_totalprice" > 450000.0)
+    t(spark, dir, "customer")
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val q6SemiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q7
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  def q7AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  val q7AntiJoinSql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q8
+  /** Set operations: symmetric difference of the 1995-H1 and 1995-H2+Q2
+    * customer sets, exercising UNION/INTERSECT/EXCEPT distinct semantics. */
+  def q8SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = t(spark, dir, "orders")
+    def keys(lo: String, hi: String) = orders
+      .filter($"o_orderdate" >= lit(lo).cast("timestamp") &&
+              $"o_orderdate" <  lit(hi).cast("timestamp"))
+      .select($"o_custkey".as("custkey"))
+    val a = keys("1995-01-01", "1995-07-01")
+    val b = keys("1995-04-01", "1996-01-01")
+    a.union(b).distinct().except(a.intersect(b)).orderBy($"custkey")
+  }
+
+  val q8SetOpsSql: String =
+    """(SELECT o_custkey AS custkey FROM orders
+      | WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+      | UNION
+      | SELECT o_custkey AS custkey FROM orders
+      | WHERE o_orderdate >= TIMESTAMP '1995-04-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+      |EXCEPT
+      |(SELECT o_custkey AS custkey FROM orders
+      | WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+      | INTERSECT
+      | SELECT o_custkey AS custkey FROM orders
+      | WHERE o_orderdate >= TIMESTAMP '1995-04-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+      |ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q9
+  /** ROLLUP aggregation: subtotals per (priority, status), per priority,
+    * and grand total — partial aggregation handles all levels in one pass. */
+  def q9Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .rollup($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  val q9RollupSql: String =
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- q10
+  /** Aggregation with exact DISTINCT: Catalyst plans a two-stage expand +
+    * aggregate; the distinct key (nationkey) is low-cardinality so the
+    * expanded shuffle stays cheap at scale. */
+  def q10DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "customer")
+      .groupBy($"c_mktsegment")
+      .agg(countDistinct($"c_nationkey").as("n_nations"),
+           count(lit(1)).as("n_cust"),
+           dsum($"c_acctbal").as("total_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q10DistinctAggSql: String =
+    """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+      |  COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // --------------------------------------------------------------- q11
+  /** Correlated scalar subquery (parts priced above their brand average),
+    * decorrelated into a single window pass. The comparison is done as
+    * price*count > sum in exact decimal so no division is involved. */
+  def q11ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"p_brand")
+    t(spark, dir, "part")
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("brand_sum", sum(money($"p_retailprice")).over(w))
+      .filter(money($"p_retailprice") * $"cnt" > $"brand_sum")
+      .select($"p_partkey", $"p_brand", $"p_retailprice")
+      .orderBy($"p_partkey")
+  }
+
+  val q11ScalarSubquerySql: String =
+    """SELECT p_partkey, p_brand, p_retailprice
+      |FROM part p
+      |WHERE CAST(p_retailprice AS DECIMAL(12,2)) *
+      |      (SELECT COUNT(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+      |    > (SELECT SUM(CAST(p_retailprice AS DECIMAL(12,2))) FROM part p2
+      |       WHERE p2.p_brand = p.p_brand)
+      |ORDER BY p_partkey""".stripMargin
+
+  // --------------------------------------------------------------- q12
+  /** Scalar function surface: string (upper/substring/length) and date
+    * (year/quarter) functions feeding a group-by. */
+  def q12StringDate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .groupBy(
+        year($"o_orderdate").as("yr"),
+        quarter($"o_orderdate").as("qtr"),
+        upper(substring($"o_orderpriority", 1, 8)).as("prio"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum($"o_totalprice").as("total"),
+           min(length($"o_orderpriority")).as("min_prio_len"))
+      .orderBy($"yr", $"qtr", $"prio")
+  }
+
+  val q12StringDateSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  UPPER(SUBSTR(o_orderpriority, 1, 8)) AS prio,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total,
+      |  MIN(LENGTH(o_orderpriority)) AS min_prio_len
+      |FROM orders
+      |GROUP BY 1, 2, 3
+      |ORDER BY yr, qtr, prio""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg"            -> (q1Agg _),
-    "q2_filter_project" -> (q2FilterProject _),
-    "q3_join_agg"       -> (q3JoinAgg _),
-    "q4_topk"           -> (q4TopK _),
-    "q5_window_topn"    -> (q5WindowTopN _),
+    "q1_agg"             -> (q1Agg _),
+    "q2_filter_project"  -> (q2FilterProject _),
+    "q3_join_agg"        -> (q3JoinAgg _),
+    "q4_topk"            -> (q4TopK _),
+    "q5_window_topn"     -> (q5WindowTopN _),
+    "q6_semi_join"       -> (q6SemiJoin _),
+    "q7_anti_join"       -> (q7AntiJoin _),
+    "q8_set_ops"         -> (q8SetOps _),
+    "q9_rollup"          -> (q9Rollup _),
+    "q10_distinct_agg"   -> (q10DistinctAgg _),
+    "q11_scalar_subquery" -> (q11ScalarSubquery _),
+    "q12_string_date"    -> (q12StringDate _),
   )
 
   def oracles: Map[String, String] = Map(
-    "q1_agg"            -> q1AggSql,
-    "q2_filter_project" -> q2FilterProjectSql,
-    "q3_join_agg"       -> q3JoinAggSql,
-    "q4_topk"           -> q4TopKSql,
-    "q5_window_topn"    -> q5WindowTopNSql,
+    "q1_agg"             -> q1AggSql,
+    "q2_filter_project"  -> q2FilterProjectSql,
+    "q3_join_agg"        -> q3JoinAggSql,
+    "q4_topk"            -> q4TopKSql,
+    "q5_window_topn"     -> q5WindowTopNSql,
+    "q6_semi_join"       -> q6SemiJoinSql,
+    "q7_anti_join"       -> q7AntiJoinSql,
+    "q8_set_ops"         -> q8SetOpsSql,
+    "q9_rollup"          -> q9RollupSql,
+    "q10_distinct_agg"   -> q10DistinctAggSql,
+    "q11_scalar_subquery" -> q11ScalarSubquerySql,
+    "q12_string_date"    -> q12StringDateSql,
   )
 }

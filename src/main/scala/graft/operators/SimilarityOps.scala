@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.EngineFns._
+
+/** Similarity search over `embeddings.embedding: array<float>`.
+  *
+  * s1 is the exact baseline: brute-force cosine top-k for a small query
+  * set. The query side is broadcast (it is tiny by construction), so the
+  * big side streams once with no shuffle — the correct brute-force shape
+  * at any scale when |queries| is small.
+  *
+  * s2 is the scale path: random-hyperplane LSH (SimHash for vectors).
+  * Each vector gets a b-bit bucket from the signs of b pseudo-random
+  * hyperplane projections; only same-bucket candidates are scored. The
+  * hyperplanes are derived deterministically from md5(plane,dim) parities
+  * so the DuckDB oracle reproduces them exactly.
+  */
+object SimilarityOps {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+
+  private val K = 10
+  private val NQUERIES = 10
+  private val PLANES = 4 // 16 buckets; enough selectivity at test SFs
+
+  // ---------------------------------------------------------------- s1
+  /** Brute-force cosine top-K: rank all non-self neighbors per query by
+    * (cosine desc, vec_id) and keep K. Exact answer; the per-query ranking
+    * is a window over the broadcast-joined score stream. */
+  def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    val q = e.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    e.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm")
+      .join(broadcast(q), $"qid" =!= $"nid")
+      .withColumn("cos", dot($"qv", $"nv") / ($"qnrm" * $"nrm"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"nid", $"rnk", micro($"cos").as("cos_micro"))
+      .orderBy($"qid", $"rnk")
+  }
+
+  val s1KnnBruteSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |    ${sqlDot("q.v", "n.v")} / (q.nrm * n.nrm) AS cos
+       |  FROM e q JOIN e n ON q.vec_id < $NQUERIES AND q.vec_id <> n.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, nid, rnk, ${sqlMicro("cos")} AS cos_micro
+       |FROM ranked WHERE rnk <= $K
+       |ORDER BY qid, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- s2
+  /** Hyperplane-LSH approximate top-K: bucket = sign bits of PLANES
+    * pseudo-random ±1 hyperplane projections; candidates share the
+    * query's bucket; rank candidates exactly. Recall < 1 by design — this
+    * is the shape that replaces the O(N·Q) scan at 100 TB. */
+  def s2KnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // bit p = sign of sum_d v[d] * w(p,d), w = ±1 from md5 parity
+    val bucketBits = transform(sequence(lit(0), lit(PLANES - 1)), p =>
+      when(
+        aggregate(sequence(lit(0), lit(63)), lit(0.0), (acc, d) =>
+          acc + element_at($"v", d + 1) *
+            when(pmod(conv(substring(md5(concat(p.cast("string"), lit(","), d.cast("string")).cast("binary")), 1, 15), 16, 10).cast("long"), lit(2)) === 0, lit(1.0))
+              .otherwise(lit(-1.0))) >= 0, lit("1")).otherwise(lit("0")))
+    val e = emb(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+      .withColumn("bucket", array_join(bucketBits, ""))
+    val q = e.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"),
+              $"bucket".as("qbucket"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    e.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm", $"bucket")
+      .join(broadcast(q), $"qbucket" === $"bucket" && $"qid" =!= $"nid")
+      .withColumn("cos", dot($"qv", $"nv") / ($"qnrm" * $"nrm"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"nid", $"rnk", micro($"cos").as("cos_micro"))
+      .orderBy($"qid", $"rnk")
+  }
+
+  private val sqlBucket: String = {
+    val bit = s"""CASE WHEN list_reduce(
+                 |      list_transform(generate_series(0, 63), d ->
+                 |        v[d+1] * (CASE WHEN (CAST(CONCAT('0x', SUBSTR(md5(CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2) = 0
+                 |                  THEN 1.0 ELSE -1.0 END)),
+                 |      (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END""".stripMargin
+    s"array_to_string(list_transform(generate_series(0, ${PLANES - 1}), p -> $bit), '')"
+  }
+
+  val s2KnnLshSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+       |  FROM embeddings),
+       |bucketed AS (
+       |  SELECT vec_id, v, nrm, $sqlBucket AS bucket FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |    ${sqlDot("q.v", "n.v")} / (q.nrm * n.nrm) AS cos
+       |  FROM bucketed q JOIN bucketed n
+       |    ON q.vec_id < $NQUERIES AND q.bucket = n.bucket AND q.vec_id <> n.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, nid, rnk, ${sqlMicro("cos")} AS cos_micro
+       |FROM ranked WHERE rnk <= $K
+       |ORDER BY qid, rnk""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_knn_brute" -> (s1KnnBrute _),
+    "s2_knn_lsh"   -> (s2KnnLsh _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "s1_knn_brute" -> s1KnnBruteSql,
+    "s2_knn_lsh"   -> s2KnnLshSql,
+  )
+}
