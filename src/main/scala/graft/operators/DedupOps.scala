@@ -221,6 +221,66 @@ object DedupOps {
        |WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35
        |ORDER BY i, j""".stripMargin
 
+  // ---------------------------------------------------------------- d6
+  /** SimHash near-dup pairs: 32-bit SimHash over distinct word-trigram
+    * hashes (bit j = sign of Σ ±1 votes from (h>>j)&1), candidates
+    * generated by byte-band LSH (pairs must share one of four 8-bit
+    * bands), kept at Hamming distance ≤ 3. Trigram features (not plain
+    * tokens) keep fingerprints discriminative on small-vocabulary
+    * corpora. Same scale shape as d4: explode → codegen'd sums →
+    * band-bucket join. */
+  def d6Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = docs(spark, dir)
+      .select($"doc_id", explode(trigrams(tokens($"text"))).as("t"))
+      .select($"doc_id", md5Long($"t").as("h"))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val sums = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 32)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val banded = sums
+      .select($"doc_id", fp.as("fp"))
+      .select($"doc_id", $"fp", posexplode(array(
+        (0 until 4).map(b => expr(s"(fp >> ${b * 8}) & 255")): _*))
+        .as(Seq("band", "nib")))
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.nib" === $"b.nib" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+              bit_count($"a.fp".bitwiseXOR($"b.fp")).as("hamming"))
+      .filter($"hamming" <= 3)
+      .distinct()
+      .orderBy($"i", $"j")
+  }
+
+  val d6SimhashSql: String = {
+    val sums = (0 until 32).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n    ")
+    val fpExpr = (0 until 32).map(j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(${sqlTrigrams("l")}) AS t FROM toks),
+       |th AS (SELECT doc_id, ${sqlMd5Long("t")} AS h FROM tok),
+       |sums AS (SELECT doc_id,
+       |    $sums
+       |  FROM th GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM sums),
+       |banded AS (
+       |  SELECT doc_id, fp, u.b AS band, (fp >> (u.b * 8)) & 255 AS nib
+       |  FROM fp, UNNEST(generate_series(0, 3)) AS u(b))
+       |SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+       |ORDER BY i, j""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact"   -> (d1DedupExact _),
@@ -228,6 +288,7 @@ object DedupOps {
     "d3_ngram_jaccard" -> (d3NgramJaccard _),
     "d4_minhash_lsh"   -> (d4MinhashLsh _),
     "d5_cosine_dup"    -> (d5CosineDup _),
+    "d6_simhash"       -> (d6Simhash _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -236,5 +297,6 @@ object DedupOps {
     "d3_ngram_jaccard" -> d3NgramJaccardSql,
     "d4_minhash_lsh"   -> d4MinhashLshSql,
     "d5_cosine_dup"    -> d5CosineDupSql,
+    "d6_simhash"       -> d6SimhashSql,
   )
 }

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Typed media payload: opaque bytes + structured metadata. */
+final case class MediaMeta(mime: String, n_bytes: Long, width: Int, height: Int)
+final case class MediaRecord(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
+
+/** Deterministic per-record features produced by the (stubbed) decoder. */
+final case class MediaFeatures(doc_id: Long, n_bytes: Long, entropy_milli: Long,
+                               head_histogram: Seq[Long], thumb_n_bytes: Long)
+
+/** Multimodal-column plumbing: image/audio/video modeled as opaque
+  * `binary` payloads with a typed metadata struct, plus a batched
+  * decode / feature-extract / resize pass over `mapPartitions`.
+  *
+  * The actual media decode is STUBBED (this environment has no
+  * image/audio codecs): [[FakeCodec]] derives deterministic bytes and
+  * features from the payload itself. Everything around the stub — the
+  * schema (binary + struct), the typed Dataset encoders, the batched
+  * partition iteration shape (decode wants vectorized batches, so the
+  * iterator is `grouped(batchSize)`), and the metadata pruning — is the
+  * real Spark plumbing a production decoder would drop into.
+  */
+object MultimodalOps {
+
+  /** STUB decoder — stands in for libjpeg/ffmpeg-style native decode.
+    * Deterministic pure function of the payload bytes. */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): Array[Long] = {
+      val hist = new Array[Long](256)
+      payload.foreach(b => hist(b & 0xff) += 1)
+      hist
+    }
+
+    /** Integer-exact entropy proxy: sum of c*(n-c) scaled — avoids
+      * floating logs so tests are exact. */
+    def entropyMilli(hist: Array[Long], n: Long): Long =
+      if (n == 0) 0L
+      else hist.map(c => c * (n - c)).sum * 1000 / (n * n)
+
+    /** "Resize": keep every 4th byte (frame-sample/thumbnail stand-in). */
+    def thumbnail(payload: Array[Byte]): Array[Byte] =
+      payload.grouped(4).map(_.head).toArray
+  }
+
+  /** Wrap each document as a media record: payload = UTF-8 bytes standing
+    * in for encoded media; metadata derived deterministically. */
+  def buildMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)]
+      .map { case (id, text, n) =>
+        val payload = text.getBytes("UTF-8")
+        val mime = if (n % 3 == 0) "image/fake" else if (n % 3 == 1) "audio/fake" else "video/fake"
+        MediaRecord(id, payload, MediaMeta(mime, payload.length.toLong,
+          width = (n % 640).toInt + 16, height = (n % 480).toInt + 16))
+      }
+  }
+
+  /** Batched decode + feature extraction over mapPartitions: the iterator
+    * is consumed in `batchSize` groups, mirroring how a vectorized decoder
+    * (or an Arrow-batched UDF) would be fed, without materializing the
+    * partition. */
+  def extractFeatures(media: Dataset[MediaRecord],
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real codec would decode the whole batch in one native call
+        batch.iterator.map { rec =>
+          val hist = FakeCodec.decode(rec.payload)
+          val n = rec.payload.length.toLong
+          MediaFeatures(
+            rec.doc_id, n,
+            FakeCodec.entropyMilli(hist, n),
+            hist.take(8).toSeq,
+            FakeCodec.thumbnail(rec.payload).length.toLong)
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- m1
+  /** Oracle-checked metadata surface: binary payload length, content
+    * hash, and mime bucketing — all computable by DuckDB over the same
+    * bytes. */
+  def m1MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("payload"), $"n_chars")
+      .select(
+        $"doc_id",
+        length($"payload").as("n_bytes"),
+        sha2($"payload", 256).as("sha256_hex"),
+        when($"n_chars" % 3 === 0, "image/fake")
+          .when($"n_chars" % 3 === 1, "audio/fake")
+          .otherwise("video/fake").as("mime"))
+      .orderBy($"doc_id")
+  }
+
+  val m1MultimodalMetaSql: String =
+    """SELECT doc_id,
+      |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |  sha256(text) AS sha256_hex,
+      |  CASE WHEN n_chars % 3 = 0 THEN 'image/fake'
+      |       WHEN n_chars % 3 = 1 THEN 'audio/fake'
+      |       ELSE 'video/fake' END AS mime
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- m2
+  /** The full decode pipeline as a query (rows-only check: the stubbed
+    * decoder is not SQL-expressible). Features are deterministic, so row
+    * counts and spot values are stable for the specs. */
+  def m2MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(buildMedia(spark, dir))
+      .toDF()
+      .select($"doc_id", $"n_bytes", $"entropy_milli", $"thumb_n_bytes")
+      .orderBy($"doc_id")
+  }
+
+  // ------------------------------------------------------------ registry
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_multimodal_meta" -> (m1MultimodalMeta _),
+    "m2_media_features"  -> (m2MediaFeatures _),
+  )
+
+  /** m2 intentionally has no oracle (stubbed decode → rows-only check). */
+  def oracles: Map[String, String] = Map(
+    "m1_multimodal_meta" -> m1MultimodalMetaSql,
+  )
+}

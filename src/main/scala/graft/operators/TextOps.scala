@@ -163,6 +163,25 @@ object TextOps {
        |FROM s
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t6
+  /** Rolling-hash document fingerprint via the native [[PolyHash]]
+    * Catalyst expression (codegen'd byte fold — no UDF boxing). */
+  def t6PolyHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.PolyHash.register(spark)
+    docs(spark, dir)
+      .select($"doc_id", expr("polyhash(text)").as("ph"))
+      .orderBy($"doc_id")
+  }
+
+  val t6PolyHashSql: String =
+    """SELECT doc_id,
+      |  list_reduce(list_transform(string_split(text, ''),
+      |                             c -> CAST(ascii(c) AS BIGINT)),
+      |              (acc, c) -> (acc * 31 + c) % 2147483647) AS ph
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
@@ -170,6 +189,7 @@ object TextOps {
     "t3_quality"      -> (t3QualityScore _),
     "t4_fingerprint"  -> (t4Fingerprint _),
     "t5_langid"       -> (t5LangId _),
+    "t6_polyhash"     -> (t6PolyHash _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -178,5 +198,6 @@ object TextOps {
     "t3_quality"      -> t3QualityScoreSql,
     "t4_fingerprint"  -> t4FingerprintSql,
     "t5_langid"       -> t5LangIdSql,
+    "t6_polyhash"     -> t6PolyHashSql,
   )
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query must run at sf0.001 and produce a sane result.
+  * (Value-level correctness is the DuckDB oracle gate — scripts/
+  * oracle_check.py; these specs guard execution + shape + spot values.) */
+class OperatorSmokeSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0)
+      assert(df.columns.nonEmpty)
+    }
+  }
+
+  test("every query with an oracle is declared, and vice versa") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
+    // rows-only queries are allowed but must be deliberate:
+    assert((qs -- os) == Set("m2_media_features"), s"unexpected rows-only: ${qs -- os}")
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1 aggregates to the 6 (returnflag, linestatus) groups") {
+    val rows = SparkEntry.queries("q1_agg")(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getLong(rows.head.fieldIndex("count_order"))).sum == 6000L)
+  }
+
+  test("q4 top-k is ordered descending by o_totalprice") {
+    val prices = SparkEntry.queries("q4_topk")(spark, sf)
+      .collect().map(_.getDouble(2))
+    assert(prices.length == 100)
+    assert(prices.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("s1 knn returns exactly k neighbors per query vector") {
+    val rows = SparkEntry.queries("s1_knn_brute")(spark, sf).collect()
+    val perQ = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQ.size == 10 && perQ.values.forall(_ == 10))
+  }
+
+  test("d1 exact dedup keeps every distinct text once") {
+    val n = SparkEntry.queries("d1_dedup_exact")(spark, sf).count()
+    val docs = Tables(spark, sf, "documents").count()
+    assert(n <= docs && n > 0)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.{DriverManager, Timestamp}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+import graft.sources.{DerbyDialect, SyncConf}
+
+final case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+final case class Change(id: Long, val_s: String)
+
+/** Structured Streaming specs: windowed aggregation with watermark/late
+  * data over MemoryStream, and the foreachBatch JDBC upsert sink. */
+class StreamingSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("windowed agg with watermark emits closed windows and drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.windowedAgg(input.toDF(), windowLen = "1 hour",
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Ev(t("2024-01-01 00:05:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 00:40:00"), 2, "click", 2.0))
+      q.processAllAvailable()
+      // advance event time far past the window end + lateness → closes it
+      input.addData(Ev(t("2024-01-01 03:00:00"), 3, "view", 5.0))
+      q.processAllAvailable()
+      // this event is way behind the watermark → dropped
+      input.addData(Ev(t("2024-01-01 00:50:00"), 4, "click", 100.0))
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-01 06:00:00"), 5, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .select($"win_start", $"event_type", $"n_events", $"total_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L, 3.0)),
+        s"closed 00:00 window should hold the 2 on-time clicks, got $rows")
+      assert(!rows.exists(_._4 == 100.0), "late event must be dropped")
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.sessionAgg(input.toDF(), gap = "30 minutes",
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sess_agg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Ev(t("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Ev(t("2024-01-01 00:10:00"), 7, "view", 1.0),  // same session
+        Ev(t("2024-01-01 01:30:00"), 7, "click", 1.0)) // new session
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-01 09:00:00"), 8, "view", 1.0)) // close all
+      q.processAllAvailable()
+      val sessions = spark.table("sess_agg")
+        .filter($"user_id" === 7).collect()
+        .map(r => (r.getAs[Timestamp]("sess_start").toString, r.getAs[Long]("n_events")))
+        .toSet
+      assert(sessions == Set(("2024-01-01 00:00:00.0", 2L),
+                             ("2024-01-01 01:30:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert applies keyed changes idempotently to JDBC") {
+    val tgtUrl = "jdbc:derby:memory:streamtgt;create=true"
+    val conn = DriverManager.getConnection(tgtUrl)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE \"UPS\"") catch { case _: java.sql.SQLException => () }
+      st.execute("CREATE TABLE \"UPS\" (\"id\" BIGINT NOT NULL, \"val_s\" VARCHAR(20))")
+      st.close()
+    } finally conn.close()
+    val conf = SyncConf(sourceUrl = tgtUrl, targetUrl = tgtUrl, database = "APP")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = input.toDF().writeStream
+      .foreachBatch(StreamSync.upsertBatch(conf, DerbyDialect, "UPS", Seq("id")) _)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Change(1, "a"), Change(2, "b"))
+      q.processAllAvailable()
+      input.addData(Change(1, "a2"), Change(3, "c")) // update 1, insert 3
+      q.processAllAvailable()
+      val c2 = DriverManager.getConnection(tgtUrl)
+      try {
+        val rs = c2.createStatement().executeQuery(
+          "SELECT \"id\", \"val_s\" FROM \"UPS\" ORDER BY \"id\"")
+        val rows = Iterator.continually(rs)
+          .takeWhile(_.next()).map(r => (r.getLong(1), r.getString(2))).toList
+        assert(rows == List((1L, "a2"), (2L, "b"), (3L, "c")))
+        rs.close()
+      } finally c2.close()
+    } finally q.stop()
+  }
+}
