@@ -77,15 +77,21 @@ object DedupOps {
     * is cross-multiplied integer math: 10*shared >= 6*union. */
   def d3NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Grams are hashed to 60-bit ints BEFORE the self-join, so the shuffle
-    // carries (long, long, int) instead of ~30-byte gram strings; the
-    // per-doc gram count rides along to avoid a second join. Both engines
-    // hash identically, so results agree even in the (2^-60) collision case.
+    graft.functions.TrigramHash60.register(spark)
+    // Grams are hashed to 60-bit ints BEFORE the self-join (single-pass
+    // native expression), so the shuffle carries (long, long, int) instead
+    // of ~30-byte gram strings; the per-doc gram count rides along to
+    // avoid a second join. Both engines hash identically, so results
+    // agree even in the (2^-60) collision case.
     val grams = docs(spark, dir)
-      .select($"doc_id", trigrams(tokens($"text")).as("grams"))
-      .select($"doc_id", size($"grams").as("c"),
-              explode(transform($"grams", g => md5Long(g))).as("gh"))
-    grams.as("a").join(grams.as("b"),
+      .select($"doc_id", expr("trigram_hashes(text)").as("gh_arr"))
+      .select($"doc_id", size($"gh_arr").as("c"), explode($"gh_arr").as("gh"))
+    // shuffle-hash (not broadcast): both sides shuffle on gh with
+    // IDENTICAL subplans, so AQE reuses one exchange — the gram stream is
+    // computed and shuffled once, read twice. Broadcasting the gram
+    // stream would collect it to the driver: fine at test SF, wrong at
+    // scale (measured 2× slower here too).
+    grams.as("a").join(grams.hint("shuffle_hash").as("b"),
         $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"),
                $"a.c".as("ca"), $"b.c".as("cb"))
@@ -141,9 +147,10 @@ object DedupOps {
     // all-higher-order-function formulation re-evaluates the whole
     // signature expression once per band key after Catalyst's projection
     // collapse — measured 10× slower.)
+    graft.functions.TrigramHash60.register(spark)
     val gramRows = docs(spark, dir)
-      .select($"doc_id", explode(trigrams(tokens($"text"))).as("g"))
-      .select($"doc_id", pmod(md5Long($"g"), lit(P31)).as("h"))
+      .select($"doc_id", explode(expr("trigram_hashes(text)")).as("g60"))
+      .select($"doc_id", pmod($"g60", lit(P31)).as("h"))
     val minAggs = (0 until 16).map { s =>
       val a = md5Long60("A" + s) % (P31 - 1) + 1
       val b = md5Long60("B" + s) % P31
@@ -231,9 +238,9 @@ object DedupOps {
     * band-bucket join. */
   def d6Simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.TrigramHash60.register(spark)
     val tok = docs(spark, dir)
-      .select($"doc_id", explode(trigrams(tokens($"text"))).as("t"))
-      .select($"doc_id", md5Long($"t").as("h"))
+      .select($"doc_id", explode(expr("trigram_hashes(text)")).as("h"))
     val bitSums = (0 until 32).map { j =>
       sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"s$j")
     }

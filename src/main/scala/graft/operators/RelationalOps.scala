@@ -335,6 +335,75 @@ object RelationalOps {
       |GROUP BY 1, 2, 3
       |ORDER BY yr, qtr, prio""".stripMargin
 
+  // --------------------------------------------------------------- q13
+  /** SQL frontend: the same engine drives plain SQL text through
+    * spark.sql over registered views — revenue by month with a CTE and a
+    * HAVING clause. (The reference generates SQL but cannot parse any —
+    * SURVEY.md §2.2 "no SQL frontend".) */
+  def q13SqlFrontend(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir)
+    spark.sql(
+      """WITH monthly AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |         CAST(month(o_orderdate) AS INT) AS mth,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+        |         COUNT(*) AS n_orders
+        |  FROM orders
+        |  GROUP BY 1, 2)
+        |SELECT yr, mth, revenue, n_orders
+        |FROM monthly
+        |WHERE n_orders >= 10
+        |ORDER BY yr, mth""".stripMargin)
+  }
+
+  /** Identical SQL runs on DuckDB (the dialect subset is shared). */
+  val q13SqlFrontendSql: String =
+    """WITH monthly AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |         CAST(month(o_orderdate) AS INT) AS mth,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+      |         COUNT(*) AS n_orders
+      |  FROM orders
+      |  GROUP BY 1, 2)
+      |SELECT yr, mth, revenue, n_orders
+      |FROM monthly
+      |WHERE n_orders >= 10
+      |ORDER BY yr, mth""".stripMargin
+
+  // --------------------------------------------------------------- q14
+  /** Window-function variety on one pass: lag delta, running decimal sum,
+    * rank, and quartile (ntile) per customer order history. */
+  def q14WindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    t(spark, dir, "orders")
+      .filter($"o_custkey" < 50)
+      .withColumn("prev_price", lag(money($"o_totalprice"), 1).over(w))
+      .withColumn("delta", (money($"o_totalprice") - $"prev_price").cast("double"))
+      .withColumn("running_total",
+        sum(money($"o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .select($"o_custkey", $"o_orderkey", $"delta", $"running_total",
+              $"rnk", $"quartile")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q14WindowFuncsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2))
+      |       - LAG(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS delta,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+      |  RANK() OVER w AS rnk,
+      |  NTILE(4) OVER w AS quartile
+      |FROM orders
+      |WHERE o_custkey < 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -349,7 +418,27 @@ object RelationalOps {
     "q10_distinct_agg"   -> (q10DistinctAgg _),
     "q11_scalar_subquery" -> (q11ScalarSubquery _),
     "q12_string_date"    -> (q12StringDate _),
+    "q13_sql_frontend"   -> (q13SqlFrontend _),
+    "q14_window_funcs"   -> (q14WindowFuncs _),
+    "q15_approx_sketch"  -> (q15ApproxSketch _),
   )
+
+  // --------------------------------------------------------------- q15
+  /** Sketch aggregates: HyperLogLog++ distinct estimate and approximate
+    * quantiles per segment. Rows-only check (sketch estimates are
+    * implementation-specific, so no cross-engine oracle); the smoke spec
+    * bounds the HLL error against the exact count. */
+  def q15ApproxSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        approx_count_distinct($"o_custkey", rsd = 0.02).as("approx_customers"),
+        countDistinct($"o_custkey").as("exact_customers"),
+        percentile_approx($"o_totalprice", lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx($"o_totalprice", lit(0.99), lit(1000)).as("p99_price"))
+      .orderBy($"o_orderpriority")
+  }
 
   def oracles: Map[String, String] = Map(
     "q1_agg"             -> q1AggSql,
@@ -364,5 +453,8 @@ object RelationalOps {
     "q10_distinct_agg"   -> q10DistinctAggSql,
     "q11_scalar_subquery" -> q11ScalarSubquerySql,
     "q12_string_date"    -> q12StringDateSql,
+    "q13_sql_frontend"   -> q13SqlFrontendSql,
+    "q14_window_funcs"   -> q14WindowFuncsSql,
+    // q15_approx_sketch: rows-only (sketches are engine-specific)
   )
 }

@@ -126,12 +126,64 @@ object SimilarityOps {
        |FROM ranked WHERE rnk <= $K
        |ORDER BY qid, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- s3
+  /** IVF-style ANN: coarse quantize every vector to its nearest centroid
+    * (centroids = per-label mean vectors — standing in for a k-means
+    * codebook), then search only the query's nprobe=4 nearest cells.
+    * Rows-only check: centroid averaging sums doubles in partition order,
+    * which is not deterministic across engines — the spec instead bounds
+    * recall against the exact s1 answer.
+    *
+    * Scale shape: the centroid table is tiny (broadcast); each vector
+    * computes its cell assignment in one map pass; the candidate join is
+    * cell-blocked, never all-pairs. */
+  def s3KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    // codebook: mean vector per label cell — 64 codegen'd avg() slots
+    // (map-side partial agg), reassembled into an array column
+    val avgAggs = (1 to 64).map(i => avg(element_at($"v", lit(i))).as(s"a$i"))
+    val centroids = e.groupBy($"label")
+      .agg(avgAggs.head, avgAggs.tail: _*)
+      .select($"label", array((1 to 64).map(i => col(s"a$i")): _*).as("cv"))
+      .withColumn("cnrm", sqrt(dot($"cv", $"cv")))
+    // assign: nearest cell per vector; probe: 2 nearest cells per query
+    def cellRank(src: DataFrame, id: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy($"csim".desc, $"label".asc)
+      src.crossJoin(broadcast(centroids))
+        .withColumn("csim", dot($"v", $"cv") / ($"nrm" * $"cnrm"))
+        .withColumn("crnk", row_number().over(w))
+        .filter($"crnk" <= keep)
+    }
+    val assigned = cellRank(
+      e.select($"vec_id".as("nid"), $"v", $"nrm"), "nid", 1)
+      .select($"nid", $"label".as("cell"), $"v".as("nv"), $"nrm".as("nnrm"))
+    // nprobe=4 of 10 cells: the label cells are random (not a learned
+    // k-means codebook), so more probes are needed for usable recall
+    val probed = cellRank(
+      e.filter($"vec_id" < NQUERIES)
+        .select($"vec_id".as("qid"), $"v", $"nrm"), "qid", 4)
+      .select($"qid", $"label".as("cell"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    assigned.join(probed, Seq("cell"))
+      .filter($"qid" =!= $"nid")
+      .withColumn("cos", dot($"qv", $"nv") / ($"qnrm" * $"nnrm"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"nid", $"rnk", micro($"cos").as("cos_micro"))
+      .orderBy($"qid", $"rnk")
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh"   -> (s2KnnLsh _),
+    "s3_knn_ivf"   -> (s3KnnIvf _),
   )
 
+  /** s3 is rows-only: see its scaladoc. */
   def oracles: Map[String, String] = Map(
     "s1_knn_brute" -> s1KnnBruteSql,
     "s2_knn_lsh"   -> s2KnnLshSql,

@@ -22,7 +22,36 @@ class OperatorSmokeSpec extends AnyFunSuite {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
     // rows-only queries are allowed but must be deliberate:
-    assert((qs -- os) == Set("m2_media_features"), s"unexpected rows-only: ${qs -- os}")
+    assert((qs -- os) == Set("m2_media_features", "q15_approx_sketch", "s3_knn_ivf"),
+      s"unexpected rows-only: ${qs -- os}")
+  }
+
+  test("q15 HLL estimate is within the configured 2% rsd (loose 10% bound)") {
+    val rows = SparkEntry.queries("q15_approx_sketch")(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getLong(r.fieldIndex("approx_customers"))
+      val exact = r.getLong(r.fieldIndex("exact_customers"))
+      assert(math.abs(approx - exact).toDouble / exact <= 0.10,
+        s"HLL estimate $approx too far from exact $exact")
+    }
+  }
+
+  test("s3 IVF recall@10 against exact s1 beats its scan fraction") {
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("s1_knn_brute")
+    val ivf = pairs("s3_knn_ivf")
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // nprobe=4 of 10 random cells scans ~40% of vectors; a working IVF
+    // must recall at least that fraction (i.e. beat random subsetting)
+    assert(recall >= 0.4, s"IVF recall@10 = $recall")
+  }
+
+  test("q13 SQL-frontend text parses and aggregates in Spark SQL") {
+    val rows = SparkEntry.queries("q13_sql_frontend")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(3) >= 10)) // HAVING n_orders >= 10
   }
 
   test("entry returns rows (driver smoke contract)") {
