@@ -31,11 +31,26 @@ object EngineFns {
   def sqlMd5Long(expr: String): String =
     s"CAST(CONCAT('0x', SUBSTR(md5($expr), 1, 15)) AS BIGINT)"
 
-  /** Sequential left-fold dot product of two array<double> columns.
-    * DuckDB equivalent: [[sqlDot]]. Bit-identical across engines because
-    * both fold left in element order with double adds/multiplies. */
+  /** Driver-side twin of [[md5Long]]: same 60-bit value, computed in
+    * plain Scala (for constants baked into plans). */
+  def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** Register the engine's native expressions on a session. Idempotent;
+    * query builders that use [[dot]]/[[cosine]] call this first. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    VecDot.register(spark)
+
+  /** Sequential left-fold dot product of two array<double> columns via
+    * the native [[VecDot]] expression (requires [[registerAll]]).
+    * DuckDB equivalent: [[sqlDot]]. Bit-identical across engines — and to
+    * the declarative aggregate/zip_with fold — because all fold left in
+    * element order with double adds/multiplies. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", a, b)
 
   /** DuckDB SQL text equivalent of [[dot]]. */
   def sqlDot(a: String, b: String): String =

@@ -127,14 +127,6 @@ object DedupOps {
     * word trigrams, banded 4×4; docs colliding in any band are candidates.
     * The only join is on (band, band-signature) — the LSH bucket — which is
     * the crossJoin-free scale path for fuzzy dedup. */
-  /** MD5-hex → 60-bit long, driver-side twin of [[md5Long]] (same value as
-    * the engine expression and the DuckDB oracle formula). */
-  private def md5Long60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
-  }
-
   private val P31 = 2147483647L
 
   def d4MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -203,6 +195,7 @@ object DedupOps {
     * a fixed-point micro projection. */
   def d5CosineDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    registerAll(spark)
     // Norms are computed once per vector before the pair join (N folds
     // instead of 2·pairs), so each candidate pair costs one dot product.
     val e = emb(spark, dir)

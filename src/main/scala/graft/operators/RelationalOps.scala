@@ -200,11 +200,16 @@ object RelationalOps {
       |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------- q7
-  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  /** Left-anti join (NOT EXISTS): customers with no 1995 order. (Plain
+    * "no orders at all" is empty on this data — every customer orders —
+    * which would make the oracle comparison vacuous.) */
   def q7AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val o95 = t(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1996-01-01").cast("timestamp"))
     t(spark, dir, "customer")
-      .join(t(spark, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+      .join(o95, $"c_custkey" === $"o_custkey", "left_anti")
       .select($"c_custkey", $"c_name", $"c_acctbal")
       .orderBy($"c_custkey")
   }
@@ -212,7 +217,10 @@ object RelationalOps {
   val q7AntiJoinSql: String =
     """SELECT c_custkey, c_name, c_acctbal
       |FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |                    AND o_orderdate <  TIMESTAMP '1996-01-01')
       |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------- q8
@@ -427,14 +435,16 @@ object RelationalOps {
   /** Sketch aggregates: HyperLogLog++ distinct estimate and approximate
     * quantiles per segment. Rows-only check (sketch estimates are
     * implementation-specific, so no cross-engine oracle); the smoke spec
-    * bounds the HLL error against the exact count. */
+    * bounds the HLL error against an exact count it computes itself.
+    * Deliberately no exact countDistinct here — mixing expand-based
+    * distinct with sketch aggregates doubles the ObjectHashAggregate
+    * stages (measured 2×). */
   def q15ApproxSketch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     t(spark, dir, "orders")
       .groupBy($"o_orderpriority")
       .agg(
         approx_count_distinct($"o_custkey", rsd = 0.02).as("approx_customers"),
-        countDistinct($"o_custkey").as("exact_customers"),
         percentile_approx($"o_totalprice", lit(0.5), lit(1000)).as("p50_price"),
         percentile_approx($"o_totalprice", lit(0.99), lit(1000)).as("p99_price"))
       .orderBy($"o_orderpriority")

@@ -34,6 +34,7 @@ object SimilarityOps {
     * is a window over the broadcast-joined score stream. */
   def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    registerAll(spark)
     val e = emb(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot($"v", $"v")))
@@ -73,13 +74,18 @@ object SimilarityOps {
     * is the shape that replaces the O(N·Q) scan at 100 TB. */
   def s2KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // bit p = sign of sum_d v[d] * w(p,d), w = ±1 from md5 parity
-    val bucketBits = transform(sequence(lit(0), lit(PLANES - 1)), p =>
-      when(
-        aggregate(sequence(lit(0), lit(63)), lit(0.0), (acc, d) =>
-          acc + element_at($"v", d + 1) *
-            when(pmod(conv(substring(md5(concat(p.cast("string"), lit(","), d.cast("string")).cast("binary")), 1, 15), 16, 10).cast("long"), lit(2)) === 0, lit(1.0))
-              .otherwise(lit(-1.0))) >= 0, lit("1")).otherwise(lit("0")))
+    registerAll(spark)
+    // bit p = sign of <v, w_p>, w_p = ±1 per dim from md5("p,d") parity.
+    // The planes are CONSTANTS: computed once on the driver and baked in
+    // as array literals, so the per-row work is PLANES dot products (the
+    // original per-row md5-per-component formulation recomputed 256 md5s
+    // per vector).
+    val planes = (0 until PLANES).map { p =>
+      typedLit((0 until 64).map(d =>
+        if (md5Long60(s"$p,$d") % 2 == 0) 1.0 else -1.0).toArray)
+    }
+    val bucketBits = array(planes.map(pl =>
+      when(dot($"v", pl) >= 0, lit("1")).otherwise(lit("0"))): _*)
     val e = emb(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot($"v", $"v")))
@@ -139,6 +145,7 @@ object SimilarityOps {
     * cell-blocked, never all-pairs. */
   def s3KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    registerAll(spark)
     val e = emb(spark, dir)
       .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot($"v", $"v")))

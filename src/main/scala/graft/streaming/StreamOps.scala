@@ -1,7 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-user running totals maintained by custom state. */
+final case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+                           last_ts: Timestamp)
 
 /** Streaming transforms for the `events` shape (ts, user_id, event_type,
   * value). Each takes and returns a DataFrame so the SAME logic runs on a
@@ -26,6 +32,32 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"),
            sum($"value".cast("decimal(28,8)")).cast("double").as("total_value"))
       .select($"w.start".as("win_start"), $"event_type", $"n_events", $"total_value")
+  }
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * count + value total, updated each micro-batch. This is the escape
+    * hatch for stateful logic Spark's built-in windows can't express
+    * (counters, ML feature state, CDC reconciliation); values are summed
+    * in (ts, event_id) order within each batch so results are
+    * deterministic for tests. */
+  def runningUserStats(events: DataFrame): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, rows: Iterator[(Long, Timestamp, Long, Double)],
+               state: GroupState[UserStats]): UserStats = {
+      val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+      val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0, new Timestamp(0)))
+      val next = sorted.foldLeft(prev) { (acc, r) =>
+        UserStats(userId, acc.n_events + 1, acc.total_value + r._4,
+          if (r._2.after(acc.last_ts)) r._2 else acc.last_ts)
+      }
+      state.update(next)
+      next
+    }
+    events
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .as[(Long, Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
   }
 
   /** Session windows (30-minute gap) per user via Spark's native

@@ -27,10 +27,14 @@ class OperatorSmokeSpec extends AnyFunSuite {
   }
 
   test("q15 HLL estimate is within the configured 2% rsd (loose 10% bound)") {
+    import org.apache.spark.sql.functions.countDistinct
     val rows = SparkEntry.queries("q15_approx_sketch")(spark, sf).collect()
+    val exactByPrio = Tables(spark, sf, "orders")
+      .groupBy("o_orderpriority").agg(countDistinct("o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
       val approx = r.getLong(r.fieldIndex("approx_customers"))
-      val exact = r.getLong(r.fieldIndex("exact_customers"))
+      val exact = exactByPrio(r.getString(r.fieldIndex("o_orderpriority")))
       assert(math.abs(approx - exact).toDouble / exact <= 0.10,
         s"HLL estimate $approx too far from exact $exact")
     }

@@ -8,6 +8,8 @@ import graft.SharedSpark
 import graft.sources.{DerbyDialect, SyncConf}
 
 final case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+final case class EvId(ts: Timestamp, user_id: Long, event_id: Long,
+                      event_type: String, value: Double)
 final case class Change(id: Long, val_s: String)
 
 /** Structured Streaming specs: windowed aggregation with watermark/late
@@ -69,6 +71,29 @@ class StreamingSpec extends AnyFunSuite {
         .toSet
       assert(sessions == Set(("2024-01-01 00:00:00.0", 2L),
                              ("2024-01-01 01:30:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EvId]
+    val q = StreamOps.runningUserStats(input.toDF())
+      .writeStream.format("memory").queryName("user_stats")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        EvId(t("2024-01-01 00:00:00"), 1, 10, "click", 1.5),
+        EvId(t("2024-01-01 00:01:00"), 1, 11, "view", 2.5),
+        EvId(t("2024-01-01 00:02:00"), 2, 12, "click", 10.0))
+      q.processAllAvailable()
+      input.addData(EvId(t("2024-01-01 01:00:00"), 1, 13, "click", 4.0))
+      q.processAllAvailable()
+      // memory sink in Update mode appends updated rows; last row per key wins
+      val last = spark.table("user_stats").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getTimestamp(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      assert(last(1L) == ((3L, 8.0, t("2024-01-01 01:00:00"))))
+      assert(last(2L) == ((1L, 10.0, t("2024-01-01 00:02:00"))))
     } finally q.stop()
   }
 
