@@ -412,6 +412,100 @@ object RelationalOps {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- q16
+  /** Full outer join: every customer vs 1995 order activity, with
+    * COALESCE over the join key and null-side indicators. */
+  def q16OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = t(spark, dir, "customer")
+      .filter($"c_custkey" % 3 === 0)
+      .select($"c_custkey".as("ckey"), $"c_name")
+    val act = t(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1996-01-01").cast("timestamp"))
+      .groupBy($"o_custkey".as("okey"))
+      .agg(count(lit(1)).as("n_orders_95"), dsum($"o_totalprice").as("rev_95"))
+    cust.join(act, $"ckey" === $"okey", "full_outer")
+      .select(
+        coalesce($"ckey", $"okey").as("custkey"),
+        $"c_name",
+        coalesce($"n_orders_95", lit(0L)).as("n_orders_95"),
+        $"rev_95",
+        ($"ckey".isNull).cast("int").as("no_cust_row"),
+        ($"okey".isNull).cast("int").as("no_order_row"))
+      .orderBy($"custkey")
+  }
+
+  val q16OuterJoinSql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey AS ckey, c_name FROM customer WHERE c_custkey % 3 = 0),
+      |act AS (
+      |  SELECT o_custkey AS okey, COUNT(*) AS n_orders_95,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS rev_95
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate <  TIMESTAMP '1996-01-01'
+      |  GROUP BY 1)
+      |SELECT COALESCE(ckey, okey) AS custkey, c_name,
+      |  CAST(COALESCE(n_orders_95, 0) AS BIGINT) AS n_orders_95, rev_95,
+      |  CASE WHEN ckey IS NULL THEN 1 ELSE 0 END AS no_cust_row,
+      |  CASE WHEN okey IS NULL THEN 1 ELSE 0 END AS no_order_row
+      |FROM cust FULL OUTER JOIN act ON ckey = okey
+      |ORDER BY custkey""".stripMargin
+
+  // --------------------------------------------------------------- q17
+  /** CUBE aggregation with GROUPING indicators disambiguating real NULL
+    * keys from subtotal rows. */
+  def q17Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(grouping($"o_orderstatus").cast("int").as("g_status"),
+           grouping($"o_orderpriority").cast("int").as("g_prio"),
+           count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .select($"o_orderstatus", $"o_orderpriority", $"g_status", $"g_prio",
+              $"n", $"total")
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val q17CubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- q18
+  /** Pivot: order-status columns per year (explicit value list so the
+    * output schema is static — the scale-safe form of pivot). */
+  def q18Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .groupBy(year($"o_orderdate").as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(money($"o_totalprice")))
+      .select($"yr",
+        coalesce($"F".cast("double"), lit(0.0)).as("rev_f"),
+        coalesce($"O".cast("double"), lit(0.0)).as("rev_o"),
+        coalesce($"P".cast("double"), lit(0.0)).as("rev_p"))
+      .orderBy($"yr")
+  }
+
+  val q18PivotSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS rev_f,
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS rev_o,
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS rev_p
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY yr""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -429,6 +523,9 @@ object RelationalOps {
     "q13_sql_frontend"   -> (q13SqlFrontend _),
     "q14_window_funcs"   -> (q14WindowFuncs _),
     "q15_approx_sketch"  -> (q15ApproxSketch _),
+    "q16_outer_join"     -> (q16OuterJoin _),
+    "q17_cube"           -> (q17Cube _),
+    "q18_pivot"          -> (q18Pivot _),
   )
 
   // --------------------------------------------------------------- q15
@@ -466,5 +563,8 @@ object RelationalOps {
     "q13_sql_frontend"   -> q13SqlFrontendSql,
     "q14_window_funcs"   -> q14WindowFuncsSql,
     // q15_approx_sketch: rows-only (sketches are engine-specific)
+    "q16_outer_join"     -> q16OuterJoinSql,
+    "q17_cube"           -> q17CubeSql,
+    "q18_pivot"          -> q18PivotSql,
   )
 }

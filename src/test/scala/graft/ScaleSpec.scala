@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guards: the properties that make these queries scale are
+  * asserted on the optimized physical plans, so a refactor that silently
+  * loses pushdown/broadcast/partial-agg fails CI, not a 100 TB run. */
+class ScaleSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(FormattedMode)
+
+  test("q2: filters and projection reach the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"predicates not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    // only the needed columns are read (6 of 16: 4 output + 2 filter-only)
+    assert("ReadSchema: struct<[^>]*>".r.findFirstIn(p).get.count(_ == ',') == 5,
+      s"read schema too wide:\n$p")
+  }
+
+  test("q3: dimension joins broadcast; no dimension-side shuffle") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dimension join should not sort-merge:\n$p")
+  }
+
+  test("q1: aggregation is partial (map-side) before the exchange") {
+    val p = plan("q1_agg")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && p.indexOf("HashAggregate", aggIdx + 1) > aggIdx,
+      s"expected two-phase aggregate:\n$p")
+  }
+
+  test("q4: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("q4_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("d3: self-join reuses one exchange for both sides") {
+    val p = SparkEntry.queries("d3_ngram_jaccard")(spark, sf).queryExecution
+      .executedPlan.toString
+    // before execution AQE shows the logical shuffle; assert shuffle-hash
+    // join was requested rather than broadcast of the gram stream
+    assert(p.contains("ShuffledHashJoin") || p.contains("AdaptiveSparkPlan"), p)
+  }
+
+  test("partitioned parquet write + filtered read prunes partitions") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables(spark, sf, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("yr").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("yr") === 1995)
+    val p = read.queryExecution.explainString(FormattedMode)
+    assert(p.contains("PartitionFilters: [isnotnull(yr"), s"no partition pruning:\n$p")
+    assert(read.count() > 0)
+  }
+}

@@ -97,6 +97,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental high-watermark polling syncs only new/changed rows") {
+    import graft.sources.SyncConf
+    val url = "jdbc:derby:memory:incr;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      for (t <- Seq("SRC_T", "TGT_T"))
+        try st.execute(s"""DROP TABLE "$t"""") catch { case _: java.sql.SQLException => () }
+      st.execute("""CREATE TABLE "SRC_T" ("id" BIGINT NOT NULL, "v" VARCHAR(20), "seq" BIGINT)""")
+      st.execute("""CREATE TABLE "TGT_T" ("id" BIGINT NOT NULL, "v" VARCHAR(20), "seq" BIGINT)""")
+      st.execute("""INSERT INTO "SRC_T" VALUES (1,'a',100),(2,'b',101)""")
+      st.close()
+    } finally conn.close()
+    // source table SRC_T, target table TGT_T: use separate confs per name
+    val conf = SyncConf(sourceUrl = url, targetUrl = url, database = "APP")
+
+    def targetRows(): List[(Long, String, Long)] = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          """SELECT "id", "v", "seq" FROM "TGT_T" ORDER BY "id"""")
+        Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toList
+      } finally c.close()
+    }
+
+    // poll 1: both rows are new
+    val inc1 = JdbcIncremental.poll(spark, conf, "SRC_T", "seq", 0L,
+      graft.sources.DerbyDialect)
+    assert(inc1.rows == 2 && inc1.newMark.contains(101L))
+    StreamSync.upsertBatch(conf, graft.sources.DerbyDialect, "TGT_T", Seq("id"))(inc1.df, 1L)
+    assert(targetRows() == List((1L, "a", 100L), (2L, "b", 101L)))
+
+    // poll 2: nothing new
+    val inc2 = JdbcIncremental.poll(spark, conf, "SRC_T", "seq", 101L,
+      graft.sources.DerbyDialect)
+    assert(inc2.rows == 0 && inc2.newMark.isEmpty)
+
+    // new + updated rows appear; poll 3 picks up exactly those
+    val c2 = DriverManager.getConnection(url)
+    try {
+      val st = c2.createStatement()
+      st.execute("""INSERT INTO "SRC_T" VALUES (3,'c',102)""")
+      st.execute("""UPDATE "SRC_T" SET "v"='a2', "seq"=103 WHERE "id"=1""")
+      st.close()
+    } finally c2.close()
+    val mark = JdbcIncremental.syncIncrement(spark, conf, "SRC_T", "seq",
+      Seq("id"), 101L, graft.sources.DerbyDialect)
+    // note: syncIncrement targets the SOURCE table name; emulate by
+    // copying its upsert into TGT_T manually for assertion simplicity
+    assert(mark == 103L)
+    val inc3 = JdbcIncremental.poll(spark, conf, "SRC_T", "seq", 101L,
+      graft.sources.DerbyDialect)
+    StreamSync.upsertBatch(conf, graft.sources.DerbyDialect, "TGT_T", Seq("id"))(inc3.df, 2L)
+    assert(targetRows() == List((1L, "a2", 103L), (2L, "b", 101L), (3L, "c", 102L)))
+  }
+
   test("foreachBatch upsert applies keyed changes idempotently to JDBC") {
     val tgtUrl = "jdbc:derby:memory:streamtgt;create=true"
     val conn = DriverManager.getConnection(tgtUrl)
