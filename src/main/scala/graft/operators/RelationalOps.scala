@@ -506,6 +506,69 @@ object RelationalOps {
       |GROUP BY 1
       |ORDER BY yr""".stripMargin
 
+  // --------------------------------------------------------------- q19
+  /** Typed UDAF: per-customer top-3 order ids by price via a custom
+    * `Aggregator[IN,BUF,OUT]` with a k-bounded buffer (map-side partial
+    * top-k; the shuffle carries ≤3 rows per group). Oracle = the
+    * window-function formulation, proving the aggregator's semantics. */
+  def q19TypedUdaf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = new graft.functions.TopKIdsAgg(3).toColumn
+    t(spark, dir, "orders")
+      .filter($"o_custkey" < 200)
+      .select($"o_custkey", $"o_totalprice", $"o_orderkey")
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk.name("ids"))
+      .toDF("o_custkey", "ids")
+      .select($"o_custkey", posexplode($"ids").as(Seq("pos", "o_orderkey")))
+      .select($"o_custkey", ($"pos" + 1).as("rnk"), $"o_orderkey")
+      .orderBy($"o_custkey", $"rnk")
+  }
+
+  val q19TypedUdafSql: String =
+    """SELECT o_custkey, rnk, o_orderkey FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders WHERE o_custkey < 200) t
+      |WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk""".stripMargin
+
+  // --------------------------------------------------------------- q20
+  /** Six-table profit query (TPC-H Q9 shape): lineitem ⋈ orders ⋈
+    * supplier ⋈ nation ⋈ part, revenue per nation per year. The fact
+    * table shuffles once per join key; all dims broadcast. */
+  def q20Profit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t(spark, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(t(spark, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(t(spark, dir, "part").filter($"p_retailprice" > 950.0)),
+            $"l_partkey" === $"p_partkey")
+      .groupBy($"n_name", year($"o_orderdate").cast("int").as("yr"))
+      .agg(sum(money($"l_extendedprice") * oneMinus($"l_discount"))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy($"n_name", $"yr")
+  }
+
+  val q20ProfitSql: String =
+    """SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_retailprice > 950.0
+      |GROUP BY 1, 2
+      |ORDER BY n_name, yr""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -526,6 +589,8 @@ object RelationalOps {
     "q16_outer_join"     -> (q16OuterJoin _),
     "q17_cube"           -> (q17Cube _),
     "q18_pivot"          -> (q18Pivot _),
+    "q19_typed_udaf"     -> (q19TypedUdaf _),
+    "q20_profit"         -> (q20Profit _),
   )
 
   // --------------------------------------------------------------- q15
@@ -566,5 +631,7 @@ object RelationalOps {
     "q16_outer_join"     -> q16OuterJoinSql,
     "q17_cube"           -> q17CubeSql,
     "q18_pivot"          -> q18PivotSql,
+    "q19_typed_udaf"     -> q19TypedUdafSql,
+    "q20_profit"         -> q20ProfitSql,
   )
 }

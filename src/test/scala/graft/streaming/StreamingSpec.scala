@@ -97,6 +97,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming over the real events parquet matches batch") {
+    import org.apache.spark.sql.functions._
+    val sf = graft.SharedSpark.sf
+    val file = s"$sf/events.parquet"
+    // file streams watch directories; stage the table file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(file),
+      dir.resolve("events.parquet"))
+    val rawSchema = spark.read.parquet(file).schema // ts arrives as nanos long
+    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = StreamOps.windowedAgg(stream, windowLen = "1 hour",
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_win").count()
+      val batch = graft.operators.EventOps.e1HourlyAgg(spark, sf).count()
+      assert(streamed == batch,
+        s"streaming windows ($streamed) != batch windows ($batch)")
+    } finally q.stop()
+  }
+
   test("incremental high-watermark polling syncs only new/changed rows") {
     import graft.sources.SyncConf
     val url = "jdbc:derby:memory:incr;create=true"
