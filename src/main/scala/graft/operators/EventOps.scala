@@ -135,12 +135,99 @@ object EventOps {
        |GROUP BY 1
        |ORDER BY win_start""".stripMargin
 
+  // ---------------------------------------------------------------- e5
+  /** AS-OF join: for every purchase, the most recent click at-or-before
+    * it by the same user. Spark has no asof join operator; the scalable
+    * composition is union-the-streams + one window pass (last click
+    * carried forward) — a single shuffle on user_id, no range probing.
+    * At equal timestamps the click sorts first ('click' < 'purchase'),
+    * matching ASOF's >= semantics. Oracle: DuckDB's native ASOF JOIN. */
+  def e5AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val us = unix_micros($"ts")
+    val ev = events(spark, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"event_id", $"event_type", us.as("us"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"us", $"event_type", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("click_id",
+        last(when($"event_type" === "click", $"event_id"), ignoreNulls = true).over(w))
+      .withColumn("click_us",
+        last(when($"event_type" === "click", $"us"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"us", $"click_id",
+              ($"us" - $"click_us").as("gap_us"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val e5AsofJoinSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM ev WHERE event_type = 'click')
+      |SELECT p.user_id, p.event_id, p.us, c.event_id AS click_id,
+      |  p.us - c.us AS gap_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- e6
+  /** Range (interval) join: clicks within ±60 s of each error by the
+    * same user. A naive inequality join is a per-user cross product; the
+    * scale shape buckets time into 60 s cells and joins each error to its
+    * 3 adjacent cells — candidates are bounded by temporal locality.
+    * The oracle is the plain inequality join (fine at oracle scale). */
+  def e6RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 60L * 1000000 // 60 s in micros
+    val us = unix_micros($"ts")
+    val ev = events(spark, dir)
+    val err = ev.filter($"event_type" === "error")
+      .select($"user_id", $"event_id".as("err_id"), us.as("eus"))
+    val clk = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), us.as("cus"))
+      .withColumn("bucket", floor($"cus" / W).cast("long"))
+    val errB = err.withColumn("bucket",
+      explode(array(
+        (floor($"eus" / W) - 1).cast("long"),
+        floor($"eus" / W).cast("long"),
+        (floor($"eus" / W) + 1).cast("long"))))
+    val counts = errB.join(clk,
+        errB("user_id") === clk("c_user") && errB("bucket") === clk("bucket") &&
+        abs($"eus" - $"cus") <= W)
+      .groupBy($"err_id").agg(count(lit(1)).as("n_nearby"))
+    err.join(counts, Seq("err_id"), "left")
+      .select($"user_id", $"err_id", $"eus",
+              coalesce($"n_nearby", lit(0L)).as("n_nearby"))
+      .orderBy($"user_id", $"err_id")
+  }
+
+  val e6RangeJoinSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+      |err AS (SELECT user_id, event_id AS err_id, us AS eus FROM ev
+      |        WHERE event_type = 'error'),
+      |clk AS (SELECT user_id, us AS cus FROM ev WHERE event_type = 'click'),
+      |counts AS (
+      |  SELECT e.err_id, COUNT(*) AS n_nearby
+      |  FROM err e JOIN clk c
+      |    ON e.user_id = c.user_id AND abs(e.eus - c.cus) <= 60000000
+      |  GROUP BY 1)
+      |SELECT e.user_id, e.err_id, e.eus,
+      |  CAST(COALESCE(t.n_nearby, 0) AS BIGINT) AS n_nearby
+      |FROM err e LEFT JOIN counts t ON e.err_id = t.err_id
+      |ORDER BY e.user_id, e.err_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
     "e2_json_extract" -> (e2JsonExtract _),
     "e3_sessionize"  -> (e3Sessionize _),
     "e4_sliding_window" -> (e4SlidingWindow _),
+    "e5_asof_join"   -> (e5AsofJoin _),
+    "e6_range_join"  -> (e6RangeJoin _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -148,5 +235,7 @@ object EventOps {
     "e2_json_extract" -> e2JsonExtractSql,
     "e3_sessionize"  -> e3SessionizeSql,
     "e4_sliding_window" -> e4SlidingWindowSql,
+    "e5_asof_join"   -> e5AsofJoinSql,
+    "e6_range_join"  -> e6RangeJoinSql,
   )
 }
