@@ -82,11 +82,15 @@ object EngineFns {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct word-level n-grams (n=3) of a token array column, joined by
-    * single spaces. DuckDB equivalent: [[sqlTrigrams]]. */
+    * single spaces. DuckDB equivalent: [[sqlTrigrams]]. Guarded for
+    * size<3: Spark's sequence(1,0) counts DOWN ([1,0], unlike DuckDB's
+    * empty generate_series), which would hit element_at(l, 0) and throw.
+    * Prefer the native [[TrigramHash60]] on hot paths. */
   def trigrams(l: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(l) - 2, lit(0))),
-      i => concat_ws(" ", element_at(l, i), element_at(l, i + 1), element_at(l, i + 2))))
+    when(size(l) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(l) - 2),
+        i => concat_ws(" ", element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)))))
 
   /** DuckDB SQL: distinct trigram LIST from a token LIST expression. */
   def sqlTrigrams(l: String): String =

@@ -145,9 +145,18 @@ object EventOps {
   def e5AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val us = unix_micros($"ts")
-    val ev = events(spark, dir)
+    val raw = events(spark, dir)
       .filter($"event_type".isin("click", "purchase"))
       .select($"user_id", $"event_id", $"event_type", us.as("us"))
+    // Collapse same-(user, us) clicks to the max event_id BEFORE the
+    // window: ASOF tie choice among equal timestamps is unspecified in
+    // the oracle engine, so both sides must agree on one winner.
+    val clicks = raw.filter($"event_type" === "click")
+      .groupBy($"user_id", $"us")
+      .agg(max($"event_id").as("event_id"))
+      .withColumn("event_type", lit("click"))
+      .select($"user_id", $"event_id", $"event_type", $"us")
+    val ev = raw.filter($"event_type" === "purchase").union(clicks)
     val w = Window.partitionBy($"user_id")
       .orderBy($"us", $"event_type", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -167,7 +176,8 @@ object EventOps {
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
       |  FROM events WHERE event_type IN ('click', 'purchase')),
       |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
-      |c AS (SELECT * FROM ev WHERE event_type = 'click')
+      |c AS (SELECT user_id, us, MAX(event_id) AS event_id FROM ev
+      |      WHERE event_type = 'click' GROUP BY 1, 2)
       |SELECT p.user_id, p.event_id, p.us, c.event_id AS click_id,
       |  p.us - c.us AS gap_us
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us

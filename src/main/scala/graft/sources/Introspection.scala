@@ -50,7 +50,7 @@ object Introspection {
     val md = conn.getMetaData
     val esc = md.getSearchStringEscape
     val rs = md.getColumns(null,
-      dialect.escapeNamePattern(schema, esc),
+      dialect.escapeNamePattern(dialect.metadataSchema(schema), esc),
       dialect.escapeNamePattern(table, esc), null)
     val out = ArrayBuffer.empty[ColumnMeta]
     try {

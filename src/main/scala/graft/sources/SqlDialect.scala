@@ -24,6 +24,11 @@ trait SqlDialect {
   /** Column-type DDL text for the target CREATE TABLE. */
   def ddlType(dt: DataType, meta: ColumnMeta): String
 
+  /** Normalize a configured database/schema name for DatabaseMetaData
+    * patterns (Derby stores schemas uppercase and matches patterns
+    * case-sensitively; MySQL uses the name as-is). */
+  def metadataSchema(database: String): String = database
+
   /** LIKE-pattern escaping for DatabaseMetaData name patterns
     * (reference Utils.escapeNamePattern, Utils.java:108-118). */
   def escapeNamePattern(name: String, escape: String): String =
@@ -40,7 +45,8 @@ object MySqlDialect extends SqlDialect {
     "`" + ident.replace("`", "``") + "`"
 
   override def catalogTablesQuery(database: String): String =
-    s"SELECT table_name FROM information_schema.tables WHERE table_schema = '$database'"
+    s"SELECT table_name FROM information_schema.tables " +
+      s"WHERE table_schema = '$database' AND table_type = 'BASE TABLE'"
 
   /** The intended toMysqlSqlType mapping (M2H2SchemaConverter.java:169-225):
     * REAL→float, TIMESTAMP→datetime, VARBINARY→mediumblob, VARCHAR tiered
@@ -78,6 +84,8 @@ object MySqlDialect extends SqlDialect {
 object DerbyDialect extends SqlDialect {
   override def quote(ident: String): String =
     "\"" + ident.replace("\"", "\"\"") + "\""
+
+  override def metadataSchema(database: String): String = database.toUpperCase
 
   override def catalogTablesQuery(database: String): String =
     s"""SELECT t.tablename AS table_name

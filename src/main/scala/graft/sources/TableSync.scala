@@ -44,10 +44,11 @@ object TableSync {
   /** Pick a partition column for range-partitioned reads: the first
     * integral single-column primary key, if any. The reference reads with
     * one cursor per table; this is the scale-out upgrade. */
-  def partitionColumn(conf: SyncConf, table: String,
-                      cols: Seq[MappedColumn]): Option[String] =
+  def partitionColumn(conf: SyncConf, table: String, cols: Seq[MappedColumn],
+                      dialect: SqlDialect): Option[String] =
     Introspection.withConnection(conf.sourceUrl, conf.sourceProps) { conn =>
-      val rs = conn.getMetaData.getPrimaryKeys(null, conf.database, table)
+      val rs = conn.getMetaData.getPrimaryKeys(null,
+        dialect.metadataSchema(conf.database), table)
       val pks = ArrayBuffer.empty[String]
       try { while (rs.next()) pks += rs.getString("COLUMN_NAME") } finally rs.close()
       pks.toSeq match {
@@ -83,7 +84,7 @@ object TableSync {
     val quoted = s"(SELECT $selectList FROM ${dialect.quote(table)}) AS sync_src"
     val reader = spark.read
       .option("fetchsize", conf.fetchSize.toString)
-    val base = partitionColumn(conf, table, cols) match {
+    val base = partitionColumn(conf, table, cols, dialect) match {
       case Some(pc) =>
         // bounds probe is one tiny driver-side query
         val (lo, hi) = Introspection.withConnection(conf.sourceUrl, conf.sourceProps) { conn =>
@@ -111,21 +112,40 @@ object TableSync {
   }
 
   /** Sync one table end to end (reference Handler.sync,
-    * Handler.java:42-55). Overwrite = drop + recreate with our DDL types,
-    * then batched inserts. */
+    * Handler.java:42-55): drop + recreate the target with the dialect's
+    * DDL text via direct JDBC (the reference's truncateTable/
+    * createTableInTarget, M2H2SchemaConverter.java:48-118), then batched
+    * appends. The DDL cannot go through Spark's `createTableColumnTypes`
+    * option — Spark parses that with its own SQL type parser, which
+    * rejects target-native type names like `tinytext` or `datetime`. */
   def sync(spark: SparkSession, conf: SyncConf, table: String,
            dialect: SqlDialect): SyncResult = {
     val (df, cols) = readTable(spark, conf, table, dialect)
+    recreateTarget(conf, table, cols, dialect)
     df.write
-      .mode(SaveMode.Overwrite)
+      .mode(SaveMode.Append)
       .option("batchsize", conf.batchSize.toString)
-      .option("createTableColumnTypes",
-        Introspection.createTableColumnTypes(cols, dialect))
       .jdbc(conf.targetUrl, dialect.quote(table), jdbcProps(conf.targetProps))
     SyncResult(table,
       sourceRows = countRows(conf.sourceUrl, conf.sourceProps, table, dialect),
       targetRows = countRows(conf.targetUrl, conf.targetProps, table, dialect))
   }
+
+  /** DROP (if present) + CREATE the target table from the mapped schema,
+    * using the dialect's native column-type text. */
+  private def recreateTarget(conf: SyncConf, table: String,
+                             cols: Seq[MappedColumn], dialect: SqlDialect): Unit =
+    Introspection.withConnection(conf.targetUrl, conf.targetProps) { conn =>
+      val st = conn.createStatement()
+      try {
+        try st.execute(s"DROP TABLE ${dialect.quote(table)}")
+        catch { case _: java.sql.SQLException => () } // no such table
+        val colDdl = cols
+          .map(c => s"${dialect.quote(c.name)} ${dialect.ddlType(c.sparkType, c.meta)}")
+          .mkString(", ")
+        st.execute(s"CREATE TABLE ${dialect.quote(table)} ($colDdl)")
+      } finally st.close()
+    }
 
   /** Sync every table of the database (reference Boot→Handler.fetch), the
     * per-table loop running `tableParallelism` wide. */

@@ -47,7 +47,11 @@ object JdbcIncremental {
         if (rs.wasNull()) None else Some(m)
       } finally rs.close()
     }
-    Increment(df, mark, if (mark.isEmpty) 0L else df.count())
+    // cache before counting: the count and the downstream apply must see
+    // the SAME rows (and pay one source read), not two reads racing
+    // concurrent commits
+    val cached = if (mark.isDefined) df.persist() else df
+    Increment(cached, mark, if (mark.isEmpty) 0L else cached.count())
   }
 
   /** Poll-and-apply: ship one increment into the target via the keyed
@@ -56,11 +60,14 @@ object JdbcIncremental {
                     watermarkCol: String, keyCols: Seq[String], lastMark: Long,
                     dialect: SqlDialect): Long = {
     val inc = poll(spark, conf, table, watermarkCol, lastMark, dialect)
-    inc.newMark match {
+    try inc.newMark match {
       case Some(m) =>
-        StreamSync.upsertBatch(conf, dialect, table, keyCols)(inc.df, m)
+        // watermark doubles as the version column: within one increment
+        // the greatest mark per key wins
+        StreamSync.upsertBatch(conf, dialect, table, keyCols,
+          orderCol = Some(watermarkCol))(inc.df, m)
         m
       case None => lastMark
-    }
+    } finally inc.df.unpersist()
   }
 }

@@ -21,9 +21,17 @@ object StreamSync {
 
   /** Apply one micro-batch of upserts to `table`: per partition, one
     * transaction of batched DELETE-by-key + INSERT. Usable directly as
-    * `stream.writeStream.foreachBatch(upsertBatch(conf, dialect, table, keys))`. */
+    * `stream.writeStream.foreachBatch(upsertBatch(conf, dialect, table, keys))`.
+    *
+    * If a batch can contain several versions of one key, pass `orderCol`
+    * (a monotone version/sequence/timestamp column): the row with the
+    * greatest value wins. Without it, rows are applied as-is — correct
+    * only when the upstream guarantees at most one row per key per batch
+    * (shuffle merge order is otherwise nondeterministic, so no silent
+    * "last wins" is attempted). */
   def upsertBatch(conf: SyncConf, dialect: SqlDialect, table: String,
-                  keyCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+                  keyCols: Seq[String], orderCol: Option[String] = None)
+                 (batch: DataFrame, batchId: Long): Unit = {
     val cols = batch.schema.fieldNames.toSeq
     val keyIdx = keyCols.map(cols.indexOf)
     require(keyIdx.forall(_ >= 0), s"key columns $keyCols must be in $cols")
@@ -34,10 +42,15 @@ object StreamSync {
       cols.map(dialect.quote).mkString(", ") + ") VALUES (" +
       cols.map(_ => "?").mkString(", ") + ")"
     val (url, props, batchSize) = (conf.targetUrl, conf.targetProps, conf.batchSize)
-    // dedupe within the batch: last writer per key wins deterministically
-    val deduped = batch.sparkSession.createDataFrame(
-      batch.rdd.keyBy(r => keyIdx.map(r.get)).reduceByKey((_, b) => b).values,
-      batch.schema)
+    val deduped = orderCol match {
+      case Some(oc) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, row_number}
+        val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(oc).desc)
+        batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => batch
+    }
     deduped.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) Introspection.withConnection(url, props) { conn =>
         conn.setAutoCommit(false)

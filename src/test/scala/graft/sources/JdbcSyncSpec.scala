@@ -126,11 +126,11 @@ class JdbcSyncSpec extends AnyFunSuite {
     val cols = Introspection.withConnection(srcUrl, Map.empty) { conn =>
       Introspection.mappedColumns(conn, "APP", "T_SMALL", DerbyDialect, strict = false)
     }
-    assert(TableSync.partitionColumn(conf, "T_SMALL", cols).contains("K"))
+    assert(TableSync.partitionColumn(conf, "T_SMALL", cols, DerbyDialect).contains("K"))
     // T_GAUNTLET has no PK → single-partition read
     val gcols = Introspection.withConnection(srcUrl, Map.empty) { conn =>
       Introspection.mappedColumns(conn, "APP", "T_GAUNTLET", DerbyDialect, strict = false)
     }
-    assert(TableSync.partitionColumn(conf, "T_GAUNTLET", gcols).isEmpty)
+    assert(TableSync.partitionColumn(conf, "T_GAUNTLET", gcols, DerbyDialect).isEmpty)
   }
 }
