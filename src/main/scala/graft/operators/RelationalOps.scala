@@ -569,6 +569,32 @@ object RelationalOps {
       |GROUP BY 1, 2
       |ORDER BY n_name, yr""".stripMargin
 
+  // --------------------------------------------------------------- q21
+  /** Skew-mitigated join: the q3-shaped customer⋈orders join computed
+    * through [[SkewOps.saltedJoin]] (8-way salt). The oracle is the PLAIN
+    * join — salting must be a pure work-partitioning change with
+    * identical rows. */
+  def q21SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = t(spark, dir, "orders")
+      .filter($"o_totalprice" > 400000.0)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val customer = t(spark, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    SkewOps.saltedJoin(orders, customer, $"o_custkey", $"c_custkey", 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q21SaltedJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_totalprice > 400000.0
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -591,6 +617,7 @@ object RelationalOps {
     "q18_pivot"          -> (q18Pivot _),
     "q19_typed_udaf"     -> (q19TypedUdaf _),
     "q20_profit"         -> (q20Profit _),
+    "q21_salted_join"    -> (q21SaltedJoin _),
   )
 
   // --------------------------------------------------------------- q15
@@ -633,5 +660,6 @@ object RelationalOps {
     "q18_pivot"          -> q18PivotSql,
     "q19_typed_udaf"     -> q19TypedUdafSql,
     "q20_profit"         -> q20ProfitSql,
+    "q21_salted_join"    -> q21SaltedJoinSql,
   )
 }

@@ -49,6 +49,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin") || p.contains("AdaptiveSparkPlan"), p)
   }
 
+  test("salted join returns exactly the rows of the plain join") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables(spark, sf, "orders")
+    val customer = Tables(spark, sf, "customer")
+    val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_custkey").collect().toSet
+    val salted = graft.operators.SkewOps.saltedJoin(
+        orders, customer, col("o_custkey"), col("c_custkey"), 8)
+      .select("o_orderkey", "c_custkey").collect().toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without an exchange on the bucketed key") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    Tables(spark, sf, "orders").write
+      .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    Tables(spark, sf, "customer").write
+      .bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    val joined = spark.table("b_orders")
+      .hint("merge") // force SMJ so bucketing (not broadcast) is exercised
+      .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should be exchange-free:\n$plan")
+    assert(joined.count() == Tables(spark, sf, "orders").count())
+  }
+
   test("partitioned parquet write + filtered read prunes partitions") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString

@@ -7,6 +7,8 @@ import org.apache.spark.sql.SparkSession
 object SharedSpark {
   lazy val spark: SparkSession = {
     val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
