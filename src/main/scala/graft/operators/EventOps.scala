@@ -230,6 +230,33 @@ object EventOps {
       |FROM err e LEFT JOIN counts t ON e.err_id = t.err_id
       |ORDER BY e.user_id, e.err_id""".stripMargin
 
+  // ---------------------------------------------------------------- e7
+  /** Semi-structured columns via Spark 4 VariantType: `props` parsed once
+    * into a variant, fields extracted with variant_get — the open-schema
+    * path for event properties (vs. e2's per-field JSON string probing,
+    * which re-parses the string per extraction). */
+  def e7Variant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .withColumn("v", parse_json($"props"))
+      .select($"event_type",
+        expr("variant_get(v, '$.k', 'int')").as("k"))
+      .groupBy($"event_type")
+      .agg(count($"k").as("n_k"),
+           sum($"k").cast("long").as("sum_k"),
+           max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val e7VariantSql: String =
+    """SELECT event_type,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
@@ -238,6 +265,7 @@ object EventOps {
     "e4_sliding_window" -> (e4SlidingWindow _),
     "e5_asof_join"   -> (e5AsofJoin _),
     "e6_range_join"  -> (e6RangeJoin _),
+    "e7_variant"     -> (e7Variant _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -247,5 +275,6 @@ object EventOps {
     "e4_sliding_window" -> e4SlidingWindowSql,
     "e5_asof_join"   -> e5AsofJoinSql,
     "e6_range_join"  -> e6RangeJoinSql,
+    "e7_variant"     -> e7VariantSql,
   )
 }
