@@ -17,11 +17,17 @@ object SkewOps {
 
   /** Equi-join `big ⋈ small` on `bigKey = smallKey`, salted `n` ways.
     * Row-level results are identical to the unsalted join; only the
-    * partitioning of work changes. */
+    * partitioning of work changes.
+    *
+    * The salt is derived from the row CONTENT (hash of all columns), not
+    * from `monotonically_increasing_id()`/`rand()`: a content hash is
+    * stable under stage retry, whereas position- or RNG-derived salts can
+    * be recomputed differently when a lost shuffle partition is replayed,
+    * silently dropping/duplicating join output on a real cluster. */
   def saltedJoin(big: DataFrame, small: DataFrame,
                  bigKey: Column, smallKey: Column, n: Int): DataFrame = {
     val salted = big.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(n)))
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(n)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))
     salted.join(replicated,

@@ -41,12 +41,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("d3: self-join reuses one exchange for both sides") {
+  test("d3: gram self-join is shuffle-hash, never a broadcast of the stream") {
+    // AQE wraps everything in AdaptiveSparkPlan, so asserting on the plan
+    // string being "adaptive" is vacuous. Look inside the initial plan for
+    // the join nodes themselves: the hinted gram self-join must be
+    // shuffle-hash (one exchange, reused for both sides) and the gram
+    // stream must not appear under a BroadcastExchange.
     val p = SparkEntry.queries("d3_ngram_jaccard")(spark, sf).queryExecution
       .executedPlan.toString
-    // before execution AQE shows the logical shuffle; assert shuffle-hash
-    // join was requested rather than broadcast of the gram stream
-    assert(p.contains("ShuffledHashJoin") || p.contains("AdaptiveSparkPlan"), p)
+    assert(p.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"gram stream must not be broadcast:\n$p")
   }
 
   test("salted join returns exactly the rows of the plain join") {
