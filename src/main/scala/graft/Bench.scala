@@ -3,10 +3,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
-    // Warm the JVM/codegen once so per-query numbers measure the plans,
-    // not first-query JIT + classloading.
-    SparkEntry.queries.get("q1_agg").foreach { fn =>
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    // Untimed warmup: run EVERY query once at the smallest SF so each
+    // plan's generated code is compiled and JIT'd before timing. A cold
+    // first run costs 3-8x the steady state (codegen compile + C2), which
+    // measures the JVM, not the plan; sf0.001 makes the warmup pass cheap
+    // regardless of the target SF.
+    val warmDir = {
+      val small = "/root/testdata/sf0.001"
+      if (new java.io.File(small).isDirectory) small else sfDir
+    }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
