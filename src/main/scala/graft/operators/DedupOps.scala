@@ -282,6 +282,45 @@ object DedupOps {
   }
 
   // ------------------------------------------------------------ registry
+  // ---------------------------------------------------------------- d7
+  /** Dedup with canonical selection ("keep best"): within each
+    * set-normalized duplicate group (d2's signature), keep the longest
+    * document, tie-broken by lowest doc_id. Selection is a single
+    * `max_by` over a lexicographic struct key — one hash aggregate, no
+    * per-group sort, so it scales like d1/d2 (fixed-width md5 shuffle)
+    * rather than like a window. This is the training-pipeline form of
+    * dedup: clusters keep their highest-quality representative. */
+  def d7DedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig =
+      md5(concat_ws(" ", array_sort(array_distinct(tokens($"text")))).cast("binary"))
+    docs(spark, dir)
+      .select($"doc_id", $"n_chars", sig.as("sig"))
+      .groupBy($"sig")
+      .agg(
+        max_by($"doc_id", struct($"n_chars", $"doc_id" * -1)).as("keeper_doc"),
+        max($"n_chars").as("keeper_chars"),
+        count(lit(1)).as("n_members"))
+      .filter($"n_members" >= 2)
+      .select($"keeper_doc", $"keeper_chars", $"n_members")
+      .orderBy($"keeper_doc")
+  }
+
+  val d7DedupKeepBestSql: String =
+    """WITH sigs AS (
+      |  SELECT doc_id, n_chars,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY sig ORDER BY n_chars DESC, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY sig) AS nm
+      |  FROM sigs)
+      |SELECT doc_id AS keeper_doc, n_chars AS keeper_chars,
+      |  CAST(nm AS BIGINT) AS n_members
+      |FROM ranked WHERE rn = 1 AND nm >= 2
+      |ORDER BY keeper_doc""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact"   -> (d1DedupExact _),
     "d2_dedup_normset" -> (d2DedupNormSet _),
@@ -289,6 +328,7 @@ object DedupOps {
     "d4_minhash_lsh"   -> (d4MinhashLsh _),
     "d5_cosine_dup"    -> (d5CosineDup _),
     "d6_simhash"       -> (d6Simhash _),
+    "d7_dedup_keepbest" -> (d7DedupKeepBest _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -298,5 +338,6 @@ object DedupOps {
     "d4_minhash_lsh"   -> d4MinhashLshSql,
     "d5_cosine_dup"    -> d5CosineDupSql,
     "d6_simhash"       -> d6SimhashSql,
+    "d7_dedup_keepbest" -> d7DedupKeepBestSql,
   )
 }

@@ -257,6 +257,74 @@ object EventOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- e8
+  /** Time-series gap filling: per-user hourly event counts with explicit
+    * zero rows for every silent hour between the user's first and last
+    * event. The hour spine is `sequence(min, max, 1h)` exploded per user
+    * — generated distributively from each group's own span (no
+    * driver-side calendar), then left-joined back to the real counts.
+    * Spine size is bounded by the observation window, not the event
+    * count, so the join stays cheap at any SF. */
+  def e8GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .filter($"user_id" < 8)
+      .select($"user_id", date_trunc("hour", $"ts").as("hr"))
+    val counts = ev.groupBy($"user_id", $"hr").agg(count(lit(1)).as("n"))
+    val spine = ev.groupBy($"user_id")
+      .agg(min($"hr").as("h0"), max($"hr").as("h1"))
+      .select($"user_id",
+              explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("hr"))
+    spine.join(counts, Seq("user_id", "hr"), "left")
+      .select($"user_id", $"hr", coalesce($"n", lit(0L)).as("n_events"))
+      .orderBy($"user_id", $"hr")
+  }
+
+  val e8GapFillSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hr
+      |  FROM events WHERE user_id < 8),
+      |cnt AS (SELECT user_id, hr, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(MIN(hr), MAX(hr), INTERVAL 1 HOUR)) AS hr
+      |  FROM ev GROUP BY user_id)
+      |SELECT s.user_id, s.hr, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+      |FROM spine s LEFT JOIN cnt c ON s.user_id = c.user_id AND s.hr = c.hr
+      |ORDER BY s.user_id, s.hr""".stripMargin
+
+  // ---------------------------------------------------------------- e9
+  /** First/last-event extraction per user via min_by/max_by — one
+    * hash-aggregate pass, no window sort. The ordering key is a
+    * fixed-width string of (epoch micros, event_id) so ties are
+    * deterministic and both engines compare identically. */
+  def e9MinMaxBy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = format_string("%020d%010d", unix_micros($"ts"), $"event_id")
+    events(spark, dir)
+      .filter($"user_id" < 100)
+      .groupBy($"user_id")
+      .agg(
+        min_by($"event_type", key).as("first_type"),
+        min_by($"value", key).as("first_value"),
+        max_by($"event_type", key).as("last_type"),
+        max_by($"value", key).as("last_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  val e9MinMaxBySql: String =
+    """SELECT user_id,
+      |  arg_min(event_type, printf('%020d%010d', epoch_us(ts), event_id)) AS first_type,
+      |  arg_min(value, printf('%020d%010d', epoch_us(ts), event_id)) AS first_value,
+      |  arg_max(event_type, printf('%020d%010d', epoch_us(ts), event_id)) AS last_type,
+      |  arg_max(value, printf('%020d%010d', epoch_us(ts), event_id)) AS last_value,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |WHERE user_id < 100
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
@@ -266,6 +334,8 @@ object EventOps {
     "e5_asof_join"   -> (e5AsofJoin _),
     "e6_range_join"  -> (e6RangeJoin _),
     "e7_variant"     -> (e7Variant _),
+    "e8_gapfill"     -> (e8GapFill _),
+    "e9_minmax_by"   -> (e9MinMaxBy _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -276,5 +346,7 @@ object EventOps {
     "e5_asof_join"   -> e5AsofJoinSql,
     "e6_range_join"  -> e6RangeJoinSql,
     "e7_variant"     -> e7VariantSql,
+    "e8_gapfill"     -> e8GapFillSql,
+    "e9_minmax_by"   -> e9MinMaxBySql,
   )
 }

@@ -595,6 +595,165 @@ object RelationalOps {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // --------------------------------------------------------------- q22
+  /** GROUPING SETS: per-status and per-priority subtotals plus a grand
+    * total in one pass — the general form of rollup/cube (q9/q17),
+    * planned as a single Expand + aggregate, so one shuffle regardless
+    * of how many sets are requested. */
+  def q22GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(grouping($"o_orderstatus").cast("int").as("g_status"),
+           grouping($"o_orderpriority").cast("int").as("g_prio"),
+           count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .select($"o_orderstatus", $"o_orderpriority", $"g_status", $"g_prio",
+              $"n", $"total")
+      .orderBy($"o_orderstatus".asc_nulls_first,
+               $"o_orderpriority".asc_nulls_first)
+  }
+
+  val q22GroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- q23
+  /** Correlated EXISTS / NOT EXISTS subqueries via the SQL frontend.
+    * Catalyst decorrelates both into one semi- and one anti-join on
+    * o_custkey (RewritePredicateSubquery) — no per-row subquery execution
+    * ever happens, which is what makes the form safe at scale. */
+  def q23ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir)
+    spark.sql(q23ExistsSubquerySql)
+  }
+
+  val q23ExistsSubquerySql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------- q24
+  /** Lateral flatten with ordinality: posexplode splits each part's type
+    * string into (position, word) rows — the UNNEST WITH ORDINALITY /
+    * LATERAL VIEW operator. Generate runs inside whole-stage codegen and
+    * never shuffles; output grows linearly with token count. */
+  def q24LateralExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "part")
+      .filter($"p_partkey" <= 200)
+      .select($"p_partkey", posexplode(split($"p_type", " ")))
+      .select($"p_partkey", ($"pos" + 1).cast("int").as("pos"), $"col".as("word"))
+      .orderBy($"p_partkey", $"pos")
+  }
+
+  val q24LateralExplodeSql: String =
+    """SELECT p_partkey,
+      |  CAST(unnest(range(1, len(string_split(p_type, ' ')) + 1)) AS INT) AS pos,
+      |  unnest(string_split(p_type, ' ')) AS word
+      |FROM part
+      |WHERE p_partkey <= 200
+      |ORDER BY p_partkey, pos""".stripMargin
+
+  // --------------------------------------------------------------- q25
+  /** Exact interpolated percentiles per group. Spark's `percentile` and
+    * DuckDB's `quantile_cont` use the same lower+(higher-lower)*fraction
+    * interpolation over the sorted values, so the doubles match bitwise
+    * (verified). Exact percentiles sort per group in the agg buffer —
+    * fine for bounded groups; for 100 TB unbounded groups the sketch
+    * variant (q15 percentile_approx) is the scale path. */
+  def q25Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_extendedprice", lit(0.25)).as("p25_price"),
+        percentile($"l_extendedprice", lit(0.5)).as("p50_price"),
+        percentile($"l_extendedprice", lit(0.75)).as("p75_price"),
+        percentile($"l_quantity", lit(0.5)).as("p50_qty"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q25PercentilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+      |  quantile_cont(l_extendedprice, 0.5)  AS p50_price,
+      |  quantile_cont(l_extendedprice, 0.75) AS p75_price,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- q26
+  /** Collect-and-sort aggregation: the distinct market segments per
+    * nation as one sorted CSV string. collect_set shuffles only distinct
+    * values per group (map-side partial dedup), and the array is sorted
+    * deterministically before joining — the order-stable form of
+    * array_agg. */
+  def q26CollectSort(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")),
+            $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        array_join(array_sort(collect_set($"c_mktsegment")), ",").as("segments"),
+        countDistinct($"c_mktsegment").as("n_segments"),
+        count(lit(1)).as("n_customers"))
+      .orderBy($"n_name")
+  }
+
+  val q26CollectSortSql: String =
+    """SELECT n_name,
+      |  array_to_string(list_sort(list_distinct(array_agg(c_mktsegment))), ',') AS segments,
+      |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+      |  COUNT(*) AS n_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // --------------------------------------------------------------- q27
+  /** Regex surface: regexp_extract pulls the material (last word) out of
+    * p_type, regexp_replace normalizes p_brand to its alphanumerics.
+    * Both stay inside whole-stage codegen; patterns are restricted to
+    * constructs with identical semantics in Java regex and RE2 (DuckDB). */
+  def q27Regex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "part")
+      .select(
+        regexp_extract($"p_type", "([A-Z]+)$", 1).as("material"),
+        regexp_replace($"p_brand", "[^A-Z0-9]", "").as("brand_norm"),
+        money($"p_retailprice").as("price"))
+      .groupBy($"material", $"brand_norm")
+      .agg(count(lit(1)).as("n_parts"),
+           sum($"price").cast("double").as("total_price"))
+      .orderBy($"material", $"brand_norm")
+  }
+
+  val q27RegexSql: String =
+    """SELECT regexp_extract(p_type, '([A-Z]+)$', 1) AS material,
+      |  regexp_replace(p_brand, '[^A-Z0-9]', '', 'g') AS brand_norm,
+      |  COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM part
+      |GROUP BY 1, 2
+      |ORDER BY material, brand_norm""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -618,6 +777,12 @@ object RelationalOps {
     "q19_typed_udaf"     -> (q19TypedUdaf _),
     "q20_profit"         -> (q20Profit _),
     "q21_salted_join"    -> (q21SaltedJoin _),
+    "q22_grouping_sets"  -> (q22GroupingSets _),
+    "q23_exists_subquery" -> (q23ExistsSubquery _),
+    "q24_lateral_explode" -> (q24LateralExplode _),
+    "q25_percentiles"    -> (q25Percentiles _),
+    "q26_collect_sort"   -> (q26CollectSort _),
+    "q27_regex"          -> (q27Regex _),
   )
 
   // --------------------------------------------------------------- q15
@@ -661,5 +826,11 @@ object RelationalOps {
     "q19_typed_udaf"     -> q19TypedUdafSql,
     "q20_profit"         -> q20ProfitSql,
     "q21_salted_join"    -> q21SaltedJoinSql,
+    "q22_grouping_sets"  -> q22GroupingSetsSql,
+    "q23_exists_subquery" -> q23ExistsSubquerySql,
+    "q24_lateral_explode" -> q24LateralExplodeSql,
+    "q25_percentiles"    -> q25PercentilesSql,
+    "q26_collect_sort"   -> q26CollectSortSql,
+    "q27_regex"          -> q27RegexSql,
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.EngineFns._
 
@@ -182,6 +183,36 @@ object TextOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t7
+  /** Corpus term-frequency head (Zipf profile): the 20 most frequent
+    * tokens with their dense rank. The candidate cut is `ORDER BY+LIMIT`
+    * (planned as TakeOrderedAndProject — each partition keeps only its
+    * local top 20, no global sort); the rank window then runs on 20
+    * rows, so the single-partition window is trivially safe. */
+  def t7ZipfTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = docs(spark, dir)
+      .select(explode(tokens($"text")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok")
+      .limit(20)
+    counts.withColumn("rank",
+        row_number().over(Window.orderBy($"cnt".desc, $"tok")).cast("int"))
+      .select($"rank", $"tok", $"cnt")
+      .orderBy($"rank")
+  }
+
+  val t7ZipfTermsSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, COUNT(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok),
+      |r AS (SELECT tok, cnt,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INT) AS rank
+      |      FROM c)
+      |SELECT rank, tok, cnt FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
@@ -190,6 +221,7 @@ object TextOps {
     "t4_fingerprint"  -> (t4Fingerprint _),
     "t5_langid"       -> (t5LangId _),
     "t6_polyhash"     -> (t6PolyHash _),
+    "t7_zipf_terms"   -> (t7ZipfTerms _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -199,5 +231,6 @@ object TextOps {
     "t4_fingerprint"  -> t4FingerprintSql,
     "t5_langid"       -> t5LangIdSql,
     "t6_polyhash"     -> t6PolyHashSql,
+    "t7_zipf_terms"   -> t7ZipfTermsSql,
   )
 }
