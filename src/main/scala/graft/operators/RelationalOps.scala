@@ -711,17 +711,22 @@ object RelationalOps {
       .join(broadcast(t(spark, dir, "nation")),
             $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
-      .agg(
-        array_join(array_sort(collect_set($"c_mktsegment")), ",").as("segments"),
-        countDistinct($"c_mktsegment").as("n_segments"),
-        count(lit(1)).as("n_customers"))
+      // n_segments comes from the collected set itself, not countDistinct:
+      // mixing an Expand-based distinct agg with an object agg would plan
+      // a second ObjectHashAggregate+Exchange pair for no new information.
+      .agg(array_sort(collect_set($"c_mktsegment")).as("segs"),
+           count(lit(1)).as("n_customers"))
+      .select($"n_name",
+              array_join($"segs", ",").as("segments"),
+              size($"segs").cast("long").as("n_segments"),
+              $"n_customers")
       .orderBy($"n_name")
   }
 
   val q26CollectSortSql: String =
     """SELECT n_name,
       |  array_to_string(list_sort(list_distinct(array_agg(c_mktsegment))), ',') AS segments,
-      |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+      |  CAST(len(list_distinct(array_agg(c_mktsegment))) AS BIGINT) AS n_segments,
       |  COUNT(*) AS n_customers
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name

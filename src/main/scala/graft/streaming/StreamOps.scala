@@ -72,4 +72,46 @@ object StreamOps {
       .select($"w.start".as("sess_start"), $"w.end".as("sess_end"),
               $"user_id", $"n_events")
   }
+
+  /** Streaming exact dedup: at-least-once delivery → exactly-once rows,
+    * keyed on event_id. `dropDuplicatesWithinWatermark` bounds the dedup
+    * state to the watermark horizon (plain dropDuplicates would grow
+    * state forever on an unbounded stream) — the streaming dual of the
+    * batch d1 operator. */
+  def streamingDedup(events: DataFrame,
+                     lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * static dimension frame. The dim side is broadcast per batch (no
+    * stream state), which is the scale-correct shape for slowly-changing
+    * small dimensions; re-reading the frame each batch picks up dim
+    * updates between batches. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream interval join (streaming dual of the batch e6 range
+    * join): per user, pair each `left` event with `right` events that
+    * occur within [left.ts, left.ts + horizon]. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire buffered state — an unbounded-condition
+    * stream-stream join would hold both streams forever. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   horizon: String = "5 minutes",
+                   lateness: String = "10 minutes"): DataFrame = {
+    import left.sparkSession.implicits._
+    val l = left.withWatermark("ts", lateness)
+      .select($"user_id".as("l_user"), $"ts".as("l_ts"),
+              $"event_type".as("l_type"))
+    val r = right.withWatermark("ts", lateness)
+      .select($"user_id".as("r_user"), $"ts".as("r_ts"),
+              $"event_type".as("r_type"), $"value".as("r_value"))
+    l.join(r,
+      $"l_user" === $"r_user" &&
+        $"r_ts" >= $"l_ts" &&
+        $"r_ts" <= $"l_ts" + expr(s"interval $horizon"))
+  }
 }

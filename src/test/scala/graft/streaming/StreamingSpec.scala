@@ -210,4 +210,72 @@ class StreamingSpec extends AnyFunSuite {
       } finally c2.close()
     } finally q.stop()
   }
+
+  test("streaming dedup emits each event_id once across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EvId]
+    val q = StreamOps.streamingDedup(input.toDF())
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        EvId(t("2024-01-01 00:01:00"), 1, 10, "click", 1.0),
+        EvId(t("2024-01-01 00:02:00"), 1, 11, "view", 2.0))
+      q.processAllAvailable()
+      // redelivery of id 10 in a later batch (same watermark horizon)
+      input.addData(
+        EvId(t("2024-01-01 00:01:00"), 1, 10, "click", 1.0),
+        EvId(t("2024-01-01 00:03:00"), 2, 12, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").collect()
+        .map(r => r.getLong(r.fieldIndex("event_id")))
+      assert(ids.sorted.toSeq == Seq(10L, 11L, 12L),
+        s"each id exactly once, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches each batch against the dim frame") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    val q = StreamOps.enrichWithDim(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Ev(t("2024-01-01 00:01:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 00:02:00"), 3, "view", 2.0)) // 3 has no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enrich")
+        .select($"user_id", $"tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs events within the horizon only") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[Ev]
+    val rIn = MemoryStream[Ev]
+    val q = StreamOps.intervalJoin(lIn.toDF(), rIn.toDF(), horizon = "5 minutes")
+      .writeStream.format("memory").queryName("sjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lIn.addData(Ev(t("2024-01-01 00:10:00"), 1, "impression", 0.0))
+      rIn.addData(
+        Ev(t("2024-01-01 00:12:00"), 1, "click", 1.0),   // within 5m → match
+        Ev(t("2024-01-01 00:20:00"), 1, "click", 2.0),   // past horizon → no
+        Ev(t("2024-01-01 00:12:30"), 2, "click", 3.0))   // other user → no
+      // advance both watermarks so buffered state flushes
+      lIn.addData(Ev(t("2024-01-01 01:00:00"), 9, "impression", 0.0))
+      rIn.addData(Ev(t("2024-01-01 01:00:00"), 9, "noop", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sjoin")
+        .select($"l_user", $"r_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows.contains((1L, 1.0)), s"in-horizon click must join, got $rows")
+      assert(!rows.exists(_._2 == 2.0), "click past the horizon must not join")
+      assert(!rows.exists(_._2 == 3.0), "other user's click must not join")
+    } finally q.stop()
+  }
 }
