@@ -26,7 +26,7 @@ object EventOps {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(28,8)")).cast("double")
 
-  private val dsumSql = "CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)"
+  private val dsumSql = "CAST(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)"
 
   // ---------------------------------------------------------------- e1
   /** Tumbling 1-hour window aggregation per event type. Spark's `window`

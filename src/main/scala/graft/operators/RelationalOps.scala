@@ -67,10 +67,10 @@ object RelationalOps {
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -125,7 +125,7 @@ object RelationalOps {
 
   val q3JoinAggSql: String =
     """SELECT n_name,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -265,7 +265,7 @@ object RelationalOps {
 
   val q9RollupSql: String =
     """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS total
       |FROM orders
       |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
@@ -287,7 +287,7 @@ object RelationalOps {
   val q10DistinctAggSql: String =
     """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
       |  COUNT(*) AS n_cust,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS total_bal
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS total_bal
       |FROM customer
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
@@ -337,7 +337,7 @@ object RelationalOps {
       |  CAST(quarter(o_orderdate) AS INT) AS qtr,
       |  UPPER(SUBSTR(o_orderpriority, 1, 8)) AS prio,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS total,
       |  MIN(LENGTH(o_orderpriority)) AS min_prio_len
       |FROM orders
       |GROUP BY 1, 2, 3
@@ -354,7 +354,7 @@ object RelationalOps {
       """WITH monthly AS (
         |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
         |         CAST(month(o_orderdate) AS INT) AS mth,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+        |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS revenue,
         |         COUNT(*) AS n_orders
         |  FROM orders
         |  GROUP BY 1, 2)
@@ -369,7 +369,7 @@ object RelationalOps {
     """WITH monthly AS (
       |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
       |         CAST(month(o_orderdate) AS INT) AS mth,
-      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+      |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS revenue,
       |         COUNT(*) AS n_orders
       |  FROM orders
       |  GROUP BY 1, 2)
@@ -400,11 +400,11 @@ object RelationalOps {
 
   val q14WindowFuncsSql: String =
     """SELECT o_custkey, o_orderkey,
-      |  CAST(CAST(o_totalprice AS DECIMAL(12,2))
-      |       - LAG(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS delta,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |  CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+      |       - LAG(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS VARCHAR) AS DOUBLE) AS delta,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
       |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+      |             ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_total,
       |  RANK() OVER w AS rnk,
       |  NTILE(4) OVER w AS quartile
       |FROM orders
@@ -441,7 +441,7 @@ object RelationalOps {
       |  SELECT c_custkey AS ckey, c_name FROM customer WHERE c_custkey % 3 = 0),
       |act AS (
       |  SELECT o_custkey AS okey, COUNT(*) AS n_orders_95,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS rev_95
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS rev_95
       |  FROM orders
       |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
       |    AND o_orderdate <  TIMESTAMP '1996-01-01'
@@ -473,7 +473,7 @@ object RelationalOps {
       |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
       |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS total
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
@@ -496,12 +496,12 @@ object RelationalOps {
 
   val q18PivotSql: String =
     """SELECT CAST(year(o_orderdate) AS INT) AS yr,
-      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
-      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS rev_f,
-      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
-      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS rev_o,
-      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
-      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS rev_p
+      |  CAST(CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS VARCHAR) AS DOUBLE) AS rev_f,
+      |  CAST(CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS VARCHAR) AS DOUBLE) AS rev_o,
+      |  CAST(CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS VARCHAR) AS DOUBLE) AS rev_p
       |FROM orders
       |GROUP BY 1
       |ORDER BY yr""".stripMargin
@@ -542,12 +542,17 @@ object RelationalOps {
     * table shuffles once per join key; all dims broadcast. */
   def q20Profit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Join order matters without CBO: the selective broadcast join
+    // (p_retailprice filter keeps ~50% of lineitem) runs FIRST so the
+    // only fact-fact shuffle join (lineitem ⋈ orders) sees half the
+    // rows. Catalyst won't reorder joins without table stats, so the
+    // declared order is the executed order.
     t(spark, dir, "lineitem")
-      .join(t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(t(spark, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(t(spark, dir, "nation")), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(t(spark, dir, "part").filter($"p_retailprice" > 950.0)),
             $"l_partkey" === $"p_partkey")
+      .join(broadcast(t(spark, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(t(spark, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
       .groupBy($"n_name", year($"o_orderdate").cast("int").as("yr"))
       .agg(sum(money($"l_extendedprice") * oneMinus($"l_discount"))
              .cast("double").as("revenue"),
@@ -557,8 +562,8 @@ object RelationalOps {
 
   val q20ProfitSql: String =
     """SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-      |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_lines
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -589,7 +594,7 @@ object RelationalOps {
 
   val q21SaltedJoinSql: String =
     """SELECT c_mktsegment, COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS total
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |WHERE o_totalprice > 400000.0
       |GROUP BY c_mktsegment
@@ -620,7 +625,7 @@ object RelationalOps {
       |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
       |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS total
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
@@ -669,22 +674,30 @@ object RelationalOps {
       |ORDER BY p_partkey, pos""".stripMargin
 
   // --------------------------------------------------------------- q25
-  /** Exact interpolated percentiles per group. Spark's `percentile` and
-    * DuckDB's `quantile_cont` use the same lower+(higher-lower)*fraction
-    * interpolation over the sorted values, so the doubles match bitwise
-    * (verified). Exact percentiles sort per group in the agg buffer —
-    * fine for bounded groups; for 100 TB unbounded groups the sketch
-    * variant (q15 percentile_approx) is the scale path. */
+  /** Exact interpolated percentiles per group via
+    * [[PercentileOps.exactPercentiles]] — distributed sort + positional
+    * pick, O(1) task memory at any group size (Spark's builtin
+    * `percentile` buffers the whole group per agg buffer, which cannot
+    * survive a 100 TB hot group, and its interpolation differs from
+    * DuckDB's by 1 ulp on some inputs; see PercentileOps). */
   def q25Percentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    t(spark, dir, "lineitem")
+    val li = t(spark, dir, "lineitem")
+    val price = PercentileOps
+      .exactPercentiles(li, "l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.5, 0.75))
       .groupBy($"l_returnflag")
       .agg(
-        percentile($"l_extendedprice", lit(0.25)).as("p25_price"),
-        percentile($"l_extendedprice", lit(0.5)).as("p50_price"),
-        percentile($"l_extendedprice", lit(0.75)).as("p75_price"),
-        percentile($"l_quantity", lit(0.5)).as("p50_qty"),
-        count(lit(1)).as("n"))
+        max(when($"frac" === 0.25, $"pct")).as("p25_price"),
+        max(when($"frac" === 0.5, $"pct")).as("p50_price"),
+        max(when($"frac" === 0.75, $"pct")).as("p75_price"))
+    val qty = PercentileOps
+      .exactPercentiles(li, "l_returnflag", "l_quantity", Seq(0.5))
+      .select($"l_returnflag", $"pct".as("p50_qty"))
+    val counts = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+    price.join(qty, "l_returnflag").join(counts, "l_returnflag")
+      .select($"l_returnflag", $"p25_price", $"p50_price", $"p75_price",
+              $"p50_qty", $"n")
       .orderBy($"l_returnflag")
   }
 
@@ -754,7 +767,7 @@ object RelationalOps {
     """SELECT regexp_extract(p_type, '([A-Z]+)$', 1) AS material,
       |  regexp_replace(p_brand, '[^A-Z0-9]', '', 'g') AS brand_norm,
       |  COUNT(*) AS n_parts,
-      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |  CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_price
       |FROM part
       |GROUP BY 1, 2
       |ORDER BY material, brand_norm""".stripMargin

@@ -62,6 +62,41 @@ class Round2OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exactPercentiles matches the builtin percentile to 1 ulp-ish") {
+    import spark.implicits._
+    val li = Tables(spark, sf, "lineitem")
+    val got = PercentileOps
+      .exactPercentiles(li, "l_returnflag", "l_extendedprice",
+        Seq(0.0, 0.25, 0.5, 0.77, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val exp = li.groupBy($"l_returnflag")
+      .agg(percentile($"l_extendedprice",
+        array(lit(0.0), lit(0.25), lit(0.5), lit(0.77), lit(1.0))).as("ps"))
+      .collect().flatMap { r =>
+        r.getSeq[Double](1).zip(Seq(0.0, 0.25, 0.5, 0.77, 1.0))
+          .map { case (v, f) => (r.getString(0), f) -> v }
+      }.toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - exp(k)) <= math.ulp(exp(k)) * 4,
+        s"$k: sort-based $v vs builtin ${exp(k)}")
+    }
+  }
+
+  test("exactPercentiles handles single-row groups and extreme fractions") {
+    import spark.implicits._
+    val df = Seq(("a", 10.0), ("b", 1.0), ("b", 2.0), ("b", 3.0))
+      .toDF("k", "v")
+    val got = PercentileOps.exactPercentiles(df, "k", "v", Seq(0.0, 0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(got(("a", 0.0)) == 10.0 && got(("a", 0.5)) == 10.0 &&
+           got(("a", 1.0)) == 10.0)
+    assert(got(("b", 0.0)) == 1.0 && got(("b", 0.5)) == 2.0 &&
+           got(("b", 1.0)) == 3.0)
+  }
+
   test("q26: n_segments equals the CSV segment count and is sorted") {
     q("q26_collect_sort").collect().foreach { r =>
       val segs = r.getString(1).split(",").toSeq
