@@ -163,8 +163,11 @@ object DedupOps {
       .orderBy($"i", $"j")
   }
 
-  val d4MinhashLshSql: String =
-    s"""WITH toks AS (
+  /** The d4 LSH candidate-pair generation as a reusable CTE block
+    * (`pairs(i, j)` with i < j) — shared by the d4 oracle and the d8
+    * connected-components oracle. */
+  private val d4PairsCte: String =
+    s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
        |gr AS (SELECT doc_id,
        |  list_transform(${sqlTrigrams("l")}, g -> ${sqlMd5Long("g")} % 2147483647) AS gh
@@ -181,10 +184,15 @@ object DedupOps {
        |  SELECT doc_id, u.b AS band,
        |    md5(array_to_string(list_transform(sig[u.b*4+1:u.b*4+4],
        |        x -> CAST(x AS VARCHAR)), ',')) AS key
-       |  FROM sig, UNNEST(generate_series(0, 3)) AS u(b))
-       |SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  FROM sig, UNNEST(generate_series(0, 3)) AS u(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
+  val d4MinhashLshSql: String =
+    s"""WITH $d4PairsCte
+       |SELECT i, j FROM pairs
        |ORDER BY i, j""".stripMargin
 
   // ---------------------------------------------------------------- d5
@@ -321,6 +329,79 @@ object DedupOps {
       |FROM ranked WHERE rn = 1 AND nm >= 2
       |ORDER BY keeper_doc""".stripMargin
 
+  // ---------------------------------------------------------------- d8
+  /** Duplicate-cluster assignment: connected components over the d4
+    * MinHash-LSH candidate-pair graph. Every document in a near-dup
+    * component is labeled with the component's minimum doc_id (the
+    * canonical representative), plus the component size — the step that
+    * turns pairwise candidates into actual dedup groups when duplicate
+    * chains span documents that never collide directly (a~b, b~c ⇒
+    * {a,b,c}).
+    *
+    * Spark shape: iterative min-label propagation — each round is one
+    * shuffle join (edges ⨝ labels on src) + one min-aggregate on dst,
+    * repeated until the label sum stops changing. Rounds needed = the
+    * component diameter, which for near-dup clusters is tiny (single
+    * digits) and independent of corpus size; each round's lineage is
+    * truncated with `localCheckpoint` so plans don't grow exponentially.
+    * This is the standard large-graph CC shape (Kwon et al.'s
+    * small-star/large-star refines the same primitive); nothing is ever
+    * collected to the driver except the 8-byte convergence checksum. */
+  def d8DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = d4MinhashLsh(spark, dir).select($"i", $"j")
+    // Undirected graph → both directions, so one join per round
+    // propagates labels both ways.
+    val edges = pairs
+      .union(pairs.select($"j".as("i"), $"i".as("j")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("lbl"))
+      .localCheckpoint()
+    // Labels only ever decrease, so the (exact, integer) label sum is a
+    // monotone convergence measure: unchanged sum ⇔ fixpoint.
+    var prevSum = labels.agg(sum($"lbl")).as[Long].head()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy($"dst").agg(min($"lbl").as("nbr"))
+        .select($"dst".as("id"), $"nbr")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select($"id", least($"lbl", coalesce($"nbr", $"lbl")).as("lbl"))
+        .localCheckpoint()
+      val s = next.agg(sum($"lbl")).as[Long].head()
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "lbl")
+      .select($"id".as("doc_id"), $"lbl".as("cluster_id"), $"n_members")
+      .orderBy($"doc_id")
+  }
+
+  val d8DupClustersSql: String =
+    s"""WITH RECURSIVE $d4PairsCte,
+       |edges AS (
+       |  SELECT i AS src, j AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT j AS src, i AS dst FROM pairs),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, r.lbl FROM reach r
+       |  JOIN edges e ON e.src = r.id),
+       |labels AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster_id, COUNT(*) AS n_members
+       |          FROM labels GROUP BY 1)
+       |SELECT l.id AS doc_id, l.cluster_id, s.n_members
+       |FROM labels l JOIN sizes s USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact"   -> (d1DedupExact _),
     "d2_dedup_normset" -> (d2DedupNormSet _),
@@ -329,6 +410,7 @@ object DedupOps {
     "d5_cosine_dup"    -> (d5CosineDup _),
     "d6_simhash"       -> (d6Simhash _),
     "d7_dedup_keepbest" -> (d7DedupKeepBest _),
+    "d8_dup_clusters"  -> (d8DupClusters _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -339,5 +421,6 @@ object DedupOps {
     "d5_cosine_dup"    -> d5CosineDupSql,
     "d6_simhash"       -> d6SimhashSql,
     "d7_dedup_keepbest" -> d7DedupKeepBestSql,
+    "d8_dup_clusters"  -> d8DupClustersSql,
   )
 }

@@ -325,6 +325,103 @@ object EventOps {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- e10
+  /** Ordered conversion funnel (view → click → purchase) per user: the
+    * first view, the first click at-or-after that view, and the first
+    * purchase at-or-after that click. Each stage is one conditional
+    * `min()` hash-aggregate keyed on user_id — no window sort, no
+    * self-join on the event stream — so the funnel costs three narrow
+    * aggregates regardless of events-per-user. Timestamps are exact
+    * epoch-micros integers. */
+  def e10Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val us = unix_micros($"ts")
+    val ev = events(spark, dir)
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id", $"event_type", us.as("us"))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("view_us"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"us" >= $"view_us")
+      .groupBy($"user_id").agg(min($"us").as("click_us"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"us" >= $"click_us")
+      .groupBy($"user_id").agg(min($"us").as("purchase_us"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select($"user_id", $"view_us", $"click_us", $"purchase_us",
+        (lit(1) + when($"click_us".isNotNull, 1).otherwise(0)
+                + when($"purchase_us".isNotNull, 1).otherwise(0))
+          .as("depth"))
+      .orderBy($"user_id")
+  }
+
+  val e10FunnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |v AS (SELECT user_id, MIN(us) AS view_us FROM ev
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(us) AS click_us FROM ev e
+      |      JOIN v ON e.user_id = v.user_id AND e.us >= v.view_us
+      |      WHERE event_type = 'click' GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(us) AS purchase_us FROM ev e
+      |      JOIN c ON e.user_id = c.user_id AND e.us >= c.click_us
+      |      WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT v.user_id, view_us, click_us, purchase_us,
+      |  1 + CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN purchase_us IS NOT NULL THEN 1 ELSE 0 END AS depth
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  // ---------------------------------------------------------------- e11
+  /** Retention cohort matrix: users grouped by first-activity date
+    * (cohort), counted on each subsequent active day as a day offset.
+    * Two hash aggregates (first-day per user, distinct active days per
+    * user) and one join on user_id — the cohort matrix itself is tiny
+    * (days × days) no matter how many users flow in. */
+  def e11Retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d"))
+    val cohort = ev.groupBy($"user_id").agg(min($"d").as("d0"))
+    val active = ev.distinct()
+    active.join(cohort, "user_id")
+      .groupBy($"d0".as("cohort_date"), datediff($"d", $"d0").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_date", $"day_offset")
+  }
+
+  val e11RetentionSql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |cohort AS (SELECT user_id, MIN(d) AS d0 FROM ev GROUP BY 1)
+      |SELECT d0 AS cohort_date, CAST(d - d0 AS INT) AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM ev JOIN cohort USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY cohort_date, day_offset""".stripMargin
+
+  // ---------------------------------------------------------------- e12
+  /** Fixed-width histogram of `value` per event type: bin = floor(v/50).
+    * Binning is a codegen'd projection (one IEEE divide + floor, exact on
+    * both engines); the aggregate is a two-phase hash agg over at most
+    * types × bins cells — constant-size output at any SF. */
+  def e12Histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy($"event_type", floor($"value" / 50.0).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("bin_total"))
+      .orderBy($"event_type", $"bin")
+  }
+
+  val e12HistogramSql: String =
+    s"""SELECT event_type, CAST(FLOOR(value / 50.0) AS INT) AS bin,
+       |  COUNT(*) AS n, $dsumSql AS bin_total
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY event_type, bin""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
@@ -336,6 +433,9 @@ object EventOps {
     "e7_variant"     -> (e7Variant _),
     "e8_gapfill"     -> (e8GapFill _),
     "e9_minmax_by"   -> (e9MinMaxBy _),
+    "e10_funnel"     -> (e10Funnel _),
+    "e11_retention"  -> (e11Retention _),
+    "e12_histogram"  -> (e12Histogram _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -348,5 +448,8 @@ object EventOps {
     "e7_variant"     -> e7VariantSql,
     "e8_gapfill"     -> e8GapFillSql,
     "e9_minmax_by"   -> e9MinMaxBySql,
+    "e10_funnel"     -> e10FunnelSql,
+    "e11_retention"  -> e11RetentionSql,
+    "e12_histogram"  -> e12HistogramSql,
   )
 }

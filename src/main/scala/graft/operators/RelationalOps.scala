@@ -772,6 +772,188 @@ object RelationalOps {
       |GROUP BY 1, 2
       |ORDER BY material, brand_norm""".stripMargin
 
+  // --------------------------------------------------------------- q28
+  /** Window frame variety: per-customer order history with a 3-order
+    * moving total (ROWS frame over a unique sort key, so ties can't make
+    * the frame nondeterministic) and a trailing-90-day total + count
+    * (RANGE frame over integer epoch-days — peers at the same day are
+    * all included, which is what makes RANGE deterministic under ties).
+    * Frame sums are exact decimals; one shuffle on o_custkey serves all
+    * three windows. */
+  def q28WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = datediff($"o_orderdate", lit("1970-01-01").cast("date"))
+    val rows3 = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey").rowsBetween(-2, 0)
+    val range90 = Window.partitionBy($"o_custkey")
+      .orderBy(days).rangeBetween(-89, 0)
+    t(spark, dir, "orders")
+      .filter($"o_custkey" < 300)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        sum(money($"o_totalprice")).over(rows3).cast("double").as("last3_total"),
+        sum(money($"o_totalprice")).over(range90).cast("double").as("d90_total"),
+        count(lit(1)).over(range90).as("d90_orders"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q28WindowFramesSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+      |    AS last3_total,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w90
+      |    AS VARCHAR) AS DOUBLE) AS d90_total,
+      |  COUNT(*) OVER w90 AS d90_orders
+      |FROM orders
+      |WHERE o_custkey < 300
+      |WINDOW w90 AS (PARTITION BY o_custkey
+      |  ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+      |  RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------- q29
+  /** Small-quantity outlier revenue (TPC-H Q17 shape): lineitems whose
+    * quantity is under 20% of their part's average, for three brands.
+    * The correlated AVG subquery is decorrelated into one per-part
+    * aggregate + join-back; the threshold test is cross-multiplied
+    * integer math (5·q·cnt < sum) so no division touches the filter.
+    * Part side is broadcast; lineitem is scanned once. */
+  def q29AvgQtySubquery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brands = Seq("Brand#11", "Brand#22", "Brand#23")
+    val pt = t(spark, dir, "part")
+      .filter($"p_brand".isin(brands: _*))
+      .select($"p_partkey", $"p_brand")
+    val j = t(spark, dir, "lineitem")
+      .join(broadcast(pt), $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"p_partkey",
+        $"l_quantity".cast("long").as("q"), $"l_extendedprice")
+    val stats = j.groupBy($"p_partkey".as("sk"))
+      .agg(sum($"q").as("s"), count(lit(1)).as("c"))
+    j.join(stats, $"p_partkey" === $"sk")
+      .filter($"q" * 5 * $"c" < $"s")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_small"),
+           dsum($"l_extendedprice").as("small_revenue"))
+      .orderBy($"p_brand")
+  }
+
+  val q29AvgQtySubquerySql: String =
+    """WITH j AS (
+      |  SELECT p_brand, p_partkey, CAST(l_quantity AS BIGINT) AS q,
+      |         l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#23')),
+      |st AS (
+      |  SELECT p_partkey, CAST(SUM(q) AS BIGINT) AS s, COUNT(*) AS c
+      |  FROM j GROUP BY 1)
+      |SELECT p_brand, COUNT(*) AS n_small,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS small_revenue
+      |FROM j JOIN st USING (p_partkey)
+      |WHERE q * 5 * c < s
+      |GROUP BY 1
+      |ORDER BY p_brand""".stripMargin
+
+  // --------------------------------------------------------------- q30
+  /** Waiting-supplier analysis (TPC-H Q21 shape): suppliers whose
+    * lineitem shipped over 60 days after the order date, on multi-supplier
+    * orders where **only** that supplier was late. The classic double
+    * correlated EXISTS/NOT EXISTS is hand-decorrelated into one per-order
+    * aggregate (distinct suppliers, distinct late suppliers) joined back
+    * to the late rows — at scale that is one extra hash-agg on l_orderkey
+    * instead of two correlated probes of the fact table. */
+  def q30LateSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val late = $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")
+    val lo = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey", late.as("late"))
+    val perOrder = lo.groupBy($"l_orderkey".as("ok"))
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+           countDistinct(when($"late", $"l_suppkey")).as("n_late_supp"))
+    val waiting = lo.filter($"late")
+      .join(perOrder, $"l_orderkey" === $"ok")
+      .filter($"n_supp" >= 2 && $"n_late_supp" === 1)
+    waiting
+      .join(broadcast(t(spark, dir, "supplier")),
+            $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+  }
+
+  val q30LateSuppliersSql: String =
+    """WITH lo AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |per_order AS (
+      |  SELECT l_orderkey AS ok, COUNT(DISTINCT l_suppkey) AS n_supp,
+      |         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+      |  FROM lo GROUP BY 1)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM lo JOIN per_order ON l_orderkey = ok
+      |        JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE late AND n_supp >= 2 AND n_late_supp = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- q31
+  /** Higher-order array functions over the embedding column — filter,
+    * transform, aggregate (fold), array_max — the declarative form of
+    * per-vector feature engineering. Everything is a codegen-friendly
+    * projection (no UDF, no shuffle); folds are sequential left-folds so
+    * the doubles are bit-identical to DuckDB's list_reduce. */
+  def q31HigherOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.micro
+    t(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .select($"vec_id",
+        size(filter($"v", x => x > 0)).as("n_pos"),
+        micro(aggregate($"v", lit(0.0), (acc, x) => acc + abs(x))).as("l1_micro"),
+        micro(array_max(transform($"v", x => abs(x)))).as("maxabs_micro"))
+      .orderBy($"vec_id")
+  }
+
+  val q31HigherOrderSql: String = {
+    import graft.functions.EngineFns.sqlMicro
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT vec_id,
+       |  CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+       |  ${sqlMicro("list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b)")} AS l1_micro,
+       |  ${sqlMicro("list_max(list_transform(v, x -> abs(x)))")} AS maxabs_micro
+       |FROM e
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q32
+  /** Recursive CTE (Spark 4's UnionLoop): a month spine generated by
+    * recursion, left-joined to monthly order counts — the SQL-standard
+    * iterative construct the DataFrame API can't express. The SAME text
+    * runs on both engines (shared dialect subset, like q13). Recursion
+    * depth = number of months, independent of data size; the join is a
+    * broadcast of the tiny spine. */
+  def q32RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir)
+    spark.sql(q32RecursiveCteSql)
+  }
+
+  val q32RecursiveCteSql: String =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT TIMESTAMP '1995-01-01 00:00:00'
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH FROM months
+      |  WHERE m < TIMESTAMP '2001-08-01 00:00:00')
+      |SELECT m AS month, CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+      |FROM months LEFT JOIN (
+      |  SELECT date_trunc('MONTH', o_orderdate) AS mo, COUNT(*) AS n
+      |  FROM orders GROUP BY 1) c ON c.mo = m
+      |ORDER BY month""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -801,6 +983,11 @@ object RelationalOps {
     "q25_percentiles"    -> (q25Percentiles _),
     "q26_collect_sort"   -> (q26CollectSort _),
     "q27_regex"          -> (q27Regex _),
+    "q28_window_frames"  -> (q28WindowFrames _),
+    "q29_avgqty_subquery" -> (q29AvgQtySubquery _),
+    "q30_late_suppliers" -> (q30LateSuppliers _),
+    "q31_higher_order"   -> (q31HigherOrder _),
+    "q32_recursive_cte"  -> (q32RecursiveCte _),
   )
 
   // --------------------------------------------------------------- q15
@@ -850,5 +1037,10 @@ object RelationalOps {
     "q25_percentiles"    -> q25PercentilesSql,
     "q26_collect_sort"   -> q26CollectSortSql,
     "q27_regex"          -> q27RegexSql,
+    "q28_window_frames"  -> q28WindowFramesSql,
+    "q29_avgqty_subquery" -> q29AvgQtySubquerySql,
+    "q30_late_suppliers" -> q30LateSuppliersSql,
+    "q31_higher_order"   -> q31HigherOrderSql,
+    "q32_recursive_cte"  -> q32RecursiveCteSql,
   )
 }

@@ -213,6 +213,51 @@ object TextOps {
       |      FROM c)
       |SELECT rank, tok, cnt FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------- t8
+  /** TF-IDF-style term salience: the top-3 most characteristic terms per
+    * document, scored tf/df (term frequency over document frequency — a
+    * linear-idf proxy chosen because ln() is not bit-identical across
+    * engines, while one IEEE divide is). Shape at scale: explode → two
+    * hash aggregates (tf keyed on (doc, term), df keyed on term) → one
+    * shuffle join on term → per-doc top-k window. The df side is orders
+    * of magnitude smaller than the tf side (vocabulary vs corpus), so
+    * the join shuffles the small stream to the big one's partitioning. */
+  def t8Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = docs(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .filter($"term" =!= "")
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("score_micro", micro($"tf".cast("double") / $"df"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"doc_id")
+          .orderBy($"score_micro".desc, $"term")).cast("int"))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score_micro")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val t8TfidfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       |       WHERE term <> '' GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    ${sqlMicro("CAST(tf AS DOUBLE) / df")} AS score_micro
+       |  FROM tf JOIN df USING (term)),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score_micro DESC, term) AS INT) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, tf, df, score_micro
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
@@ -222,6 +267,7 @@ object TextOps {
     "t5_langid"       -> (t5LangId _),
     "t6_polyhash"     -> (t6PolyHash _),
     "t7_zipf_terms"   -> (t7ZipfTerms _),
+    "t8_tfidf"        -> (t8Tfidf _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -232,5 +278,6 @@ object TextOps {
     "t5_langid"       -> t5LangIdSql,
     "t6_polyhash"     -> t6PolyHashSql,
     "t7_zipf_terms"   -> t7ZipfTermsSql,
+    "t8_tfidf"        -> t8TfidfSql,
   )
 }
