@@ -31,6 +31,21 @@ object EngineFns {
   def sqlMd5Long(expr: String): String =
     s"CAST(CONCAT('0x', SUBSTR(md5($expr), 1, 15)) AS BIGINT)"
 
+  /** Order-preserving fixed-width encoding of a BIGINT: flip the sign
+    * bit, hex, left-pad to 16 chars. Lexicographic order of the result
+    * equals signed numeric order for EVERY 64-bit value (negative
+    * included) — the safe building block for composite min_by/max_by
+    * keys, unlike '%020d' printf whose width (and sign position) breaks
+    * past 10^20 or below 0. DuckDB equivalent: [[sqlOrderKey64]]. */
+  def orderKey64(c: Column): Column =
+    lpad(hex(c.cast("long").bitwiseXOR(lit(Long.MinValue))), 16, "0")
+
+  /** DuckDB SQL text equivalent of [[orderKey64]]. (The min-long literal
+    * is written `-9223372036854775807 - 1` because DuckDB parses the
+    * bare literal as INT128 before negation.) */
+  def sqlOrderKey64(expr: String): String =
+    s"lpad(hex(xor(CAST($expr AS BIGINT), (-9223372036854775807 - 1))), 16, '0')"
+
   /** Driver-side twin of [[md5Long]]: same 60-bit value, computed in
     * plain Scala (for constants baked into plans). */
   def md5Long60(s: String): Long = {

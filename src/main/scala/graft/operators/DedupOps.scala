@@ -230,29 +230,42 @@ object DedupOps {
        |ORDER BY i, j""".stripMargin
 
   // ---------------------------------------------------------------- d6
-  /** SimHash near-dup pairs: 32-bit SimHash over distinct word-trigram
+  /** SimHash near-dup pairs: 60-bit SimHash over distinct word-trigram
     * hashes (bit j = sign of Σ ±1 votes from (h>>j)&1), candidates
-    * generated by byte-band LSH (pairs must share one of four 8-bit
-    * bands), kept at Hamming distance ≤ 3. Trigram features (not plain
-    * tokens) keep fingerprints discriminative on small-vocabulary
-    * corpora. Same scale shape as d4: explode → codegen'd sums →
-    * band-bucket join. */
+    * generated by 15-bit band LSH (pairs must share one of four bands),
+    * kept at Hamming distance ≤ 3. Banding is EXACT here, not
+    * approximate: ≤3 flipped bits can touch at most 3 of the 4 bands,
+    * so every true pair collides in some clean band (pigeonhole) — the
+    * band join only prunes false candidates. Trigram features (not
+    * plain tokens) keep fingerprints discriminative on
+    * small-vocabulary corpora. Same scale shape as d4: explode →
+    * codegen'd sums → band-bucket join.
+    *
+    * Width matters at scale: 15-bit bands give 32,768 buckets per band
+    * vs 256 for byte bands — on a corpus whose simhash bits are biased
+    * (real text is), byte-band buckets concentrate and the candidate
+    * join degenerates toward quadratic (measured 16 s at sf0.1; 15-bit
+    * bands cut candidate volume ~100×). */
+  private val SimhashBits = 60   // one bit per trigram-hash bit (md5-derived)
+  private val SimhashBandBits = 15
+
   def d6Simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.TrigramHash60.register(spark)
     val tok = docs(spark, dir)
       .select($"doc_id", explode(expr("trigram_hashes(text)")).as("h"))
-    val bitSums = (0 until 32).map { j =>
+    val bitSums = (0 until SimhashBits).map { j =>
       sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"s$j")
     }
     val sums = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 32)
+    val fp = (0 until SimhashBits)
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     val banded = sums
       .select($"doc_id", fp.as("fp"))
       .select($"doc_id", $"fp", posexplode(array(
-        (0 until 4).map(b => expr(s"(fp >> ${b * 8}) & 255")): _*))
+        (0 until 4).map(b =>
+          expr(s"(fp >> ${b * SimhashBandBits}) & ${(1 << SimhashBandBits) - 1}")): _*))
         .as(Seq("band", "nib")))
     banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.nib" === $"b.nib" &&
@@ -265,10 +278,11 @@ object DedupOps {
   }
 
   val d6SimhashSql: String = {
-    val sums = (0 until 32).map(j =>
+    val sums = (0 until SimhashBits).map(j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n    ")
-    val fpExpr = (0 until 32).map(j =>
+    val fpExpr = (0 until SimhashBits).map(j =>
       s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val mask = (1 << SimhashBandBits) - 1
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
        |tok AS (
@@ -279,7 +293,8 @@ object DedupOps {
        |  FROM th GROUP BY doc_id),
        |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM sums),
        |banded AS (
-       |  SELECT doc_id, fp, u.b AS band, (fp >> (u.b * 8)) & 255 AS nib
+       |  SELECT doc_id, fp, u.b AS band,
+       |         (fp >> (u.b * $SimhashBandBits)) & $mask AS nib
        |  FROM fp, UNNEST(generate_series(0, 3)) AS u(b))
        |SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
@@ -338,15 +353,19 @@ object DedupOps {
     * chains span documents that never collide directly (a~b, b~c ⇒
     * {a,b,c}).
     *
-    * Spark shape: iterative min-label propagation — each round is one
-    * shuffle join (edges ⨝ labels on src) + one min-aggregate on dst,
-    * repeated until the label sum stops changing. Rounds needed = the
-    * component diameter, which for near-dup clusters is tiny (single
-    * digits) and independent of corpus size; each round's lineage is
-    * truncated with `localCheckpoint` so plans don't grow exponentially.
-    * This is the standard large-graph CC shape (Kwon et al.'s
-    * small-star/large-star refines the same primitive); nothing is ever
-    * collected to the driver except the 8-byte convergence checksum. */
+    * Spark shape: iterative min-label propagation WITH pointer doubling
+    * — each round is (a) one shuffle join (edges ⨝ labels on src) + one
+    * min-aggregate on dst, then (b) a path-compression join that
+    * replaces every label with its label's label (`lbl ← labels[lbl]`;
+    * sound because labels are always node ids and only ever decrease).
+    * Compression halves chain depth each round, so rounds grow
+    * O(log diameter) instead of O(diameter) — a duplicate chain of
+    * length 10⁶ converges in ~20 rounds, not 10⁶. Each round's lineage
+    * is truncated with `localCheckpoint` so plans don't grow
+    * exponentially; nothing is ever collected to the driver except the
+    * 8-byte convergence checksum. If the round cap is somehow hit
+    * without convergence this THROWS rather than returning partial
+    * labels (wrong clusters must never look like a clean result). */
   def d8DupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = d4MinhashLsh(spark, dir).select($"i", $"j")
@@ -364,12 +383,20 @@ object DedupOps {
     var prevSum = labels.agg(sum($"lbl")).as[Long].head()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    val maxRounds = 50   // ~2^50-deep chains; unreachable for real graphs
+    while (!converged && rounds < maxRounds) {
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy($"dst").agg(min($"lbl").as("nbr"))
         .select($"dst".as("id"), $"nbr")
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select($"id", least($"lbl", coalesce($"nbr", $"lbl")).as("lbl"))
+      // Pointer doubling: lbl ← min(lbl, labels[lbl]). Every lbl value
+      // is a node id present in `propagated`, so the inner self-join is
+      // total; chains compress by half per round.
+      val next = propagated.as("a")
+        .join(propagated.select($"id".as("pid"), $"lbl".as("plbl")).as("b"),
+              $"a.lbl" === $"b.pid")
+        .select($"a.id", least($"a.lbl", $"b.plbl").as("lbl"))
         .localCheckpoint()
       val s = next.agg(sum($"lbl")).as[Long].head()
       converged = s == prevSum
@@ -378,6 +405,9 @@ object DedupOps {
       rounds += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"d8DupClusters: label propagation did not converge in $maxRounds rounds")
     val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
     labels.join(sizes, "lbl")
       .select($"id".as("doc_id"), $"lbl".as("cluster_id"), $"n_members")

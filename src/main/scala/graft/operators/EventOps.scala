@@ -295,12 +295,17 @@ object EventOps {
 
   // ---------------------------------------------------------------- e9
   /** First/last-event extraction per user via min_by/max_by — one
-    * hash-aggregate pass, no window sort. The ordering key is a
-    * fixed-width string of (epoch micros, event_id) so ties are
-    * deterministic and both engines compare identically. */
+    * hash-aggregate pass, no window sort. The ordering key is the
+    * order-preserving fixed-width hex encoding of (epoch micros,
+    * event_id) — sign-bit-flipped 16-char hex per field
+    * ([[graft.functions.EngineFns.orderKey64]]) — so ties are
+    * deterministic and both engines compare identically for ANY 64-bit
+    * timestamp/id, including negatives and ids past 10 digits (a plain
+    * '%020d%010d' printf key silently mis-orders those). */
   def e9MinMaxBy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val key = format_string("%020d%010d", unix_micros($"ts"), $"event_id")
+    import graft.functions.EngineFns.orderKey64
+    val key = concat(orderKey64(unix_micros($"ts")), orderKey64($"event_id"))
     events(spark, dir)
       .filter($"user_id" < 100)
       .groupBy($"user_id")
@@ -313,17 +318,21 @@ object EventOps {
       .orderBy($"user_id")
   }
 
-  val e9MinMaxBySql: String =
-    """SELECT user_id,
-      |  arg_min(event_type, printf('%020d%010d', epoch_us(ts), event_id)) AS first_type,
-      |  arg_min(value, printf('%020d%010d', epoch_us(ts), event_id)) AS first_value,
-      |  arg_max(event_type, printf('%020d%010d', epoch_us(ts), event_id)) AS last_type,
-      |  arg_max(value, printf('%020d%010d', epoch_us(ts), event_id)) AS last_value,
+  val e9MinMaxBySql: String = {
+    import graft.functions.EngineFns.sqlOrderKey64
+    val key =
+      s"${sqlOrderKey64("epoch_us(ts)")} || ${sqlOrderKey64("event_id")}"
+    s"""SELECT user_id,
+      |  arg_min(event_type, $key) AS first_type,
+      |  arg_min(value, $key) AS first_value,
+      |  arg_max(event_type, $key) AS last_type,
+      |  arg_max(value, $key) AS last_value,
       |  COUNT(*) AS n_events
       |FROM events
       |WHERE user_id < 100
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- e10
   /** Ordered conversion funnel (view → click → purchase) per user: the

@@ -24,17 +24,22 @@ import org.apache.spark.sql.expressions.Window
 object PercentileOps {
 
   /** Per-`key` exact percentiles of `value` at `fractions`.
-    * Returns (key, frac, pct) in long form — one row per key×fraction. */
+    * Returns (key, frac, pct) in long form — one row per key×fraction.
+    * NULL values are ignored (like DuckDB `quantile_cont` and Spark's
+    * builtin `percentile`): they are excluded from both the ranking and
+    * the count n. A key whose values are all NULL yields no rows. */
   def exactPercentiles(df: DataFrame, key: String, value: String,
                        fractions: Seq[Double]): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val ranked = df.select(col(key), col(value).cast("double").as("v"))
+    val nonNull = df.select(col(key), col(value).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val ranked = nonNull
       .withColumn("rn",
         row_number().over(Window.partitionBy(col(key)).orderBy(col("v"))))
     // 0-based position p0 = frac*(n-1); rows lo=floor(p0)+1 and lo+1
     // (clamped to n) bracket it; wt is the upper-row weight.
-    val need = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val need = nonNull.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .select(col(key), $"n",
         explode(array(fractions.map(lit): _*)).as("frac"))
       .withColumn("p0", $"frac" * ($"n" - 1).cast("double"))

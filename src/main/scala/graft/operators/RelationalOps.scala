@@ -825,10 +825,13 @@ object RelationalOps {
     val pt = t(spark, dir, "part")
       .filter($"p_brand".isin(brands: _*))
       .select($"p_partkey", $"p_brand")
+    // floor() made explicit on BOTH engines: a bare decimal→BIGINT cast
+    // truncates in Spark but rounds half-up in DuckDB — identical today
+    // only because TPC-H quantities are integral.
     val j = t(spark, dir, "lineitem")
       .join(broadcast(pt), $"l_partkey" === $"p_partkey")
       .select($"p_brand", $"p_partkey",
-        $"l_quantity".cast("long").as("q"), $"l_extendedprice")
+        floor($"l_quantity").cast("long").as("q"), $"l_extendedprice")
     val stats = j.groupBy($"p_partkey".as("sk"))
       .agg(sum($"q").as("s"), count(lit(1)).as("c"))
     j.join(stats, $"p_partkey" === $"sk")
@@ -841,7 +844,7 @@ object RelationalOps {
 
   val q29AvgQtySubquerySql: String =
     """WITH j AS (
-      |  SELECT p_brand, p_partkey, CAST(l_quantity AS BIGINT) AS q,
+      |  SELECT p_brand, p_partkey, CAST(floor(l_quantity) AS BIGINT) AS q,
       |         l_extendedprice
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#23')),
