@@ -1,5 +1,18 @@
 package graft
 object Bench {
+  /** Drop every cached/persisted block between queries so one query can
+    * never inflate the next's measurement: the recorded r3 bench showed
+    * d8's (then-leaked) localCheckpoint blocks stealing memory from every
+    * query that ran after it, inflating them 5-10x. Cache cleanup is part
+    * of the harness, not the query, so it runs OUTSIDE the timer.
+    * Blocking unpersist: the memory must actually be free before the next
+    * timer starts. */
+  private def resetCachedState(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
@@ -15,6 +28,7 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
+      resetCachedState(spark)
     }
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -25,11 +39,14 @@ object Bench {
         // would let Spark skip computing projected values).
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          resetCachedState(spark)
+          dt
         } catch {
           case e: Throwable =>
             // a failed query must not masquerade as a fast success
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            resetCachedState(spark)
             -1.0
         }
       }

@@ -27,6 +27,20 @@ object DedupOps {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
 
+  /** Free the storage blocks behind a `localCheckpoint()`'d frame.
+    * `Dataset.unpersist` only talks to the CacheManager (it knows nothing
+    * about checkpoint RDDs), so the block release has to happen at the
+    * RDD level: a localCheckpoint'd Dataset's plan is a single
+    * `LogicalRDD` wrapping the persisted RDD. Only call this once nothing
+    * downstream will read the frame again — localCheckpoint blocks are
+    * unrecoverable once dropped. */
+  private def unpersistCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   // ---------------------------------------------------------------- d1
   /** Exact dedup: keep the lowest doc_id per identical text, reporting
     * group size. Grouping key is md5(text) so the shuffle is fixed-width. */
@@ -362,8 +376,12 @@ object DedupOps {
     * O(log diameter) instead of O(diameter) — a duplicate chain of
     * length 10⁶ converges in ~20 rounds, not 10⁶. Each round's lineage
     * is truncated with `localCheckpoint` so plans don't grow
-    * exponentially; nothing is ever collected to the driver except the
-    * 8-byte convergence checksum. If the round cap is somehow hit
+    * exponentially, and the superseded round's checkpoint blocks are
+    * unpersisted as soon as the next round is materialized (eager
+    * checkpoint), so storage holds exactly ONE label table at any time —
+    * not O(rounds) copies stealing execution memory. Nothing is ever
+    * collected to the driver except the 8-byte convergence checksum.
+    * If the round cap is somehow hit
     * without convergence this THROWS rather than returning partial
     * labels (wrong clusters must never look like a clean result). */
   def d8DupClusters(spark: SparkSession, dir: String): DataFrame = {
@@ -401,6 +419,9 @@ object DedupOps {
       val s = next.agg(sum($"lbl")).as[Long].head()
       converged = s == prevSum
       prevSum = s
+      // `next` is eagerly materialized (localCheckpoint default), so the
+      // previous round's blocks can be dropped right away.
+      unpersistCheckpointed(labels)
       labels = next
       rounds += 1
     }
@@ -409,9 +430,15 @@ object DedupOps {
       throw new IllegalStateException(
         s"d8DupClusters: label propagation did not converge in $maxRounds rounds")
     val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
-    labels.join(sizes, "lbl")
+    // Materialize the (small) final result, then release the label table:
+    // the returned frame must not keep the loop's last checkpoint pinned
+    // in storage for whoever runs next in the session.
+    val out = labels.join(sizes, "lbl")
       .select($"id".as("doc_id"), $"lbl".as("cluster_id"), $"n_members")
       .orderBy($"doc_id")
+      .localCheckpoint()
+    unpersistCheckpointed(labels)
+    out
   }
 
   val d8DupClustersSql: String =

@@ -45,27 +45,52 @@ object SkewOps {
     * `row_number` over a content-partitioned window), which spreads k
     * copies over min(k, n) buckets. The ordinal assignment among
     * identical rows is arbitrary, but since the rows are identical the
-    * output multiset is unchanged — still retry-deterministic. Costs one
-    * extra shuffle+sort of the big side, hence opt-in. */
-  def saltedJoin(big: DataFrame, small: DataFrame,
-                 bigKey: Column, smallKey: Column, n: Int,
-                 spreadDuplicates: Boolean = false): DataFrame = {
+    * output multiset is unchanged. Costs one extra shuffle+sort of the
+    * big side, hence opt-in.
+    *
+    * RETRY-DETERMINISM CAVEAT for `spreadDuplicates`: the window
+    * partitions/orders only on the HASHABLE columns, so rows that differ
+    * solely in skipped MapType columns are all ties — their ordinals (and
+    * salts) can come out differently when a lost partition is recomputed,
+    * which is the very hazard the content-hash salt avoids. Output is
+    * still correct absent retries, but on a schema with map columns
+    * prefer `spreadDuplicates = false` (or drop the maps first). */
+  /** The big side's salt in [0, n) — package-private so specs can assert
+    * the spread directly. */
+  private[graft] def saltExpr(big: DataFrame, n: Int,
+                              spreadDuplicates: Boolean): Column = {
     val hashable = big.schema.fields
       .filterNot(f => containsMap(f.dataType))
       .map(f => col(f.name))
       .toIndexedSeq
+    if (hashable.isEmpty)
+      // join output stays correct, but every row lands in salt bucket 0:
+      // the skew mitigation the caller asked for is silently a no-op.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "saltedJoin: every column of the big side contains a MapType — " +
+          "no hashable content, salt degrades to a single bucket and " +
+          "skew is NOT mitigated")
+    // LongType throughout: `hash` returns Int, and under ANSI mode (the
+    // Spark 4 default, on in this session) Int.MaxValue-adjacent hashes
+    // + row_number would throw ArithmeticException instead of wrapping.
     val contentHash =
-      if (hashable.nonEmpty) hash(hashable: _*) else lit(0)
+      if (hashable.nonEmpty) hash(hashable: _*).cast("long") else lit(0L)
     val saltSrc =
       if (spreadDuplicates && hashable.nonEmpty) {
         // within identical-content groups, ordinals 1..k are assigned;
         // which copy gets which ordinal is arbitrary but harmless.
         val w = Window.partitionBy(hashable: _*).orderBy(hashable: _*)
-        contentHash + row_number().over(w)
+        contentHash + row_number().over(w).cast("long")
       } else contentHash
-    val salted = big.withColumn("__salt", pmod(saltSrc, lit(n)))
+    pmod(saltSrc, lit(n.toLong))
+  }
+
+  def saltedJoin(big: DataFrame, small: DataFrame,
+                 bigKey: Column, smallKey: Column, n: Int,
+                 spreadDuplicates: Boolean = false): DataFrame = {
+    val salted = big.withColumn("__salt", saltExpr(big, n, spreadDuplicates))
     val replicated = small.withColumn("__salt",
-      explode(sequence(lit(0), lit(n - 1))))
+      explode(sequence(lit(0L), lit(n - 1L))))
     salted.join(replicated,
         bigKey === smallKey && salted("__salt") === replicated("__salt"))
       .drop("__salt")

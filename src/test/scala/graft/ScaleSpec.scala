@@ -66,6 +66,47 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("d8 label propagation frees superseded checkpoints (no per-round leak)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    SparkEntry.queries("d8_dup_clusters")(spark, sf)
+      .write.mode("overwrite").format("noop").save()
+    val leaked = (sc.getPersistentRDDs.keySet -- before).toSeq.sorted
+    // exactly ONE retained block is allowed: the checkpointed final
+    // result (it backs the returned frame); every round's label table
+    // and the edge cache must already be gone.
+    assert(leaked.size <= 1, s"leaked persistent RDDs: $leaked")
+    leaked.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
+  }
+
+  test("salted join spreadDuplicates: duplicate-heavy hot key spreads over min(k,n) buckets, rows preserved") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SkewOps
+    // 64 byte-identical copies of one hot-key row + 10 distinct rows
+    val big = spark.range(64).select(lit(1L).as("k"), lit("dup").as("payload"))
+      .union(spark.range(2, 12).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("payload")))
+    val small = spark.range(1, 12).select(col("id").as("k2"),
+      concat(lit("dim"), col("id")).as("attr"))
+    // multiset identity with the plain join (duplicates must survive)
+    val proj = Seq("k", "payload", "attr")
+    val plain = big.join(small, col("k") === col("k2"))
+      .select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+    val salted = SkewOps.saltedJoin(big, small, col("k"), col("k2"), 8,
+        spreadDuplicates = true)
+      .select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+    // content-hash alone sends all 64 identical copies to ONE bucket...
+    val noSpread = big.withColumn("s", SkewOps.saltExpr(big, 8, spreadDuplicates = false))
+      .filter(col("k") === 1).select("s").distinct().count()
+    assert(noSpread == 1L)
+    // ...spreadDuplicates numbers them 1..64, hitting all min(64,8)=8
+    val spread = big.withColumn("s", SkewOps.saltExpr(big, 8, spreadDuplicates = true))
+      .filter(col("k") === 1).select("s").distinct().count()
+    assert(spread == 8L, s"expected 8 salt buckets for 64 duplicates, got $spread")
+  }
+
   test("bucketed tables join without an exchange on the bucketed key") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS b_orders")
