@@ -683,19 +683,25 @@ object RelationalOps {
   def q25Percentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = t(spark, dir, "lineitem")
-    val price = PercentileOps
-      .exactPercentiles(li, "l_returnflag", "l_extendedprice",
+    // Melt price+qty into (which, v) so BOTH measures ride ONE ranked
+    // pass: the window partitions by (l_returnflag, which), so lineitem
+    // is scanned once and shuffled once — two separate exactPercentiles
+    // calls would scan and sort it twice for the same answer.
+    val melted = li.selectExpr("l_returnflag",
+      """stack(2, 'price', cast(l_extendedprice as double),
+        |         'qty',   cast(l_quantity      as double)) AS (which, v)"""
+        .stripMargin)
+    val pcts = PercentileOps
+      .exactPercentiles(melted, Seq("l_returnflag", "which"), "v",
         Seq(0.25, 0.5, 0.75))
       .groupBy($"l_returnflag")
       .agg(
-        max(when($"frac" === 0.25, $"pct")).as("p25_price"),
-        max(when($"frac" === 0.5, $"pct")).as("p50_price"),
-        max(when($"frac" === 0.75, $"pct")).as("p75_price"))
-    val qty = PercentileOps
-      .exactPercentiles(li, "l_returnflag", "l_quantity", Seq(0.5))
-      .select($"l_returnflag", $"pct".as("p50_qty"))
+        max(when($"which" === "price" && $"frac" === 0.25, $"pct")).as("p25_price"),
+        max(when($"which" === "price" && $"frac" === 0.5, $"pct")).as("p50_price"),
+        max(when($"which" === "price" && $"frac" === 0.75, $"pct")).as("p75_price"),
+        max(when($"which" === "qty" && $"frac" === 0.5, $"pct")).as("p50_qty"))
     val counts = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
-    price.join(qty, "l_returnflag").join(counts, "l_returnflag")
+    pcts.join(counts, "l_returnflag")
       .select($"l_returnflag", $"p25_price", $"p50_price", $"p75_price",
               $"p50_qty", $"n")
       .orderBy($"l_returnflag")
