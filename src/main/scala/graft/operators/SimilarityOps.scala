@@ -133,28 +133,39 @@ object SimilarityOps {
        |ORDER BY qid, rnk""".stripMargin
 
   // ---------------------------------------------------------------- s3
-  /** IVF-style ANN: coarse quantize every vector to its nearest centroid
-    * (centroids = per-label mean vectors — standing in for a k-means
-    * codebook), then search only the query's nprobe=4 nearest cells.
-    * Rows-only check: centroid averaging sums doubles in partition order,
-    * which is not deterministic across engines — the spec instead bounds
-    * recall against the exact s1 answer.
+  /** IVF-style ANN: coarse quantize every vector to its nearest centroid,
+    * then search only the query's nprobe=4 nearest cells.
+    *
+    * The codebook is the per-label COORDINATE-WISE EXACT MEDIAN vector
+    * (standing in for a k-means codebook). Median, not mean, on purpose:
+    * a mean sums doubles in partition order, which differs between runs
+    * and engines, so a mean codebook can never be oracle-checked bit-
+    * exactly. The median is order-independent — it depends only on the
+    * sorted values — and [[PercentileOps.exactPercentiles]] interpolates
+    * with the same lerp DuckDB's `quantile_cont` uses, so the whole query
+    * is hash-exact against the oracle (it was rows-only when it averaged).
     *
     * Scale shape: the centroid table is tiny (broadcast); each vector
     * computes its cell assignment in one map pass; the candidate join is
-    * cell-blocked, never all-pairs. */
+    * cell-blocked, never all-pairs. Codebook construction sorts the
+    * 64×N exploded (label, dim, value) stream once — acceptable for a
+    * codebook refresh job; a production pipeline would train it on a
+    * sample anyway. */
   def s3KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     registerAll(spark)
     val e = emb(spark, dir)
       .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot($"v", $"v")))
-    // codebook: mean vector per label cell — 64 codegen'd avg() slots
-    // (map-side partial agg), reassembled into an array column
-    val avgAggs = (1 to 64).map(i => avg(element_at($"v", lit(i))).as(s"a$i"))
-    val centroids = e.groupBy($"label")
-      .agg(avgAggs.head, avgAggs.tail: _*)
-      .select($"label", array((1 to 64).map(i => col(s"a$i")): _*).as("cv"))
+    // codebook: per-label per-dimension exact median, reassembled into an
+    // array column ordered by dimension
+    val flat = e.select($"label", posexplode($"v").as(Seq("d0", "dv")))
+      .select($"label", ($"d0" + 1).as("d"), $"dv")
+    val centroids = PercentileOps
+      .exactPercentiles(flat, Seq("label", "d"), "dv", Seq(0.5))
+      .groupBy($"label")
+      .agg(expr("transform(array_sort(collect_list(struct(d, pct))), x -> x.pct)")
+        .as("cv"))
       .withColumn("cnrm", sqrt(dot($"cv", $"cv")))
     // assign: nearest cell per vector; probe: 2 nearest cells per query
     def cellRank(src: DataFrame, id: String, keep: Int): DataFrame = {
@@ -183,6 +194,50 @@ object SimilarityOps {
       .orderBy($"qid", $"rnk")
   }
 
+  val s3KnnIvfSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+       |med AS (
+       |  SELECT label, d, quantile_cont(v[d], 0.5) AS c
+       |  FROM e CROSS JOIN dims
+       |  GROUP BY label, d),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY d) AS cv FROM med GROUP BY label),
+       |cent2 AS (
+       |  SELECT label, cv, sqrt(${sqlDot("cv", "cv")}) AS cnrm FROM cent),
+       |scored AS (
+       |  SELECT e.vec_id, e.v, e.nrm, c.label,
+       |    ${sqlDot("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+       |  FROM e CROSS JOIN cent2 c),
+       |cellranked AS (
+       |  SELECT vec_id, v, nrm, label, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id ORDER BY csim DESC, label ASC) AS crnk
+       |  FROM scored),
+       |assigned AS (
+       |  SELECT vec_id AS nid, v AS nv, nrm AS nnrm, label AS cell
+       |  FROM cellranked WHERE crnk = 1),
+       |qranked AS (
+       |  SELECT vec_id, v, nrm, label, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id ORDER BY csim DESC, label ASC) AS crnk
+       |  FROM scored WHERE vec_id < $NQUERIES),
+       |probed AS (
+       |  SELECT vec_id AS qid, v AS qv, nrm AS qnrm, label AS cell
+       |  FROM qranked WHERE crnk <= 4),
+       |cand AS (
+       |  SELECT qid, nid, ${sqlDot("qv", "nv")} / (qnrm * nnrm) AS cos
+       |  FROM probed JOIN assigned USING (cell)
+       |  WHERE qid <> nid),
+       |ranked AS (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+       |  FROM cand)
+       |SELECT qid, nid, rnk, ${sqlMicro("cos")} AS cos_micro
+       |FROM ranked WHERE rnk <= $K
+       |ORDER BY qid, rnk""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
@@ -190,9 +245,9 @@ object SimilarityOps {
     "s3_knn_ivf"   -> (s3KnnIvf _),
   )
 
-  /** s3 is rows-only: see its scaladoc. */
   def oracles: Map[String, String] = Map(
     "s1_knn_brute" -> s1KnnBruteSql,
     "s2_knn_lsh"   -> s2KnnLshSql,
+    "s3_knn_ivf"   -> s3KnnIvfSql,
   )
 }
