@@ -49,7 +49,14 @@ object EventOps {
 
   // ---------------------------------------------------------------- e2
   /** JSON property extraction (`props` is a JSON object column) feeding a
-    * group-by: per event type, stats of the numeric `k` property. */
+    * group-by: per event type, stats of the numeric `k` property.
+    *
+    * DELIBERATELY NAIVE: `get_json_object` re-parses the JSON string per
+    * extraction through the JSON-path engine — this query exists as the
+    * contrast case and is the slowest in the bench. A real pipeline must
+    * use the parse-once shapes: e13 (`from_json` with an explicit schema
+    * — the fastest when the fields are known) or e7 (VariantType — the
+    * open-schema path). */
   def e2JsonExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = get_json_object($"props", "$.k").cast("int")
@@ -431,6 +438,29 @@ object EventOps {
        |GROUP BY 1, 2
        |ORDER BY event_type, bin""".stripMargin
 
+  // --------------------------------------------------------------- e13
+  /** Parse-once JSON extraction — the PRODUCTION path when the property
+    * schema is known. `from_json` parses each `props` string exactly once
+    * into a typed struct (Jackson straight to an InternalRow, no JSON-path
+    * engine, no re-parse per field), and every downstream extraction is a
+    * codegen'd struct field access. Same answer as e2, which re-parses
+    * the string per `get_json_object` call; e7 (VariantType) is the
+    * middle ground when the schema is open. */
+  def e13JsonParseOnce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+    events(spark, dir)
+      .select($"event_type", from_json($"props", propsSchema).as("p"))
+      .select($"event_type", $"p.k".as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), count($"k").as("n_k"),
+           sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val e13JsonParseOnceSql: String = e2JsonExtractSql
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
@@ -445,6 +475,7 @@ object EventOps {
     "e10_funnel"     -> (e10Funnel _),
     "e11_retention"  -> (e11Retention _),
     "e12_histogram"  -> (e12Histogram _),
+    "e13_json_parse_once" -> (e13JsonParseOnce _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -460,5 +491,6 @@ object EventOps {
     "e10_funnel"     -> e10FunnelSql,
     "e11_retention"  -> e11RetentionSql,
     "e12_histogram"  -> e12HistogramSql,
+    "e13_json_parse_once" -> e13JsonParseOnceSql,
   )
 }

@@ -124,14 +124,41 @@ object MultimodalOps {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- m3
+  /** The SQL-expressible slice of the decode pipeline, oracle-checked:
+    * the SAME `mapPartitions` batched-decode path as m2 (not a SQL
+    * shortcut), but projecting only the columns DuckDB can recompute
+    * from the payload bytes — `n_bytes` = octet_length, `thumb_n_bytes`
+    * = ceil(n/4) (the every-4th-byte thumbnail). This pins the Dataset
+    * plumbing (encoders, batching, schema) to an exact cross-engine
+    * check; only the entropy/histogram features, which need the codec
+    * itself, stay rows-only in m2. */
+  def m3MediaBytes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(buildMedia(spark, dir))
+      .toDF()
+      .select($"doc_id", $"n_bytes", $"thumb_n_bytes")
+      .orderBy($"doc_id")
+  }
+
+  val m3MediaBytesSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  CAST(CEIL(octet_length(CAST(text AS BLOB)) / 4.0) AS BIGINT) AS thumb_n_bytes
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> (m1MultimodalMeta _),
     "m2_media_features"  -> (m2MediaFeatures _),
+    "m3_media_bytes"     -> (m3MediaBytes _),
   )
 
-  /** m2 intentionally has no oracle (stubbed decode → rows-only check). */
+  /** m2 intentionally has no oracle (stubbed decode → rows-only check);
+    * its SQL-expressible columns are oracle-checked via m3. */
   def oracles: Map[String, String] = Map(
     "m1_multimodal_meta" -> m1MultimodalMetaSql,
+    "m3_media_bytes"     -> m3MediaBytesSql,
   )
 }
