@@ -13,6 +13,16 @@ import org.apache.spark.sql.types._
   * MySQL-DDL-text table with tiered text types
   * (M2H2SchemaConverter.java:169-225, Utils.java:38-52 — written but dead
   * code in the reference; we implement the *intended* mapping).
+  *
+  * DERBY STANDS IN FOR H2: the reference's uppercase-identifier target is
+  * H2 (M2H2SchemaConverter.java:56-60,83-87 uppercases every schema/table/
+  * column name before DDL and metadata lookups). This environment ships no
+  * H2 jar (zero egress), so [[GraftDerbyDialect]] exercises the same
+  * semantic surface against embedded Derby — which, like H2 in its default
+  * mode, stores unquoted identifiers uppercase and matches
+  * DatabaseMetaData patterns case-sensitively. Every uppercase-target
+  * behavior the reference relies on (normalize-before-lookup, quoted DDL,
+  * pattern escaping) is therefore tested for real; only the jar differs.
   */
 trait SqlDialect {
   def quote(ident: String): String
