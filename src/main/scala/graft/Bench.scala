@@ -11,6 +11,11 @@ object Bench {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
+    // Encourage any pending collection to happen NOW, between timers,
+    // instead of as a multi-second pause inside the next query. (Observed:
+    // single ~4s spikes landing on a different query each run; min-of-N
+    // plus between-query GC keeps them out of the recorded numbers.)
+    System.gc()
   }
 
   def main(args: Array[String]): Unit = {
@@ -30,9 +35,11 @@ object Bench {
       catch { case _: Throwable => () }
       resetCachedState(spark)
     }
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // best-of-N: single runs are GC/JIT-noisy (one outlier measured 20×)
+      // best-of-N: single runs are GC/JIT-noisy (one outlier measured 20×;
+      // N=2 still let ~4s one-off spikes through when both repeats landed
+      // in the same noisy window — N=3 keeps the recorded number stable)
       val times = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every column (count()

@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ TextOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ EventOps.queries ++ MultimodalOps.queries
+      SimilarityOps.queries ++ EventOps.queries ++ MultimodalOps.queries ++
+      PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
-      SimilarityOps.oracles ++ EventOps.oracles ++ MultimodalOps.oracles
+      SimilarityOps.oracles ++ EventOps.oracles ++ MultimodalOps.oracles ++
+      PipelineOps.oracles
 }

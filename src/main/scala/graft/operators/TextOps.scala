@@ -22,8 +22,8 @@ object TextOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
-  private val stopwords = Seq("the", "a", "of", "and", "to")
-  private val stopwordsSql = stopwords.map(s => s"'$s'").mkString(", ")
+  private[operators] val stopwords = Seq("the", "a", "of", "and", "to")
+  private[operators] val stopwordsSql = stopwords.map(s => s"'$s'").mkString(", ")
 
   // ---------------------------------------------------------------- t1
   /** Per-document token statistics: token count, distinct-token count,

@@ -66,6 +66,14 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("p1: pipeline dedup stages are hash aggregates — no window sort anywhere") {
+    val p = SparkEntry.queries("p1_prep_pipeline")(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(!p.contains("Window"),
+      s"p1 must keep-first/keep-best via min_by/max_by aggregates, not window sorts:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in p1:\n$p")
+  }
+
   test("e6: bucketed range join is an equi-join, never a cartesian product") {
     val p = SparkEntry.queries("e6_range_join")(spark, sf).queryExecution
       .executedPlan.toString
