@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** KMV ("k minimum values" / bottom-k) distinct-count sketch as a typed
+  * `Aggregator[IN, BUF, OUT]`.
+  *
+  * The buffer is the sorted set of the k SMALLEST DISTINCT 60-bit hashes
+  * seen so far — bounded at k longs regardless of input size, so partial
+  * (map-side) aggregation works and the shuffle carries ≤ k values per
+  * group; `merge` is exactly KMV sketch union. The estimator is the
+  * classic unbiased bottom-k form (Bar-Yossef et al. 2002):
+  * D̂ = (k-1) · 2^60 / h_(k), with the degenerate n<k case exact by
+  * construction (the buffer IS the distinct set then).
+  *
+  * Unlike HLL/KLL (q15: rows-only, estimates are engine-specific), every
+  * step here — md5-based hashing ([[EngineFns.md5Long]]), set semantics,
+  * kth-order statistic — is deterministic and expressible in ANSI SQL, so
+  * the whole sketch is DuckDB-oracle-checkable bit for bit.
+  *
+  * Output: (n = buffer size, kth = largest retained hash). The estimate
+  * itself is derived in the query so the formula lives next to its
+  * oracle SQL.
+  */
+class KmvAgg(k: Int) extends Aggregator[Long, List[Long], (Int, Long)] {
+
+  override def zero: List[Long] = Nil
+
+  // insert-if-absent into a sorted, k-bounded list; n is tiny (≤ k) and
+  // reduce is per-row, so the list ops beat a heap at practical k
+  override def reduce(buf: List[Long], h: Long): List[Long] =
+    if (buf.contains(h)) buf else (h :: buf).sorted.take(k)
+
+  override def merge(a: List[Long], b: List[Long]): List[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  override def finish(buf: List[Long]): (Int, Long) =
+    (buf.length, if (buf.isEmpty) 0L else buf.last)
+
+  override def bufferEncoder: Encoder[List[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+
+  override def outputEncoder: Encoder[(Int, Long)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}

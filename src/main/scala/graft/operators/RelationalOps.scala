@@ -963,6 +963,59 @@ object RelationalOps {
       |  FROM orders GROUP BY 1) c ON c.mo = m
       |ORDER BY month""".stripMargin
 
+  // --------------------------------------------------------------- q33
+  /** Deterministic distinct-count sketch: KMV / bottom-k ([[graft.functions.KmvAgg]])
+    * over the order keys of each return flag. The counterpart to q15's
+    * HLL: same bounded-state, mergeable-sketch scale shape (≤ k longs per
+    * group cross the shuffle; merge = sketch union), but every step is
+    * engine-deterministic, so — uniquely among the sketches — this one is
+    * DuckDB-oracle-checked bit for bit, estimate included. */
+  def q33KmvSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    val k   = 64
+    val kmv = new graft.functions.KmvAgg(k).toColumn
+    t(spark, dir, "lineitem")
+      .select($"l_returnflag", md5Long($"l_orderkey".cast("string")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(kmv.name("s"))
+      .toDF("l_returnflag", "s")
+      .select($"l_returnflag", $"s._1".as("n_kept"), $"s._2".as("kth_hash"))
+      // n<k ⇒ the buffer is the whole distinct set: estimate is exact.
+      // Otherwise D̂ = (k-1)·2^60/h_(k); (k-1)·2^60 is exactly
+      // representable (6 significant bits) and the int64→double casts +
+      // one divide are IEEE-identical on both engines.
+      .withColumn("est_distinct",
+        when($"n_kept" < k, $"n_kept".cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+            $"kth_hash".cast("double")))
+      .orderBy($"l_returnflag")
+  }
+
+  val q33KmvSketchSql: String = {
+    import graft.functions.EngineFns.sqlMd5Long
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag,
+       |    ${sqlMd5Long("CAST(l_orderkey AS VARCHAR)")} AS h
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT l_returnflag, h,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+       |    COUNT(*)     OVER (PARTITION BY l_returnflag) AS cnt
+       |  FROM h)
+       |SELECT l_returnflag,
+       |  CAST(LEAST(cnt, 64) AS INT) AS n_kept,
+       |  h AS kth_hash,
+       |  CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+       |       ELSE 63.0 * 1152921504606846976.0 / CAST(h AS DOUBLE)
+       |  END AS est_distinct
+       |FROM r
+       |WHERE rn = LEAST(cnt, 64)
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -997,6 +1050,7 @@ object RelationalOps {
     "q30_late_suppliers" -> (q30LateSuppliers _),
     "q31_higher_order"   -> (q31HigherOrder _),
     "q32_recursive_cte"  -> (q32RecursiveCte _),
+    "q33_kmv_sketch"     -> (q33KmvSketch _),
   )
 
   // --------------------------------------------------------------- q15
@@ -1051,5 +1105,6 @@ object RelationalOps {
     "q30_late_suppliers" -> q30LateSuppliersSql,
     "q31_higher_order"   -> q31HigherOrderSql,
     "q32_recursive_cte"  -> q32RecursiveCteSql,
+    "q33_kmv_sketch"     -> q33KmvSketchSql,
   )
 }

@@ -40,6 +40,21 @@ class OperatorSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("q33 KMV estimate is within 3 standard errors of the exact count") {
+    import org.apache.spark.sql.functions.countDistinct
+    val rows = SparkEntry.queries("q33_kmv_sketch")(spark, sf).collect()
+    val exactByFlag = Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val est = r.getDouble(r.fieldIndex("est_distinct"))
+      val exact = exactByFlag(r.getString(r.fieldIndex("l_returnflag")))
+      // bottom-k relative standard error ≈ 1/sqrt(k-2) ≈ 12.7% at k=64
+      assert(math.abs(est - exact) / exact <= 3.0 / math.sqrt(62.0),
+        s"KMV estimate $est too far from exact $exact")
+    }
+  }
+
   test("s3 IVF recall@10 against exact s1 beats its scan fraction") {
     def pairs(name: String) =
       SparkEntry.queries(name)(spark, sf).collect()
