@@ -28,9 +28,13 @@ class KmvAgg(k: Int) extends Aggregator[Long, List[Long], (Int, Long)] {
   override def zero: List[Long] = Nil
 
   // insert-if-absent into a sorted, k-bounded list; n is tiny (≤ k) and
-  // reduce is per-row, so the list ops beat a heap at practical k
+  // reduce is per-row, so the list ops beat a heap at practical k. The
+  // first branch rejects most rows once the buffer is warm (anything ≥
+  // the current kth minimum can never enter) with a single O(k) walk.
   override def reduce(buf: List[Long], h: Long): List[Long] =
-    if (buf.contains(h)) buf else (h :: buf).sorted.take(k)
+    if (buf.lengthCompare(k) >= 0 && h >= buf.last) buf
+    else if (buf.contains(h)) buf
+    else (h :: buf).sorted.take(k)
 
   override def merge(a: List[Long], b: List[Long]): List[Long] =
     (a ++ b).distinct.sorted.take(k)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.EngineFns._
 
@@ -115,12 +116,157 @@ object PipelineOps {
        |LEFT JOIN agg2 a2 ON i.lang = a2.lang
        |ORDER BY i.lang""".stripMargin
 
+  // ---------------------------------------------------------------- p2
+  /** Deterministic stratified sampling + train/val/test split: every doc
+    * gets two INDEPENDENT md5 buckets (different salt strings), one
+    * deciding stratified keep (downsample the dominant `en` stratum to
+    * 10%, others to 50% — corpus rebalancing) and one deciding the
+    * 80/10/10 split. Hash-based, so membership is a pure function of
+    * doc_id: reproducible across runs, clusters and engines, no RNG
+    * state, no shuffle — the whole query is one map-side projection
+    * (+ output sort). This is how a 100 TB corpus is split: any worker
+    * can answer "which split is doc X in" without coordination. */
+  def p2HashSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sampleB = pmod(md5Long($"doc_id".cast("string")), lit(1000L))
+    val splitB  = pmod(md5Long(concat($"doc_id".cast("string"), lit(":split"))),
+                       lit(1000L))
+    docs(spark, dir)
+      .select($"doc_id", $"lang",
+        sampleB.as("sample_bucket"), splitB.as("split_bucket"))
+      .withColumn("kept",
+        $"sample_bucket" < when($"lang" === "en", 100).otherwise(500))
+      .withColumn("split",
+        when($"split_bucket" < 800, "train")
+          .when($"split_bucket" < 900, "val")
+          .otherwise("test"))
+      .orderBy($"doc_id")
+  }
+
+  val p2HashSampleSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    ${sqlMd5Long("CAST(doc_id AS VARCHAR)")} % 1000 AS sample_bucket,
+       |    ${sqlMd5Long("CAST(doc_id AS VARCHAR) || ':split'")} % 1000 AS split_bucket
+       |  FROM documents)
+       |SELECT doc_id, lang, sample_bucket, split_bucket,
+       |  sample_bucket < CASE WHEN lang = 'en' THEN 100 ELSE 500 END AS kept,
+       |  CASE WHEN split_bucket < 800 THEN 'train'
+       |       WHEN split_bucket < 900 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- p3
+  /** Context-window chunking: split each document into overlapping
+    * token windows (window 50, stride 40 ⇒ overlap 10), the prep step
+    * that turns variable-length documents into model-sized pieces. Chunk
+    * count is 1 + ceil((n-50)/40) so the tail is always covered (the
+    * last window starts early enough to reach the final token). Explode
+    * of a computed index range + `slice` — per-row generative work that
+    * stays inside whole-stage codegen; no shuffle (+ output sort). The
+    * chunk rides as its md5 signature, not text, so output width is
+    * fixed. */
+  def p3ChunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 50
+    val S = 40
+    val toks = tokens($"text")
+    val n = size(toks)
+    val lastIdx = when(n <= W, 0)
+      .otherwise(floor((n - W + (S - 1)).cast("double") / S).cast("int"))
+    docs(spark, dir)
+      .select($"doc_id", toks.as("toks"), n.as("n_tok"),
+        explode(sequence(lit(0), lastIdx)).as("chunk_id"))
+      .select($"doc_id", $"chunk_id",
+        ($"chunk_id" * S + 1).as("chunk_start"),
+        slice($"toks", $"chunk_id" * S + 1, lit(W)).as("chunk"))
+      .select($"doc_id", $"chunk_id", $"chunk_start",
+        size($"chunk").as("n_chunk_tokens"),
+        md5(concat_ws(" ", $"chunk").cast("binary")).as("chunk_sig"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val p3ChunkWindowsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, n_tok, CAST(k AS INT) AS chunk_id
+      |  FROM t, UNNEST(generate_series(0,
+      |    CASE WHEN n_tok <= 50 THEN 0
+      |         ELSE CAST(FLOOR((n_tok - 50 + 39) / 40.0) AS INT) END)) AS u(k))
+      |SELECT doc_id, chunk_id,
+      |  chunk_id * 40 + 1 AS chunk_start,
+      |  CAST(len(toks[chunk_id * 40 + 1 : chunk_id * 40 + 50]) AS INT)
+      |    AS n_chunk_tokens,
+      |  md5(array_to_string(toks[chunk_id * 40 + 1 : chunk_id * 40 + 50], ' '))
+      |    AS chunk_sig
+      |FROM c
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------- p4
+  /** Token-budget sequence packing: assign docs to training sequences of
+    * ≤ ~1024 tokens by cumulative token count, in deterministic doc_id
+    * order WITHIN (lang, hash-shard). The shard key bounds every window
+    * partition to corpus/|langs|/|shards| — at 100 TB you raise the
+    * shard count and each partition still fits one task, where a naive
+    * partition-by-lang cumsum would funnel a whole language through one
+    * core. A doc whose cumsum crosses the boundary goes to the bin its
+    * predecessor count lands in (first-fit approximation — sequences can
+    * overflow by at most one doc, the standard streaming-packing
+    * tradeoff). Output is the per-sequence manifest. */
+  def p4PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val B = 1024
+    val w = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .select($"doc_id", $"lang",
+        pmod(md5Long($"doc_id".cast("string")), lit(4L)).as("shard"),
+        size(tokens($"text")).as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0)))
+      .withColumn("seq_id",
+        floor($"cum_before".cast("double") / B).cast("long"))
+      .groupBy($"lang", $"shard", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tokens".cast("long")).as("seq_tokens"))
+      .orderBy($"lang", $"shard", $"seq_id")
+  }
+
+  val p4PackSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    ${sqlMd5Long("CAST(doc_id AS VARCHAR)")} % 4 AS shard,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, shard, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY lang, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t)
+       |SELECT lang, shard,
+       |  CAST(FLOOR(cum_before / 1024.0) AS BIGINT) AS seq_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+       |FROM c
+       |GROUP BY lang, shard, seq_id
+       |ORDER BY lang, shard, seq_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_prep_pipeline" -> (p1PrepPipeline _),
+    "p2_hash_sample"   -> (p2HashSample _),
+    "p3_chunk_windows" -> (p3ChunkWindows _),
+    "p4_pack_sequences" -> (p4PackSequences _),
   )
 
   def oracles: Map[String, String] = Map(
     "p1_prep_pipeline" -> p1PrepPipelineSql,
+    "p2_hash_sample"   -> p2HashSampleSql,
+    "p3_chunk_windows" -> p3ChunkWindowsSql,
+    "p4_pack_sequences" -> p4PackSequencesSql,
   )
 }

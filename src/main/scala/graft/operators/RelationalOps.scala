@@ -977,6 +977,11 @@ object RelationalOps {
     val kmv = new graft.functions.KmvAgg(k).toColumn
     t(spark, dir, "lineitem")
       .select($"l_returnflag", md5Long($"l_orderkey".cast("string")).as("h"))
+      // KMV only sees distinct hashes, so dedup in codegen'd hash-agg
+      // land FIRST — the typed (encoder-boxed) aggregation, the expensive
+      // per-row path, then runs on ~#distinct rows instead of every
+      // lineitem row.
+      .distinct()
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapValues(_._2)

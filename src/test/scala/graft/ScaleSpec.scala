@@ -74,6 +74,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian product in p1:\n$p")
   }
 
+  test("p2/p3: hash-sampling and chunking are map-side — no hash shuffle") {
+    for (q <- Seq("p2_hash_sample", "p3_chunk_windows")) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution
+        .executedPlan.toString
+      // the only exchange allowed is the output sort's range partitioning
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle on a hash key:\n$p")
+    }
+  }
+
   test("e6: bucketed range join is an equi-join, never a cartesian product") {
     val p = SparkEntry.queries("e6_range_join")(spark, sf).queryExecution
       .executedPlan.toString
