@@ -12,6 +12,10 @@ final case class MediaRecord(doc_id: Long, payload: Array[Byte], meta: MediaMeta
 final case class MediaFeatures(doc_id: Long, n_bytes: Long, entropy_milli: Long,
                                head_histogram: Seq[Long], thumb_n_bytes: Long)
 
+/** One sampled frame of a decoded media stream (m4). */
+final case class FrameRow(doc_id: Long, frame_idx: Int, frame_offset: Int,
+                          frame_n_chars: Int, frame_sig: String)
+
 /** Multimodal-column plumbing: image/audio/video modeled as opaque
   * `binary` payloads with a typed metadata struct, plus a batched
   * decode / feature-extract / resize pass over `mapPartitions`.
@@ -44,6 +48,13 @@ object MultimodalOps {
     /** "Resize": keep every 4th byte (frame-sample/thumbnail stand-in). */
     def thumbnail(payload: Array[Byte]): Array[Byte] =
       payload.grouped(4).map(_.head).toArray
+
+    /** Frame fingerprint: md5 hex of the frame's UTF-8 bytes — matches
+      * both Spark's and DuckDB's `md5(varchar)`. */
+    def frameSig(frame: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(frame.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
   }
 
   /** Wrap each document as a media record: payload = UTF-8 bytes standing
@@ -148,11 +159,50 @@ object MultimodalOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m4
+  /** Frame sampling: explode each decoded media stream into every-4th
+    * fixed-size frame (16 chars/frame ⇒ one sampled frame per 64-char
+    * stride), as a typed `flatMap` — the one-row-in/many-rows-out shape
+    * of video frame extraction, with the decode inside the same typed
+    * Dataset path as m2/m3. Each frame rides as offset + length + md5
+    * fingerprint, never raw frame bytes, so output width is fixed.
+    *
+    * Oracle note: frames are CHARACTER-defined (DuckDB cannot slice or
+    * md5 BLOBs), and Scala indexes UTF-16 units where DuckDB counts code
+    * points — identical for this corpus (Latin + BMP CJK, no surrogate
+    * pairs); a production byte-level framer would live behind the codec
+    * like entropy does. */
+  def m4FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frameChars = 16
+    val stride = frameChars * 4   // sample every 4th frame
+    buildMedia(spark, dir).flatMap { rec =>
+      val s = new String(rec.payload, "UTF-8")
+      (0 to math.max(s.length - 1, 0) by stride).iterator.map { off =>
+        val frame = s.substring(off, math.min(off + frameChars, s.length))
+        FrameRow(rec.doc_id, off / stride, off, frame.length,
+          FakeCodec.frameSig(frame))
+      }
+    }.toDF().orderBy($"doc_id", $"frame_idx")
+  }
+
+  val m4FrameSampleSql: String =
+    """SELECT doc_id,
+      |  CAST(off // 64 AS INT) AS frame_idx,
+      |  CAST(off AS INT) AS frame_offset,
+      |  CAST(length(substr(text, CAST(off + 1 AS INT), 16)) AS INT)
+      |    AS frame_n_chars,
+      |  md5(substr(text, CAST(off + 1 AS INT), 16)) AS frame_sig
+      |FROM documents,
+      |  UNNEST(generate_series(0, greatest(length(text) - 1, 0), 64)) AS u(off)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> (m1MultimodalMeta _),
     "m2_media_features"  -> (m2MediaFeatures _),
     "m3_media_bytes"     -> (m3MediaBytes _),
+    "m4_frame_sample"    -> (m4FrameSample _),
   )
 
   /** m2 intentionally has no oracle (stubbed decode → rows-only check);
@@ -160,5 +210,6 @@ object MultimodalOps {
   def oracles: Map[String, String] = Map(
     "m1_multimodal_meta" -> m1MultimodalMetaSql,
     "m3_media_bytes"     -> m3MediaBytesSql,
+    "m4_frame_sample"    -> m4FrameSampleSql,
   )
 }
