@@ -402,7 +402,11 @@ object DedupOps {
     var converged = false
     var rounds = 0
     val maxRounds = 50   // ~2^50-deep chains; unreachable for real graphs
-    while (!converged && rounds < maxRounds) {
+    // The no-leak guarantee must hold on FAILURE paths too: a job failure
+    // mid-loop (or the non-convergence throw below) would otherwise leave
+    // the last label table + edge cache pinned for the session lifetime —
+    // exactly the cross-query contamination the per-round unpersist fixes.
+    try while (!converged && rounds < maxRounds) {
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy($"dst").agg(min($"lbl").as("nbr"))
         .select($"dst".as("id"), $"nbr")
@@ -424,11 +428,17 @@ object DedupOps {
       unpersistCheckpointed(labels)
       labels = next
       rounds += 1
+    } catch { case t: Throwable =>
+      unpersistCheckpointed(labels)
+      edges.unpersist(blocking = false)
+      throw t
     }
     edges.unpersist()
-    if (!converged)
+    if (!converged) {
+      unpersistCheckpointed(labels)
       throw new IllegalStateException(
         s"d8DupClusters: label propagation did not converge in $maxRounds rounds")
+    }
     val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
     // Materialize the (small) final result, then release the label table:
     // the returned frame must not keep the loop's last checkpoint pinned

@@ -459,6 +459,11 @@ object EventOps {
       .orderBy($"event_type")
   }
 
+  /** e13 shares e2's oracle text. NOTE the equivalence is corpus-
+    * structural, not universal: `from_json` with IntegerType nulls
+    * non-plain-int tokens (`"7"`, `3.0`) where `get_json_object` + ANSI
+    * cast would coerce them. The generator emits plain ints only, and
+    * the hash gate would surface any drift as an e13-vs-oracle mismatch. */
   val e13JsonParseOnceSql: String = e2JsonExtractSql
 
   // ------------------------------------------------------------ registry

@@ -41,32 +41,39 @@ object PercentileOps {
     * must filter NULLs before grouping (`WHERE value IS NOT NULL`). */
   def exactPercentiles(df: DataFrame, keys: Seq[String], value: String,
                        fractions: Seq[Double]): DataFrame = {
+    // internal working columns carry a __pct_ prefix so caller key names
+    // can never collide with (or be shadowed by) them; the output columns
+    // `frac`/`pct` are the one reserved part of the contract
+    require(!keys.exists(k => k == "frac" || k == "pct" || k.startsWith("__pct_")),
+      s"exactPercentiles: key names $keys collide with output/internal columns " +
+        "(reserved: frac, pct, __pct_*)")
     val kcols: Seq[Column] = keys.map(col)
-    val nonNull = df.select(kcols :+ col(value).cast("double").as("v"): _*)
-      .filter(col("v").isNotNull)
+    val nonNull = df.select(kcols :+ col(value).cast("double").as("__pct_v"): _*)
+      .filter(col("__pct_v").isNotNull)
     val ranked = nonNull
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(kcols: _*).orderBy(col("v"))))
+      .withColumn("__pct_rn",
+        row_number().over(Window.partitionBy(kcols: _*).orderBy(col("__pct_v"))))
     // 0-based position p0 = frac*(n-1); rows lo=floor(p0)+1 and lo+1
     // (clamped to n) bracket it; wt is the upper-row weight.
-    val need = nonNull.groupBy(kcols: _*).agg(count(lit(1)).as("n"))
-      .select(kcols :+ col("n") :+
+    val need = nonNull.groupBy(kcols: _*).agg(count(lit(1)).as("__pct_n"))
+      .select(kcols :+ col("__pct_n") :+
         explode(array(fractions.map(lit): _*)).as("frac"): _*)
-      .withColumn("p0", col("frac") * (col("n") - 1).cast("double"))
-      .withColumn("lo", floor(col("p0")).cast("long") + 1)
-      .withColumn("wt", col("p0") - floor(col("p0")))
-      .select(kcols ++ Seq(col("frac"), col("lo"), col("wt"),
-        explode(array(col("lo"), least(col("lo") + 1, col("n")))).as("rn")): _*)
+      .withColumn("__pct_p0", col("frac") * (col("__pct_n") - 1).cast("double"))
+      .withColumn("__pct_lo", floor(col("__pct_p0")).cast("long") + 1)
+      .withColumn("__pct_wt", col("__pct_p0") - floor(col("__pct_p0")))
+      .select(kcols ++ Seq(col("frac"), col("__pct_lo"), col("__pct_wt"),
+        explode(array(col("__pct_lo"),
+          least(col("__pct_lo") + 1, col("__pct_n")))).as("__pct_rn")): _*)
       .distinct()
-    ranked.join(need, keys :+ "rn")
+    ranked.join(need, keys :+ "__pct_rn")
       .groupBy(kcols :+ col("frac"): _*)
       .agg(
-        max(when(col("rn") === col("lo"), col("v"))).as("v_lo"),
-        max(when(col("rn") =!= col("lo"), col("v"))).as("v_hi"),
-        max(col("wt")).as("wt"))
+        max(when(col("__pct_rn") === col("__pct_lo"), col("__pct_v"))).as("__pct_vlo"),
+        max(when(col("__pct_rn") =!= col("__pct_lo"), col("__pct_v"))).as("__pct_vhi"),
+        max(col("__pct_wt")).as("__pct_w"))
       .select(kcols ++ Seq(col("frac"),
-        (col("v_lo") * (lit(1.0) - col("wt")) +
-          coalesce(col("v_hi"), col("v_lo")) * col("wt")).as("pct")): _*)
+        (col("__pct_vlo") * (lit(1.0) - col("__pct_w")) +
+          coalesce(col("__pct_vhi"), col("__pct_vlo")) * col("__pct_w")).as("pct")): _*)
   }
 
   /** Single-key convenience form. */

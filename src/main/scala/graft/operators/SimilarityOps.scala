@@ -167,7 +167,7 @@ object SimilarityOps {
       .agg(expr("transform(array_sort(collect_list(struct(d, pct))), x -> x.pct)")
         .as("cv"))
       .withColumn("cnrm", sqrt(dot($"cv", $"cv")))
-    // assign: nearest cell per vector; probe: 2 nearest cells per query
+    // assign: nearest cell per vector; probe: `keep` nearest cells per query
     def cellRank(src: DataFrame, id: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy($"csim".desc, $"label".asc)
       src.crossJoin(broadcast(centroids))

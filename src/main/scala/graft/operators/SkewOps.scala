@@ -26,6 +26,36 @@ object SkewOps {
     case _                => false
   }
 
+  /** The big side's salt in [0, n) — package-private so specs can assert
+    * the spread directly. See [[saltedJoin]] for the contract. */
+  private[graft] def saltExpr(big: DataFrame, n: Int,
+                              spreadDuplicates: Boolean): Column = {
+    val hashable = big.schema.fields
+      .filterNot(f => containsMap(f.dataType))
+      .map(f => col(f.name))
+      .toIndexedSeq
+    if (hashable.isEmpty)
+      // join output stays correct, but every row lands in salt bucket 0:
+      // the skew mitigation the caller asked for is silently a no-op.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "saltedJoin: every column of the big side contains a MapType — " +
+          "no hashable content, salt degrades to a single bucket and " +
+          "skew is NOT mitigated")
+    // LongType throughout: `hash` returns Int, and under ANSI mode (the
+    // Spark 4 default, on in this session) Int.MaxValue-adjacent hashes
+    // + row_number would throw ArithmeticException instead of wrapping.
+    val contentHash =
+      if (hashable.nonEmpty) hash(hashable: _*).cast("long") else lit(0L)
+    val saltSrc =
+      if (spreadDuplicates && hashable.nonEmpty) {
+        // within identical-content groups, ordinals 1..k are assigned;
+        // which copy gets which ordinal is arbitrary but harmless.
+        val w = Window.partitionBy(hashable: _*).orderBy(hashable: _*)
+        contentHash + row_number().over(w).cast("long")
+      } else contentHash
+    pmod(saltSrc, lit(n.toLong))
+  }
+
   /** Equi-join `big ⋈ small` on `bigKey = smallKey`, salted `n` ways.
     * Row-level results are identical to the unsalted join; only the
     * partitioning of work changes.
@@ -55,36 +85,6 @@ object SkewOps {
     * which is the very hazard the content-hash salt avoids. Output is
     * still correct absent retries, but on a schema with map columns
     * prefer `spreadDuplicates = false` (or drop the maps first). */
-  /** The big side's salt in [0, n) — package-private so specs can assert
-    * the spread directly. */
-  private[graft] def saltExpr(big: DataFrame, n: Int,
-                              spreadDuplicates: Boolean): Column = {
-    val hashable = big.schema.fields
-      .filterNot(f => containsMap(f.dataType))
-      .map(f => col(f.name))
-      .toIndexedSeq
-    if (hashable.isEmpty)
-      // join output stays correct, but every row lands in salt bucket 0:
-      // the skew mitigation the caller asked for is silently a no-op.
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        "saltedJoin: every column of the big side contains a MapType — " +
-          "no hashable content, salt degrades to a single bucket and " +
-          "skew is NOT mitigated")
-    // LongType throughout: `hash` returns Int, and under ANSI mode (the
-    // Spark 4 default, on in this session) Int.MaxValue-adjacent hashes
-    // + row_number would throw ArithmeticException instead of wrapping.
-    val contentHash =
-      if (hashable.nonEmpty) hash(hashable: _*).cast("long") else lit(0L)
-    val saltSrc =
-      if (spreadDuplicates && hashable.nonEmpty) {
-        // within identical-content groups, ordinals 1..k are assigned;
-        // which copy gets which ordinal is arbitrary but harmless.
-        val w = Window.partitionBy(hashable: _*).orderBy(hashable: _*)
-        contentHash + row_number().over(w).cast("long")
-      } else contentHash
-    pmod(saltSrc, lit(n.toLong))
-  }
-
   def saltedJoin(big: DataFrame, small: DataFrame,
                  bigKey: Column, smallKey: Column, n: Int,
                  spreadDuplicates: Boolean = false): DataFrame = {

@@ -105,6 +105,8 @@ class ScaleSpec extends AnyFunSuite {
     // shuffle joins. At test SF the planner MAY broadcast either side by
     // size — that's correct size-based behavior, not a hint — so the
     // guard is that nothing survives when size-based broadcast is off.
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -113,8 +115,8 @@ class ScaleSpec extends AnyFunSuite {
       val bad = p.collect { case b: BroadcastExchangeExec => b }
       assert(bad.isEmpty, s"hint-pinned broadcast in q25:\n$p")
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
     }
   }
 
