@@ -393,9 +393,13 @@ object DedupOps {
       .union(pairs.select($"j".as("i"), $"i".as("j")))
       .toDF("src", "dst")
       .persist()
+    // LAZY checkpoints throughout the loop: the convergence-sum action
+    // right after each checkpoint materializes it, so every round costs
+    // ONE job instead of two (eager-materialize + sum) — half the
+    // driver-side scheduling for the same blocks.
     var labels = edges.select($"src".as("id")).distinct()
       .select($"id", $"id".as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Labels only ever decrease, so the (exact, integer) label sum is a
     // monotone convergence measure: unchanged sum ⇔ fixpoint.
     var prevSum = labels.agg(sum($"lbl")).as[Long].head()
@@ -419,11 +423,11 @@ object DedupOps {
         .join(propagated.select($"id".as("pid"), $"lbl".as("plbl")).as("b"),
               $"a.lbl" === $"b.pid")
         .select($"a.id", least($"a.lbl", $"b.plbl").as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = next.agg(sum($"lbl")).as[Long].head()
       converged = s == prevSum
       prevSum = s
-      // `next` is eagerly materialized (localCheckpoint default), so the
+      // the sum action above materialized `next`'s checkpoint, so the
       // previous round's blocks can be dropped right away.
       unpersistCheckpointed(labels)
       labels = next
