@@ -143,16 +143,17 @@ object DedupOps {
     * the crossJoin-free scale path for fuzzy dedup. */
   private val P31 = 2147483647L
 
-  def d4MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** 16-slot minhash signature per doc (shared by d4 and d9).
+    * One strong 60-bit md5 per gram, then a cheap affine hash family
+    * h_s(x) = (a_s·x + b_s) mod p (p = 2^31-1, the classic construction).
+    * Shape matters at scale: grams explode to (doc_id, h) LONG rows and
+    * the 16 signature slots are codegen'd min() aggregates with map-side
+    * partial aggregation — one narrow shuffle keyed on doc_id. (The
+    * all-higher-order-function formulation re-evaluates the whole
+    * signature expression once per band key after Catalyst's projection
+    * collapse — measured 10× slower.) */
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // One strong 60-bit md5 per gram, then a cheap affine hash family
-    // h_s(x) = (a_s·x + b_s) mod p (p = 2^31-1, the classic construction).
-    // Shape matters at scale: grams explode to (doc_id, h) LONG rows and
-    // the 16 signature slots are codegen'd min() aggregates with map-side
-    // partial aggregation — one narrow shuffle keyed on doc_id. (The
-    // all-higher-order-function formulation re-evaluates the whole
-    // signature expression once per band key after Catalyst's projection
-    // collapse — measured 10× slower.)
     graft.functions.TrigramHash60.register(spark)
     val gramRows = docs(spark, dir)
       .select($"doc_id", explode(expr("trigram_hashes(text)")).as("g60"))
@@ -162,7 +163,12 @@ object DedupOps {
       val b = md5Long60("B" + s) % P31
       min(pmod(lit(a) * $"h" + lit(b), lit(P31))).as(s"m$s")
     }
-    val sig = gramRows.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
+    gramRows.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  def d4MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = minhashSigs(spark, dir)
     // band key b in 0..3 = md5 of the 4 signature slots of the band
     val bandKeys = array((0 until 4).map { b =>
       md5(concat_ws(",",
@@ -207,6 +213,71 @@ object DedupOps {
   val d4MinhashLshSql: String =
     s"""WITH $d4PairsCte
        |SELECT i, j FROM pairs
+       |ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------- d9
+  /** Minhash Jaccard ESTIMATION, surfaced: for each d4 candidate pair,
+    * the estimated similarity (fraction of agreeing signature slots —
+    * the unbiased estimator LSH banding is built on: P[minhash agree] =
+    * J) next to the exact trigram Jaccard, with the signed error. This
+    * is the sketch-accuracy ledger of the dedup pipeline: at 100 TB the
+    * exact column is what you'd drop, keeping a pure-signature pipeline
+    * whose error you have measured here.
+    *
+    * Scale shape: signatures and candidate pairs are d4's (one narrow
+    * shuffle each); the exact side joins per-doc DISTINCT gram-hash
+    * arrays, bounded by document length — never a gram-level pair
+    * explosion. All similarity arithmetic is integer permille. */
+  def d9MinhashJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = d4MinhashLsh(spark, dir).select($"i", $"j")
+    val sig = minhashSigs(spark, dir)
+    val agree = (0 until 16)
+      .map(s => when(col(s"a.m$s") === col(s"b.m$s"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = pairs
+      .join(sig.as("a"), $"i" === $"a.doc_id")
+      .join(sig.as("b"), $"j" === $"b.doc_id")
+      .select($"i", $"j", agree.cast("int").as("agree"))
+    graft.functions.TrigramHash60.register(spark)
+    val hs = docs(spark, dir).select($"doc_id",
+      array_distinct(transform(expr("trigram_hashes(text)"),
+        x => pmod(x, lit(P31)))).as("hs"))
+    est
+      .join(hs.select($"doc_id".as("i"), $"hs".as("hi")), Seq("i"))
+      .join(hs.select($"doc_id".as("j"), $"hs".as("hj")), Seq("j"))
+      .withColumn("inter", size(array_intersect($"hi", $"hj")))
+      .withColumn("unions", size($"hi") + size($"hj") - $"inter")
+      .select($"i", $"j", $"agree",
+        permille($"agree", lit(16)).as("est_milli"),
+        permille($"inter", $"unions").as("jac_milli"))
+      .withColumn("err_milli", $"est_milli" - $"jac_milli")
+      .orderBy($"i", $"j")
+  }
+
+  val d9MinhashJaccardSql: String =
+    s"""WITH $d4PairsCte,
+       |gsets AS (SELECT doc_id, list_distinct(gh) AS hs FROM gr),
+       |ag AS (
+       |  SELECT p.i, p.j,
+       |    CAST(len(list_filter(generate_series(1, 16),
+       |      s -> sa.sig[s] = sb.sig[s])) AS INT) AS agree
+       |  FROM pairs p
+       |  JOIN sig sa ON p.i = sa.doc_id
+       |  JOIN sig sb ON p.j = sb.doc_id),
+       |ex AS (
+       |  SELECT ag.i, ag.j, ag.agree,
+       |    len(list_filter(ga.hs, x -> list_contains(gb.hs, x))) AS inter,
+       |    len(ga.hs) + len(gb.hs) AS tot
+       |  FROM ag
+       |  JOIN gsets ga ON ag.i = ga.doc_id
+       |  JOIN gsets gb ON ag.j = gb.doc_id)
+       |SELECT i, j, agree,
+       |  ${sqlPermille("agree", "16")} AS est_milli,
+       |  ${sqlPermille("inter", "(tot - inter)")} AS jac_milli,
+       |  ${sqlPermille("agree", "16")} - ${sqlPermille("inter", "(tot - inter)")}
+       |    AS err_milli
+       |FROM ex
        |ORDER BY i, j""".stripMargin
 
   // ---------------------------------------------------------------- d5
@@ -482,6 +553,7 @@ object DedupOps {
     "d6_simhash"       -> (d6Simhash _),
     "d7_dedup_keepbest" -> (d7DedupKeepBest _),
     "d8_dup_clusters"  -> (d8DupClusters _),
+    "d9_minhash_jaccard" -> (d9MinhashJaccard _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -493,5 +565,6 @@ object DedupOps {
     "d6_simhash"       -> d6SimhashSql,
     "d7_dedup_keepbest" -> d7DedupKeepBestSql,
     "d8_dup_clusters"  -> d8DupClustersSql,
+    "d9_minhash_jaccard" -> d9MinhashJaccardSql,
   )
 }
