@@ -143,32 +143,41 @@ object DedupOps {
     * the crossJoin-free scale path for fuzzy dedup. */
   private val P31 = 2147483647L
 
-  /** 16-slot minhash signature per doc (shared by d4 and d9).
-    * One strong 60-bit md5 per gram, then a cheap affine hash family
-    * h_s(x) = (a_s·x + b_s) mod p (p = 2^31-1, the classic construction).
+  /** Per-doc DISTINCT gram-hash array (60-bit md5 of each word trigram,
+    * folded mod p) — ONE pass over text; signatures (d4/d9) and the
+    * exact-Jaccard side (d9) both derive from it. Width is bounded by
+    * document length (~4 B per gram). */
+  private def gramSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.TrigramHash60.register(spark)
+    docs(spark, dir).select($"doc_id",
+      array_distinct(transform(expr("trigram_hashes(text)"),
+        x => pmod(x, lit(P31)))).as("hs"))
+  }
+
+  /** 16-slot minhash signature per doc from a (doc_id, hs) frame.
+    * Cheap affine hash family h_s(x) = (a_s·x + b_s) mod p (p = 2^31-1,
+    * the classic construction) over the strong 60-bit gram hashes.
     * Shape matters at scale: grams explode to (doc_id, h) LONG rows and
     * the 16 signature slots are codegen'd min() aggregates with map-side
     * partial aggregation — one narrow shuffle keyed on doc_id. (The
     * all-higher-order-function formulation re-evaluates the whole
     * signature expression once per band key after Catalyst's projection
     * collapse — measured 10× slower.) */
-  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    graft.functions.TrigramHash60.register(spark)
-    val gramRows = docs(spark, dir)
-      .select($"doc_id", explode(expr("trigram_hashes(text)")).as("g60"))
-      .select($"doc_id", pmod($"g60", lit(P31)).as("h"))
+  private def minhashSigsFrom(hs: DataFrame): DataFrame = {
+    val gramRows = hs.select(col("doc_id"), explode(col("hs")).as("h"))
     val minAggs = (0 until 16).map { s =>
       val a = md5Long60("A" + s) % (P31 - 1) + 1
       val b = md5Long60("B" + s) % P31
-      min(pmod(lit(a) * $"h" + lit(b), lit(P31))).as(s"m$s")
+      min(pmod(lit(a) * col("h") + lit(b), lit(P31))).as(s"m$s")
     }
-    gramRows.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
+    gramRows.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
   }
 
-  def d4MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** LSH banding: candidate pairs (i < j) colliding in any 4-slot band. */
+  private def bandedPairs(sig: DataFrame): DataFrame = {
+    val spark = sig.sparkSession
     import spark.implicits._
-    val sig = minhashSigs(spark, dir)
     // band key b in 0..3 = md5 of the 4 signature slots of the band
     val bandKeys = array((0 until 4).map { b =>
       md5(concat_ws(",",
@@ -180,6 +189,11 @@ object DedupOps {
         $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
       .distinct()
+  }
+
+  def d4MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bandedPairs(minhashSigsFrom(gramSets(spark, dir)))
       .orderBy($"i", $"j")
   }
 
@@ -230,20 +244,21 @@ object DedupOps {
     * explosion. All similarity arithmetic is integer permille. */
   def d9MinhashJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = d4MinhashLsh(spark, dir).select($"i", $"j")
-    val sig = minhashSigs(spark, dir)
+    // The gram-set and signature tables each feed THREE consumers (pairs,
+    // est-side a/b resp. sig, exact-side i/j), so both are materialized
+    // once and shared — without this the text is trigram-hashed five
+    // times. d8's pattern: checkpoint the small result, then release the
+    // caches before returning so nothing stays pinned for the session.
+    val hs = gramSets(spark, dir).persist()
+    val sig = minhashSigsFrom(hs).persist()
+    val pairs = bandedPairs(sig)
     val agree = (0 until 16)
       .map(s => when(col(s"a.m$s") === col(s"b.m$s"), 1).otherwise(0))
       .reduce(_ + _)
-    val est = pairs
+    val out = pairs
       .join(sig.as("a"), $"i" === $"a.doc_id")
       .join(sig.as("b"), $"j" === $"b.doc_id")
       .select($"i", $"j", agree.cast("int").as("agree"))
-    graft.functions.TrigramHash60.register(spark)
-    val hs = docs(spark, dir).select($"doc_id",
-      array_distinct(transform(expr("trigram_hashes(text)"),
-        x => pmod(x, lit(P31)))).as("hs"))
-    est
       .join(hs.select($"doc_id".as("i"), $"hs".as("hi")), Seq("i"))
       .join(hs.select($"doc_id".as("j"), $"hs".as("hj")), Seq("j"))
       .withColumn("inter", size(array_intersect($"hi", $"hj")))
@@ -253,6 +268,10 @@ object DedupOps {
         permille($"inter", $"unions").as("jac_milli"))
       .withColumn("err_milli", $"est_milli" - $"jac_milli")
       .orderBy($"i", $"j")
+      .localCheckpoint()
+    sig.unpersist(blocking = false)
+    hs.unpersist(blocking = false)
+    out
   }
 
   val d9MinhashJaccardSql: String =
