@@ -9,6 +9,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class UserStats(user_id: Long, n_events: Long, total_value: Double,
                            last_ts: Timestamp)
 
+/** Running distinct-count estimate per key (streaming KMV, see
+  * [[StreamOps.streamingDistinctEstimate]]). */
+final case class DistinctEstimate(event_type: String, n_kept: Int,
+                                  kth_hash: Long, est_distinct: Double)
+
 /** Streaming transforms for the `events` shape (ts, user_id, event_type,
   * value). Each takes and returns a DataFrame so the SAME logic runs on a
   * batch frame or a `readStream` frame — the batch duals are oracle-checked
@@ -56,6 +61,40 @@ object StreamOps {
     events
       .select($"user_id", $"ts", $"event_id", $"value")
       .as[(Long, Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** Running distinct-user estimate per event type: a KMV bottom-k sketch
+    * ([[graft.functions.KmvAgg]]'s reduce/finish — the streaming dual of
+    * batch q33) maintained in keyed state. The state is the k smallest
+    * distinct md5 hashes — BOUNDED at k longs per key FOREVER, where an
+    * exact streaming countDistinct would grow state with the id universe
+    * (the reason exact distinct isn't offered on unbounded streams).
+    * Emits the updated estimate for each key touched by the micro-batch;
+    * the estimate is deterministic in the set of ids seen, independent of
+    * batch boundaries or arrival order (KMV is a commutative,
+    * idempotent merge). */
+  def streamingDistinctEstimate(events: DataFrame,
+                                k: Int = 64): Dataset[DistinctEstimate] = {
+    import events.sparkSession.implicits._
+    import graft.functions.EngineFns.md5Long
+    val kmv = new graft.functions.KmvAgg(k)
+    def update(key: String, rows: Iterator[(String, Long)],
+               state: GroupState[List[Long]]): DistinctEstimate = {
+      val buf = rows.foldLeft(state.getOption.getOrElse(kmv.zero)) {
+        (b, r) => kmv.reduce(b, r._2)
+      }
+      state.update(buf)
+      val (n, kth) = kmv.finish(buf)
+      val est =
+        if (n < k) n.toDouble
+        else (k - 1).toDouble * 1152921504606846976.0 / kth.toDouble
+      DistinctEstimate(key, n, kth, est)
+    }
+    events
+      .select($"event_type", md5Long($"user_id".cast("string")).as("h"))
+      .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
   }

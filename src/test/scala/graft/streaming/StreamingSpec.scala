@@ -97,6 +97,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV estimate dedups across batches with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val k = 16
+    val q = StreamOps.streamingDistinctEstimate(input.toDF(), k = k)
+      .writeStream.format("memory").queryName("kmv_est")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: users 1..50 click (+ a few views); batch 2 overlaps
+      // 26..100 — only state carried across batches separates "distinct
+      // over the union" from "distinct per batch".
+      input.addData((1 to 50).map(u =>
+        Ev(t("2024-01-01 00:00:00"), u, "click", 1.0)) ++
+        (1 to 5).map(u => Ev(t("2024-01-01 00:00:00"), u, "view", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData((26 to 100).map(u =>
+        Ev(t("2024-01-01 01:00:00"), u, "click", 1.0)): _*)
+      q.processAllAvailable()
+      // expected sketch over the UNION of ids, computed with the same
+      // aggregator + driver-side hash twin — batch-boundary independent
+      val kmv = new graft.functions.KmvAgg(k)
+      val expected = (1 to 100)
+        .map(u => graft.functions.EngineFns.md5Long60(u.toString))
+        .foldLeft(kmv.zero)(kmv.reduce)
+      val (en, ekth) = kmv.finish(expected)
+      val eest = (k - 1).toDouble * 1152921504606846976.0 / ekth.toDouble
+      val rows = spark.table("kmv_est").collect()
+        .map(r => (r.getString(0), (r.getInt(1), r.getLong(2), r.getDouble(3))))
+      // Update-mode memory sink appends one row per touched key per
+      // batch; the click row emitted by batch 2 must reflect all 100 ids
+      assert(rows.toSeq.filter(_._1 == "click").map(_._2).contains((en, ekth, eest)),
+        s"click sketch after batch 2 should be ($en,$ekth,$eest), got ${rows.toSeq}")
+      // view: 5 distinct < k → exact by construction
+      assert(rows.toMap.apply("view") == ((5, rows.toMap.apply("view")._2, 5.0)))
+      // relative error sanity at n >= k: ~1/sqrt(k-2) ≈ 27%, bound at 3σ
+      assert(math.abs(eest - 100.0) / 100.0 <= 3.0 / math.sqrt(k - 2.0))
+    } finally q.stop()
+  }
+
   test("file-source streaming over the real events parquet matches batch") {
     import org.apache.spark.sql.functions._
     val sf = graft.SharedSpark.sf
