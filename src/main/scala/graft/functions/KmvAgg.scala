@@ -23,6 +23,19 @@ import org.apache.spark.sql.expressions.Aggregator
   * itself is derived in the query so the formula lives next to its
   * oracle SQL.
   */
+object KmvAgg {
+  /** 2^60 as an exact double — the hash-space size of
+    * [[EngineFns.md5Long]] (6 significant bits, exactly representable). */
+  val HashSpace: Double = 1152921504606846976.0
+
+  /** The estimator, in one place for every consumer (batch q33 mirrors
+    * this as a Column expression next to its oracle SQL; streaming and
+    * the specs call it directly): exact when the buffer wasn't full,
+    * (k-1)·2^60/h_(k) otherwise. */
+  def estimate(k: Int, n: Int, kth: Long): Double =
+    if (n < k) n.toDouble else (k - 1).toDouble * HashSpace / kth.toDouble
+}
+
 class KmvAgg(k: Int) extends Aggregator[Long, List[Long], (Int, Long)] {
 
   override def zero: List[Long] = Nil

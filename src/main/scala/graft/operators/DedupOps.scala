@@ -251,27 +251,32 @@ object DedupOps {
     // caches before returning so nothing stays pinned for the session.
     val hs = gramSets(spark, dir).persist()
     val sig = minhashSigsFrom(hs).persist()
-    val pairs = bandedPairs(sig)
-    val agree = (0 until 16)
-      .map(s => when(col(s"a.m$s") === col(s"b.m$s"), 1).otherwise(0))
-      .reduce(_ + _)
-    val out = pairs
-      .join(sig.as("a"), $"i" === $"a.doc_id")
-      .join(sig.as("b"), $"j" === $"b.doc_id")
-      .select($"i", $"j", agree.cast("int").as("agree"))
-      .join(hs.select($"doc_id".as("i"), $"hs".as("hi")), Seq("i"))
-      .join(hs.select($"doc_id".as("j"), $"hs".as("hj")), Seq("j"))
-      .withColumn("inter", size(array_intersect($"hi", $"hj")))
-      .withColumn("unions", size($"hi") + size($"hj") - $"inter")
-      .select($"i", $"j", $"agree",
-        permille($"agree", lit(16)).as("est_milli"),
-        permille($"inter", $"unions").as("jac_milli"))
-      .withColumn("err_milli", $"est_milli" - $"jac_milli")
-      .orderBy($"i", $"j")
-      .localCheckpoint()
-    sig.unpersist(blocking = false)
-    hs.unpersist(blocking = false)
-    out
+    // finally (not sequential unpersist): the caches must be released
+    // even when materializing the result fails, or they stay pinned for
+    // the session — the contamination class d8's hardening closed.
+    try {
+      val pairs = bandedPairs(sig)
+      val agree = (0 until 16)
+        .map(s => when(col(s"a.m$s") === col(s"b.m$s"), 1).otherwise(0))
+        .reduce(_ + _)
+      pairs
+        .join(sig.as("a"), $"i" === $"a.doc_id")
+        .join(sig.as("b"), $"j" === $"b.doc_id")
+        .select($"i", $"j", agree.cast("int").as("agree"))
+        .join(hs.select($"doc_id".as("i"), $"hs".as("hi")), Seq("i"))
+        .join(hs.select($"doc_id".as("j"), $"hs".as("hj")), Seq("j"))
+        .withColumn("inter", size(array_intersect($"hi", $"hj")))
+        .withColumn("unions", size($"hi") + size($"hj") - $"inter")
+        .select($"i", $"j", $"agree",
+          permille($"agree", lit(16)).as("est_milli"),
+          permille($"inter", $"unions").as("jac_milli"))
+        .withColumn("err_milli", $"est_milli" - $"jac_milli")
+        .orderBy($"i", $"j")
+        .localCheckpoint()   // eager: materialized before the unpersists
+    } finally {
+      sig.unpersist(blocking = false)
+      hs.unpersist(blocking = false)
+    }
   }
 
   val d9MinhashJaccardSql: String =
@@ -490,59 +495,60 @@ object DedupOps {
     var labels = edges.select($"src".as("id")).distinct()
       .select($"id", $"id".as("lbl"))
       .localCheckpoint(eager = false)
-    // Labels only ever decrease, so the (exact, integer) label sum is a
-    // monotone convergence measure: unchanged sum ⇔ fixpoint.
-    var prevSum = labels.agg(sum($"lbl")).as[Long].head()
     var converged = false
     var rounds = 0
     val maxRounds = 50   // ~2^50-deep chains; unreachable for real graphs
-    // The no-leak guarantee must hold on FAILURE paths too: a job failure
-    // mid-loop (or the non-convergence throw below) would otherwise leave
-    // the last label table + edge cache pinned for the session lifetime —
-    // exactly the cross-query contamination the per-round unpersist fixes.
-    try while (!converged && rounds < maxRounds) {
-      val nbrMin = edges.join(labels, edges("src") === labels("id"))
-        .groupBy($"dst").agg(min($"lbl").as("nbr"))
-        .select($"dst".as("id"), $"nbr")
-      val propagated = labels.join(nbrMin, Seq("id"), "left")
-        .select($"id", least($"lbl", coalesce($"nbr", $"lbl")).as("lbl"))
-      // Pointer doubling: lbl ← min(lbl, labels[lbl]). Every lbl value
-      // is a node id present in `propagated`, so the inner self-join is
-      // total; chains compress by half per round.
-      val next = propagated.as("a")
-        .join(propagated.select($"id".as("pid"), $"lbl".as("plbl")).as("b"),
-              $"a.lbl" === $"b.pid")
-        .select($"a.id", least($"a.lbl", $"b.plbl").as("lbl"))
-        .localCheckpoint(eager = false)
-      val s = next.agg(sum($"lbl")).as[Long].head()
-      converged = s == prevSum
-      prevSum = s
-      // the sum action above materialized `next`'s checkpoint, so the
-      // previous round's blocks can be dropped right away.
-      unpersistCheckpointed(labels)
-      labels = next
-      rounds += 1
-    } catch { case t: Throwable =>
+    // EVERY exit — success, a job failure anywhere (initial sum, any
+    // round, the final checkpoint), or the non-convergence throw — must
+    // release the edge cache and the current label checkpoint, or they
+    // stay pinned for the session lifetime (the cross-query contamination
+    // class this hardening closed). Hence one try/finally around the
+    // whole computation; on success the finally runs after the small
+    // result below is already materialized.
+    try {
+      // Labels only ever decrease, so the (exact, integer) label sum is a
+      // monotone convergence measure: unchanged sum ⇔ fixpoint.
+      var prevSum = labels.agg(sum($"lbl")).as[Long].head()
+      while (!converged && rounds < maxRounds) {
+        val nbrMin = edges.join(labels, edges("src") === labels("id"))
+          .groupBy($"dst").agg(min($"lbl").as("nbr"))
+          .select($"dst".as("id"), $"nbr")
+        val propagated = labels.join(nbrMin, Seq("id"), "left")
+          .select($"id", least($"lbl", coalesce($"nbr", $"lbl")).as("lbl"))
+        // Pointer doubling: lbl ← min(lbl, labels[lbl]). Every lbl value
+        // is a node id present in `propagated`, so the inner self-join is
+        // total; chains compress by half per round.
+        val next = propagated.as("a")
+          .join(propagated.select($"id".as("pid"), $"lbl".as("plbl")).as("b"),
+                $"a.lbl" === $"b.pid")
+          .select($"a.id", least($"a.lbl", $"b.plbl").as("lbl"))
+          .localCheckpoint(eager = false)
+        // if the sum job dies, `next`'s partially cached blocks are not
+        // reachable from `labels` — release them before rethrowing
+        val s = try next.agg(sum($"lbl")).as[Long].head()
+          catch { case t: Throwable => unpersistCheckpointed(next); throw t }
+        converged = s == prevSum
+        prevSum = s
+        // the sum action above materialized `next`'s checkpoint, so the
+        // previous round's blocks can be dropped right away.
+        unpersistCheckpointed(labels)
+        labels = next
+        rounds += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"d8DupClusters: label propagation did not converge in $maxRounds rounds")
+      val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
+      // Materialize the (small) final result eagerly; the finally then
+      // releases the label table without un-backing the returned frame.
+      labels.join(sizes, "lbl")
+        .select($"id".as("doc_id"), $"lbl".as("cluster_id"), $"n_members")
+        .orderBy($"doc_id")
+        .localCheckpoint()
+    } finally {
       unpersistCheckpointed(labels)
       edges.unpersist(blocking = false)
-      throw t
     }
-    edges.unpersist()
-    if (!converged) {
-      unpersistCheckpointed(labels)
-      throw new IllegalStateException(
-        s"d8DupClusters: label propagation did not converge in $maxRounds rounds")
-    }
-    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
-    // Materialize the (small) final result, then release the label table:
-    // the returned frame must not keep the loop's last checkpoint pinned
-    // in storage for whoever runs next in the session.
-    val out = labels.join(sizes, "lbl")
-      .select($"id".as("doc_id"), $"lbl".as("cluster_id"), $"n_members")
-      .orderBy($"doc_id")
-      .localCheckpoint()
-    unpersistCheckpointed(labels)
-    out
   }
 
   val d8DupClustersSql: String =

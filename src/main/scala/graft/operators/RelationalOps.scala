@@ -988,13 +988,15 @@ object RelationalOps {
       .agg(kmv.name("s"))
       .toDF("l_returnflag", "s")
       .select($"l_returnflag", $"s._1".as("n_kept"), $"s._2".as("kth_hash"))
-      // n<k ⇒ the buffer is the whole distinct set: estimate is exact.
-      // Otherwise D̂ = (k-1)·2^60/h_(k); (k-1)·2^60 is exactly
-      // representable (6 significant bits) and the int64→double casts +
-      // one divide are IEEE-identical on both engines.
+      // Column mirror of KmvAgg.estimate (kept as an expression so the
+      // formula sits next to its oracle SQL): n<k ⇒ the buffer is the
+      // whole distinct set, estimate exact; otherwise D̂ = (k-1)·2^60/
+      // h_(k). (k-1)·2^60 is exactly representable (6 significant bits)
+      // and the int64→double casts + one divide are IEEE-identical on
+      // both engines.
       .withColumn("est_distinct",
         when($"n_kept" < k, $"n_kept".cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+          .otherwise(lit((k - 1).toDouble) * lit(graft.functions.KmvAgg.HashSpace) /
             $"kth_hash".cast("double")))
       .orderBy($"l_returnflag")
   }

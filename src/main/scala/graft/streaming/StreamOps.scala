@@ -87,10 +87,7 @@ object StreamOps {
       }
       state.update(buf)
       val (n, kth) = kmv.finish(buf)
-      val est =
-        if (n < k) n.toDouble
-        else (k - 1).toDouble * 1152921504606846976.0 / kth.toDouble
-      DistinctEstimate(key, n, kth, est)
+      DistinctEstimate(key, n, kth, graft.functions.KmvAgg.estimate(k, n, kth))
     }
     events
       .select($"event_type", md5Long($"user_id".cast("string")).as("h"))

@@ -122,7 +122,7 @@ class StreamingSpec extends AnyFunSuite {
         .map(u => graft.functions.EngineFns.md5Long60(u.toString))
         .foldLeft(kmv.zero)(kmv.reduce)
       val (en, ekth) = kmv.finish(expected)
-      val eest = (k - 1).toDouble * 1152921504606846976.0 / ekth.toDouble
+      val eest = graft.functions.KmvAgg.estimate(k, en, ekth)
       val rows = spark.table("kmv_est").collect()
         .map(r => (r.getString(0), (r.getInt(1), r.getLong(2), r.getDouble(3))))
       // Update-mode memory sink appends one row per touched key per
