@@ -25,7 +25,9 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object KmvAgg {
   /** 2^60 as an exact double — the hash-space size of
-    * [[EngineFns.md5Long]] (6 significant bits, exactly representable). */
+    * [[EngineFns.md5Long]] (a power of two, exactly representable as a
+    * double; the 6-significant-bits note applies to (k-1)·2^60 products,
+    * discussed at the q33 estimator). */
   val HashSpace: Double = 1152921504606846976.0
 
   /** The estimator, in one place for every consumer (batch q33 mirrors

@@ -38,7 +38,14 @@ object DedupOps {
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
-      case _ => ()
+      case other =>
+        // A silent no-op here would quietly reintroduce the d8/d9 block
+        // leak if a future Spark wraps checkpointed plans differently;
+        // ScaleSpec's persistent-RDD census catches it, but log too so
+        // the regression is visible outside the test suite.
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"unpersistCheckpointed: expected LogicalRDD, got " +
+            s"${other.getClass.getSimpleName} — checkpoint blocks not freed")
     }
 
   // ---------------------------------------------------------------- d1

@@ -74,26 +74,46 @@ object StreamOps {
     * Emits the updated estimate for each key touched by the micro-batch;
     * the estimate is deterministic in the set of ids seen, independent of
     * batch boundaries or arrival order (KMV is a commutative,
-    * idempotent merge). */
-  def streamingDistinctEstimate(events: DataFrame,
-                                k: Int = 64): Dataset[DistinctEstimate] = {
+    * idempotent merge).
+    *
+    * State is k longs per key — bounded per key, but unbounded in key
+    * cardinality. For the fixed `event_type` domain that is fine; before
+    * pointing this at a high-cardinality/open-ended key, pass
+    * `idleTimeout` (e.g. "1 hour") to evict keys not seen for that long
+    * (processing-time timeout; an evicted key that reappears restarts
+    * its sketch from empty — the estimate becomes a lower bound for
+    * such keys, which is the standard TTL trade-off). */
+  def streamingDistinctEstimate(events: DataFrame, k: Int = 64,
+                                idleTimeout: Option[String] = None)
+      : Dataset[DistinctEstimate] = {
     import events.sparkSession.implicits._
     import graft.functions.EngineFns.md5Long
     val kmv = new graft.functions.KmvAgg(k)
     def update(key: String, rows: Iterator[(String, Long)],
                state: GroupState[List[Long]]): DistinctEstimate = {
-      val buf = rows.foldLeft(state.getOption.getOrElse(kmv.zero)) {
-        (b, r) => kmv.reduce(b, r._2)
+      if (state.hasTimedOut) {
+        // final emit for the evicted key, then drop its sketch
+        val (n, kth) = kmv.finish(state.get)
+        state.remove()
+        DistinctEstimate(key, n, kth, graft.functions.KmvAgg.estimate(k, n, kth))
+      } else {
+        val buf = rows.foldLeft(state.getOption.getOrElse(kmv.zero)) {
+          (b, r) => kmv.reduce(b, r._2)
+        }
+        state.update(buf)
+        idleTimeout.foreach(state.setTimeoutDuration)
+        val (n, kth) = kmv.finish(buf)
+        DistinctEstimate(key, n, kth, graft.functions.KmvAgg.estimate(k, n, kth))
       }
-      state.update(buf)
-      val (n, kth) = kmv.finish(buf)
-      DistinctEstimate(key, n, kth, graft.functions.KmvAgg.estimate(k, n, kth))
     }
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .select($"event_type", md5Long($"user_id".cast("string")).as("h"))
       .as[(String, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+      .mapGroupsWithState(timeoutConf)(update)
   }
 
   /** Session windows (30-minute gap) per user via Spark's native
