@@ -255,12 +255,56 @@ object PipelineOps {
        |GROUP BY lang, shard, seq_id
        |ORDER BY lang, shard, seq_id""".stripMargin
 
+  // ---------------------------------------------------------------- p5
+  /** Exact-quota stratified sampling: EXACTLY `Quota` documents per
+    * language stratum (p2's hash sampling hits a RATE in expectation;
+    * rebalancing a corpus to a fixed per-language budget needs exact
+    * counts). Selection is deterministic: rank within each stratum by an
+    * independent md5 hash of the doc id (+ doc_id tie-break, though the
+    * 60-bit hash never ties in practice) and keep the first `Quota` — a
+    * pure function of the ids, reproducible across runs and engines.
+    *
+    * Shape at scale: one window rank per stratum (a single shuffle on
+    * `lang`; rows are (id, lang, hash) — 24 bytes, never the text). With
+    * strata of 100 TB the full per-stratum sort is wasteful; the scale
+    * refinement is threshold selection — take the stratum's ~Quota-th
+    * smallest hash via a quantile sketch, keep rows below it map-side,
+    * and exact-rank only the boundary sliver. Same output, no global
+    * sort; the window form here IS that semantics, stated declaratively. */
+  def p5StratifiedQuota(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Quota = 40
+    val h = md5Long(concat($"doc_id".cast("string"), lit(":strat")))
+    val w = Window.partitionBy($"lang").orderBy($"h".asc, $"doc_id".asc)
+    docs(spark, dir)
+      .select($"doc_id", $"lang", h.as("h"))
+      .withColumn("strat_rank", row_number().over(w).cast("int"))
+      .filter($"strat_rank" <= Quota)
+      .select($"lang", $"strat_rank", $"doc_id", $"h")
+      .orderBy($"lang", $"strat_rank")
+  }
+
+  val p5StratifiedQuotaSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    ${sqlMd5Long("CAST(doc_id AS VARCHAR) || ':strat'")} AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, doc_id, h,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS INT) AS strat_rank
+       |  FROM b)
+       |SELECT lang, strat_rank, doc_id, h
+       |FROM r WHERE strat_rank <= 40
+       |ORDER BY lang, strat_rank""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_prep_pipeline" -> (p1PrepPipeline _),
     "p2_hash_sample"   -> (p2HashSample _),
     "p3_chunk_windows" -> (p3ChunkWindows _),
     "p4_pack_sequences" -> (p4PackSequences _),
+    "p5_stratified_quota" -> (p5StratifiedQuota _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -268,5 +312,6 @@ object PipelineOps {
     "p2_hash_sample"   -> p2HashSampleSql,
     "p3_chunk_windows" -> p3ChunkWindowsSql,
     "p4_pack_sequences" -> p4PackSequencesSql,
+    "p5_stratified_quota" -> p5StratifiedQuotaSql,
   )
 }

@@ -1023,6 +1023,90 @@ object RelationalOps {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  // --------------------------------------------------------------- q34
+  /** Bloom-filter pre-filtered semi join with false-positive accounting:
+    * build a deterministic Bloom filter (m = 8192 bits, 2 md5-derived
+    * probe positions per key) over a selective dimension subset
+    * (BUILDING-segment customers) and probe every orders customer
+    * against it, then compare the filter's verdict with exact
+    * membership.
+    *
+    * This is the runtime-filter pattern Spark's optimizer injects for
+    * selective joins (`spark.sql.optimizer.runtime.bloomFilter`): at
+    * 100 TB the m-bit filter (1 KB here) is broadcast and the probe side
+    * is pre-filtered MAP-SIDE before the shuffle join, so non-matching
+    * fact rows never ride the exchange. The position-set formulation
+    * (membership ⇔ all probe positions present in the build position
+    * set) is semantically identical to testing bits in the bitmap and
+    * keeps every step declarative and oracle-checkable — including the
+    * false-positive rows, which a probabilistic filter must produce and
+    * the exact join must then discard. No false negatives can exist by
+    * construction (the spec asserts it); sizing m ∝ |build| keeps the
+    * false-positive rate flat as the build side grows. */
+  def q34BloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    val M  = 8192L  // filter bits
+    val KP = 2      // probe positions per key
+    def positions(key: Column): Column =
+      array((0 until KP).map(i =>
+        pmod(md5Long(concat(key.cast("string"), lit(s":$i"))), lit(M))): _*)
+    val build = t(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val buildPos = build
+      .select(explode(positions($"c_custkey")).as("pos")).distinct()
+    val probe = t(spark, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_ord"))
+    val hits = probe
+      .select($"o_custkey", explode(positions($"o_custkey")).as("pos"))
+      .join(buildPos, Seq("pos"), "left_semi")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("nhit"))
+    val members = build.select($"c_custkey".as("o_custkey"),
+      lit(true).as("is_member"))
+    probe
+      .join(hits, Seq("o_custkey"), "left")
+      .join(members, Seq("o_custkey"), "left")
+      .select(
+        (coalesce($"nhit", lit(0L)) === KP).as("bloom_maybe"),
+        coalesce($"is_member", lit(false)).as("actual"),
+        $"n_ord")
+      .groupBy($"bloom_maybe", $"actual")
+      .agg(count(lit(1)).as("n_custkeys"), sum($"n_ord").as("n_orders"))
+      .orderBy($"bloom_maybe", $"actual")
+  }
+
+  val q34BloomPrefilterSql: String = {
+    import graft.functions.EngineFns.sqlMd5Long
+    val pos = sqlMd5Long("CAST(k AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+    s"""WITH build AS (
+       |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+       |bpos AS (
+       |  SELECT DISTINCT $pos % 8192 AS pos
+       |  FROM (SELECT c_custkey AS k FROM build),
+       |       UNNEST(generate_series(0, 1)) AS u(i)),
+       |probe AS (
+       |  SELECT o_custkey, COUNT(*) AS n_ord FROM orders GROUP BY 1),
+       |ppos AS (
+       |  SELECT o_custkey, $pos % 8192 AS pos
+       |  FROM (SELECT o_custkey, o_custkey AS k FROM probe),
+       |       UNNEST(generate_series(0, 1)) AS u(i)),
+       |hits AS (
+       |  SELECT o_custkey, COUNT(*) AS nhit
+       |  FROM ppos WHERE pos IN (SELECT pos FROM bpos) GROUP BY 1),
+       |flagged AS (
+       |  SELECT p.o_custkey,
+       |    COALESCE(h.nhit, 0) = 2 AS bloom_maybe,
+       |    p.o_custkey IN (SELECT c_custkey FROM build) AS actual,
+       |    p.n_ord
+       |  FROM probe p LEFT JOIN hits h ON p.o_custkey = h.o_custkey)
+       |SELECT bloom_maybe, actual, COUNT(*) AS n_custkeys,
+       |  CAST(SUM(n_ord) AS BIGINT) AS n_orders
+       |FROM flagged
+       |GROUP BY bloom_maybe, actual
+       |ORDER BY bloom_maybe, actual""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -1058,6 +1142,7 @@ object RelationalOps {
     "q31_higher_order"   -> (q31HigherOrder _),
     "q32_recursive_cte"  -> (q32RecursiveCte _),
     "q33_kmv_sketch"     -> (q33KmvSketch _),
+    "q34_bloom_prefilter" -> (q34BloomPrefilter _),
   )
 
   // --------------------------------------------------------------- q15
@@ -1113,5 +1198,6 @@ object RelationalOps {
     "q31_higher_order"   -> q31HigherOrderSql,
     "q32_recursive_cte"  -> q32RecursiveCteSql,
     "q33_kmv_sketch"     -> q33KmvSketchSql,
+    "q34_bloom_prefilter" -> q34BloomPrefilterSql,
   )
 }

@@ -258,6 +258,164 @@ object TextOps {
        |FROM ranked WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- t9
+  /** Repetition-based quality signals (the Gopher/MassiveText filter
+    * family): per document, the duplicate-token fraction, the share of
+    * tokens taken by the single most frequent token, and the
+    * duplicate-bigram fraction — all as exact permille integers, plus the
+    * combined "repetitive" flag a pipeline would filter on.
+    *
+    * Shape at scale: per-row lambda counting (`transform`+`filter` over
+    * the token array) would be O(n·distinct) interpreted work per doc;
+    * instead explode → two codegen'd hash aggregates (token counts,
+    * then per-doc rollup), and the same for bigrams, joined on doc_id.
+    * Everything shuffles narrow (doc_id, term/bigram, count) rows, never
+    * the text, and partial aggregation collapses the explosion map-side. */
+  def t9Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir).select($"doc_id", tokens($"text").as("toks"))
+    val tokStats = base
+      .select($"doc_id", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max($"c").as("top_cnt"))
+    // sequence(1,0) counts DOWN in Spark (EngineFns.trigrams note), so
+    // guard the single-token case explicitly.
+    val bigrams = when(size($"toks") < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size($"toks") - 1),
+        i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1))))
+    val bgStats = base
+      .select($"doc_id", explode(bigrams).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_bigrams"),
+        count(lit(1)).as("nd_bigrams"))
+    tokStats.join(bgStats, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        permille($"n_tokens" - $"n_distinct", $"n_tokens").as("dup_tok_milli"),
+        permille($"top_cnt", $"n_tokens").as("top_tok_milli"),
+        coalesce(permille($"n_bigrams" - $"nd_bigrams", $"n_bigrams"), lit(0L))
+          .as("dup_2gram_milli"))
+      .withColumn("repetitive",
+        $"top_tok_milli" > 120 || $"dup_2gram_milli" > 350)
+      .orderBy($"doc_id")
+  }
+
+  val t9RepetitionSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tc AS (
+       |  SELECT doc_id, tok, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+       |ts AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_cnt
+       |  FROM tc GROUP BY 1),
+       |bc AS (
+       |  SELECT doc_id, bg, COUNT(*) AS c
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+       |                                i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |        FROM t) GROUP BY 1, 2),
+       |bs AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |    COUNT(*) AS nd_bigrams
+       |  FROM bc GROUP BY 1),
+       |r AS (
+       |  SELECT ts.doc_id, ts.n_tokens,
+       |    ${sqlPermille("(ts.n_tokens - ts.n_distinct)", "ts.n_tokens")} AS dup_tok_milli,
+       |    ${sqlPermille("ts.top_cnt", "ts.n_tokens")} AS top_tok_milli,
+       |    COALESCE(${sqlPermille("(bs.n_bigrams - bs.nd_bigrams)", "bs.n_bigrams")}, 0)
+       |      AS dup_2gram_milli
+       |  FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id)
+       |SELECT doc_id, n_tokens, dup_tok_milli, top_tok_milli, dup_2gram_milli,
+       |  (top_tok_milli > 120 OR dup_2gram_milli > 350) AS repetitive
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- t10
+  /** Cross-corpus duplicated-shingle fraction (the C4-style corpus-level
+    * dedup signal): for each document, the share of its distinct 8-token
+    * shingles that also occur in at least one OTHER document. Pairwise
+    * dedup (d3/d4) finds near-identical document pairs; this finds
+    * boilerplate — shingles repeated across many documents — without ever
+    * forming pairs, so it stays linear when a phrase appears in a million
+    * documents (where pairwise candidates would be quadratic).
+    *
+    * Shape at scale: per-doc distinct shingles ride as 60-bit md5 hashes
+    * (fixed 8 bytes — the text never shuffles); one hash aggregate keyed
+    * on the shingle hash counts corpus occurrences; a left-semi join back
+    * (same key → the exchange is reused) marks each doc's duplicated
+    * shingles; two narrow per-doc aggregates finish. The exploded frame
+    * feeds both sides, so it is persisted once and released after the
+    * small result is checkpointed (d9's pattern). */
+  def t10CorpusShingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 8
+    val toks = tokens($"text")
+    val shingles = when(size(toks) < W, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (W - 1)),
+        i => concat_ws(" ", (0 until W).map(o => element_at(toks, i + o)): _*))))
+    val sh = docs(spark, dir)
+      .select($"doc_id", explode(shingles).as("g"))
+      .select($"doc_id", md5Long($"g").as("h"))
+      .persist()
+    try {
+      val dup = sh.groupBy($"h").agg(count(lit(1)).as("n_docs_with"))
+        .filter($"n_docs_with" >= 2)
+        .select($"h")
+      val perDoc = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      val dupPerDoc = sh.join(dup, Seq("h"), "left_semi")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
+      docs(spark, dir).select($"doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .join(dupPerDoc, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+          coalesce($"n_dup", lit(0L)).as("n_dup"))
+        .withColumn("dup_milli",
+          coalesce(permille($"n_dup", $"n_shingles"), lit(0L)))
+        .withColumn("boilerplate", $"dup_milli" >= 300)
+        .orderBy($"doc_id")
+        .localCheckpoint()   // eager: materialized before the unpersist
+    } finally {
+      sh.unpersist(blocking = false)
+    }
+  }
+
+  val t10CorpusShinglesSql: String = {
+    val shingle = (0 until 8).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, ${sqlMd5Long("g")} AS h
+       |  FROM (SELECT doc_id,
+       |          unnest(list_distinct(list_transform(
+       |            generate_series(1, greatest(len(toks) - 7, 0)),
+       |            i -> $shingle))) AS g
+       |        FROM t)),
+       |dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+       |pd AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+       |dd AS (
+       |  SELECT doc_id, COUNT(*) AS n_dup
+       |  FROM sh WHERE h IN (SELECT h FROM dup) GROUP BY 1),
+       |r AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(pd.n_shingles, 0) AS n_shingles,
+       |    COALESCE(dd.n_dup, 0) AS n_dup
+       |  FROM documents d
+       |  LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |  LEFT JOIN dd ON d.doc_id = dd.doc_id)
+       |SELECT doc_id, n_shingles, n_dup,
+       |  COALESCE(${sqlPermille("n_dup", "n_shingles")}, 0) AS dup_milli,
+       |  COALESCE(${sqlPermille("n_dup", "n_shingles")}, 0) >= 300 AS boilerplate
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
@@ -268,6 +426,8 @@ object TextOps {
     "t6_polyhash"     -> (t6PolyHash _),
     "t7_zipf_terms"   -> (t7ZipfTerms _),
     "t8_tfidf"        -> (t8Tfidf _),
+    "t9_repetition"   -> (t9Repetition _),
+    "t10_corpus_shingles" -> (t10CorpusShingles _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -279,5 +439,7 @@ object TextOps {
     "t6_polyhash"     -> t6PolyHashSql,
     "t7_zipf_terms"   -> t7ZipfTermsSql,
     "t8_tfidf"        -> t8TfidfSql,
+    "t9_repetition"   -> t9RepetitionSql,
+    "t10_corpus_shingles" -> t10CorpusShinglesSql,
   )
 }
