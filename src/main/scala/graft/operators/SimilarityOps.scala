@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -238,16 +238,135 @@ object SimilarityOps {
        |FROM ranked WHERE rnk <= $K
        |ORDER BY qid, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- s4
+  /** Product-quantization ANN (PQ with an ADC scan): the vector
+    * COMPRESSION half of large-scale similarity search (IVF — s3 — is
+    * the pruning half; production indexes compose them as IVF-PQ).
+    *
+    * The 64-dim space splits into 8 subspaces of 8 dims. Each subspace
+    * gets a 10-entry codebook (per-label coordinate-wise exact MEDIAN of
+    * the subvector — the same order-independent, oracle-exact stand-in
+    * for a trained k-means codebook as s3's centroids). Every database
+    * vector is encoded as 8 one-byte code ids: 32× smaller than the raw
+    * floats, which is the point — at 100 TB the ADC scan reads the code
+    * table, not the vectors. A query builds an 8×10 lookup table of
+    * squared L2 distances to every code (Asymmetric Distance
+    * Computation), and each database vector's approximate distance is
+    * the sum of 8 table lookups — integer adds here, because every LUT
+    * entry is floor-micro fixed-point, making the sum independent of
+    * addition order and therefore bit-exact against the oracle (a
+    * double sum would depend on join order).
+    *
+    * Shape at scale: codebook + LUT are tiny broadcasts; encoding is one
+    * map pass over (vector × 8 subspaces); the ADC scan is a broadcast
+    * join of narrow (nid, m, code) rows against the LUT, partially
+    * aggregated map-side to one row per (query, vector). No shuffle ever
+    * carries a raw vector. */
+  def s4KnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    val SUBS = 8
+    val SD = 8 // dims per subspace
+    val sqd = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val e = emb(spark, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    // per-subspace codebooks from one ranked pass of per-label per-dim
+    // exact medians (s3's determinism trick, re-grouped by subspace)
+    val flat = e.select($"label", posexplode($"v").as(Seq("d0", "dv")))
+      .select($"label", ($"d0" + 1).as("d"), $"dv")
+    val codes = PercentileOps
+      .exactPercentiles(flat, Seq("label", "d"), "dv", Seq(0.5))
+      .withColumn("m", (($"d" - 1) / SD).cast("int"))
+      .groupBy($"label", $"m")
+      .agg(expr("transform(array_sort(collect_list(struct(d, pct))), x -> x.pct)")
+        .as("cv"))
+    // database subvectors: (vec_id, m, 8-dim slice)
+    val sub = e.select($"vec_id",
+        explode(sequence(lit(0), lit(SUBS - 1))).as("m"), $"v")
+      .select($"vec_id", $"m", slice($"v", $"m" * SD + 1, lit(SD)).as("sv"))
+    // encode: nearest code per (vector, subspace) — one hash aggregate
+    // (min_by over the (dist, label) struct), not a window sort
+    val assigned = sub.join(broadcast(codes), Seq("m"))
+      .withColumn("d2", sqd($"sv", $"cv"))
+      .groupBy($"vec_id", $"m")
+      .agg(min_by($"label", struct($"d2", $"label")).as("code"))
+      .select($"vec_id".as("nid"), $"m", $"code")
+    // ADC lookup table: query subvector → squared L2 to every code,
+    // fixed-point so downstream sums are order-independent
+    val lut = sub.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("qid"), $"m".as("lm"), $"sv".as("qv"))
+      .join(broadcast(codes.withColumnRenamed("m", "lm")), Seq("lm"))
+      .select($"qid", $"lm", $"label", micro(sqd($"qv", $"cv")).as("d2_micro"))
+    val w = Window.partitionBy($"qid").orderBy($"adc_micro".asc, $"nid".asc)
+    assigned
+      .join(broadcast(lut), $"m" === $"lm" && $"code" === $"label")
+      .groupBy($"qid", $"nid")
+      .agg(sum($"d2_micro").as("adc_micro"))
+      .filter($"qid" =!= $"nid")
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"nid", $"rnk", $"adc_micro")
+      .orderBy($"qid", $"rnk")
+  }
+
+  val s4KnnPqSql: String = {
+    val dist = (a: String, b: String) =>
+      s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+       |med AS (
+       |  SELECT label, d, quantile_cont(v[d], 0.5) AS c
+       |  FROM e CROSS JOIN dims
+       |  GROUP BY label, d),
+       |codes AS (
+       |  SELECT label, CAST((d - 1) // 8 AS INT) AS m, list(c ORDER BY d) AS cv
+       |  FROM med GROUP BY 1, 2),
+       |sub AS (
+       |  SELECT vec_id, CAST(u.m AS INT) AS m,
+       |    list_slice(v, u.m * 8 + 1, u.m * 8 + 8) AS sv
+       |  FROM e, UNNEST(generate_series(0, 7)) AS u(m)),
+       |asg AS (
+       |  SELECT vec_id AS nid, m, label AS code FROM (
+       |    SELECT s.vec_id, s.m, c.label,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${dist("s.sv", "c.cv")}, c.label) AS rn
+       |    FROM sub s JOIN codes c USING (m))
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT s.vec_id AS qid, s.m, c.label,
+       |    ${sqlMicro(dist("s.sv", "c.cv"))} AS d2_micro
+       |  FROM sub s JOIN codes c USING (m)
+       |  WHERE s.vec_id < $NQUERIES),
+       |adc AS (
+       |  SELECT l.qid, a.nid, CAST(SUM(l.d2_micro) AS BIGINT) AS adc_micro
+       |  FROM asg a JOIN lut l ON a.m = l.m AND a.code = l.label
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, nid, adc_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY adc_micro ASC, nid ASC) AS rnk
+       |  FROM adc WHERE qid <> nid)
+       |SELECT qid, nid, CAST(rnk AS INT) AS rnk, adc_micro
+       |FROM ranked WHERE rnk <= $K
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh"   -> (s2KnnLsh _),
     "s3_knn_ivf"   -> (s3KnnIvf _),
+    "s4_knn_pq"    -> (s4KnnPq _),
   )
 
   def oracles: Map[String, String] = Map(
     "s1_knn_brute" -> s1KnnBruteSql,
     "s2_knn_lsh"   -> s2KnnLshSql,
     "s3_knn_ivf"   -> s3KnnIvfSql,
+    "s4_knn_pq"    -> s4KnnPqSql,
   )
 }
