@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{SharedSpark, SparkEntry, Tables}
+
+/** Semantic invariants for the round-5 operator batch (t9, t10, p5, q34,
+  * s4). Value-level correctness is the DuckDB oracle gate; these specs
+  * assert the structural properties a hash-equal oracle wouldn't
+  * localize when broken. */
+class Round5OpsSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("t9: ratios are permille-bounded and consistent with t1 counts") {
+    val rows = q("t9_repetition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dupTok, topTok, dupBg) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dupTok >= 0 && dupTok < 1000)
+      assert(topTok > 0 && topTok <= 1000)
+      assert(dupBg >= 0 && dupBg < 1000)
+      // a doc can't have duplicate tokens without its top token repeating
+      if (dupTok > 0) assert(topTok >= 2000 / r.getLong(1).max(1))
+    }
+    // n_tokens agrees with t1's independent tokenization
+    val t1 = q("t1_token_stats").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rows.foreach(r => assert(r.getLong(1) == t1(r.getLong(0))))
+  }
+
+  test("t10: dup counts are bounded by shingle counts; flags match ratio") {
+    val rows = q("t10_corpus_shingles").collect()
+    assert(rows.nonEmpty)
+    var anyDup = false
+    rows.foreach { r =>
+      val (n, d, milli, flag) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))
+      assert(d <= n)
+      assert(flag == (milli >= 300))
+      if (n == 0) assert(d == 0 && milli == 0)
+      if (d > 0) anyDup = true
+    }
+    // the corpus contains near-duplicate docs, so duplicated shingles exist
+    assert(anyDup)
+  }
+
+  test("t10: a duplicated shingle implies at least two docs share it") {
+    // symmetric by construction: total dup-shingle incidences across docs
+    // can never be 1 (each duplicated hash contributes >= 2)
+    val total = q("t10_corpus_shingles").agg(sum("n_dup")).collect()(0).getLong(0)
+    assert(total != 1 && total >= 0)
+  }
+
+  test("p5: exactly the quota per stratum, ranks dense, hash-ordered") {
+    val rows = q("p5_stratified_quota").collect()
+    val byLang = rows.groupBy(_.getString(0))
+    val langs = Tables(spark, sf, "documents").select("lang").distinct().count()
+    assert(byLang.size == langs)
+    byLang.foreach { case (_, rs) =>
+      assert(rs.length == 40 ||
+        rs.length < 40) // a stratum smaller than the quota keeps all rows
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+      // selection order follows the hash, not doc_id
+      val inRankOrder = rs.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(inRankOrder.sameElements(inRankOrder.sorted))
+    }
+    // deterministic: a re-run picks the identical sample
+    val again = q("p5_stratified_quota").collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("q34: a Bloom filter has no false negatives; totals cover all custkeys") {
+    val rows = q("q34_bloom_prefilter").collect()
+    // (maybe=false, actual=true) must not exist
+    assert(!rows.exists(r => !r.getBoolean(0) && r.getBoolean(1)))
+    val totalKeys = rows.map(_.getLong(2)).sum
+    val expected = Tables(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(totalKeys == expected)
+    // every actual member is flagged maybe
+    val members = Tables(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables(spark, sf, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .count()
+    val maybeTrue = rows.filter(r => r.getBoolean(0) && r.getBoolean(1))
+      .map(_.getLong(2)).sum
+    assert(maybeTrue == members)
+  }
+
+  test("s4: PQ codes are one of the label codebook entries; ranks dense") {
+    val rows = q("s4_knn_pq").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+      // ADC distances are non-decreasing in rank
+      val inOrder = rs.sortBy(_.getInt(2)).map(_.getLong(3))
+      assert(inOrder.sameElements(inOrder.sorted))
+    }
+    assert(byQ.keySet == (0L until 10L).toSet)
+  }
+
+  test("s4: ADC top-10 recalls a reasonable share of the exact top-10") {
+    // PQ is lossy by design, but the compressed distances must still be
+    // informative: mean overlap with s1's exact top-10 well above chance.
+    val exact = q("s1_knn_brute").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val pq = q("s4_knn_pq").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val overlaps = exact.keys.map(k => (pq(k) & exact(k)).size).toSeq
+    val mean = overlaps.sum.toDouble / overlaps.size
+    assert(mean >= 2.0, s"mean exact-top10 overlap $mean; per-query $overlaps")
+  }
+
+  test("q34/s4/t10: no cartesian product in any plan") {
+    Seq("q34_bloom_prefilter", "s4_knn_pq", "t10_corpus_shingles").foreach { n =>
+      val p = q(n).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian product")
+    }
+  }
+}
