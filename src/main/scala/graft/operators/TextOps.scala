@@ -350,18 +350,15 @@ object TextOps {
     * (same key → the exchange is reused) marks each doc's duplicated
     * shingles; two narrow per-doc aggregates finish. The exploded frame
     * feeds both sides, so it is persisted once and released after the
-    * small result is checkpointed (d9's pattern). */
+    * small result is checkpointed (d9's pattern). Shingle hashing runs in
+    * the native [[graft.functions.NgramHash60]] expression — the
+    * composed transform/concat_ws lambda chain costs ~2 ms/doc
+    * interpreted (10.7 s at sf0.1; ~1 s native). */
   def t10CorpusShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val W = 8
-    val toks = tokens($"text")
-    val shingles = when(size(toks) < W, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - (W - 1)),
-        i => concat_ws(" ", (0 until W).map(o => element_at(toks, i + o)): _*))))
+    graft.functions.NgramHash60.register(spark)
     val sh = docs(spark, dir)
-      .select($"doc_id", explode(shingles).as("g"))
-      .select($"doc_id", md5Long($"g").as("h"))
+      .select($"doc_id", explode(expr("ngram_hashes(text, 8)")).as("h"))
       .persist()
     try {
       val dup = sh.groupBy($"h").agg(count(lit(1)).as("n_docs_with"))
