@@ -161,12 +161,17 @@ object SimilarityOps {
     // array column ordered by dimension
     val flat = e.select($"label", posexplode($"v").as(Seq("d0", "dv")))
       .select($"label", ($"d0" + 1).as("d"), $"dv")
+    // The codebook is tiny (one row per label) but its build subtree is
+    // the expensive ranked-median pass; persist so the two consumers
+    // below (assignment + probing) don't each recompute it — released in
+    // the finally after the small result is checkpointed (d9's pattern).
     val centroids = PercentileOps
       .exactPercentiles(flat, Seq("label", "d"), "dv", Seq(0.5))
       .groupBy($"label")
       .agg(expr("transform(array_sort(collect_list(struct(d, pct))), x -> x.pct)")
         .as("cv"))
       .withColumn("cnrm", sqrt(dot($"cv", $"cv")))
+      .persist()
     // assign: nearest cell per vector; probe: `keep` nearest cells per query
     def cellRank(src: DataFrame, id: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy($"csim".desc, $"label".asc)
@@ -175,23 +180,28 @@ object SimilarityOps {
         .withColumn("crnk", row_number().over(w))
         .filter($"crnk" <= keep)
     }
-    val assigned = cellRank(
-      e.select($"vec_id".as("nid"), $"v", $"nrm"), "nid", 1)
-      .select($"nid", $"label".as("cell"), $"v".as("nv"), $"nrm".as("nnrm"))
-    // nprobe=4 of 10 cells: the label cells are random (not a learned
-    // k-means codebook), so more probes are needed for usable recall
-    val probed = cellRank(
-      e.filter($"vec_id" < NQUERIES)
-        .select($"vec_id".as("qid"), $"v", $"nrm"), "qid", 4)
-      .select($"qid", $"label".as("cell"), $"v".as("qv"), $"nrm".as("qnrm"))
-    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
-    assigned.join(probed, Seq("cell"))
-      .filter($"qid" =!= $"nid")
-      .withColumn("cos", dot($"qv", $"nv") / ($"qnrm" * $"nnrm"))
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= K)
-      .select($"qid", $"nid", $"rnk", micro($"cos").as("cos_micro"))
-      .orderBy($"qid", $"rnk")
+    try {
+      val assigned = cellRank(
+        e.select($"vec_id".as("nid"), $"v", $"nrm"), "nid", 1)
+        .select($"nid", $"label".as("cell"), $"v".as("nv"), $"nrm".as("nnrm"))
+      // nprobe=4 of 10 cells: the label cells are random (not a learned
+      // k-means codebook), so more probes are needed for usable recall
+      val probed = cellRank(
+        e.filter($"vec_id" < NQUERIES)
+          .select($"vec_id".as("qid"), $"v", $"nrm"), "qid", 4)
+        .select($"qid", $"label".as("cell"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+      assigned.join(probed, Seq("cell"))
+        .filter($"qid" =!= $"nid")
+        .withColumn("cos", dot($"qv", $"nv") / ($"qnrm" * $"nnrm"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= K)
+        .select($"qid", $"nid", $"rnk", micro($"cos").as("cos_micro"))
+        .orderBy($"qid", $"rnk")
+        .localCheckpoint()   // eager: materialized before the unpersist
+    } finally {
+      centroids.unpersist(blocking = false)
+    }
   }
 
   val s3KnnIvfSql: String =
@@ -276,39 +286,47 @@ object SimilarityOps {
     // exact medians (s3's determinism trick, re-grouped by subspace)
     val flat = e.select($"label", posexplode($"v").as(Seq("d0", "dv")))
       .select($"label", ($"d0" + 1).as("d"), $"dv")
+    // tiny frame (|labels|×8 rows), expensive build subtree: persist so
+    // the encoder and the LUT don't each re-run the ranked median pass
     val codes = PercentileOps
       .exactPercentiles(flat, Seq("label", "d"), "dv", Seq(0.5))
       .withColumn("m", (($"d" - 1) / SD).cast("int"))
       .groupBy($"label", $"m")
       .agg(expr("transform(array_sort(collect_list(struct(d, pct))), x -> x.pct)")
         .as("cv"))
-    // database subvectors: (vec_id, m, 8-dim slice)
-    val sub = e.select($"vec_id",
-        explode(sequence(lit(0), lit(SUBS - 1))).as("m"), $"v")
-      .select($"vec_id", $"m", slice($"v", $"m" * SD + 1, lit(SD)).as("sv"))
-    // encode: nearest code per (vector, subspace) — one hash aggregate
-    // (min_by over the (dist, label) struct), not a window sort
-    val assigned = sub.join(broadcast(codes), Seq("m"))
-      .withColumn("d2", sqd($"sv", $"cv"))
-      .groupBy($"vec_id", $"m")
-      .agg(min_by($"label", struct($"d2", $"label")).as("code"))
-      .select($"vec_id".as("nid"), $"m", $"code")
-    // ADC lookup table: query subvector → squared L2 to every code,
-    // fixed-point so downstream sums are order-independent
-    val lut = sub.filter($"vec_id" < NQUERIES)
-      .select($"vec_id".as("qid"), $"m".as("lm"), $"sv".as("qv"))
-      .join(broadcast(codes.withColumnRenamed("m", "lm")), Seq("lm"))
-      .select($"qid", $"lm", $"label", micro(sqd($"qv", $"cv")).as("d2_micro"))
-    val w = Window.partitionBy($"qid").orderBy($"adc_micro".asc, $"nid".asc)
-    assigned
-      .join(broadcast(lut), $"m" === $"lm" && $"code" === $"label")
-      .groupBy($"qid", $"nid")
-      .agg(sum($"d2_micro").as("adc_micro"))
-      .filter($"qid" =!= $"nid")
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= K)
-      .select($"qid", $"nid", $"rnk", $"adc_micro")
-      .orderBy($"qid", $"rnk")
+      .persist()
+    try {
+      // database subvectors: (vec_id, m, 8-dim slice)
+      val sub = e.select($"vec_id",
+          explode(sequence(lit(0), lit(SUBS - 1))).as("m"), $"v")
+        .select($"vec_id", $"m", slice($"v", $"m" * SD + 1, lit(SD)).as("sv"))
+      // encode: nearest code per (vector, subspace) — one hash aggregate
+      // (min_by over the (dist, label) struct), not a window sort
+      val assigned = sub.join(broadcast(codes), Seq("m"))
+        .withColumn("d2", sqd($"sv", $"cv"))
+        .groupBy($"vec_id", $"m")
+        .agg(min_by($"label", struct($"d2", $"label")).as("code"))
+        .select($"vec_id".as("nid"), $"m", $"code")
+      // ADC lookup table: query subvector → squared L2 to every code,
+      // fixed-point so downstream sums are order-independent
+      val lut = sub.filter($"vec_id" < NQUERIES)
+        .select($"vec_id".as("qid"), $"m".as("lm"), $"sv".as("qv"))
+        .join(broadcast(codes.withColumnRenamed("m", "lm")), Seq("lm"))
+        .select($"qid", $"lm", $"label", micro(sqd($"qv", $"cv")).as("d2_micro"))
+      val w = Window.partitionBy($"qid").orderBy($"adc_micro".asc, $"nid".asc)
+      assigned
+        .join(broadcast(lut), $"m" === $"lm" && $"code" === $"label")
+        .groupBy($"qid", $"nid")
+        .agg(sum($"d2_micro").as("adc_micro"))
+        .filter($"qid" =!= $"nid")
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= K)
+        .select($"qid", $"nid", $"rnk", $"adc_micro")
+        .orderBy($"qid", $"rnk")
+        .localCheckpoint()   // eager: materialized before the unpersist
+    } finally {
+      codes.unpersist(blocking = false)
+    }
   }
 
   val s4KnnPqSql: String = {
