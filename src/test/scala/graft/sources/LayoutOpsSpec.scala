@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import graft.{SharedSpark, Tables}
+
+class LayoutOpsSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_layout").toString
+
+  private def leafFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(dir))
+  }
+
+  test("writePartitioned: hive dirs per lang, one file each, sorted inside") {
+    val out = tmpDir() + "/docs"
+    val docs = Tables(spark, sf, "documents")
+    LayoutOps.writePartitioned(docs, out, "lang", "doc_id")
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    langs.foreach { l =>
+      val d = new java.io.File(s"$out/lang=$l")
+      assert(d.isDirectory, s"missing partition dir for $l")
+      assert(leafFiles(d.toString).size == 1,
+        s"expected one file per partition for $l")
+    }
+    // within-file order: doc_id non-decreasing in read order of one file
+    val one = spark.read.parquet(s"$out/lang=${langs.head}")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(one.sameElements(one.sorted))
+    // round trip: nothing lost or duplicated
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.select(sum("doc_id")).collect()(0).getLong(0) ==
+      docs.select(sum("doc_id")).collect()(0).getLong(0))
+  }
+
+  test("prunedScan resolves the partition predicate as PartitionFilters") {
+    val out = tmpDir() + "/docs"
+    val docs = Tables(spark, sf, "documents")
+    LayoutOps.writePartitioned(docs, out, "lang", "doc_id")
+    val scan = LayoutOps.prunedScan(spark, out, "lang", "en")
+    val fsScans = scan.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(fsScans.nonEmpty)
+    val s = fsScans.head
+    assert(s.partitionFilters.nonEmpty,
+      "lang predicate must prune partitions, not filter rows")
+    assert(!s.dataFilters.exists(_.references.exists(_.name == "lang")),
+      "lang must not appear as a data filter")
+    // and the pruned read returns exactly the partition's rows
+    assert(scan.count() ==
+      docs.filter(col("lang") === "en").count())
+  }
+
+  test("compact: bin-packs many small files into range-disjoint big ones") {
+    val out = tmpDir() + "/events"
+    val events = Tables(spark, sf, "events").select("event_id", "event_type")
+    // simulate a high-parallelism write: many small files
+    events.repartition(16).write.mode("overwrite").parquet(out)
+    assert(leafFiles(out).size == 16)
+    val before = spark.read.parquet(out).agg(
+      count(lit(1)), sum("event_id")).collect()(0)
+    val n = events.count()
+    LayoutOps.compact(spark, out, "event_id", targetRows = n / 2 + 1)
+    val files = leafFiles(out)
+    assert(files.size == 2, s"expected 2 compacted files, got ${files.size}")
+    val after = spark.read.parquet(out).agg(
+      count(lit(1)), sum("event_id")).collect()(0)
+    assert(before == after, "compaction must preserve rows exactly")
+    // range-disjoint: per-file event_id ranges don't overlap
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("event_id"), max("event_id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2)
+      case _ =>
+    }
+  }
+}
