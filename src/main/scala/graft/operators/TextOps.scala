@@ -413,6 +413,68 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- t11
+  /** Benchmark decontamination: flag training documents that share any
+    * 8-token shingle with a held-out evaluation corpus (here the `src0`
+    * source stands in for the benchmark). Decontamination is the
+    * training-pipeline step that keeps eval data out of the training
+    * set; n-gram overlap against the benchmark's shingle set is the
+    * standard test (exact-substring leakage, robust to document-level
+    * edits that defeat whole-doc dedup).
+    *
+    * Shape at scale: the benchmark shingle set is small by definition
+    * (benchmarks are thousands of docs, training corpora are billions),
+    * so it BROADCASTS — the 100 TB training side streams map-side
+    * through a broadcast left-semi probe, no shuffle of training data at
+    * all except the final per-doc aggregate on (doc_id). Shingles ride
+    * as 60-bit [[graft.functions.NgramHash60]] hashes. */
+  def t11Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.NgramHash60.register(spark)
+    val sh = docs(spark, dir)
+      .select($"doc_id", $"source", explode(expr("ngram_hashes(text, 8)")).as("h"))
+    val benchSet = sh.filter($"source" === "src0").select($"h").distinct()
+    val train = sh.filter($"source" =!= "src0")
+    val perDoc = train.groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_shingles"))
+    val contam = train.join(broadcast(benchSet), Seq("h"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_contam"))
+    perDoc.join(contam, Seq("doc_id"), "left")
+      .select($"doc_id", $"source", $"n_shingles",
+        coalesce($"n_contam", lit(0L)).as("n_contam"))
+      .withColumn("contam_milli", permille($"n_contam", $"n_shingles"))
+      .withColumn("contaminated", $"n_contam" > 0)
+      .orderBy($"doc_id")
+  }
+
+  val t11DecontaminateSql: String = {
+    val shingle = (0 until 8).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, source, ${sqlMd5Long("g")} AS h
+       |  FROM (SELECT doc_id, source,
+       |          unnest(list_distinct(list_transform(
+       |            generate_series(1, greatest(len(toks) - 7, 0)),
+       |            i -> $shingle))) AS g
+       |        FROM t)),
+       |bench AS (SELECT DISTINCT h FROM sh WHERE source = 'src0'),
+       |train AS (SELECT * FROM sh WHERE source <> 'src0'),
+       |pd AS (
+       |  SELECT doc_id, source, COUNT(*) AS n_shingles
+       |  FROM train GROUP BY 1, 2),
+       |ct AS (
+       |  SELECT doc_id, COUNT(*) AS n_contam
+       |  FROM train WHERE h IN (SELECT h FROM bench) GROUP BY 1)
+       |SELECT pd.doc_id, pd.source, pd.n_shingles,
+       |  COALESCE(ct.n_contam, 0) AS n_contam,
+       |  ${sqlPermille("COALESCE(ct.n_contam, 0)", "pd.n_shingles")} AS contam_milli,
+       |  COALESCE(ct.n_contam, 0) > 0 AS contaminated
+       |FROM pd LEFT JOIN ct ON pd.doc_id = ct.doc_id
+       |ORDER BY pd.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
@@ -425,6 +487,7 @@ object TextOps {
     "t8_tfidf"        -> (t8Tfidf _),
     "t9_repetition"   -> (t9Repetition _),
     "t10_corpus_shingles" -> (t10CorpusShingles _),
+    "t11_decontaminate" -> (t11Decontaminate _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -438,5 +501,6 @@ object TextOps {
     "t8_tfidf"        -> t8TfidfSql,
     "t9_repetition"   -> t9RepetitionSql,
     "t10_corpus_shingles" -> t10CorpusShinglesSql,
+    "t11_decontaminate" -> t11DecontaminateSql,
   )
 }

@@ -114,6 +114,25 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(mean >= 2.0, s"mean exact-top10 overlap $mean; per-query $overlaps")
   }
 
+  test("t11: benchmark docs excluded; counts bounded; flag matches count") {
+    val rows = q("t11_decontaminate").collect()
+    val docs = Tables(spark, sf, "documents")
+    val nTrain = docs.filter(col("source") =!= "src0").count()
+    assert(rows.length == nTrain)
+    rows.foreach { r =>
+      assert(r.getString(1) != "src0")
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getBoolean(5) == (r.getLong(3) > 0))
+    }
+    // the corpus has cross-source near-dups, so contamination exists
+    assert(rows.exists(_.getBoolean(5)))
+  }
+
+  test("t11: the benchmark shingle set rides a broadcast, not a shuffle join") {
+    val p = q("t11_decontaminate").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
   test("q34/s4/t10: no cartesian product in any plan") {
     Seq("q34_bloom_prefilter", "s4_knn_pq", "t10_corpus_shingles").foreach { n =>
       val p = q(n).queryExecution.executedPlan.toString
