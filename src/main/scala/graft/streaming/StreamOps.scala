@@ -82,30 +82,23 @@ object StreamOps {
     * `idleTimeout` (e.g. "1 hour") to evict keys not seen for that long
     * (processing-time timeout; an evicted key that reappears restarts
     * its sketch from empty — the estimate becomes a lower bound for
-    * such keys, which is the standard TTL trade-off). */
+    * such keys, which is the standard TTL trade-off).
+    *
+    * OPERATIONAL CAVEAT (Spark semantics, not specific to this op): a
+    * processing-time timeout can only fire inside a micro-batch, so
+    * Spark keeps scheduling no-data batches for the query's lifetime —
+    * always run TTL'd queries with a positive trigger interval
+    * (`Trigger.ProcessingTime(...)`) or the default 0 ms trigger
+    * busy-loops, and do not drive them with
+    * `StreamingQuery.processAllAvailable`, which never returns once
+    * `shouldRunAnotherBatch` is permanently true (verified against
+    * Spark 4.1; the spec pins the wiring at plan level instead). */
   def streamingDistinctEstimate(events: DataFrame, k: Int = 64,
                                 idleTimeout: Option[String] = None)
       : Dataset[DistinctEstimate] = {
     import events.sparkSession.implicits._
     import graft.functions.EngineFns.md5Long
     val kmv = new graft.functions.KmvAgg(k)
-    def update(key: String, rows: Iterator[(String, Long)],
-               state: GroupState[List[Long]]): DistinctEstimate = {
-      if (state.hasTimedOut) {
-        // final emit for the evicted key, then drop its sketch
-        val (n, kth) = kmv.finish(state.get)
-        state.remove()
-        DistinctEstimate(key, n, kth, graft.functions.KmvAgg.estimate(k, n, kth))
-      } else {
-        val buf = rows.foldLeft(state.getOption.getOrElse(kmv.zero)) {
-          (b, r) => kmv.reduce(b, r._2)
-        }
-        state.update(buf)
-        idleTimeout.foreach(state.setTimeoutDuration)
-        val (n, kth) = kmv.finish(buf)
-        DistinctEstimate(key, n, kth, graft.functions.KmvAgg.estimate(k, n, kth))
-      }
-    }
     val timeoutConf =
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
@@ -113,8 +106,31 @@ object StreamOps {
       .select($"event_type", md5Long($"user_id".cast("string")).as("h"))
       .as[(String, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState(timeoutConf)(update)
+      .mapGroupsWithState(timeoutConf)(distinctEstimateUpdate(kmv, k, idleTimeout))
   }
+
+  /** The state-update function behind [[streamingDistinctEstimate]],
+    * exposed so the spec can drive the eviction branch through
+    * `TestGroupState` (wall-clock timeouts can't fire deterministically
+    * in a test). */
+  private[streaming] def distinctEstimateUpdate(
+      kmv: graft.functions.KmvAgg, k: Int, idleTimeout: Option[String])(
+      key: String, rows: Iterator[(String, Long)],
+      state: GroupState[List[Long]]): DistinctEstimate =
+    if (state.hasTimedOut) {
+      // final emit for the evicted key, then drop its sketch
+      val (n, kth) = kmv.finish(state.get)
+      state.remove()
+      DistinctEstimate(key, n, kth, graft.functions.KmvAgg.estimate(k, n, kth))
+    } else {
+      val buf = rows.foldLeft(state.getOption.getOrElse(kmv.zero)) {
+        (b, r) => kmv.reduce(b, r._2)
+      }
+      state.update(buf)
+      idleTimeout.foreach(state.setTimeoutDuration)
+      val (n, kth) = kmv.finish(buf)
+      DistinctEstimate(key, n, kth, graft.functions.KmvAgg.estimate(k, n, kth))
+    }
 
   /** Session windows (30-minute gap) per user via Spark's native
     * session_window — state is merged incrementally in streaming mode. */

@@ -136,6 +136,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV idleTimeout wires ProcessingTimeTimeout into the plan") {
+    // Executing a TTL'd query under processAllAvailable is impossible by
+    // Spark semantics: with ProcessingTimeTimeout the engine must keep
+    // scheduling no-data batches so timeouts can fire, and
+    // processAllAvailable never sees quiescence (verified on Spark 4.1 —
+    // it hangs). So pin the wiring at plan level: the timeout conf and
+    // the state type must reach the FlatMapGroupsWithState node.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState
+    def timeoutOf(idle: Option[String]) = {
+      val input = MemoryStream[Ev]
+      StreamOps.streamingDistinctEstimate(input.toDF(), k = 16,
+          idleTimeout = idle)
+        .queryExecution.analyzed.collect {
+          case f: FlatMapGroupsWithState => f.timeout
+        }
+    }
+    assert(timeoutOf(Some("1 hour")) ==
+      Seq(org.apache.spark.sql.catalyst.plans.logical.ProcessingTimeTimeout))
+    assert(timeoutOf(None) ==
+      Seq(org.apache.spark.sql.catalyst.plans.logical.NoTimeout))
+  }
+
+  test("streaming KMV timed-out groups emit a final estimate then drop state") {
+    // Unit-drive the state-update function through the same GroupState
+    // machinery Spark uses (TestGroupState), covering the eviction branch
+    // a wall-clock test can't reach deterministically.
+    val input = (1 to 30).map(u =>
+      graft.functions.EngineFns.md5Long60(u.toString))
+    val kmv = new graft.functions.KmvAgg(16)
+    val buf = input.foldLeft(kmv.zero)(kmv.reduce)
+    import org.apache.spark.api.java.Optional
+    val state = org.apache.spark.sql.streaming.TestGroupState
+      .create[List[Long]](Optional.of(buf),
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+        1000L, Optional.empty[Long], hasTimedOut = true)
+    val out = StreamOps.distinctEstimateUpdate(kmv, 16, Some("1 hour"))(
+      "click", Iterator.empty, state)
+    val (en, ekth) = kmv.finish(buf)
+    assert(out == DistinctEstimate("click", en, ekth,
+      graft.functions.KmvAgg.estimate(16, en, ekth)))
+    assert(state.isRemoved, "evicted key must drop its sketch state")
+  }
+
   test("file-source streaming over the real events parquet matches batch") {
     import org.apache.spark.sql.functions._
     val sf = graft.SharedSpark.sf
