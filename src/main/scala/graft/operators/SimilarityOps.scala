@@ -373,12 +373,179 @@ object SimilarityOps {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s5
+  /** IVF-PQ: the production ANN index shape, composing s3's pruning with
+    * s4's compression. The coarse quantizer (s3's per-label median
+    * centroids) prunes the database to the query's nprobe=4 cells; the
+    * PQ code table + ADC lookup (s4) scores ONLY the surviving
+    * candidates. At 100 TB this is the whole point of the composition:
+    * the scan touches ~nprobe/#cells of the corpus, and what it reads per
+    * vector is 8 code bytes, not 64 floats — neither half alone gets both
+    * reductions.
+    *
+    * One ranked exact-median pass feeds BOTH codebooks (the coarse
+    * centroids reassemble all 64 dims; the PQ codebooks regroup the same
+    * medians by 8-dim subspace), so composing the two indexes costs one
+    * expensive subtree, persisted and released after the result is
+    * checkpointed.
+    *
+    * Shape at scale: centroids, codebooks, query LUT, and the candidate
+    * pair list (|queries| × pruned cells — small because the query set
+    * is small by construction, like s1's broadcast side) all broadcast;
+    * the code table streams map-side through candidate-semi-join → LUT
+    * lookup → partial sum. No shuffle carries a raw vector, and the
+    * fixed-point ADC sum keeps the result bit-exact against the oracle. */
+  def s5KnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    val SUBS = 8
+    val SD = 8
+    val NPROBE = 4
+    val sqd = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val e = emb(spark, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    val flat = e.select($"label", posexplode($"v").as(Seq("d0", "dv")))
+      .select($"label", ($"d0" + 1).as("d"), $"dv")
+    // ONE ranked-median pass shared by the coarse and PQ codebooks
+    val med = PercentileOps
+      .exactPercentiles(flat, Seq("label", "d"), "dv", Seq(0.5))
+      .persist()
+    try {
+      val centroids = med.groupBy($"label")
+        .agg(expr("transform(array_sort(collect_list(struct(d, pct))), x -> x.pct)")
+          .as("cv"))
+        .withColumn("cnrm", sqrt(dot($"cv", $"cv")))
+      val codes = med.withColumn("m", (($"d" - 1) / SD).cast("int"))
+        .groupBy($"label", $"m")
+        .agg(expr("transform(array_sort(collect_list(struct(d, pct))), x -> x.pct)")
+          .as("cv"))
+      // coarse quantizer: nearest cell per vector, nprobe cells per query
+      def cellRank(src: DataFrame, id: String, keep: Int): DataFrame = {
+        val w = Window.partitionBy(col(id)).orderBy($"csim".desc, $"label".asc)
+        src.crossJoin(broadcast(centroids))
+          .withColumn("csim", dot($"v", $"cv") / ($"nrm" * $"cnrm"))
+          .withColumn("crnk", row_number().over(w))
+          .filter($"crnk" <= keep)
+      }
+      val cellOf = cellRank(
+        e.select($"vec_id".as("nid"), $"v", $"nrm"), "nid", 1)
+        .select($"nid", $"label".as("cell"))
+      val probed = cellRank(
+        e.filter($"vec_id" < NQUERIES)
+          .select($"vec_id".as("qid"), $"v", $"nrm"), "qid", NPROBE)
+        .select($"qid", $"label".as("cell"))
+      // candidate pairs: database vectors living in a probed cell
+      val cand = cellOf.join(broadcast(probed), Seq("cell"))
+        .filter($"qid" =!= $"nid")
+        .select($"qid", $"nid")
+      // PQ encode (s4's shape): one min_by hash aggregate per (vector, m)
+      val sub = e.select($"vec_id",
+          explode(sequence(lit(0), lit(SUBS - 1))).as("m"), $"v")
+        .select($"vec_id", $"m", slice($"v", $"m" * SD + 1, lit(SD)).as("sv"))
+      val assigned = sub.join(broadcast(codes), Seq("m"))
+        .withColumn("d2", sqd($"sv", $"cv"))
+        .groupBy($"vec_id", $"m")
+        .agg(min_by($"label", struct($"d2", $"label")).as("code"))
+        .select($"vec_id".as("nid"), $"m", $"code")
+      val lut = sub.filter($"vec_id" < NQUERIES)
+        .select($"vec_id".as("lqid"), $"m".as("lm"), $"sv".as("qv"))
+        .join(broadcast(codes.withColumnRenamed("m", "lm")), Seq("lm"))
+        .select($"lqid", $"lm", $"label", micro(sqd($"qv", $"cv")).as("d2_micro"))
+      // ADC over candidates only: semi-restrict the code table, then sum
+      // 8 fixed-point lookups per surviving (query, vector) pair
+      val w = Window.partitionBy($"qid").orderBy($"adc_micro".asc, $"nid".asc)
+      assigned.join(broadcast(cand), Seq("nid"))
+        .join(broadcast(lut),
+          $"qid" === $"lqid" && $"m" === $"lm" && $"code" === $"label")
+        .groupBy($"qid", $"nid")
+        .agg(sum($"d2_micro").as("adc_micro"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= K)
+        .select($"qid", $"nid", $"rnk", $"adc_micro")
+        .orderBy($"qid", $"rnk")
+        .localCheckpoint()   // eager: materialized before the unpersist
+    } finally {
+      med.unpersist(blocking = false)
+    }
+  }
+
+  val s5KnnIvfPqSql: String = {
+    val dist = (a: String, b: String) =>
+      s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+       |med AS (
+       |  SELECT label, d, quantile_cont(v[d], 0.5) AS c
+       |  FROM e CROSS JOIN dims
+       |  GROUP BY label, d),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY d) AS cv FROM med GROUP BY label),
+       |cent2 AS (
+       |  SELECT label, cv, sqrt(${sqlDot("cv", "cv")}) AS cnrm FROM cent),
+       |codes AS (
+       |  SELECT label, CAST((d - 1) // 8 AS INT) AS m, list(c ORDER BY d) AS cv
+       |  FROM med GROUP BY 1, 2),
+       |cscored AS (
+       |  SELECT e.vec_id, e.nrm, c.label,
+       |    ${sqlDot("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+       |  FROM e CROSS JOIN cent2 c),
+       |cellranked AS (
+       |  SELECT vec_id, label, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id ORDER BY csim DESC, label ASC) AS crnk
+       |  FROM cscored),
+       |cellof AS (
+       |  SELECT vec_id AS nid, label AS cell FROM cellranked WHERE crnk = 1),
+       |probed AS (
+       |  SELECT vec_id AS qid, label AS cell FROM cellranked
+       |  WHERE crnk <= 4 AND vec_id < $NQUERIES),
+       |cand AS (
+       |  SELECT qid, nid FROM probed JOIN cellof USING (cell)
+       |  WHERE qid <> nid),
+       |sub AS (
+       |  SELECT vec_id, CAST(u.m AS INT) AS m,
+       |    list_slice(v, u.m * 8 + 1, u.m * 8 + 8) AS sv
+       |  FROM e, UNNEST(generate_series(0, 7)) AS u(m)),
+       |asg AS (
+       |  SELECT vec_id AS nid, m, label AS code FROM (
+       |    SELECT s.vec_id, s.m, c.label,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${dist("s.sv", "c.cv")}, c.label) AS rn
+       |    FROM sub s JOIN codes c USING (m))
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT s.vec_id AS qid, s.m, c.label,
+       |    ${sqlMicro(dist("s.sv", "c.cv"))} AS d2_micro
+       |  FROM sub s JOIN codes c USING (m)
+       |  WHERE s.vec_id < $NQUERIES),
+       |adc AS (
+       |  SELECT cd.qid, cd.nid, CAST(SUM(l.d2_micro) AS BIGINT) AS adc_micro
+       |  FROM cand cd
+       |  JOIN asg a ON a.nid = cd.nid
+       |  JOIN lut l ON l.qid = cd.qid AND l.m = a.m AND l.label = a.code
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, nid, adc_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY adc_micro ASC, nid ASC) AS rnk
+       |  FROM adc)
+       |SELECT qid, nid, CAST(rnk AS INT) AS rnk, adc_micro
+       |FROM ranked WHERE rnk <= $K
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh"   -> (s2KnnLsh _),
     "s3_knn_ivf"   -> (s3KnnIvf _),
     "s4_knn_pq"    -> (s4KnnPq _),
+    "s5_knn_ivfpq" -> (s5KnnIvfPq _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -386,5 +553,6 @@ object SimilarityOps {
     "s2_knn_lsh"   -> s2KnnLshSql,
     "s3_knn_ivf"   -> s3KnnIvfSql,
     "s4_knn_pq"    -> s4KnnPqSql,
+    "s5_knn_ivfpq" -> s5KnnIvfPqSql,
   )
 }

@@ -139,4 +139,88 @@ class Round5OpsSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian product")
     }
   }
+
+  test("s5: composition is consistent — shared pairs carry s4's exact ADC") {
+    // s5 = s4's scoring over s3-pruned candidates, so any (qid, nid) pair
+    // ranked by BOTH must have the identical fixed-point ADC distance.
+    val s4 = q("s4_knn_pq").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val s5 = q("s5_knn_ivfpq").collect()
+    assert(s5.nonEmpty)
+    val shared = s5.filter(r => s4.contains((r.getLong(0), r.getLong(1))))
+    assert(shared.nonEmpty, "pruning removed every s4 top-10 pair — implausible")
+    shared.foreach { r =>
+      assert(r.getLong(3) == s4((r.getLong(0), r.getLong(1))),
+        s"ADC mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // per-query ranks dense, distances non-decreasing in rank
+    s5.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+      val inOrder = rs.sortBy(_.getInt(2)).map(_.getLong(3))
+      assert(inOrder.sameElements(inOrder.sorted))
+    }
+  }
+
+  test("e14: transition counts conserve events; probabilities are permille") {
+    val rows = q("e14_transitions").collect()
+    assert(rows.nonEmpty)
+    val ev = Tables(spark, sf, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    // each user with k events contributes exactly k-1 transitions
+    assert(rows.map(_.getLong(2)).sum == nEvents - nUsers)
+    rows.foreach(r => assert(r.getLong(3) > 0 && r.getLong(3) <= 1000))
+    // per-source floor-permilles sum to (1000 - fanout, 1000]
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val s = rs.map(_.getLong(3)).sum
+      assert(s <= 1000 && s > 1000 - rs.length)
+    }
+  }
+
+  test("t12: subword pieces refine words; ratios are conserved") {
+    val rows = q("t12_subword_tokens").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (words, pieces, distinct, letters) =
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      // every word is at least one piece; pieces never exceed letters
+      assert(pieces >= words && pieces <= letters)
+      assert(distinct <= pieces)
+      // milli ratios recompute from the counts they were derived from
+      assert(r.getLong(5) == math.floor(1000.0 * letters / pieces).toLong)
+      assert(r.getLong(6) == math.floor(1000.0 * pieces / words).toLong)
+    }
+  }
+
+  test("p6: temperature rebalances toward the tail; shares conserve") {
+    val rows = q("p6_mixture_weights").collect()
+    val nLangs = rows.length
+    assert(nLangs >= 2)
+    // micro shares each sum to 1e6 up to floor loss (< 1 per row)
+    val shareSum = rows.map(_.getLong(2)).sum
+    val targetSum = rows.map(_.getLong(3)).sum
+    assert(shareSum > 1000000L - nLangs && shareSum <= 1000000L)
+    assert(targetSum > 1000000L - nLangs && targetSum <= 1000000L)
+    // α=0.5 flattens: below-natural-share langs gain, the dominant loses
+    rows.foreach { r =>
+      val (share, target) = (r.getLong(2), r.getLong(3))
+      if (share * nLangs < 1000000L) assert(target >= share,
+        s"${r.getString(0)}: tail language must be upweighted")
+      else if (share * nLangs > 1000000L) assert(target <= share,
+        s"${r.getString(0)}: dominant language must be downweighted")
+      assert(r.getLong(4) <= 1000000L && r.getLong(4) > 0)
+    }
+  }
+
+  test("q35: melt is the exact inverse of q18's pivot") {
+    val wide = q("q18_pivot").collect()
+      .map(r => r.getInt(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val long = q("q35_unpivot").collect()
+    assert(long.length == wide.size * 3)
+    long.groupBy(_.getInt(0)).foreach { case (yr, rs) =>
+      val got = rs.sortBy(_.getString(1)).map(_.getDouble(2)).toSeq
+      assert(got == wide(yr), s"yr $yr: $got != ${wide(yr)}")
+    }
+  }
 }
