@@ -466,6 +466,49 @@ object EventOps {
     * the hash gate would surface any drift as an e13-vs-oracle mismatch. */
   val e13JsonParseOnceSql: String = e2JsonExtractSql
 
+  // --------------------------------------------------------------- e14
+  /** First-order event-type transition matrix: per user, order events by
+    * (ts, event_id) and count each consecutive (from → to) pair, with a
+    * permille transition probability per source type — the sequence-
+    * mining primitive behind next-event prediction and funnel discovery.
+    *
+    * Scale shape: the only data-size shuffle is the per-user window
+    * (bounded state: one row of lookahead per task, partitions are
+    * per-user so skew is capped by the busiest user); the transition
+    * counts collapse to ≤ |types|² rows before the probability window
+    * touches them. The tie-break on event_id makes the sequence — and
+    * therefore the matrix — deterministic under equal timestamps. */
+  def e14Transitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seqW = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("from_type"),
+        lead($"event_type", 1).over(seqW).as("to_type"))
+      .filter($"to_type".isNotNull)
+    val fromW = Window.partitionBy($"from_type")
+    pairs.groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob_permille",
+        graft.functions.EngineFns.permille($"n", sum($"n").over(fromW)))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val e14TransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(FLOOR(1000.0 * n / SUM(n) OVER (PARTITION BY from_type)) AS BIGINT)
+      |    AS prob_permille
+      |FROM cnt
+      |ORDER BY from_type, to_type""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
@@ -481,6 +524,7 @@ object EventOps {
     "e11_retention"  -> (e11Retention _),
     "e12_histogram"  -> (e12Histogram _),
     "e13_json_parse_once" -> (e13JsonParseOnce _),
+    "e14_transitions" -> (e14Transitions _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -497,5 +541,6 @@ object EventOps {
     "e11_retention"  -> e11RetentionSql,
     "e12_histogram"  -> e12HistogramSql,
     "e13_json_parse_once" -> e13JsonParseOnceSql,
+    "e14_transitions" -> e14TransitionsSql,
   )
 }

@@ -1107,6 +1107,32 @@ object RelationalOps {
        |ORDER BY bloom_maybe, actual""".stripMargin
   }
 
+  // --------------------------------------------------------------- q35
+  /** Unpivot (melt): q18's wide year×status revenue matrix back to long
+    * (yr, status, revenue) rows — the inverse reshaping operator, used
+    * whenever a wide feature table must feed a long-format consumer.
+    * Spark's `unpivot` is a zero-shuffle Expand projection: each input
+    * row fans out to one row per value column in the same task, so the
+    * reshape adds no exchange on top of the aggregate that built the
+    * wide frame — at any scale the cost is the wide frame's, not the
+    * melt's. */
+  def q35Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    q18Pivot(spark, dir)
+      .unpivot(Array($"yr"), Array($"rev_f", $"rev_o", $"rev_p"),
+        "status", "revenue")
+      .orderBy($"yr", $"status")
+  }
+
+  val q35UnpivotSql: String = {
+    val wide = q18PivotSql.replace("ORDER BY yr", "")
+    s"""WITH wide AS ($wide)
+       |SELECT yr, status, revenue
+       |FROM (FROM wide UNPIVOT INCLUDE NULLS
+       |      (revenue FOR status IN (rev_f, rev_o, rev_p)))
+       |ORDER BY yr, status""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -1143,6 +1169,7 @@ object RelationalOps {
     "q32_recursive_cte"  -> (q32RecursiveCte _),
     "q33_kmv_sketch"     -> (q33KmvSketch _),
     "q34_bloom_prefilter" -> (q34BloomPrefilter _),
+    "q35_unpivot"        -> (q35Unpivot _),
   )
 
   // --------------------------------------------------------------- q15
@@ -1199,5 +1226,6 @@ object RelationalOps {
     "q32_recursive_cte"  -> q32RecursiveCteSql,
     "q33_kmv_sketch"     -> q33KmvSketchSql,
     "q34_bloom_prefilter" -> q34BloomPrefilterSql,
+    "q35_unpivot"        -> q35UnpivotSql,
   )
 }
