@@ -298,6 +298,59 @@ object PipelineOps {
        |FROM r WHERE strat_rank <= 40
        |ORDER BY lang, strat_rank""".stripMargin
 
+  // ---------------------------------------------------------------- p6
+  /** Temperature-scaled data-mixture weights (the multilingual-corpus
+    * rebalancing rule: sample language l with probability ∝ n_l^α,
+    * α = 0.5): per language, its natural share, its temperature-scaled
+    * target share, and the per-document acceptance rate that realizes
+    * the target from a fixed 1000-doc budget. α < 1 upweights the tail —
+    * low-resource languages get sampled more than their natural share,
+    * the standard fix for high-resource languages drowning the mixture.
+    *
+    * Determinism: n^0.5 is one correctly-rounded IEEE sqrt, shares are
+    * single divides, and everything lands as floor-micro fixed-point —
+    * bit-exact on both engines. Acceptance is capped at 1 (a stratum
+    * smaller than its target keeps everything; realized budget then
+    * undershoots, as a real sampler would report).
+    *
+    * Scale shape: one partial-aggregated count per language (5 rows),
+    * then window math over that constant-size frame — the 100 TB input
+    * contributes exactly one count shuffle; the mixture arithmetic never
+    * sees data volume. */
+  def p6MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val BUDGET = 1000.0
+    val all = Window.partitionBy(lit(1))
+    docs(spark, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_micro",
+        micro($"n_docs" / sum($"n_docs").over(all)))
+      .withColumn("w", sqrt($"n_docs".cast("double")))
+      .withColumn("target_micro", micro($"w" / sum($"w").over(all)))
+      .withColumn("accept_micro",
+        least(lit(1000000L),
+          micro(lit(BUDGET) * ($"w" / sum($"w").over(all)) / $"n_docs")))
+      .select($"lang", $"n_docs", $"share_micro", $"target_micro",
+        $"accept_micro")
+      .orderBy($"lang")
+  }
+
+  val p6MixtureWeightsSql: String =
+    s"""WITH c AS (
+       |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+       |w AS (
+       |  SELECT lang, n_docs,
+       |    n_docs / SUM(n_docs) OVER () AS share,
+       |    sqrt(CAST(n_docs AS DOUBLE)) / SUM(sqrt(CAST(n_docs AS DOUBLE))) OVER ()
+       |      AS target
+       |  FROM c)
+       |SELECT lang, n_docs,
+       |  ${sqlMicro("share")} AS share_micro,
+       |  ${sqlMicro("target")} AS target_micro,
+       |  LEAST(1000000, ${sqlMicro("1000.0 * target / n_docs")}) AS accept_micro
+       |FROM w
+       |ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_prep_pipeline" -> (p1PrepPipeline _),
@@ -305,6 +358,7 @@ object PipelineOps {
     "p3_chunk_windows" -> (p3ChunkWindows _),
     "p4_pack_sequences" -> (p4PackSequences _),
     "p5_stratified_quota" -> (p5StratifiedQuota _),
+    "p6_mixture_weights" -> (p6MixtureWeights _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -313,5 +367,6 @@ object PipelineOps {
     "p3_chunk_windows" -> p3ChunkWindowsSql,
     "p4_pack_sequences" -> p4PackSequencesSql,
     "p5_stratified_quota" -> p5StratifiedQuotaSql,
+    "p6_mixture_weights" -> p6MixtureWeightsSql,
   )
 }

@@ -476,6 +476,55 @@ object TextOps {
   }
 
   // ------------------------------------------------------------ registry
+  // --------------------------------------------------------------- t12
+  /** Subword ("BPE-ish") token counting via one regex pass: pieces are
+    * maximal vowel runs / non-vowel runs (`[aeiou]+|[^aeiou ]+`), the
+    * deterministic regex stand-in for a learned BPE merge table — real
+    * tokenizer budgeting needs the trained vocab, but the PIPELINE
+    * signals (pieces per doc, chars per piece, subword fan-out per word)
+    * only need a fixed, engine-reproducible segmentation. chars/piece is
+    * the standard compression-ratio quality signal (~4 chars/token for
+    * clean English under real BPE; degenerate text scores far off it).
+    *
+    * Scale shape: `regexp_extract_all` + `size` is a single codegen'd
+    * projection — no explode, nothing but (doc_id, 4 longs) ever leaves
+    * the scan, and the regex engine sees each doc once. The character
+    * classes are disjoint, so Java (Spark) and RE2 (DuckDB) regex
+    * semantics provably agree — no alternation-order or lookahead
+    * subtleties ride the oracle. */
+  def t12SubwordTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pieces = regexp_extract_all($"text", lit("[aeiou]+|[^aeiou ]+"), lit(0))
+    docs(spark, dir)
+      .select(
+        $"doc_id",
+        size(tokens($"text")).as("n_words"),
+        size(pieces).as("n_pieces"),
+        size(array_distinct(pieces)).as("n_distinct_pieces"),
+        length(regexp_replace($"text", " ", "")).as("n_letters"))
+      .withColumn("chars_per_piece_milli",
+        graft.functions.EngineFns.permille($"n_letters", $"n_pieces"))
+      .withColumn("pieces_per_word_milli",
+        graft.functions.EngineFns.permille($"n_pieces", $"n_words"))
+      .orderBy($"doc_id")
+  }
+
+  val t12SubwordTokensSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+      |    CAST(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+')) AS INT)
+      |      AS n_pieces,
+      |    CAST(len(list_distinct(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+'))) AS INT)
+      |      AS n_distinct_pieces,
+      |    CAST(len(replace(text, ' ', '')) AS INT) AS n_letters
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_pieces, n_distinct_pieces, n_letters,
+      |  CAST(FLOOR(1000.0 * n_letters / n_pieces) AS BIGINT) AS chars_per_piece_milli,
+      |  CAST(FLOOR(1000.0 * n_pieces / n_words) AS BIGINT) AS pieces_per_word_milli
+      |FROM p
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_profile" -> (t2LangProfile _),
@@ -488,6 +537,7 @@ object TextOps {
     "t9_repetition"   -> (t9Repetition _),
     "t10_corpus_shingles" -> (t10CorpusShingles _),
     "t11_decontaminate" -> (t11Decontaminate _),
+    "t12_subword_tokens" -> (t12SubwordTokens _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -502,5 +552,6 @@ object TextOps {
     "t9_repetition"   -> t9RepetitionSql,
     "t10_corpus_shingles" -> t10CorpusShinglesSql,
     "t11_decontaminate" -> t11DecontaminateSql,
+    "t12_subword_tokens" -> t12SubwordTokensSql,
   )
 }
