@@ -76,4 +76,29 @@ object LayoutOps {
   def prunedScan(spark: SparkSession, path: String,
                  partCol: String, value: String): DataFrame =
     spark.read.parquet(path).filter(col(partCol) === value)
+
+  /** Write `df` as a bucketed, per-bucket-sorted catalog table — the
+    * PRE-PAID shuffle. Rows are hash-distributed into `buckets` files by
+    * `bucketCol` at write time and the bucket spec rides in the catalog,
+    * so a later join or aggregation keyed on `bucketCol` between tables
+    * with the SAME bucket count needs no exchange at all: both scans
+    * already report `HashPartitioning(bucketCol, buckets)` and
+    * EnsureRequirements inserts nothing. This is THE layout for
+    * fact-to-fact joins at 100 TB, where neither side can broadcast and
+    * an on-the-fly shuffle of either side is the job's dominant cost —
+    * one write-time exchange is amortized over every subsequent join.
+    *
+    * The explicit `repartition` matches the write tasks to the bucket
+    * function (Spark's bucketing and `repartition` both use Murmur3 on
+    * the column), so each bucket is exactly ONE file — without it every
+    * task writes a sliver of every bucket (tasks × buckets small files)
+    * and the per-bucket `sortBy` order no longer implies a single sorted
+    * run, forcing joins to re-sort. */
+  def writeBucketed(df: DataFrame, table: String,
+                    bucketCol: String, buckets: Int): Unit =
+    df.repartition(buckets, col(bucketCol))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

@@ -59,6 +59,40 @@ class LayoutOpsSpec extends AnyFunSuite {
       docs.filter(col("lang") === "en").count())
   }
 
+  test("writeBucketed: co-bucketed tables join with zero exchanges") {
+    val li = Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    LayoutOps.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    LayoutOps.writeBucketed(
+      ord.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "ord_bucketed", "l_orderkey", 8)
+    // one file per bucket: the repartition inside writeBucketed matched
+    // write tasks to the bucket function
+    val whLi = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("li_bucketed"))
+      .location.getPath
+    assert(leafFiles(whLi).size == 8,
+      s"expected 8 bucket files, got ${leafFiles(whLi).size}")
+    val save = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the join to plan as SMJ so any missing co-partitioning
+      // would surface as an Exchange, not hide under a broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), "l_orderkey")
+      assert(j.count() == li.count(), "bucketed join must equal plain join")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", save)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("compact: bin-packs many small files into range-disjoint big ones") {
     val out = tmpDir() + "/events"
     val events = Tables(spark, sf, "events").select("event_id", "event_type")
