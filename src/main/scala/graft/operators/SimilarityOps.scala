@@ -389,87 +389,105 @@ object SimilarityOps {
     * expensive subtree, persisted and released after the result is
     * checkpointed.
     *
-    * Shape at scale: centroids, codebooks, query LUT, and the candidate
-    * pair list (|queries| × pruned cells — small because the query set
-    * is small by construction, like s1's broadcast side) all broadcast;
-    * the code table streams map-side through candidate-semi-join → LUT
-    * lookup → partial sum. No shuffle carries a raw vector, and the
-    * fixed-point ADC sum keeps the result bit-exact against the oracle. */
+    * Shape at scale — the QUERY-COMPILED serving form. The index
+    * artifacts are all tiny by construction (10 centroids, 8×10 code
+    * vectors, NPROBE cells and an 8×10 fixed-point LUT per query), so
+    * after one distributed median pass builds them they are collected
+    * and COMPILED INTO THE PLAN as literals — the same baked-constants
+    * pattern as s2's hyperplanes, and data-movement-equivalent to a
+    * broadcast (a broadcast also collects to the driver first). What
+    * remains is ONE map pass over the corpus: each vector computes its
+    * cell (argmin over 10 literal centroids) and its 8 PQ codes (argmin
+    * per subspace over 10 literal code vectors), looks up which queries
+    * probe its cell (literal cell→queries map — vectors in unprobed
+    * cells are dropped map-side), and sums 8 literal-LUT lookups per
+    * surviving query. The only shuffle in the whole query is the final
+    * per-query top-K. A first declarative formulation (windows + 7
+    * broadcast joins over checkpointed frames) spent ~25 single-task
+    * stages of pure scheduling/codegen overhead per run; this form is
+    * 4 stages and is also exactly how a production system serves ANN —
+    * codebooks ship with the query, the scan reads codes, not vectors.
+    *
+    * Everything stays bit-exact against the oracle because the driver
+    * math mirrors the engine ops: dot products and squared distances
+    * fold LEFT in element order seeded with 0.0 (VecDot / DuckDB
+    * list_reduce semantics), sqrt is correctly-rounded IEEE, and LUT
+    * entries are floor-micro fixed-point so the ADC sum is an
+    * order-independent integer add. */
   def s5KnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     registerAll(spark)
     val SUBS = 8
     val SD = 8
     val NPROBE = 4
-    val sqd = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
+    // driver twins of the engine folds (left fold, seed 0.0 — exact)
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def sqdA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    def microL(x: Double): Long = math.floor(x * 1000000.0).toLong
     val e = emb(spark, dir)
       .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot($"v", $"v")))
     val flat = e.select($"label", posexplode($"v").as(Seq("d0", "dv")))
       .select($"label", ($"d0" + 1).as("d"), $"dv")
-    // ONE ranked-median pass shared by the coarse and PQ codebooks
+    // index build: ONE distributed ranked-median pass; its 640-row result
+    // comes back to the driver (what broadcasting it would do anyway)
     val med = PercentileOps
       .exactPercentiles(flat, Seq("label", "d"), "dv", Seq(0.5))
-      .persist()
-    try {
-      val centroids = med.groupBy($"label")
-        .agg(expr("transform(array_sort(collect_list(struct(d, pct))), x -> x.pct)")
-          .as("cv"))
-        .withColumn("cnrm", sqrt(dot($"cv", $"cv")))
-      val codes = med.withColumn("m", (($"d" - 1) / SD).cast("int"))
-        .groupBy($"label", $"m")
-        .agg(expr("transform(array_sort(collect_list(struct(d, pct))), x -> x.pct)")
-          .as("cv"))
-      // coarse quantizer: nearest cell per vector, nprobe cells per query
-      def cellRank(src: DataFrame, id: String, keep: Int): DataFrame = {
-        val w = Window.partitionBy(col(id)).orderBy($"csim".desc, $"label".asc)
-        src.crossJoin(broadcast(centroids))
-          .withColumn("csim", dot($"v", $"cv") / ($"nrm" * $"cnrm"))
-          .withColumn("crnk", row_number().over(w))
-          .filter($"crnk" <= keep)
-      }
-      val cellOf = cellRank(
-        e.select($"vec_id".as("nid"), $"v", $"nrm"), "nid", 1)
-        .select($"nid", $"label".as("cell"))
-      val probed = cellRank(
-        e.filter($"vec_id" < NQUERIES)
-          .select($"vec_id".as("qid"), $"v", $"nrm"), "qid", NPROBE)
-        .select($"qid", $"label".as("cell"))
-      // candidate pairs: database vectors living in a probed cell
-      val cand = cellOf.join(broadcast(probed), Seq("cell"))
-        .filter($"qid" =!= $"nid")
-        .select($"qid", $"nid")
-      // PQ encode (s4's shape): one min_by hash aggregate per (vector, m)
-      val sub = e.select($"vec_id",
-          explode(sequence(lit(0), lit(SUBS - 1))).as("m"), $"v")
-        .select($"vec_id", $"m", slice($"v", $"m" * SD + 1, lit(SD)).as("sv"))
-      val assigned = sub.join(broadcast(codes), Seq("m"))
-        .withColumn("d2", sqd($"sv", $"cv"))
-        .groupBy($"vec_id", $"m")
-        .agg(min_by($"label", struct($"d2", $"label")).as("code"))
-        .select($"vec_id".as("nid"), $"m", $"code")
-      val lut = sub.filter($"vec_id" < NQUERIES)
-        .select($"vec_id".as("lqid"), $"m".as("lm"), $"sv".as("qv"))
-        .join(broadcast(codes.withColumnRenamed("m", "lm")), Seq("lm"))
-        .select($"lqid", $"lm", $"label", micro(sqd($"qv", $"cv")).as("d2_micro"))
-      // ADC over candidates only: semi-restrict the code table, then sum
-      // 8 fixed-point lookups per surviving (query, vector) pair
-      val w = Window.partitionBy($"qid").orderBy($"adc_micro".asc, $"nid".asc)
-      assigned.join(broadcast(cand), Seq("nid"))
-        .join(broadcast(lut),
-          $"qid" === $"lqid" && $"m" === $"lm" && $"code" === $"label")
-        .groupBy($"qid", $"nid")
-        .agg(sum($"d2_micro").as("adc_micro"))
-        .withColumn("rnk", row_number().over(w))
-        .filter($"rnk" <= K)
-        .select($"qid", $"nid", $"rnk", $"adc_micro")
-        .orderBy($"qid", $"rnk")
-        .localCheckpoint()   // eager: materialized before the unpersist
-    } finally {
-      med.unpersist(blocking = false)
+      .select($"label".cast("long"), $"d", $"pct").collect()
+    val cent: Map[Long, Array[Double]] = med.groupBy(_.getLong(0)).map {
+      case (l, rs) => l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
     }
+    val labels = cent.keys.toSeq.sorted
+    val cnrm: Map[Long, Double] = cent.map { case (l, c) => l -> math.sqrt(dotA(c, c)) }
+    val codebook: Map[(Long, Int), Array[Double]] = for {
+      (l, c) <- cent; m <- 0 until SUBS
+    } yield (l, m) -> c.slice(m * SD, m * SD + SD)
+    // query side: tiny by construction (s1's broadcast-q rationale)
+    val qs: Seq[(Long, Array[Double])] = e.filter($"vec_id" < NQUERIES)
+      .select($"vec_id", $"v").collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // probes: NPROBE nearest cells per query, inverted to cell → queries
+    val probesOf: Map[Long, Seq[Long]] = qs.flatMap { case (qid, qv) =>
+      val qn = math.sqrt(dotA(qv, qv))
+      labels.map(l => (dotA(qv, cent(l)) / (qn * cnrm(l)), l))
+        .sortBy { case (csim, l) => (-csim, l) }
+        .take(NPROBE).map { case (_, cell) => (cell, qid) }
+    }.groupBy(_._1).map { case (c, ps) => c -> ps.map(_._2).sorted }
+    // ADC lookup table, fixed-point: (qid, m, code) → micro(sqd)
+    val lut: Map[String, Long] = (for {
+      (qid, qv) <- qs; m <- 0 until SUBS; l <- labels
+    } yield s"$qid:$m:$l" -> microL(sqdA(qv.slice(m * SD, m * SD + SD),
+      codebook((l, m))))).toMap
+    // the one corpus pass: cell + codes are argmin projections over the
+    // literal codebooks (array_min over (key, label) structs = min_by)
+    val cellExpr = array_min(array(labels.map(l => struct(
+      (dot($"v", typedLit(cent(l))) / ($"nrm" * lit(cnrm(l)))) * lit(-1.0),
+      lit(l).as("label"))): _*)).getField("label")
+    def codeExpr(m: Int): Column = array_min(array(labels.map(l => struct(
+      aggregate(zip_with(slice($"v", m * SD + 1, SD), typedLit(codebook((l, m))),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x),
+      lit(l).as("label"))): _*)).getField("label")
+    val adcExpr = (0 until SUBS).map(m => element_at(typedLit(lut),
+      concat_ws(":", $"qid", lit(m), col(s"c$m")))).reduce(_ + _)
+    val w = Window.partitionBy($"qid").orderBy($"adc_micro".asc, $"nid".asc)
+    e.select($"vec_id".as("nid"), $"v", $"nrm")
+      .withColumn("cell", cellExpr)
+      .select(Seq($"nid", $"cell") ++
+        (0 until SUBS).map(m => codeExpr(m).as(s"c$m")): _*)
+      // vectors in cells no query probes vanish here, map-side
+      .withColumn("qid", explode(element_at(typedLit(probesOf), $"cell")))
+      .filter($"qid" =!= $"nid")
+      .withColumn("adc_micro", adcExpr)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"nid", $"rnk", $"adc_micro")
+      .orderBy($"qid", $"rnk")
   }
 
   val s5KnnIvfPqSql: String = {
