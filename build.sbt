@@ -36,4 +36,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the full 45-query bench GC-bound (cube/outer-join outliers 3-10x
   // slower). The box has 128 GiB; 48g keeps every query CPU-bound.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 85 queries × whole-stage codegen ≈ thousands of generated classes in
+  // one JVM; the default 240 MB JIT code cache fills mid-bench, C2 stops
+  // compiling, and later iterative queries (d8's label-propagation loop)
+  // run interpreted at 5-10x — measured as d8 3.5 s isolated vs 25-33 s
+  // benched-after-84-queries. A driver hosting many codegen-heavy plans
+  // needs code-cache headroom just like heap headroom.
+  "-XX:ReservedCodeCacheSize=1g",
 )
