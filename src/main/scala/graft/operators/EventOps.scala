@@ -509,6 +509,77 @@ object EventOps {
       |FROM cnt
       |ORDER BY from_type, to_type""".stripMargin
 
+  // --------------------------------------------------------------- e15
+  /** Volume-anomaly detection: per event type, the z-score of each hour's
+    * event count against that type's full-history mean/stddev, with a
+    * |z| ≥ 3 flag — the standard ops/pipeline-health primitive (traffic
+    * spikes, ingestion gaps).
+    *
+    * Exactness: counts are integers, so Σn and Σn² accumulate as exact
+    * longs inside window aggregates (integer adds are order-independent,
+    * unlike the double sums a naive stddev window would use). The
+    * variance is formed as the exact integer ratio (cnt·Σn² − (Σn)²) /
+    * cnt² and only then divided and square-rooted — one double divide,
+    * one IEEE sqrt, one floor-milli projection, identical on both
+    * engines. A zero-variance type (all hours equal) gets z = 0 rather
+    * than a divide-by-zero. At extreme scale the long products would
+    * need decimal(38) — documented bound: cnt·Σn² < 2⁶³ holds through
+    * ~10¹² events per type at hourly granularity.
+    *
+    * Scale shape: one hash aggregate to hourly counts (bounded at
+    * types × hours rows regardless of event volume), then window sums
+    * over that bounded frame. */
+  def e15Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byType = Window.partitionBy($"event_type")
+    val hourly = events(spark, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    hourly
+      .withColumn("cnt", count(lit(1)).over(byType))
+      .withColumn("s1", sum($"n").over(byType))
+      .withColumn("s2", sum($"n" * $"n").over(byType))
+      .withColumn("var_num", $"cnt" * $"s2" - $"s1" * $"s1")
+      .withColumn("mean", $"s1".cast("double") / $"cnt")
+      .withColumn("z_milli",
+        when($"var_num" === 0, 0L).otherwise(
+          floor(lit(1000.0) * ($"n".cast("double") - $"mean") /
+            sqrt($"var_num".cast("double") / ($"cnt" * $"cnt").cast("double")))
+            .cast("long")))
+      .withColumn("is_anomaly", abs($"z_milli") >= 3000)
+      .select($"event_type", $"hour", $"n", $"z_milli", $"is_anomaly")
+      .orderBy($"event_type", $"hour")
+  }
+
+  val e15AnomalySql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, hour, n,
+      |    COUNT(*) OVER w AS cnt,
+      |    SUM(n) OVER w AS s1,
+      |    SUM(n * n) OVER w AS s2
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type)),
+      |scored AS (
+      |  SELECT event_type, hour, n,
+      |    CAST(cnt * s2 - s1 * s1 AS BIGINT) AS var_num,
+      |    CAST(s1 AS DOUBLE) / cnt AS mean,
+      |    CAST(cnt AS BIGINT) AS cntb
+      |  FROM stats)
+      |SELECT event_type, hour, n,
+      |  CASE WHEN var_num = 0 THEN 0
+      |       ELSE CAST(FLOOR(1000.0 * (CAST(n AS DOUBLE) - mean) /
+      |         sqrt(CAST(var_num AS DOUBLE) / CAST(cntb * cntb AS DOUBLE))) AS BIGINT)
+      |  END AS z_milli,
+      |  CASE WHEN var_num = 0 THEN FALSE
+      |       ELSE abs(CAST(FLOOR(1000.0 * (CAST(n AS DOUBLE) - mean) /
+      |         sqrt(CAST(var_num AS DOUBLE) / CAST(cntb * cntb AS DOUBLE))) AS BIGINT)) >= 3000
+      |  END AS is_anomaly
+      |FROM scored
+      |ORDER BY event_type, hour""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
@@ -525,6 +596,7 @@ object EventOps {
     "e12_histogram"  -> (e12Histogram _),
     "e13_json_parse_once" -> (e13JsonParseOnce _),
     "e14_transitions" -> (e14Transitions _),
+    "e15_anomaly"    -> (e15Anomaly _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -542,5 +614,6 @@ object EventOps {
     "e12_histogram"  -> e12HistogramSql,
     "e13_json_parse_once" -> e13JsonParseOnceSql,
     "e14_transitions" -> e14TransitionsSql,
+    "e15_anomaly"    -> e15AnomalySql,
   )
 }

@@ -212,6 +212,20 @@ class Round5OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e15: z-scores center and flag matches threshold") {
+    val rows = q("e15_anomaly").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(4) == (math.abs(r.getLong(3)) >= 3000)))
+    // per type, z-scores must straddle zero (they are centered residuals)
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val zs = rs.map(_.getLong(3))
+      assert(zs.min <= 0 && zs.max >= 0, s"$t z-scores not centered: $zs")
+    }
+    // row count equals the hourly aggregate's (one z per type-hour)
+    assert(rows.length ==
+      q("e1_hourly_agg").select("hour", "event_type").distinct().count())
+  }
+
   test("q35: melt is the exact inverse of q18's pivot") {
     val wide = q("q18_pivot").collect()
       .map(r => r.getInt(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
