@@ -212,6 +212,16 @@ class Round5OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s5: query-compiled plan — no joins, exchanges only for top-k + sort") {
+    // the index artifacts ride as literals, so the corpus pass must plan
+    // as pure projections: any Join node means a broadcast/shuffle crept
+    // back in; >2 exchanges means the map pass itself started shuffling
+    val p = q("s5_knn_ivfpq").queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"s5 must not plan a join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"s5 planned $exchanges exchanges (want <=2):\n$p")
+  }
+
   test("e15: z-scores center and flag matches threshold") {
     val rows = q("e15_anomaly").collect()
     assert(rows.nonEmpty)
