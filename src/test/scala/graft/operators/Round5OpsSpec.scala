@@ -222,6 +222,14 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"s5 planned $exchanges exchanges (want <=2):\n$p")
   }
 
+  test("t12: pure map pass — the only exchange is the output sort") {
+    val p = q("t12_subword_tokens").queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"t12 planned $exchanges exchanges (want <=1):\n$p")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      s"t12 must not join or explode:\n$p")
+  }
+
   test("e15: z-scores center and flag matches threshold") {
     val rows = q("e15_anomaly").collect()
     assert(rows.nonEmpty)
