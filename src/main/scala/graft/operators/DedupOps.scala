@@ -576,6 +576,60 @@ object DedupOps {
        |FROM labels l JOIN sizes s USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- d10
+  /** Containment near-dup pairs: the ASYMMETRIC overlap C(A→B) =
+    * |A∩B| / |A| over distinct word trigrams, flagging pairs where the
+    * smaller document is ≥ 80% contained in the other. Symmetric Jaccard
+    * (d3) misses exactly these: a page plus the same page wrapped in
+    * boilerplate has high containment but low Jaccard (the union is
+    * inflated by the wrapper), and subset-duplicates are the dominant
+    * crawl pathology (quoted articles, syndicated bodies, footer/header
+    * variants). Output carries both directions' permille containment;
+    * the threshold tests the max (= the smaller side's) with
+    * cross-multiplied integer math, exact on both engines.
+    *
+    * Scale shape: identical to d3 — candidate pairs from the self-join
+    * on shared 60-bit gram hashes (shuffle-hash, one exchange computed
+    * once and read twice), cost proportional to true collisions, never
+    * |docs|². The containment arithmetic adds nothing to the shuffle. */
+  def d10Containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.TrigramHash60.register(spark)
+    val grams = docs(spark, dir)
+      .select($"doc_id", expr("trigram_hashes(text)").as("gh_arr"))
+      .select($"doc_id", size($"gh_arr").as("c"), explode($"gh_arr").as("gh"))
+    grams.as("a").join(grams.hint("shuffle_hash").as("b"),
+        $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+               $"a.c".as("ca"), $"b.c".as("cb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" * 10 >= least($"ca", $"cb") * 8)
+      .select($"i", $"j", $"shared", $"ca", $"cb",
+        permille($"shared", $"ca").as("cont_i_milli"),
+        permille($"shared", $"cb").as("cont_j_milli"))
+      .orderBy($"i", $"j")
+  }
+
+  val d10ContainmentSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |gr AS (SELECT doc_id, ${sqlTrigrams("l")} AS grams FROM toks),
+       |grams AS (
+       |  SELECT doc_id, len(grams) AS c,
+       |         unnest(list_transform(grams, g -> ${sqlMd5Long("g")})) AS gh
+       |  FROM gr),
+       |shared AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, a.c AS ca, b.c AS cb,
+       |         COUNT(*) AS shared
+       |  FROM grams a JOIN grams b ON a.gh = b.gh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT i, j, shared, ca, cb,
+       |  ${sqlPermille("shared", "ca")} AS cont_i_milli,
+       |  ${sqlPermille("shared", "cb")} AS cont_j_milli
+       |FROM shared
+       |WHERE shared * 10 >= LEAST(ca, cb) * 8
+       |ORDER BY i, j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact"   -> (d1DedupExact _),
     "d2_dedup_normset" -> (d2DedupNormSet _),
@@ -586,6 +640,7 @@ object DedupOps {
     "d7_dedup_keepbest" -> (d7DedupKeepBest _),
     "d8_dup_clusters"  -> (d8DupClusters _),
     "d9_minhash_jaccard" -> (d9MinhashJaccard _),
+    "d10_containment"  -> (d10Containment _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -598,5 +653,6 @@ object DedupOps {
     "d7_dedup_keepbest" -> d7DedupKeepBestSql,
     "d8_dup_clusters"  -> d8DupClustersSql,
     "d9_minhash_jaccard" -> d9MinhashJaccardSql,
+    "d10_containment"  -> d10ContainmentSql,
   )
 }

@@ -222,6 +222,26 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"s5 planned $exchanges exchanges (want <=2):\n$p")
   }
 
+  test("d10: containment bounds hold and subsume high-Jaccard d3 pairs") {
+    val rows = q("d10_containment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (shared, ca, cb) = (r.getLong(2), r.getInt(3), r.getInt(4))
+      assert(shared <= math.min(ca, cb), "intersection can't exceed a side")
+      assert(math.max(r.getLong(5), r.getLong(6)) >= 800,
+        "below the containment threshold")
+      // the smaller side always has the larger containment
+      assert((ca <= cb) == (r.getLong(5) >= r.getLong(6)) ||
+        r.getLong(5) == r.getLong(6))
+    }
+    // containment >= Jaccard pointwise, so jac >= 0.8 pairs must appear
+    val d10pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    q("d3_ngram_jaccard").collect()
+      .filter(_.getLong(4) >= 800)
+      .foreach(r => assert(d10pairs((r.getLong(0), r.getLong(1))),
+        s"high-Jaccard pair missing from containment: $r"))
+  }
+
   test("t12: pure map pass — the only exchange is the output sort") {
     val p = q("t12_subword_tokens").queryExecution.executedPlan.toString
     val exchanges = "Exchange".r.findAllIn(p).length
