@@ -264,20 +264,56 @@ object PipelineOps {
     * 60-bit hash never ties in practice) and keep the first `Quota` — a
     * pure function of the ids, reproducible across runs and engines.
     *
-    * Shape at scale: one window rank per stratum (a single shuffle on
-    * `lang`; rows are (id, lang, hash) — 24 bytes, never the text). With
-    * strata of 100 TB the full per-stratum sort is wasteful; the scale
-    * refinement is threshold selection — take the stratum's ~Quota-th
-    * smallest hash via a quantile sketch, keep rows below it map-side,
-    * and exact-rank only the boundary sliver. Same output, no global
-    * sort; the window form here IS that semantics, stated declaratively. */
-  def p5StratifiedQuota(spark: SparkSession, dir: String): DataFrame = {
+    * Shape at scale — THRESHOLD SELECTION, not a full-stratum sort. A
+    * naive `row_number() OVER (PARTITION BY lang ORDER BY h)` funnels
+    * every row of a language through ONE task; at 100 TB that is
+    * billions of rows sorted on one core. Instead:
+    *
+    *  1. Histogram the hash's top [[CutBits]] bits per stratum — one
+    *     map-side-partial hash aggregate whose result is at most
+    *     |langs| × 2^CutBits rows (metadata-sized at any corpus scale).
+    *  2. A running sum over that tiny frame finds, per stratum, the
+    *     smallest bucket whose cumulative count reaches the quota — an
+    *     EXACT cut (no sketch, no error bound): the Quota-th smallest
+    *     hash provably lies at or below it. A stratum smaller than the
+    *     quota has no such bucket and keeps everything (left join).
+    *  3. The per-stratum cuts broadcast (≤ |langs| rows) and the corpus
+    *     filters MAP-SIDE: only the boundary sliver — expected
+    *     Quota + n/2^CutBits rows per stratum — reaches the rank
+    *     window. Raise CutBits with scale to keep the sliver bounded
+    *     (hashes are uniform, so bucket occupancy is n/2^CutBits).
+    *
+    * The sliver provably contains every row of global rank ≤ Quota, and
+    * every row ranked below a sliver row is itself in the sliver, so
+    * ranks computed on the sliver equal global ranks — the output is
+    * bit-identical to the declarative window form (which remains the
+    * oracle SQL). */
+  private val CutBits = 12
+
+  /** The pre-rank sliver of [[p5StratifiedQuota]]: rows at or below the
+    * per-stratum histogram cut. Exposed for the ScaleSpec guard that the
+    * rank window sorts only this sliver, never the full stratum. */
+  private[graft] def p5Sliver(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val Quota = 40
     val h = md5Long(concat($"doc_id".cast("string"), lit(":strat")))
+    val base = docs(spark, dir).select($"doc_id", $"lang", h.as("h"))
+    val bkt = shiftright($"h", 60 - CutBits)
+    val wcum = Window.partitionBy($"lang").orderBy($"b")
+    val cuts = base.groupBy($"lang", bkt.as("b")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wcum))
+      .filter($"cum" >= Quota)
+      .groupBy($"lang").agg(min($"b").as("cut_b"))
+    base.join(broadcast(cuts), Seq("lang"), "left")
+      .filter(bkt <= coalesce($"cut_b", lit(1L << CutBits)))
+      .select($"doc_id", $"lang", $"h")
+  }
+
+  def p5StratifiedQuota(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Quota = 40
     val w = Window.partitionBy($"lang").orderBy($"h".asc, $"doc_id".asc)
-    docs(spark, dir)
-      .select($"doc_id", $"lang", h.as("h"))
+    p5Sliver(spark, dir)
       .withColumn("strat_rank", row_number().over(w).cast("int"))
       .filter($"strat_rank" <= Quota)
       .select($"lang", $"strat_rank", $"doc_id", $"h")

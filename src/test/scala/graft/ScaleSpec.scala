@@ -84,6 +84,45 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("p5: rank window sorts only the histogram-cut sliver, never the full stratum") {
+    import org.apache.spark.sql.functions._
+    // 1. plan shape: the per-stratum cut filter sits BELOW the rank
+    // window — the window's sort input is the post-cut sliver, so no
+    // full-stratum row stream ever enters a sort.
+    val p = SparkEntry.queries("p5_stratified_quota")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0 && p.indexOf("cut_b", wIdx) > wIdx,
+      s"no histogram cut below the rank window:\n$p")
+    // 2. the sliver really is a sliver: ≈ Quota + bucket occupancy per
+    // stratum (never the stratum), yet still covers the quota.
+    val slv = graft.operators.PipelineOps.p5Sliver(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = Tables(spark, sf, "documents").groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, n) =>
+      val s = slv.getOrElse(lang, 0L)
+      assert(s >= math.min(40L, n), s"sliver misses quota for $lang: $s of $n")
+      assert(s <= math.min(n, 40L + 8L * (n >> 12) + 64L),
+        s"sliver not a sliver for $lang: $s of $n rows")
+    }
+    // 3. output identity with the declarative full-window formulation
+    import graft.functions.EngineFns.md5Long
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)
+    val legacy = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5Long(concat(col("doc_id").cast("string"), lit(":strat"))).as("h"))
+      .withColumn("strat_rank", row_number().over(w).cast("int"))
+      .filter(col("strat_rank") <= 40)
+      .select(col("lang"), col("strat_rank"), col("doc_id"), col("h"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = SparkEntry.queries("p5_stratified_quota")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == legacy)
+  }
+
   test("e6: bucketed range join is an equi-join, never a cartesian product") {
     val p = SparkEntry.queries("e6_range_join")(spark, sf).queryExecution
       .executedPlan.toString
