@@ -630,6 +630,89 @@ object DedupOps {
        |WHERE shared * 10 >= LEAST(ca, cb) * 8
        |ORDER BY i, j""".stripMargin
 
+  // --------------------------------------------------------------- d11
+  /** d3's Jaccard near-dup pairs with a DOCUMENT-FREQUENCY CAP on the
+    * candidate-generating grams (CCNet-style): grams occurring in more
+    * than `dfCap` documents are dropped BEFORE the self-join, and both
+    * the shared count and the per-doc gram counts are computed over the
+    * surviving grams only.
+    *
+    * Why this exists: d3/d10's candidate join is linear in true
+    * collisions — but ONE universal shingle (site boilerplate, a
+    * license header) with document frequency f produces f·(f-1)/2
+    * candidate pairs by itself; at 100× data that single key's
+    * collision set grows quadratically and its shuffle partition with
+    * it. The cap bounds every gram's collision list at dfCap, so the
+    * self-join cost is ≤ Σ min(df_g, dfCap)·df_g ≤ dfCap · |gram
+    * stream| — LINEAR in corpus size no matter how skewed the gram
+    * distribution (the planted-shingle spec proves it). Semantically, a
+    * gram shared by thousands of documents carries no near-dup signal —
+    * dropping it is the same reasoning as a stopword list, applied at
+    * the shingle level.
+    *
+    * Shape at scale: one extra hash aggregate computes df per gram
+    * (map-side partial, fixed-width keys); the hot set is tiny by
+    * Zipf's law (few grams are ultra-common) so it BROADCASTS into a
+    * left-anti probe — the gram stream never takes an extra shuffle.
+    * The per-doc recount joins on doc_id against its own aggregate
+    * (exchange reuse, d3's pattern), then the capped self-join proceeds
+    * exactly as d3. (t10/t11 need no cap: they only aggregate per gram
+    * — cost linear by construction — and never form pairs.) */
+  private val DfCap = 5
+
+  /** Capped candidate pairs (pre-threshold) from any (doc_id, text)
+    * frame — exposed so the planted-universal-shingle spec can prove
+    * candidate counts stay linear under a hot gram. */
+  private[graft] def cappedCandidates(docsDf: DataFrame, dfCap: Int): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    graft.functions.TrigramHash60.register(spark)
+    val raw = docsDf.select($"doc_id", explode(expr("trigram_hashes(text)")).as("gh"))
+    val hot = raw.groupBy($"gh").agg(count(lit(1)).as("df"))
+      .filter($"df" > dfCap).select($"gh")
+    val kept = raw.join(broadcast(hot), Seq("gh"), "left_anti")
+    val cnt = kept.groupBy($"doc_id").agg(count(lit(1)).as("c"))
+    val g = kept.join(cnt, "doc_id")
+    g.as("a").join(g.hint("shuffle_hash").as("b"),
+        $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+               $"a.c".as("ca"), $"b.c".as("cb"))
+      .agg(count(lit(1)).as("shared"))
+  }
+
+  def d11JaccardDfCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cappedCandidates(docs(spark, dir), DfCap)
+      .withColumn("unions", $"ca" + $"cb" - $"shared")
+      .filter($"shared" * 10 >= $"unions" * 6)
+      .select($"i", $"j", $"shared", $"unions",
+              permille($"shared", $"unions").as("jac_milli"))
+      .orderBy($"i", $"j")
+  }
+
+  val d11JaccardDfCapSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |gr AS (SELECT doc_id, ${sqlTrigrams("l")} AS grams FROM toks),
+       |raw AS (
+       |  SELECT doc_id, unnest(list_transform(grams, g -> ${sqlMd5Long("g")})) AS gh
+       |  FROM gr),
+       |hot AS (SELECT gh FROM raw GROUP BY gh HAVING COUNT(*) > $DfCap),
+       |kept AS (
+       |  SELECT doc_id, gh FROM raw WHERE gh NOT IN (SELECT gh FROM hot)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS c FROM kept GROUP BY doc_id),
+       |g AS (SELECT k.doc_id, k.gh, c.c FROM kept k JOIN cnt c USING (doc_id)),
+       |shared AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, a.c AS ca, b.c AS cb,
+       |         COUNT(*) AS shared
+       |  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT i, j, shared, ca + cb - shared AS unions,
+       |  ${sqlPermille("shared", "(ca + cb - shared)")} AS jac_milli
+       |FROM shared
+       |WHERE shared * 10 >= (ca + cb - shared) * 6
+       |ORDER BY i, j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact"   -> (d1DedupExact _),
     "d2_dedup_normset" -> (d2DedupNormSet _),
@@ -641,6 +724,7 @@ object DedupOps {
     "d8_dup_clusters"  -> (d8DupClusters _),
     "d9_minhash_jaccard" -> (d9MinhashJaccard _),
     "d10_containment"  -> (d10Containment _),
+    "d11_jaccard_dfcap" -> (d11JaccardDfCap _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -654,5 +738,6 @@ object DedupOps {
     "d8_dup_clusters"  -> d8DupClustersSql,
     "d9_minhash_jaccard" -> d9MinhashJaccardSql,
     "d10_containment"  -> d10ContainmentSql,
+    "d11_jaccard_dfcap" -> d11JaccardDfCapSql,
   )
 }

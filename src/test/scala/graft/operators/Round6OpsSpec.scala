@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 operator specs. */
+class Round6OpsSpec extends AnyFunSuite {
+  import graft.SharedSpark._
+
+  test("d11: df cap keeps candidate generation linear under a planted universal shingle") {
+    import spark.implicits._
+    // 60 otherwise-unrelated docs all carry one universal trigram
+    // ("common shared tail" — site boilerplate), plus one true near-dup
+    // pair (900, 901) sharing most of their text.
+    val boiler = (0 until 60).map(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i common shared tail"))
+    val dupBase = "the quick brown fox jumps over the lazy dog again and again"
+    val planted = boiler ++ Seq(
+      (900L, dupBase + " common shared tail"),
+      (901L, dupBase + " common shared coda"))
+    val df = planted.toDF("doc_id", "text")
+
+    // uncapped (cap larger than the corpus): the universal gram alone
+    // makes every pair of the 61 docs carrying it a candidate —
+    // quadratic, 61·60/2 pairs.
+    val uncapped = DedupOps.cappedCandidates(df, 1000).count()
+    assert(uncapped >= 61L * 60 / 2,
+      s"expected the planted shingle to blow up candidates, got $uncapped")
+
+    // capped at df > 10: the universal gram (df = 62) is dropped before
+    // the self-join; candidates collapse to the pairs sharing RARE
+    // grams — linear in true collisions.
+    val capped = DedupOps.cappedCandidates(df, 10)
+    val cappedPairs = capped.select("i", "j").as[(Long, Long)].collect().toSet
+    assert(cappedPairs.contains((900L, 901L)), "true near-dup pair lost by the cap")
+    assert(capped.count() <= 5L,
+      s"cap did not bound candidates: ${capped.count()} pairs")
+
+    // and the surviving pair still clears the d3 Jaccard threshold on
+    // its capped gram sets
+    val row = capped.filter($"i" === 900L && $"j" === 901L)
+      .withColumn("unions", $"ca" + $"cb" - $"shared")
+      .select($"shared", $"unions").head()
+    assert(row.getLong(0) * 10 >= row.getLong(1) * 6,
+      s"planted dup below threshold: $row")
+  }
+
+  test("d11: hot set broadcasts; gram stream is never broadcast") {
+    val p = graft.SparkEntry.queries("d11_jaccard_dfcap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot-gram anti-probe should broadcast:\n$p")
+  }
+}
