@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{NgramHash60, PolyHash, TrigramHash60, VecDot}
+import graft.functions.{DoubleSortKey, NgramHash60, PolyHash, TrigramHash60, VecDot}
 
 /** Session-extension entry point: registers every native graft expression
   * at session build time, the idiomatic way to ship custom Catalyst
@@ -45,5 +45,8 @@ object GraftExtensions {
         exprs => PolyHash(exprs.head)),
       ("vec_dot",
         "vec_dot(a, b) - sequential left-fold dot product of two double arrays",
-        exprs => VecDot(exprs(0), exprs(1))))
+        exprs => VecDot(exprs(0), exprs(1))),
+      ("double_sort_key",
+        "double_sort_key(d) - order-preserving long projection of a double",
+        exprs => DoubleSortKey(exprs.head)))
 }

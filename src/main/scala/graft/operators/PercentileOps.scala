@@ -4,17 +4,36 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Exact interpolated percentiles via distributed sort + positional pick.
+/** Exact interpolated percentiles via distributed selection.
   *
   * Spark's built-in `percentile` buffers every value of the group in an
   * in-memory counts map per aggregation buffer — at 100 TB a single hot
-  * group OOMs the executor. This operator instead ranks rows with a
-  * window sort (Tungsten radix sort, spillable), computes the two row
-  * positions each requested fraction needs, and fetches just those rows
-  * with a join — memory per task stays O(1) regardless of group size,
-  * which is the shape a distributed exact percentile must have. (For
-  * rough quantiles at scale, `percentile_approx` — q15 — is still the
-  * cheaper path; this is the exact one.)
+  * group OOMs the executor. And the obvious distributed-exact
+  * formulation (rank every row with a per-group window sort) funnels
+  * each group through ONE task — memory-safe but serial per group.
+  * This operator does neither: it is a THRESHOLD-SELECTION pass (the
+  * same shape as p5's stratified quota):
+  *
+  *  1. Every row gets an order-aligned bucket: the top [[CutBits]] bits
+  *     of [[graft.functions.DoubleSortKey]] — a pure per-row bit
+  *     projection of the value, monotone with the double's sort order,
+  *     so buckets are contiguous value ranges with no data-dependent
+  *     boundary choice.
+  *  2. One map-side-partial hash aggregate histograms (group, bucket);
+  *     a running sum over that metadata-sized frame locates, for each
+  *     requested rank, the bucket containing it and the exact count of
+  *     rows before that bucket.
+  *  3. ONLY rows in needed buckets are ranked — and the rank window
+  *     partitions by (group, BUCKET), so the sort is bucket-local:
+  *     parallel across buckets, expected n/2^CutBits rows per task no
+  *     matter how large the group. Global rank = rows-before-bucket +
+  *     local rank; rows in all other buckets are never sorted at all.
+  *
+  * Equal values share a bucket by construction (the key is a function
+  * of the value, -0.0 normalized), so bucket-local ranking reproduces
+  * the global ranking exactly; a group of all-identical values
+  * degenerates to one bucket — correct, just unparallelized, like any
+  * selection algorithm on a constant stream.
   *
   * The positions frame (`need`) carries #groups × #fractions × 2 rows.
   * It is joined WITHOUT a broadcast hint: AQE broadcasts it at runtime
@@ -28,6 +47,8 @@ import org.apache.spark.sql.expressions.Window
   * `v_lo + (v_hi-v_lo)*w`, which differs by 1 ulp on some inputs.)
   */
 object PercentileOps {
+
+  private val CutBits = 12
 
   /** Per-group exact percentiles of `value` at `fractions`, grouped by
     * the composite key `keys`. Returns (keys..., frac, pct) in long form
@@ -47,15 +68,25 @@ object PercentileOps {
     require(!keys.exists(k => k == "frac" || k == "pct" || k.startsWith("__pct_")),
       s"exactPercentiles: key names $keys collide with output/internal columns " +
         "(reserved: frac, pct, __pct_*)")
+    graft.functions.DoubleSortKey.register(df.sparkSession)
     val kcols: Seq[Column] = keys.map(col)
-    val nonNull = df.select(kcols :+ col(value).cast("double").as("__pct_v"): _*)
+    val rows = df.select(kcols :+ col(value).cast("double").as("__pct_v"): _*)
       .filter(col("__pct_v").isNotNull)
-    val ranked = nonNull
-      .withColumn("__pct_rn",
-        row_number().over(Window.partitionBy(kcols: _*).orderBy(col("__pct_v"))))
+      .withColumn("__pct_b",
+        shiftright(call_function("double_sort_key", col("__pct_v")), 64 - CutBits))
+    // (group, bucket) histogram → per-bucket cumulative count and the
+    // exact count of rows BEFORE each bucket; both frames are tiny
+    // (≤ |groups| × 2^CutBits rows) at any data size.
+    val hist = rows.groupBy(kcols :+ col("__pct_b"): _*)
+      .agg(count(lit(1)).as("__pct_c"))
+    val cum = hist
+      .withColumn("__pct_cum",
+        sum(col("__pct_c")).over(
+          Window.partitionBy(kcols: _*).orderBy(col("__pct_b"))))
+      .withColumn("__pct_cb", col("__pct_cum") - col("__pct_c"))
     // 0-based position p0 = frac*(n-1); rows lo=floor(p0)+1 and lo+1
     // (clamped to n) bracket it; wt is the upper-row weight.
-    val need = nonNull.groupBy(kcols: _*).agg(count(lit(1)).as("__pct_n"))
+    val need = cum.groupBy(kcols: _*).agg(sum(col("__pct_c")).as("__pct_n"))
       .select(kcols :+ col("__pct_n") :+
         explode(array(fractions.map(lit): _*)).as("frac"): _*)
       .withColumn("__pct_p0", col("frac") * (col("__pct_n") - 1).cast("double"))
@@ -65,6 +96,20 @@ object PercentileOps {
         explode(array(col("__pct_lo"),
           least(col("__pct_lo") + 1, col("__pct_n")))).as("__pct_rn")): _*)
       .distinct()
+    // which bucket holds each needed global rank, and how many rows
+    // precede that bucket — a join between two metadata-sized frames
+    val needBuckets = need.select(kcols :+ col("__pct_rn"): _*)
+      .join(cum, keys)
+      .filter(col("__pct_cb") < col("__pct_rn") &&
+              col("__pct_rn") <= col("__pct_cum"))
+      .select(kcols ++ Seq(col("__pct_b"), col("__pct_cb")): _*)
+      .distinct()
+    // rank ONLY the needed buckets' rows; the sort partition is
+    // (group, bucket) — bucket-local, parallel, bounded
+    val ranked = rows.join(needBuckets, keys :+ "__pct_b")
+      .withColumn("__pct_rn",
+        col("__pct_cb") + row_number().over(
+          Window.partitionBy(kcols :+ col("__pct_b"): _*).orderBy(col("__pct_v"))))
     ranked.join(need, keys :+ "__pct_rn")
       .groupBy(kcols :+ col("frac"): _*)
       .agg(

@@ -159,6 +159,18 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q25: percentile rank sort is bucket-local (distributed selection), never per-group") {
+    val p = SparkEntry.queries("q25_percentiles")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the row_number window must partition by (group, __pct_b bucket) and
+    // order by the value — i.e. the only sort over data rows is the
+    // needed-buckets sliver, parallel across buckets; a window spec of
+    // this shape cannot be the old full-group rank
+    val bucketLocal = "row_number\\(\\)[^\\n]*__pct_b[^\\n]*__pct_v".r
+    assert(bucketLocal.findFirstIn(p).isDefined,
+      s"rank window not partitioned by selection bucket:\n$p")
+  }
+
   test("d8 label propagation frees superseded checkpoints (no per-round leak)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
