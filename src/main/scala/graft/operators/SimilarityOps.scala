@@ -557,6 +557,226 @@ object SimilarityOps {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s6
+  /** IVF ANN over a LABEL-FREE learned codebook: k-means trained on the
+    * embedding corpus itself. s3/s4/s5 key their codebooks on the
+    * dataset's `label` column — fine for an oracle-checkable stand-in,
+    * but a real embedding corpus has no labels; the production build
+    * step is clustering. This operator is that step, made deterministic
+    * and engine-exact:
+    *
+    *  - **Init (k-means||-style, hash-derandomized).** The first center
+    *    is the vector with the smallest md5 of its id (a deterministic
+    *    uniform draw). One oversampling round then accepts each vector
+    *    with probability ∝ L·d²(x)/φ — exactly k-means||'s
+    *    distance-proportional sampling — but the Bernoulli coin is an
+    *    md5 hash compared against the threshold, so both engines accept
+    *    the identical candidate set. Candidates are weighted by the
+    *    size of their nearest-neighbor cells and reduced to K by
+    *    (weight desc, id) — the weighted-reduction step, greedy instead
+    *    of a recursive weighted clustering, which keeps the oracle
+    *    expressible.
+    *  - **Lloyd iterations (×2), the q1 trick.** Each iteration is ONE
+    *    map pass (argmin over literal centroids — no shuffle carries a
+    *    vector) plus ONE hash aggregate summing floor-micro fixed-point
+    *    coordinates per (cluster, dim): integer sums are
+    *    order-independent, so the new centroid — one double divide of
+    *    two exact integers — is bit-identical across engines and runs,
+    *    where a naive mean of doubles would depend on partition order.
+    *    A cluster that loses all members drops out (standard k-means
+    *    attrition; both engines agree).
+    *  - **Serving** is s5's query-compiled form: centroids, probe lists
+    *    and query vectors are collected (tiny by construction) and
+    *    baked into ONE corpus map pass — cell argmin, unprobed cells
+    *    dropped map-side, exact cosine against the probing queries'
+    *    literal vectors — and the only shuffle is the final per-query
+    *    top-K.
+    *
+    * Every float expression mirrors the DuckDB oracle op for op (left
+    * folds seeded 0.0, floor-micro projections, single divides), so the
+    * whole pipeline — training included — is hash-exact. φ and the
+    * acceptance test are compared in doubles on BOTH engines (one
+    * multiply each side), with φ itself an exact integer sum. */
+  def s6KnnKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    val Kc = 10     // clusters
+    val NPROBE = 4
+    val ITERS = 2
+    // L·2^60: the oversampling factor L = 2K scaled to the 60-bit coin
+    val Coin = 20.0 * math.pow(2.0, 60)
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def sqdA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val e = emb(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    // squared L2 to a literal centroid — the engine twin of the oracle's
+    // list_reduce(list_zip(...)) left fold
+    def sqdTo(c: Array[Double]): Column =
+      aggregate(zip_with($"v", typedLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    // argmin cell over literal centroids; ties break on the smaller id
+    def argminCell(cents: Seq[(Long, Array[Double])]): Column =
+      array_min(array(cents.map { case (id, c) =>
+        struct(sqdTo(c).as("d2"), lit(id).as("cid")) }: _*)).getField("cid")
+    // ---- init: seed draw + one distance-proportional oversample round
+    val seed = e.select($"vec_id", $"v")
+      .withColumn("h", md5Long(concat($"vec_id".cast("string"), lit(":s6"))))
+      .orderBy($"h", $"vec_id").limit(1).collect()(0)
+    val seedId = seed.getLong(0)
+    val seedV = seed.getSeq[Double](1).toArray
+    val d2m = floor(lit(1000000.0) * sqdTo(seedV)).cast("long")
+    val phi = e.select(sum(d2m).as("p")).as[Long].head()
+    val coinH = md5Long(concat($"vec_id".cast("string"), lit(":s6c")))
+    val cand: Seq[(Long, Array[Double])] = e.filter(
+        coinH.cast("double") * lit(phi.toDouble) < lit(Coin) * d2m.cast("double")
+          || $"vec_id" === seedId)
+      .select($"vec_id", $"v").collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    // weight candidates by their nearest-assignment cell size, keep K
+    val wts = e.withColumn("cid", argminCell(cand))
+      .groupBy($"cid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cents: Seq[(Long, Array[Double])] = cand
+      .flatMap { case (id, c) => wts.get(id).map(n => (id, c, n)) }
+      .sortBy { case (id, _, n) => (-n, id) }
+      .take(Kc).map { case (id, c, _) => (id, c) }.sortBy(_._1)
+    // ---- Lloyd: argmin map pass + exact integer sums per (cluster, dim)
+    for (_ <- 0 until ITERS) {
+      val sums = e.withColumn("cid", argminCell(cents))
+        .select($"cid", posexplode($"v").as(Seq("d0", "dv")))
+        .groupBy($"cid", ($"d0" + 1).as("d"))
+        .agg(sum(floor(lit(1000000.0) * $"dv").cast("long")).as("s"),
+             count(lit(1)).as("n"))
+        .collect()
+      cents = sums.groupBy(_.getLong(0)).map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getInt(1))
+          .map(r => r.getLong(2).toDouble / (r.getLong(3).toDouble * 1000000.0))
+          .toArray
+      }.toSeq.sortBy(_._1)
+    }
+    // ---- serving: one corpus map pass against the compiled index
+    val qs: Seq[(Long, Array[Double])] = e.filter($"vec_id" < NQUERIES)
+      .select($"vec_id", $"v").collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val probesOf: Map[Long, Seq[Long]] = qs.flatMap { case (qid, qv) =>
+      cents.map { case (cid, c) => (sqdA(qv, c), cid) }
+        .sortBy { case (d2, cid) => (d2, cid) }
+        .take(NPROBE).map { case (_, cell) => (cell, qid) }
+    }.groupBy(_._1).map { case (c, ps) => c -> ps.map(_._2).sorted }
+    val qv: Map[Long, Seq[Double]] = qs.map { case (id, a) => id -> a.toSeq }.toMap
+    val qn: Map[Long, Double] = qs.map { case (id, a) => id -> math.sqrt(dotA(a, a)) }.toMap
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    e.select($"vec_id".as("nid"), $"v", $"nrm")
+      .withColumn("cell", argminCell(cents))
+      .withColumn("qid", explode(element_at(typedLit(probesOf), $"cell")))
+      .filter($"qid" =!= $"nid")
+      .withColumn("cos",
+        dot(element_at(typedLit(qv), $"qid"), $"v") /
+          (element_at(typedLit(qn), $"qid") * $"nrm"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"nid", $"rnk", micro($"cos").as("cos_micro"))
+      .orderBy($"qid", $"rnk")
+  }
+
+  val s6KnnKmeansSql: String = {
+    val dist = (a: String, b: String) =>
+      s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    val coin = (20.0 * math.pow(2.0, 60)).toString
+    val hSeed = sqlMd5Long("CAST(vec_id AS VARCHAR) || ':s6'")
+    val hCoin = sqlMd5Long("CAST(vec_id AS VARCHAR) || ':s6c'")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+       |seed AS (
+       |  SELECT vec_id AS sid, v AS sv FROM e
+       |  ORDER BY $hSeed, vec_id LIMIT 1),
+       |d0 AS (
+       |  SELECT e.vec_id, e.v, s.sid,
+       |    CAST(FLOOR(1000000.0 * ${dist("e.v", "s.sv")}) AS BIGINT) AS d2m
+       |  FROM e CROSS JOIN seed s),
+       |phi AS (SELECT CAST(SUM(d2m) AS BIGINT) AS p FROM d0),
+       |cand AS (
+       |  SELECT vec_id, v FROM d0 CROSS JOIN phi
+       |  WHERE CAST($hCoin AS DOUBLE) * CAST(p AS DOUBLE)
+       |          < $coin * CAST(d2m AS DOUBLE)
+       |     OR vec_id = sid),
+       |w0 AS (
+       |  SELECT x.vec_id AS xid, c.vec_id AS cid,
+       |    ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |      ORDER BY ${dist("x.v", "c.v")}, c.vec_id) AS rn
+       |  FROM e x CROSS JOIN cand c),
+       |wt AS (SELECT cid, COUNT(*) AS n FROM w0 WHERE rn = 1 GROUP BY cid),
+       |init AS (
+       |  SELECT c.vec_id AS cid, c.v AS cv FROM cand c
+       |  JOIN wt ON wt.cid = c.vec_id
+       |  ORDER BY wt.n DESC, c.vec_id LIMIT 10),
+       |a1 AS (
+       |  SELECT x.vec_id, x.v, i.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |      ORDER BY ${dist("x.v", "i.cv")}, i.cid) AS rn
+       |  FROM e x CROSS JOIN init i),
+       |s1 AS (
+       |  SELECT cid, d,
+       |    CAST(SUM(CAST(FLOOR(1000000.0 * v[d]) AS BIGINT)) AS BIGINT) AS s,
+       |    COUNT(*) AS n
+       |  FROM a1 CROSS JOIN dims WHERE rn = 1 GROUP BY 1, 2),
+       |c1 AS (
+       |  SELECT cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+       |                   ORDER BY d) AS cv
+       |  FROM s1 GROUP BY cid),
+       |a2 AS (
+       |  SELECT x.vec_id, x.v, i.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |      ORDER BY ${dist("x.v", "i.cv")}, i.cid) AS rn
+       |  FROM e x CROSS JOIN c1 i),
+       |s2 AS (
+       |  SELECT cid, d,
+       |    CAST(SUM(CAST(FLOOR(1000000.0 * v[d]) AS BIGINT)) AS BIGINT) AS s,
+       |    COUNT(*) AS n
+       |  FROM a2 CROSS JOIN dims WHERE rn = 1 GROUP BY 1, 2),
+       |c2 AS (
+       |  SELECT cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+       |                   ORDER BY d) AS cv
+       |  FROM s2 GROUP BY cid),
+       |cells AS (
+       |  SELECT vec_id AS nid, v AS nv, nrm AS nnrm, cid AS cell FROM (
+       |    SELECT x.vec_id, x.v, x.nrm, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${dist("x.v", "c.cv")}, c.cid) AS rn
+       |    FROM e x CROSS JOIN c2 c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid AS cell FROM (
+       |    SELECT q.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dist("q.v", "c.cv")}, c.cid) AS pr
+       |    FROM e q CROSS JOIN c2 c WHERE q.vec_id < $NQUERIES)
+       |  WHERE pr <= 4),
+       |scored AS (
+       |  SELECT p.qid, n.nid,
+       |    ${sqlDot("q.v", "n.nv")} / (q.nrm * n.nnrm) AS cos
+       |  FROM probes p JOIN cells n USING (cell)
+       |  JOIN e q ON q.vec_id = p.qid
+       |  WHERE p.qid <> n.nid),
+       |ranked AS (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, nid, rnk, ${sqlMicro("cos")} AS cos_micro
+       |FROM ranked WHERE rnk <= $K
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
@@ -564,6 +784,7 @@ object SimilarityOps {
     "s3_knn_ivf"   -> (s3KnnIvf _),
     "s4_knn_pq"    -> (s4KnnPq _),
     "s5_knn_ivfpq" -> (s5KnnIvfPq _),
+    "s6_knn_kmeans" -> (s6KnnKmeans _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -572,5 +793,6 @@ object SimilarityOps {
     "s3_knn_ivf"   -> s3KnnIvfSql,
     "s4_knn_pq"    -> s4KnnPqSql,
     "s5_knn_ivfpq" -> s5KnnIvfPqSql,
+    "s6_knn_kmeans" -> s6KnnKmeansSql,
   )
 }

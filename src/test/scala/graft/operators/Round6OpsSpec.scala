@@ -45,6 +45,19 @@ class Round6OpsSpec extends AnyFunSuite {
       s"planted dup below threshold: $row")
   }
 
+  test("s6: learned label-free codebook reaches useful recall vs exact top-k") {
+    import spark.implicits._
+    val exact = graft.SparkEntry.queries("s1_knn_brute")(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val got = graft.SparkEntry.queries("s6_knn_kmeans")(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    // nprobe=4 of 10 learned cells; the label-codebook s3 sits at ~0.66
+    // on the same corpus — the learned codebook must be in the same
+    // league, not degenerate
+    assert(recall >= 0.4, s"s6 recall collapsed: $recall")
+  }
+
   test("d11: hot set broadcasts; gram stream is never broadcast") {
     val p = graft.SparkEntry.queries("d11_jaccard_dfcap")(spark, sf)
       .queryExecution.executedPlan.toString
