@@ -44,25 +44,53 @@ object StreamOps {
     * hatch for stateful logic Spark's built-in windows can't express
     * (counters, ML feature state, CDC reconciliation); values are summed
     * in (ts, event_id) order within each batch so results are
-    * deterministic for tests. */
-  def runningUserStats(events: DataFrame): Dataset[UserStats] = {
+    * deterministic for tests.
+    *
+    * `eventTimeTtl`: evict users whose last event is older than the TTL
+    * in EVENT time — the timer is an event-time timestamp and fires when
+    * the WATERMARK passes it, so eviction is driven purely by the data's
+    * own clock (advance the watermark, keys expire; no wall-clock in the
+    * loop, so the processing-time no-data-batch busy-loop documented on
+    * [[streamingDistinctEstimate]] cannot arise and
+    * `processAllAvailable` terminates). The evicted key's final stats
+    * are emitted once more, then its state drops. */
+  def runningUserStats(events: DataFrame,
+                       eventTimeTtl: Option[String] = None,
+                       lateness: String = "10 minutes"): Dataset[UserStats] = {
     import events.sparkSession.implicits._
     def update(userId: Long, rows: Iterator[(Long, Timestamp, Long, Double)],
-               state: GroupState[UserStats]): UserStats = {
-      val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
-      val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0, new Timestamp(0)))
-      val next = sorted.foldLeft(prev) { (acc, r) =>
-        UserStats(userId, acc.n_events + 1, acc.total_value + r._4,
-          if (r._2.after(acc.last_ts)) r._2 else acc.last_ts)
+               state: GroupState[UserStats]): UserStats =
+      if (state.hasTimedOut) {
+        // final emit for the evicted user, then drop its state
+        val last = state.get
+        state.remove()
+        last
+      } else {
+        val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+        val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0, new Timestamp(0)))
+        val next = sorted.foldLeft(prev) { (acc, r) =>
+          UserStats(userId, acc.n_events + 1, acc.total_value + r._4,
+            if (r._2.after(acc.last_ts)) r._2 else acc.last_ts)
+        }
+        state.update(next)
+        // timer = last event time + ttl, clamped above the current
+        // watermark (late rows reach mapGroupsWithState unfiltered, and
+        // Spark rejects a timer at or below the watermark)
+        eventTimeTtl.foreach(ttl => state.setTimeoutTimestamp(
+          math.max(next.last_ts.getTime, state.getCurrentWatermarkMs + 1), ttl))
+        next
       }
-      state.update(next)
-      next
-    }
-    events
+    val timeoutConf =
+      if (eventTimeTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val src =
+      if (eventTimeTtl.isDefined) events.withWatermark("ts", lateness)
+      else events
+    src
       .select($"user_id", $"ts", $"event_id", $"value")
       .as[(Long, Timestamp, Long, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+      .mapGroupsWithState(timeoutConf)(update)
   }
 
   /** Running distinct-user estimate per event type: a KMV bottom-k sketch
@@ -78,35 +106,50 @@ object StreamOps {
     *
     * State is k longs per key — bounded per key, but unbounded in key
     * cardinality. For the fixed `event_type` domain that is fine; before
-    * pointing this at a high-cardinality/open-ended key, pass
-    * `idleTimeout` (e.g. "1 hour") to evict keys not seen for that long
-    * (processing-time timeout; an evicted key that reappears restarts
-    * its sketch from empty — the estimate becomes a lower bound for
-    * such keys, which is the standard TTL trade-off).
+    * pointing this at a high-cardinality/open-ended key, pass a TTL to
+    * evict idle keys (an evicted key that reappears restarts its sketch
+    * from empty — the estimate becomes a lower bound for such keys,
+    * which is the standard TTL trade-off). Two TTL clocks are offered:
     *
-    * OPERATIONAL CAVEAT (Spark semantics, not specific to this op): a
-    * processing-time timeout can only fire inside a micro-batch, so
-    * Spark keeps scheduling no-data batches for the query's lifetime —
-    * always run TTL'd queries with a positive trigger interval
-    * (`Trigger.ProcessingTime(...)`) or the default 0 ms trigger
-    * busy-loops, and do not drive them with
-    * `StreamingQuery.processAllAvailable`, which never returns once
-    * `shouldRunAnotherBatch` is permanently true (verified against
-    * Spark 4.1; the spec pins the wiring at plan level instead). */
+    *  - `eventTimeTtl` (PREFER THIS): the eviction timer is an
+    *    event-time timestamp (last event seen + ttl) and fires when the
+    *    WATERMARK passes it. Eviction follows the data's own clock —
+    *    deterministic, replayable, and the engine only schedules extra
+    *    no-data batches until pending timers fire, so
+    *    `processAllAvailable` terminates normally.
+    *  - `idleTimeout`: wall-clock eviction (processing-time timeout).
+    *    OPERATIONAL CAVEAT (Spark semantics, not specific to this op):
+    *    a processing-time timeout can only fire inside a micro-batch,
+    *    so Spark keeps scheduling no-data batches for the query's
+    *    LIFETIME — always run such queries with a positive trigger
+    *    interval (`Trigger.ProcessingTime(...)`) or the default 0 ms
+    *    trigger busy-loops, and do not drive them with
+    *    `StreamingQuery.processAllAvailable`, which never returns once
+    *    `shouldRunAnotherBatch` is permanently true (verified against
+    *    Spark 4.1; the spec pins that wiring at plan level instead). */
   def streamingDistinctEstimate(events: DataFrame, k: Int = 64,
-                                idleTimeout: Option[String] = None)
+                                idleTimeout: Option[String] = None,
+                                eventTimeTtl: Option[String] = None,
+                                lateness: String = "10 minutes")
       : Dataset[DistinctEstimate] = {
     import events.sparkSession.implicits._
     import graft.functions.EngineFns.md5Long
+    require(idleTimeout.isEmpty || eventTimeTtl.isEmpty,
+      "streamingDistinctEstimate: pass at most one of idleTimeout/eventTimeTtl")
     val kmv = new graft.functions.KmvAgg(k)
     val timeoutConf =
-      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      if (eventTimeTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    events
-      .select($"event_type", md5Long($"user_id".cast("string")).as("h"))
-      .as[(String, Long)]
+    val src =
+      if (eventTimeTtl.isDefined) events.withWatermark("ts", lateness)
+      else events
+    src
+      .select($"event_type", md5Long($"user_id".cast("string")).as("h"), $"ts")
+      .as[(String, Long, Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(timeoutConf)(distinctEstimateUpdate(kmv, k, idleTimeout))
+      .mapGroupsWithState(timeoutConf)(
+        distinctEstimateUpdate(kmv, k, idleTimeout, eventTimeTtl))
   }
 
   /** The state-update function behind [[streamingDistinctEstimate]],
@@ -114,8 +157,9 @@ object StreamOps {
     * `TestGroupState` (wall-clock timeouts can't fire deterministically
     * in a test). */
   private[streaming] def distinctEstimateUpdate(
-      kmv: graft.functions.KmvAgg, k: Int, idleTimeout: Option[String])(
-      key: String, rows: Iterator[(String, Long)],
+      kmv: graft.functions.KmvAgg, k: Int, idleTimeout: Option[String],
+      eventTimeTtl: Option[String] = None)(
+      key: String, rows: Iterator[(String, Long, Timestamp)],
       state: GroupState[List[Long]]): DistinctEstimate =
     if (state.hasTimedOut) {
       // final emit for the evicted key, then drop its sketch
@@ -123,11 +167,18 @@ object StreamOps {
       state.remove()
       DistinctEstimate(key, n, kth, graft.functions.KmvAgg.estimate(k, n, kth))
     } else {
-      val buf = rows.foldLeft(state.getOption.getOrElse(kmv.zero)) {
-        (b, r) => kmv.reduce(b, r._2)
+      var maxTs = Long.MinValue
+      val buf = rows.foldLeft(state.getOption.getOrElse(kmv.zero)) { (b, r) =>
+        if (r._3 != null && r._3.getTime > maxTs) maxTs = r._3.getTime
+        kmv.reduce(b, r._2)
       }
       state.update(buf)
       idleTimeout.foreach(state.setTimeoutDuration)
+      // timer = last event time + ttl, clamped above the watermark (late
+      // rows reach mapGroupsWithState unfiltered, and Spark rejects a
+      // timer at or below the watermark)
+      eventTimeTtl.foreach(ttl => state.setTimeoutTimestamp(
+        math.max(maxTs, state.getCurrentWatermarkMs + 1), ttl))
       val (n, kth) = kmv.finish(buf)
       DistinctEstimate(key, n, kth, graft.functions.KmvAgg.estimate(k, n, kth))
     }

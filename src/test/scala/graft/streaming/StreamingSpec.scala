@@ -157,6 +157,48 @@ class StreamingSpec extends AnyFunSuite {
       Seq(org.apache.spark.sql.catalyst.plans.logical.ProcessingTimeTimeout))
     assert(timeoutOf(None) ==
       Seq(org.apache.spark.sql.catalyst.plans.logical.NoTimeout))
+    // the event-time TTL wires EventTimeTimeout instead
+    val input = MemoryStream[Ev]
+    val et = StreamOps.streamingDistinctEstimate(input.toDF(), k = 16,
+        eventTimeTtl = Some("30 minutes"))
+      .queryExecution.analyzed.collect {
+        case f: FlatMapGroupsWithState => f.timeout
+      }
+    assert(et == Seq(org.apache.spark.sql.catalyst.plans.logical.EventTimeTimeout))
+  }
+
+  test("event-time TTL evicts a key by advancing the watermark only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.streamingDistinctEstimate(input.toDF(), k = 16,
+        eventTimeTtl = Some("30 minutes"), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("kmv_ettl")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: 20 distinct click users at 00:00 → sketch n_kept = 16(k)
+      input.addData((1 to 20).map(u =>
+        Ev(t("2024-01-01 00:00:00"), u, "click", 1.0)): _*)
+      q.processAllAvailable()
+      // batch 2: a DIFFERENT key far in the future. No wall-clock
+      // passes; only the watermark advances (to 01:50, past click's
+      // 00:00+30m timer). The engine then runs the timer batch and
+      // processAllAvailable RETURNS — the processing-time busy-loop
+      // trap does not exist on the event-time clock.
+      input.addData(Ev(t("2024-01-01 02:00:00"), 999, "view", 1.0))
+      q.processAllAvailable()
+      // batch 3: click reappears with ONE new user — if eviction really
+      // dropped the sketch, the new sketch starts from empty
+      input.addData(Ev(t("2024-01-01 02:05:00"), 500, "click", 1.0))
+      q.processAllAvailable()
+      val clicks = spark.table("kmv_ettl").filter($"event_type" === "click")
+        .select($"n_kept").as[Int].collect().toSeq
+      // batch 1 update (16 kept of 20), watermark-driven final emit
+      // (16), then the restarted sketch (1)
+      assert(clicks.count(_ == 16) == 2,
+        s"expected update + final emit with 16 kept, got $clicks")
+      assert(clicks.contains(1),
+        s"restarted sketch must start empty after eviction, got $clicks")
+    } finally q.stop()
   }
 
   test("streaming KMV timed-out groups emit a final estimate then drop state") {
