@@ -6,6 +6,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (Array(sfDir, outDir), only) = args.splitAt(2)
+    // a typo'd query name must fail loudly, not silently shrink the run
+    // (and with it the driver's correctness gate)
+    val unknown = only.toSet -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[verify] unknown query names: ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
     val selected =

@@ -522,9 +522,14 @@ object EventOps {
     * cnt² and only then divided and square-rooted — one double divide,
     * one IEEE sqrt, one floor-milli projection, identical on both
     * engines. A zero-variance type (all hours equal) gets z = 0 rather
-    * than a divide-by-zero. At extreme scale the long products would
-    * need decimal(38) — documented bound: cnt·Σn² < 2⁶³ holds through
-    * ~10¹² events per type at hourly granularity.
+    * than a divide-by-zero. The anomaly FLAG is not taken from the
+    * floored z (|floor| treats z ∈ (−3, −2.999] as anomalous but
+    * [2.999, 3) as not — asymmetric): |z| ≥ 3 ⇔ (n−mean)² ≥ 9·var is
+    * cross-multiplied by cnt² into the all-integer test
+    * (n·cnt − Σn)² ≥ 9·var_num — exact, symmetric, no floats at all.
+    * At extreme scale the long products would need decimal(38) —
+    * documented bound: cnt·Σn² < 2⁶³ holds through ~10¹² events per
+    * type at hourly granularity.
     *
     * Scale shape: one hash aggregate to hourly counts (bounded at
     * types × hours rows regardless of event volume), then window sums
@@ -546,7 +551,9 @@ object EventOps {
           floor(lit(1000.0) * ($"n".cast("double") - $"mean") /
             sqrt($"var_num".cast("double") / ($"cnt" * $"cnt").cast("double")))
             .cast("long")))
-      .withColumn("is_anomaly", abs($"z_milli") >= 3000)
+      .withColumn("dev", $"n" * $"cnt" - $"s1")
+      .withColumn("is_anomaly", $"dev" * $"dev" >= lit(9L) * $"var_num" &&
+        $"var_num" =!= 0)
       .select($"event_type", $"hour", $"n", $"z_milli", $"is_anomaly")
       .orderBy($"event_type", $"hour")
   }
@@ -566,17 +573,16 @@ object EventOps {
       |  SELECT event_type, hour, n,
       |    CAST(cnt * s2 - s1 * s1 AS BIGINT) AS var_num,
       |    CAST(s1 AS DOUBLE) / cnt AS mean,
-      |    CAST(cnt AS BIGINT) AS cntb
+      |    CAST(cnt AS BIGINT) AS cntb,
+      |    CAST(s1 AS BIGINT) AS s1b
       |  FROM stats)
       |SELECT event_type, hour, n,
       |  CASE WHEN var_num = 0 THEN 0
       |       ELSE CAST(FLOOR(1000.0 * (CAST(n AS DOUBLE) - mean) /
       |         sqrt(CAST(var_num AS DOUBLE) / CAST(cntb * cntb AS DOUBLE))) AS BIGINT)
       |  END AS z_milli,
-      |  CASE WHEN var_num = 0 THEN FALSE
-      |       ELSE abs(CAST(FLOOR(1000.0 * (CAST(n AS DOUBLE) - mean) /
-      |         sqrt(CAST(var_num AS DOUBLE) / CAST(cntb * cntb AS DOUBLE))) AS BIGINT)) >= 3000
-      |  END AS is_anomaly
+      |  (CAST(n * cntb - s1b AS BIGINT) * CAST(n * cntb - s1b AS BIGINT)
+      |     >= 9 * var_num) AND var_num <> 0 AS is_anomaly
       |FROM scored
       |ORDER BY event_type, hour""".stripMargin
 

@@ -343,11 +343,16 @@ object PipelineOps {
     * low-resource languages get sampled more than their natural share,
     * the standard fix for high-resource languages drowning the mixture.
     *
-    * Determinism: n^0.5 is one correctly-rounded IEEE sqrt, shares are
-    * single divides, and everything lands as floor-micro fixed-point —
-    * bit-exact on both engines. Acceptance is capped at 1 (a stratum
-    * smaller than its target keeps everything; realized budget then
-    * undershoots, as a real sampler would report).
+    * Determinism: n^0.5 is one correctly-rounded IEEE sqrt, immediately
+    * projected to floor-micro fixed point so the DENOMINATOR Σ√n is an
+    * exact integer sum — order-independent, where a double sum over an
+    * unordered window would depend on Spark's nondeterministic row
+    * order within the partition (the hazard e15's integer Σn/Σn²
+    * discipline avoids). Shares are then single divides of exact
+    * integers, floor-micro'd — bit-exact on both engines. Acceptance is
+    * capped at 1 (a stratum smaller than its target keeps everything;
+    * realized budget then undershoots, as a real sampler would
+    * report).
     *
     * Scale shape: one partial-aggregated count per language (5 rows),
     * then window math over that constant-size frame — the 100 TB input
@@ -361,11 +366,13 @@ object PipelineOps {
       .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
       .withColumn("share_micro",
         micro($"n_docs" / sum($"n_docs").over(all)))
-      .withColumn("w", sqrt($"n_docs".cast("double")))
-      .withColumn("target_micro", micro($"w" / sum($"w").over(all)))
+      .withColumn("wm",
+        floor(lit(1000000.0) * sqrt($"n_docs".cast("double"))).cast("long"))
+      .withColumn("wt", sum($"wm").over(all))
+      .withColumn("ratio", $"wm".cast("double") / $"wt".cast("double"))
+      .withColumn("target_micro", micro($"ratio"))
       .withColumn("accept_micro",
-        least(lit(1000000L),
-          micro(lit(BUDGET) * ($"w" / sum($"w").over(all)) / $"n_docs")))
+        least(lit(1000000L), micro(lit(BUDGET) * $"ratio" / $"n_docs")))
       .select($"lang", $"n_docs", $"share_micro", $"target_micro",
         $"accept_micro")
       .orderBy($"lang")
@@ -377,14 +384,19 @@ object PipelineOps {
        |w AS (
        |  SELECT lang, n_docs,
        |    n_docs / SUM(n_docs) OVER () AS share,
-       |    sqrt(CAST(n_docs AS DOUBLE)) / SUM(sqrt(CAST(n_docs AS DOUBLE))) OVER ()
-       |      AS target
-       |  FROM c)
+       |    CAST(FLOOR(1000000.0 * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS wm,
+       |    SUM(CAST(FLOOR(1000000.0 * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT))
+       |      OVER () AS wt
+       |  FROM c),
+       |r AS (
+       |  SELECT lang, n_docs, share,
+       |    CAST(wm AS DOUBLE) / CAST(wt AS DOUBLE) AS ratio
+       |  FROM w)
        |SELECT lang, n_docs,
        |  ${sqlMicro("share")} AS share_micro,
-       |  ${sqlMicro("target")} AS target_micro,
-       |  LEAST(1000000, ${sqlMicro("1000.0 * target / n_docs")}) AS accept_micro
-       |FROM w
+       |  ${sqlMicro("ratio")} AS target_micro,
+       |  LEAST(1000000, ${sqlMicro("1000.0 * ratio / n_docs")}) AS accept_micro
+       |FROM r
        |ORDER BY lang""".stripMargin
 
   // ------------------------------------------------------------ registry

@@ -49,7 +49,16 @@ object LayoutOps {
   /** Rewrite a parquet directory into ceil(count/targetRows) files,
     * preserving rows exactly. `repartitionByRange` on `orderCol` keeps
     * the new files range-disjoint (so min/max stats stay tight) instead
-    * of round-robin shuffling rows across files. */
+    * of round-robin shuffling rows across files.
+    *
+    * IN-PLACE swap: the rewrite is count-validated before it replaces
+    * the original, and the swap is two renames (original → backup,
+    * rewrite → original) rather than delete-then-rename — but a reader
+    * listing the directory BETWEEN the renames can still miss it. This
+    * is single-writer, no-concurrent-reader MAINTENANCE semantics; a
+    * shared path must use the snapshot-versioned primitives below
+    * ([[writeVersioned]]/[[compactCurrent]]), whose pointer swap is
+    * atomic for readers. */
   def compact(spark: SparkSession, path: String, orderCol: String,
               targetRows: Long): Unit = {
     val df = spark.read.parquet(path)
@@ -59,15 +68,118 @@ object LayoutOps {
     df.repartitionByRange(files, col(orderCol))
       .sortWithinPartitions(col(orderCol))
       .write.mode("overwrite").parquet(tmp)
-    // swap: parquet dirs are immutable from Spark's side, so the rewrite
-    // lands in a temp dir and replaces the original atomically-enough
-    // for a single-writer maintenance job (a lake table format — not
-    // modeled here — would commit this as a snapshot instead).
+    // a partial rewrite must never replace good data
+    val m = spark.read.parquet(tmp).count()
+    require(m == n, s"compact: rewrite holds $m of $n rows — aborting swap")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
+    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_old")
+    fs.delete(bak, true)
+    fs.rename(dst, bak)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(bak, true)
+  }
+
+  // ---- snapshot-versioned layout: multi-reader-safe compaction ----
+  //
+  // Data lives in immutable v<N> subdirectories; a one-line _CURRENT
+  // pointer file names the active one. Republishing the pointer writes a
+  // temp file and renames it over _CURRENT — a FILE rename is atomic on
+  // posix and HDFS, so a reader resolves either the old version or the
+  // new, never a half-written pointer and never a missing directory.
+  // Superseded versions stay on disk (a reader that already resolved one
+  // keeps a consistent snapshot) until [[vacuum]]. This is a miniature
+  // of a lake table format's commit protocol, in plain filesystem ops.
+
+  private val Pointer = "_CURRENT"
+
+  private def hfc(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileContext.getFileContext(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+
+  /** The version the `_CURRENT` pointer names (throws if unpublished). */
+  def currentVersion(spark: SparkSession, path: String): Int = {
+    val in = hfc(spark, path)
+      .open(new org.apache.hadoop.fs.Path(s"$path/$Pointer"))
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+    s.stripPrefix("v").toInt
+  }
+
+  /** Atomically point `_CURRENT` at version `v`: temp file + rename. */
+  private def publish(spark: SparkSession, path: String, v: Int): Unit = {
+    val fc = hfc(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/${Pointer}_tmp")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write(s"v$v".getBytes("UTF-8")) finally out.close()
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$path/$Pointer"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Write `df` as the next version of a snapshot-versioned path and
+    * publish it (v1 for a fresh path). Readers switch at the pointer
+    * swap; none ever observes a partial write. */
+  def writeVersioned(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val next =
+      try currentVersion(spark, path) + 1
+      catch { case _: java.io.FileNotFoundException => 1 }
+    df.write.mode("overwrite").parquet(s"$path/v$next")
+    publish(spark, path, next)
+  }
+
+  /** Reader over the currently-published snapshot. */
+  def readCurrent(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/v${currentVersion(spark, path)}")
+
+  /** Compact the current snapshot into ceil(count/targetRows)
+    * range-disjoint files AS A NEW VERSION, then atomically republish
+    * the pointer. The rewrite is count-validated before the swap, so
+    * the pointer only ever names a complete version; the superseded
+    * version remains readable until [[vacuum]]. A `_compact.lock`
+    * (atomic create) excludes concurrent compactors. */
+  def compactCurrent(spark: SparkSession, path: String, orderCol: String,
+                     targetRows: Long): Unit = {
+    val fc = hfc(spark, path)
+    val lock = new org.apache.hadoop.fs.Path(s"$path/_compact.lock")
+    try fc.create(lock,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+        org.apache.hadoop.fs.Options.CreateOpts.createParent()).close()
+    catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+      throw new IllegalStateException(
+        s"compactCurrent: another compaction holds $lock")
+    }
+    try {
+      val cur = currentVersion(spark, path)
+      val df = spark.read.parquet(s"$path/v$cur")
+      val n = df.count()
+      val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
+      df.repartitionByRange(files, col(orderCol))
+        .sortWithinPartitions(col(orderCol))
+        .write.mode("overwrite").parquet(s"$path/v${cur + 1}")
+      val m = spark.read.parquet(s"$path/v${cur + 1}").count()
+      require(m == n,
+        s"compactCurrent: rewrite holds $m of $n rows — pointer not advanced")
+      publish(spark, path, cur + 1)
+    } finally fc.delete(lock, false)
+  }
+
+  /** Delete every superseded version directory, keeping the current one.
+    * Run after in-flight readers of older snapshots have drained (the
+    * grace period is the caller's policy, as in any lake format). */
+  def vacuum(spark: SparkSession, path: String): Unit = {
+    val cur = currentVersion(spark, path)
+    val fc = hfc(spark, path)
+    fc.util.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.matches("v\\d+") &&
+        st.getPath.getName != s"v$cur")
+      .foreach(st => fc.delete(st.getPath, true))
   }
 
   /** Reader over [[writePartitioned]] output with the partition predicate

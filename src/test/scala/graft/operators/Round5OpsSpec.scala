@@ -169,7 +169,9 @@ class Round5OpsSpec extends AnyFunSuite {
     val nUsers = ev.select("user_id").distinct().count()
     // each user with k events contributes exactly k-1 transitions
     assert(rows.map(_.getLong(2)).sum == nEvents - nUsers)
-    rows.foreach(r => assert(r.getLong(3) > 0 && r.getLong(3) <= 1000))
+    // floor(1000·n/total) is legitimately 0 for a transition rarer than
+    // 1/1000 of its source type — lower bound is 0, not 1
+    rows.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000))
     // per-source floor-permilles sum to (1000 - fanout, 1000]
     rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
       val s = rs.map(_.getLong(3)).sum

@@ -58,6 +58,24 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"s6 recall collapsed: $recall")
   }
 
+  test("q15: sketch outputs match the pinned golden file bitwise") {
+    // The HLL/KLL sketches have no cross-engine oracle (rows-only in the
+    // driver gate); this golden pin catches a SPARK-side sketch
+    // regression instead: exact expected output for the fixed sf0.001
+    // corpus, doubles compared bitwise via shortest-repr round-trip.
+    // The error-bound spec (Round2OpsSpec) still covers other SFs.
+    val golden = scala.io.Source
+      .fromInputStream(getClass.getResourceAsStream("/golden/q15_sf0001.csv"))
+      .getLines().map { l =>
+        val Array(p, n, p50, p99) = l.split(",")
+        (p, n.toLong, p50.toDouble, p99.toDouble)
+      }.toSeq
+    val got = graft.SparkEntry.queries("q15_approx_sketch")(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == golden, s"q15 drifted from golden:\n got    $got\n golden $golden")
+  }
+
   test("d11: hot set broadcasts; gram stream is never broadcast") {
     val p = graft.SparkEntry.queries("d11_jaccard_dfcap")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -93,6 +93,40 @@ class LayoutOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned compaction: snapshot readers see old-or-new, never empty") {
+    val out = tmpDir() + "/vdocs"
+    val events = Tables(spark, sf, "events").select("event_id", "event_type")
+    // v1: a high-parallelism write → many small files
+    LayoutOps.writeVersioned(events.repartition(16), out)
+    assert(LayoutOps.currentVersion(spark, out) == 1)
+    val before = LayoutOps.readCurrent(spark, out)
+      .agg(count(lit(1)), sum("event_id")).collect()(0)
+    // an in-flight reader resolves v1 BEFORE the compaction commits
+    val inFlight = spark.read.parquet(s"$out/v1")
+    val n = events.count()
+    LayoutOps.compactCurrent(spark, out, "event_id", targetRows = n / 2 + 1)
+    // the pointer now names the compacted v2 — same rows, fewer files
+    assert(LayoutOps.currentVersion(spark, out) == 2)
+    assert(LayoutOps.readCurrent(spark, out)
+      .agg(count(lit(1)), sum("event_id")).collect()(0) == before)
+    assert(leafFiles(s"$out/v2").size == 2)
+    // the in-flight reader's snapshot is UNTOUCHED by the commit: every
+    // row still readable — old-or-new, never empty, never partial
+    assert(inFlight.agg(count(lit(1)), sum("event_id")).collect()(0) == before)
+    // a second compactor is excluded while the lock is held
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(out), spark.sparkContext.hadoopConfiguration)
+    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$out/_compact.lock"))
+    intercept[IllegalStateException] {
+      LayoutOps.compactCurrent(spark, out, "event_id", targetRows = n)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_compact.lock"), false)
+    // vacuum drops only superseded versions; the current one survives
+    LayoutOps.vacuum(spark, out)
+    assert(!new java.io.File(s"$out/v1").exists())
+    assert(LayoutOps.readCurrent(spark, out).count() == n)
+  }
+
   test("compact: bin-packs many small files into range-disjoint big ones") {
     val out = tmpDir() + "/events"
     val events = Tables(spark, sf, "events").select("event_id", "event_type")
