@@ -20,6 +20,17 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional args: bench only the named queries (builder-side
+    // iteration aid; the driver's no-arg form times everything)
+    val unknown = args.toSet -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[bench] unknown query names: ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
+    val bench =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val spark = GraftSession.get()
     // Untimed warmup: run EVERY query once at the smallest SF so each
     // plan's generated code is compiled and JIT'd before timing. A cold
@@ -30,13 +41,13 @@ object Bench {
       val small = "/root/testdata/sf0.001"
       if (new java.io.File(small).isDirectory) small else sfDir
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
+    bench.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
       resetCachedState(spark)
     }
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = bench.toSeq.sortBy(_._1).map { case (name, fn) =>
       // best-of-N: single runs are GC/JIT-noisy (one outlier measured 20×;
       // N=2 still let ~4s one-off spikes through when both repeats landed
       // in the same noisy window — N=3 keeps the recorded number stable)

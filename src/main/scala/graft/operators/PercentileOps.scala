@@ -48,7 +48,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object PercentileOps {
 
-  private val CutBits = 12
+  // 20 bits = sign + 11 exponent + 8 mantissa bits. The mantissa bits
+  // matter: real columns (prices, quantities) often span only a few
+  // exponents, so a prefix that stopped at the exponent would yield ~8
+  // effective buckets and a sliver of n/8; eight mantissa bits give
+  // ~256 sub-buckets per exponent. Histogram cardinality stays bounded
+  // by min(distinct values, 2^20) per group — raise further at extreme
+  // group sizes.
+  private val CutBits = 20
 
   /** Per-group exact percentiles of `value` at `fractions`, grouped by
     * the composite key `keys`. Returns (keys..., frac, pct) in long form
@@ -74,19 +81,26 @@ object PercentileOps {
       .filter(col("__pct_v").isNotNull)
       .withColumn("__pct_b",
         shiftright(call_function("double_sort_key", col("__pct_v")), 64 - CutBits))
-    // (group, bucket) histogram → per-bucket cumulative count and the
-    // exact count of rows BEFORE each bucket; both frames are tiny
-    // (≤ |groups| × 2^CutBits rows) at any data size.
-    val hist = rows.groupBy(kcols :+ col("__pct_b"): _*)
+    // (group, bucket) histogram → per-bucket cumulative count, the
+    // exact count of rows BEFORE each bucket, and the group total n —
+    // the running and full-frame sums share one window partitioning, so
+    // both ride the SAME exchange + sort (no extra shuffle for n). The
+    // frame is tiny (≤ |groups| × min(distinct values, 2^CutBits)
+    // rows) at any data size.
+    val histW = Window.partitionBy(kcols: _*)
+    val cum = rows.groupBy(kcols :+ col("__pct_b"): _*)
       .agg(count(lit(1)).as("__pct_c"))
-    val cum = hist
       .withColumn("__pct_cum",
-        sum(col("__pct_c")).over(
-          Window.partitionBy(kcols: _*).orderBy(col("__pct_b"))))
+        sum(col("__pct_c")).over(histW.orderBy(col("__pct_b"))))
+      .withColumn("__pct_n", sum(col("__pct_c")).over(histW))
       .withColumn("__pct_cb", col("__pct_cum") - col("__pct_c"))
     // 0-based position p0 = frac*(n-1); rows lo=floor(p0)+1 and lo+1
-    // (clamped to n) bracket it; wt is the upper-row weight.
-    val need = cum.groupBy(kcols: _*).agg(sum(col("__pct_c")).as("__pct_n"))
+    // (clamped to n) bracket it; wt is the upper-row weight. One row
+    // per group comes free from the cum frame (its first bucket,
+    // __pct_cb = 0) — no separate count aggregate. Duplicate (lo, hi)
+    // rows when lo == n are harmless: the final max() aggregation is
+    // duplicate-insensitive, so no dedup shuffle either.
+    val need = cum.filter(col("__pct_cb") === 0)
       .select(kcols :+ col("__pct_n") :+
         explode(array(fractions.map(lit): _*)).as("frac"): _*)
       .withColumn("__pct_p0", col("frac") * (col("__pct_n") - 1).cast("double"))
@@ -95,7 +109,6 @@ object PercentileOps {
       .select(kcols ++ Seq(col("frac"), col("__pct_lo"), col("__pct_wt"),
         explode(array(col("__pct_lo"),
           least(col("__pct_lo") + 1, col("__pct_n")))).as("__pct_rn")): _*)
-      .distinct()
     // which bucket holds each needed global rank, and how many rows
     // precede that bucket — a join between two metadata-sized frames
     val needBuckets = need.select(kcols :+ col("__pct_rn"): _*)

@@ -557,6 +557,86 @@ object SimilarityOps {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  // ------------------------------------------------ k-means machinery
+  /** Driver twins of the engine folds (left fold, seed 0.0 — exact
+    * parity with VecDot / DuckDB list_reduce). */
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+  }
+  private def sqdArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+  }
+  /** Squared L2 distance from an array column to a literal centroid —
+    * the engine twin of the oracle's list_reduce(list_zip(...)) left
+    * fold (seeded 0.0; exact parity per EngineFns). */
+  private def sqdToCol(vcol: Column, c: Array[Double]): Column =
+    aggregate(zip_with(vcol, typedLit(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Argmin cell id over literal centroids; ties break on the smaller
+    * id (struct ordering compares d2 first, then cid). */
+  private def argminOver(vcol: Column,
+                         cents: Seq[(Long, Array[Double])]): Column =
+    array_min(array(cents.map { case (id, c) =>
+      struct(sqdToCol(vcol, c).as("d2"), lit(id).as("cid")) }: _*))
+      .getField("cid")
+
+  /** Label-free k-means codebook over (vec_id, v) — deterministic and
+    * engine-exact (see [[s6KnnKmeans]] for the full rationale):
+    * hash-derandomized k-means||-style init (seed draw, one
+    * d²-proportional oversample round with an md5 coin, weighted
+    * reduction to `k`), then `iters` Lloyd iterations where each step
+    * is one argmin map pass plus one hash aggregate of exact
+    * floor-micro coordinate sums — order-independent integers, one
+    * double divide per coordinate. */
+  private def kmeansCentroids(e: DataFrame, k: Int = 10, iters: Int = 2,
+                              saltSeed: String = ":s6",
+                              saltCoin: String = ":s6c")
+      : Seq[(Long, Array[Double])] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    // L·2^60: the oversampling factor L = 2k scaled to the 60-bit coin
+    val coin = 2.0 * k * math.pow(2.0, 60)
+    val seed = e.select($"vec_id", $"v")
+      .withColumn("h", md5Long(concat($"vec_id".cast("string"), lit(saltSeed))))
+      .orderBy($"h", $"vec_id").limit(1).collect()(0)
+    val seedId = seed.getLong(0)
+    val seedV = seed.getSeq[Double](1).toArray
+    val d2m = floor(lit(1000000.0) * sqdToCol($"v", seedV)).cast("long")
+    val phi = e.select(sum(d2m).as("p")).as[Long].head()
+    val coinH = md5Long(concat($"vec_id".cast("string"), lit(saltCoin)))
+    val cand: Seq[(Long, Array[Double])] = e.filter(
+        coinH.cast("double") * lit(phi.toDouble) < lit(coin) * d2m.cast("double")
+          || $"vec_id" === seedId)
+      .select($"vec_id", $"v").collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    // weight candidates by their nearest-assignment cell size, keep k
+    val wts = e.withColumn("cid", argminOver($"v", cand))
+      .groupBy($"cid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cents: Seq[(Long, Array[Double])] = cand
+      .flatMap { case (id, c) => wts.get(id).map(n => (id, c, n)) }
+      .sortBy { case (id, _, n) => (-n, id) }
+      .take(k).map { case (id, c, _) => (id, c) }.sortBy(_._1)
+    // Lloyd: argmin map pass + exact integer sums per (cluster, dim)
+    for (_ <- 0 until iters) {
+      val sums = e.withColumn("cid", argminOver($"v", cents))
+        .select($"cid", posexplode($"v").as(Seq("d0", "dv")))
+        .groupBy($"cid", ($"d0" + 1).as("d"))
+        .agg(sum(floor(lit(1000000.0) * $"dv").cast("long")).as("s"),
+             count(lit(1)).as("n"))
+        .collect()
+      cents = sums.groupBy(_.getLong(0)).map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getInt(1))
+          .map(r => r.getLong(2).toDouble / (r.getLong(3).toDouble * 1000000.0))
+          .toArray
+      }.toSeq.sortBy(_._1)
+    }
+    cents
+  }
+
   // ---------------------------------------------------------------- s6
   /** IVF ANN over a LABEL-FREE learned codebook: k-means trained on the
     * embedding corpus itself. s3/s4/s5 key their codebooks on the
@@ -600,81 +680,25 @@ object SimilarityOps {
   def s6KnnKmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     registerAll(spark)
-    val Kc = 10     // clusters
     val NPROBE = 4
-    val ITERS = 2
-    // L·2^60: the oversampling factor L = 2K scaled to the 60-bit coin
-    val Coin = 20.0 * math.pow(2.0, 60)
-    def dotA(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
-    }
-    def sqdA(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
-    }
     val e = emb(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot($"v", $"v")))
-    // squared L2 to a literal centroid — the engine twin of the oracle's
-    // list_reduce(list_zip(...)) left fold
-    def sqdTo(c: Array[Double]): Column =
-      aggregate(zip_with($"v", typedLit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    // argmin cell over literal centroids; ties break on the smaller id
-    def argminCell(cents: Seq[(Long, Array[Double])]): Column =
-      array_min(array(cents.map { case (id, c) =>
-        struct(sqdTo(c).as("d2"), lit(id).as("cid")) }: _*)).getField("cid")
-    // ---- init: seed draw + one distance-proportional oversample round
-    val seed = e.select($"vec_id", $"v")
-      .withColumn("h", md5Long(concat($"vec_id".cast("string"), lit(":s6"))))
-      .orderBy($"h", $"vec_id").limit(1).collect()(0)
-    val seedId = seed.getLong(0)
-    val seedV = seed.getSeq[Double](1).toArray
-    val d2m = floor(lit(1000000.0) * sqdTo(seedV)).cast("long")
-    val phi = e.select(sum(d2m).as("p")).as[Long].head()
-    val coinH = md5Long(concat($"vec_id".cast("string"), lit(":s6c")))
-    val cand: Seq[(Long, Array[Double])] = e.filter(
-        coinH.cast("double") * lit(phi.toDouble) < lit(Coin) * d2m.cast("double")
-          || $"vec_id" === seedId)
-      .select($"vec_id", $"v").collect().toSeq
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
-    // weight candidates by their nearest-assignment cell size, keep K
-    val wts = e.withColumn("cid", argminCell(cand))
-      .groupBy($"cid").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    var cents: Seq[(Long, Array[Double])] = cand
-      .flatMap { case (id, c) => wts.get(id).map(n => (id, c, n)) }
-      .sortBy { case (id, _, n) => (-n, id) }
-      .take(Kc).map { case (id, c, _) => (id, c) }.sortBy(_._1)
-    // ---- Lloyd: argmin map pass + exact integer sums per (cluster, dim)
-    for (_ <- 0 until ITERS) {
-      val sums = e.withColumn("cid", argminCell(cents))
-        .select($"cid", posexplode($"v").as(Seq("d0", "dv")))
-        .groupBy($"cid", ($"d0" + 1).as("d"))
-        .agg(sum(floor(lit(1000000.0) * $"dv").cast("long")).as("s"),
-             count(lit(1)).as("n"))
-        .collect()
-      cents = sums.groupBy(_.getLong(0)).map { case (cid, rs) =>
-        cid -> rs.sortBy(_.getInt(1))
-          .map(r => r.getLong(2).toDouble / (r.getLong(3).toDouble * 1000000.0))
-          .toArray
-      }.toSeq.sortBy(_._1)
-    }
+    val cents = kmeansCentroids(e)
     // ---- serving: one corpus map pass against the compiled index
     val qs: Seq[(Long, Array[Double])] = e.filter($"vec_id" < NQUERIES)
       .select($"vec_id", $"v").collect().toSeq
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
     val probesOf: Map[Long, Seq[Long]] = qs.flatMap { case (qid, qv) =>
-      cents.map { case (cid, c) => (sqdA(qv, c), cid) }
+      cents.map { case (cid, c) => (sqdArr(qv, c), cid) }
         .sortBy { case (d2, cid) => (d2, cid) }
         .take(NPROBE).map { case (_, cell) => (cell, qid) }
     }.groupBy(_._1).map { case (c, ps) => c -> ps.map(_._2).sorted }
     val qv: Map[Long, Seq[Double]] = qs.map { case (id, a) => id -> a.toSeq }.toMap
-    val qn: Map[Long, Double] = qs.map { case (id, a) => id -> math.sqrt(dotA(a, a)) }.toMap
+    val qn: Map[Long, Double] = qs.map { case (id, a) => id -> math.sqrt(dotArr(a, a)) }.toMap
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
     e.select($"vec_id".as("nid"), $"v", $"nrm")
-      .withColumn("cell", argminCell(cents))
+      .withColumn("cell", argminOver($"v", cents))
       .withColumn("qid", explode(element_at(typedLit(probesOf), $"cell")))
       .filter($"qid" =!= $"nid")
       .withColumn("cos",
@@ -686,18 +710,22 @@ object SimilarityOps {
       .orderBy($"qid", $"rnk")
   }
 
-  val s6KnnKmeansSql: String = {
-    val dist = (a: String, b: String) =>
-      s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+  /** DuckDB squared-L2 fold over two lists — the oracle twin of
+    * [[sqdToCol]]. */
+  private def sqlSqd(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+
+  /** The coarse k-means training as oracle CTEs (seed draw →
+    * d²-proportional oversample → weighted top-K init → 2 Lloyd
+    * rounds), producing `c2(cid, cv)` — mirrors [[kmeansCentroids]]
+    * op for op. Expects CTEs `e(vec_id, v, ...)` and `dims(d)` in
+    * scope. Shared by the s6 and s7 oracles. */
+  private val sqlCoarseKmeansCtes: String = {
+    val dist = sqlSqd _
     val coin = (20.0 * math.pow(2.0, 60)).toString
     val hSeed = sqlMd5Long("CAST(vec_id AS VARCHAR) || ':s6'")
     val hCoin = sqlMd5Long("CAST(vec_id AS VARCHAR) || ':s6c'")
-    s"""WITH e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
-       |  FROM embeddings),
-       |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
-       |seed AS (
+    s"""seed AS (
        |  SELECT vec_id AS sid, v AS sv FROM e
        |  ORDER BY $hSeed, vec_id LIMIT 1),
        |d0 AS (
@@ -747,7 +775,17 @@ object SimilarityOps {
        |c2 AS (
        |  SELECT cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
        |                   ORDER BY d) AS cv
-       |  FROM s2 GROUP BY cid),
+       |  FROM s2 GROUP BY cid)""".stripMargin
+  }
+
+  val s6KnnKmeansSql: String = {
+    val dist = sqlSqd _
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+       |$sqlCoarseKmeansCtes,
        |cells AS (
        |  SELECT vec_id AS nid, v AS nv, nrm AS nnrm, cid AS cell FROM (
        |    SELECT x.vec_id, x.v, x.nrm, c.cid,
@@ -777,6 +815,211 @@ object SimilarityOps {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s7
+  /** IVF-PQ with EVERY codebook learned label-free — the full
+    * production index build. s5 composes IVF pruning with PQ
+    * compression but stands both codebooks on the corpus `label`
+    * column; s6 learns the coarse quantizer; s7 completes the set: the
+    * coarse centroids are s6's k-means codebook (same seeds → same
+    * codebook), and the 8 per-subspace PQ codebooks are themselves
+    * k-means — trained, as production PQ always is, on a SAMPLE:
+    *
+    *  - **Sampling.** PQ training touches a deterministic md5-coin half
+    *    of the corpus (at 100 TB you train on ~10⁵ vectors, not 10¹⁰ —
+    *    the hash coin is the engine's standard reproducible sampler,
+    *    p2's trick). Only training samples; serving encodes everything.
+    *  - **Init.** Per subspace, the `Kpq` sample subvectors with the
+    *    smallest md5(vec_id, m) hashes — a deterministic uniform draw
+    *    per subspace (plain k-means init; the d²-weighted k-means||
+    *    refinement matters for the 64-dim coarse quantizer, s6, not
+    *    for 10 codes in 8 dimensions).
+    *  - **Lloyd ×2** on the sample, all 8 subspaces in the SAME two
+    *    passes: assignment is a per-subspace argmin over literal
+    *    codebooks, recomputation one hash aggregate of exact
+    *    floor-micro sums keyed (m, code, dim) — the identical
+    *    order-independence discipline as s6, so training is hash-exact
+    *    cross-engine.
+    *  - **Serving** is s5's query-compiled single corpus pass: coarse
+    *    cell argmin, 8 code argmins, unprobed cells dropped map-side,
+    *    fixed-point ADC sums from a literal LUT; the only shuffle is
+    *    the per-query top-K. */
+  def s7KnnIvfPqKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    val NPROBE = 4
+    val SUBS = 8
+    val SD = 8
+    val Kpq = 10
+    def microL(x: Double): Long = math.floor(x * 1000000.0).toLong
+    val e = emb(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // coarse quantizer: s6's learned codebook (same salts, same result)
+    val cents = kmeansCentroids(e)
+    // ---- PQ codebooks: per-subspace k-means on the md5-coin sample
+    val samp = e.filter(pmod(md5Long(concat($"vec_id".cast("string"),
+      lit(":s7s"))), lit(100L)) < 50)
+    val ssub = samp.select($"vec_id",
+        explode(sequence(lit(0), lit(SUBS - 1))).as("m"), $"v")
+      .select($"vec_id", $"m", slice($"v", $"m" * SD + 1, lit(SD)).as("sv"))
+    val wInit = Window.partitionBy($"m").orderBy($"h", $"vec_id")
+    var codes: Map[Int, Seq[(Long, Array[Double])]] = ssub
+      .withColumn("h", md5Long(concat($"vec_id".cast("string"), lit(":s7:"),
+        $"m".cast("string"))))
+      .withColumn("rn", row_number().over(wInit))
+      .filter($"rn" <= Kpq)
+      .select($"m", $"vec_id", $"sv").collect()
+      .groupBy(_.getInt(0)).map { case (m, rs) =>
+        m -> rs.map(r => r.getLong(1) -> r.getSeq[Double](2).toArray)
+          .toSeq.sortBy(_._1)
+      }
+    // per-subspace argmin over the current literal codebooks
+    def codeOf(cb: Map[Int, Seq[(Long, Array[Double])]]): Column =
+      coalesce((0 until SUBS).map(m =>
+        when($"m" === m, argminOver($"sv", cb(m)))): _*)
+    for (_ <- 0 until 2) {
+      val sums = ssub.withColumn("cid", codeOf(codes))
+        .select($"m", $"cid", posexplode($"sv").as(Seq("d0", "dv")))
+        .groupBy($"m", $"cid", ($"d0" + 1).as("d"))
+        .agg(sum(floor(lit(1000000.0) * $"dv").cast("long")).as("s"),
+             count(lit(1)).as("n"))
+        .collect()
+      codes = sums.groupBy(r => (r.getInt(0), r.getLong(1))).map {
+        case ((m, cid), rs) =>
+          (m, cid) -> rs.sortBy(_.getInt(2))
+            .map(r => r.getLong(3).toDouble / (r.getLong(4).toDouble * 1000000.0))
+            .toArray
+      }.toSeq.groupBy(_._1._1).map { case (m, entries) =>
+        m -> entries.map { case ((_, cid), arr) => cid -> arr }.sortBy(_._1)
+      }
+    }
+    // ---- serving: one corpus map pass against the compiled index
+    val qs: Seq[(Long, Array[Double])] = e.filter($"vec_id" < NQUERIES)
+      .select($"vec_id", $"v").collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val probesOf: Map[Long, Seq[Long]] = qs.flatMap { case (qid, qv) =>
+      cents.map { case (cid, c) => (sqdArr(qv, c), cid) }
+        .sortBy { case (d2, cid) => (d2, cid) }
+        .take(NPROBE).map { case (_, cell) => (cell, qid) }
+    }.groupBy(_._1).map { case (c, ps) => c -> ps.map(_._2).sorted }
+    val lut: Map[String, Long] = (for {
+      (qid, qvec) <- qs; m <- 0 until SUBS; (cid, cv) <- codes(m)
+    } yield s"$qid:$m:$cid" ->
+      microL(sqdArr(qvec.slice(m * SD, m * SD + SD), cv))).toMap
+    val adcExpr = (0 until SUBS).map(m => element_at(typedLit(lut),
+      concat_ws(":", $"qid", lit(m), col(s"c$m")))).reduce(_ + _)
+    val w = Window.partitionBy($"qid").orderBy($"adc_micro".asc, $"nid".asc)
+    e.select($"vec_id".as("nid"), $"v")
+      .withColumn("cell", argminOver($"v", cents))
+      .select(Seq($"nid", $"cell") ++ (0 until SUBS).map(m =>
+        argminOver(slice($"v", m * SD + 1, SD), codes(m)).as(s"c$m")): _*)
+      .withColumn("qid", explode(element_at(typedLit(probesOf), $"cell")))
+      .filter($"qid" =!= $"nid")
+      .withColumn("adc_micro", adcExpr)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"nid", $"rnk", $"adc_micro")
+      .orderBy($"qid", $"rnk")
+  }
+
+  val s7KnnIvfPqKmeansSql: String = {
+    val dist = sqlSqd _
+    val hSamp = sqlMd5Long("CAST(vec_id AS VARCHAR) || ':s7s'")
+    val hInit = sqlMd5Long("CAST(vec_id AS VARCHAR) || ':s7:' || CAST(m AS VARCHAR)")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+       |$sqlCoarseKmeansCtes,
+       |samp AS (SELECT * FROM e WHERE $hSamp % 100 < 50),
+       |ssub AS (
+       |  SELECT vec_id, CAST(u.m AS INT) AS m,
+       |    list_slice(v, u.m * 8 + 1, u.m * 8 + 8) AS sv
+       |  FROM samp, UNNEST(generate_series(0, 7)) AS u(m)),
+       |pinit AS (
+       |  SELECT m, vec_id AS cid, sv AS cv FROM (
+       |    SELECT m, vec_id, sv,
+       |      ROW_NUMBER() OVER (PARTITION BY m ORDER BY $hInit, vec_id) AS rn
+       |    FROM ssub)
+       |  WHERE rn <= 10),
+       |pdims AS (SELECT unnest(generate_series(1, 8)) AS d),
+       |pa1 AS (
+       |  SELECT s.vec_id, s.m, s.sv, i.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${dist("s.sv", "i.cv")}, i.cid) AS rn
+       |  FROM ssub s JOIN pinit i USING (m)),
+       |ps1 AS (
+       |  SELECT m, cid, d,
+       |    CAST(SUM(CAST(FLOOR(1000000.0 * sv[d]) AS BIGINT)) AS BIGINT) AS s,
+       |    COUNT(*) AS n
+       |  FROM pa1 CROSS JOIN pdims WHERE rn = 1 GROUP BY 1, 2, 3),
+       |pc1 AS (
+       |  SELECT m, cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+       |                      ORDER BY d) AS cv
+       |  FROM ps1 GROUP BY m, cid),
+       |pa2 AS (
+       |  SELECT s.vec_id, s.m, s.sv, i.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${dist("s.sv", "i.cv")}, i.cid) AS rn
+       |  FROM ssub s JOIN pc1 i USING (m)),
+       |ps2 AS (
+       |  SELECT m, cid, d,
+       |    CAST(SUM(CAST(FLOOR(1000000.0 * sv[d]) AS BIGINT)) AS BIGINT) AS s,
+       |    COUNT(*) AS n
+       |  FROM pa2 CROSS JOIN pdims WHERE rn = 1 GROUP BY 1, 2, 3),
+       |pc2 AS (
+       |  SELECT m, cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+       |                      ORDER BY d) AS cv
+       |  FROM ps2 GROUP BY m, cid),
+       |sub AS (
+       |  SELECT vec_id, CAST(u.m AS INT) AS m,
+       |    list_slice(v, u.m * 8 + 1, u.m * 8 + 8) AS sv
+       |  FROM e, UNNEST(generate_series(0, 7)) AS u(m)),
+       |cells AS (
+       |  SELECT vec_id AS nid, cid AS cell FROM (
+       |    SELECT x.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${dist("x.v", "c.cv")}, c.cid) AS rn
+       |    FROM e x CROSS JOIN c2 c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid AS cell FROM (
+       |    SELECT q.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dist("q.v", "c.cv")}, c.cid) AS pr
+       |    FROM e q CROSS JOIN c2 c WHERE q.vec_id < $NQUERIES)
+       |  WHERE pr <= 4),
+       |pasg AS (
+       |  SELECT vec_id AS nid, m, cid AS code FROM (
+       |    SELECT s.vec_id, s.m, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${dist("s.sv", "c.cv")}, c.cid) AS rn
+       |    FROM sub s JOIN pc2 c USING (m))
+       |  WHERE rn = 1),
+       |plut AS (
+       |  SELECT s.vec_id AS qid, s.m, c.cid AS code,
+       |    ${sqlMicro(dist("s.sv", "c.cv"))} AS d2_micro
+       |  FROM sub s JOIN pc2 c USING (m)
+       |  WHERE s.vec_id < $NQUERIES),
+       |cnd AS (
+       |  SELECT p.qid, n.nid FROM probes p JOIN cells n USING (cell)
+       |  WHERE p.qid <> n.nid),
+       |adc AS (
+       |  SELECT cd.qid, cd.nid, CAST(SUM(l.d2_micro) AS BIGINT) AS adc_micro
+       |  FROM cnd cd
+       |  JOIN pasg a ON a.nid = cd.nid
+       |  JOIN plut l ON l.qid = cd.qid AND l.m = a.m AND l.code = a.code
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, nid, adc_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY adc_micro ASC, nid ASC) AS rnk
+       |  FROM adc)
+       |SELECT qid, nid, CAST(rnk AS INT) AS rnk, adc_micro
+       |FROM ranked WHERE rnk <= $K
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
@@ -785,6 +1028,7 @@ object SimilarityOps {
     "s4_knn_pq"    -> (s4KnnPq _),
     "s5_knn_ivfpq" -> (s5KnnIvfPq _),
     "s6_knn_kmeans" -> (s6KnnKmeans _),
+    "s7_knn_ivfpq_kmeans" -> (s7KnnIvfPqKmeans _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -794,5 +1038,6 @@ object SimilarityOps {
     "s4_knn_pq"    -> s4KnnPqSql,
     "s5_knn_ivfpq" -> s5KnnIvfPqSql,
     "s6_knn_kmeans" -> s6KnnKmeansSql,
+    "s7_knn_ivfpq_kmeans" -> s7KnnIvfPqKmeansSql,
   )
 }

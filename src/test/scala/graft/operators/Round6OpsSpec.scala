@@ -76,6 +76,23 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(got == golden, s"q15 drifted from golden:\n got    $got\n golden $golden")
   }
 
+  test("s7: fully-learned IVF-PQ stays in the label-codebook index's recall league") {
+    import spark.implicits._
+    val exact = graft.SparkEntry.queries("s1_knn_brute")(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val labelIdx = graft.SparkEntry.queries("s5_knn_ivfpq")(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val learned = graft.SparkEntry.queries("s7_knn_ivfpq_kmeans")(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val rLearned = (learned & exact).size.toDouble / exact.size
+    val rLabel = (labelIdx & exact).size.toDouble / exact.size
+    // PQ compression + nprobe 4/10 caps both; the learned index must not
+    // collapse relative to the label stand-in (sf0.01: 0.23 vs 0.21)
+    assert(rLearned >= 0.1, s"s7 recall collapsed: $rLearned")
+    assert(rLearned >= rLabel - 0.15,
+      s"learned codebooks far below label codebooks: $rLearned vs $rLabel")
+  }
+
   test("d11: hot set broadcasts; gram stream is never broadcast") {
     val p = graft.SparkEntry.queries("d11_jaccard_dfcap")(spark, sf)
       .queryExecution.executedPlan.toString
