@@ -212,6 +212,55 @@ class ScaleSpec extends AnyFunSuite {
     assert(spread == 8L, s"expected 8 salt buckets for 64 duplicates, got $spread")
   }
 
+  test("planted 1000x hot key: AQE skew split fires unsalted; salting composes cleanly") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SkewOps
+    // one key carries 50k rows, a thousand cold keys carry one each
+    val big = spark.range(50000)
+      .select(lit(1L).as("k"), concat(lit("p"), col("id")).as("p"))
+      .union(spark.range(2, 1002)
+        .select(col("id").as("k"), lit("cold").as("p")))
+    val dim = spark.range(1, 1002).select(col("id").as("k2"),
+      concat(lit("d"), col("id")).as("attr"))
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // thresholds scaled to the test frame so the 50k-row partition
+      // counts as skewed against its ~1-row siblings
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      // UNSALTED: AQE alone must detect and split the skewed partition.
+      // collect() (not count()) so THIS Dataset's QueryExecution runs and
+      // its AdaptiveSparkPlan finalizes — count() builds a separate plan.
+      val unsalted = big.join(dim, col("k") === col("k2"))
+      val n = unsalted.collect().length.toLong
+      assert(n == 50000L + 1000L)
+      val p = unsalted.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n$p")
+      // SALTED under the same AQE conf: identical rows out — salting
+      // pre-spreads the hot key so the two mitigations compose (AQE just
+      // sees balanced partitions) instead of corrupting results
+      val salted = SkewOps.saltedJoin(big, dim, col("k"), col("k2"), 16,
+        spreadDuplicates = true)
+      assert(salted.count() == n)
+      val saltedSum = salted.agg(sum(length(col("attr")))).collect()(0).getLong(0)
+      val plainSum = unsalted.agg(sum(length(col("attr")))).collect()(0).getLong(0)
+      assert(saltedSum == plainSum)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without an exchange on the bucketed key") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS b_orders")
