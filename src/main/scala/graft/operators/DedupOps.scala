@@ -713,6 +713,68 @@ object DedupOps {
        |WHERE shared * 10 >= (ca + cb - shared) * 6
        |ORDER BY i, j""".stripMargin
 
+  // ---------------------------------------------------------------- d12
+  /** Embedding near-dup with LABEL-FREE blocking — the SemDeDup shape
+    * (Abbas et al. 2023: k-means the corpus embeddings, compare pairs
+    * only within a cluster). d5 blocks candidate pairs on the dataset's
+    * `label` column, which a real embedding corpus does not have; d12
+    * replaces that with [[SimilarityOps.kmeansCentroids]]'s learned
+    * codebook (s6's exact deterministic training — same salts, same
+    * codebook, so the oracle reuses the same CTEs). Each vector is
+    * assigned to its TOP-2 nearest cells, so a pair straddling a cell
+    * boundary still co-occurs in at least one block when both sit near
+    * it; a pair sharing both cells scores identically in each (same
+    * left-fold dot), and the final distinct collapses it.
+    *
+    * Scale shape: candidate generation is a self-join on the cell id —
+    * linear in true intra-cell collisions, never all-pairs. At 100 TB
+    * the codebook grows with the corpus (SemDeDup uses ~100k clusters;
+    * k ≈ √N keeps expected cell size √N) and hot cells are split
+    * recursively, so per-cell pair work stays bounded; with k this
+    * small (10, sized to the sf test corpora) the join keys are few —
+    * the production setting raises k, which both balances cells and
+    * restores join parallelism. */
+  def d12CosineDupKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    val e = emb(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    val cents = SimilarityOps.kmeansCentroids(e)
+    val blocks = e.withColumn("cell",
+      explode(SimilarityOps.topCells($"v", cents, 2)))
+    blocks.as("a").join(blocks.hint("shuffle_hash").as("b"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
+      .filter($"cos" >= 0.35)
+      .select($"a.vec_id".as("i"), $"b.vec_id".as("j"),
+              micro($"cos").as("cos_micro"))
+      .distinct()
+      .orderBy($"i", $"j")
+  }
+
+  val d12CosineDupKmeansSql: String = {
+    val dist = SimilarityOps.sqlSqd _
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+       |${SimilarityOps.sqlCoarseKmeansCtes},
+       |blocks AS (
+       |  SELECT vec_id, v, nrm, cid AS cell FROM (
+       |    SELECT x.vec_id, x.v, x.nrm, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${dist("x.v", "c.cv")}, c.cid) AS rn
+       |    FROM e x CROSS JOIN c2 c)
+       |  WHERE rn <= 2)
+       |SELECT DISTINCT a.vec_id AS i, b.vec_id AS j,
+       |  ${sqlMicro(sqlDot("a.v", "b.v") + " / (a.nrm * b.nrm)")} AS cos_micro
+       |FROM blocks a JOIN blocks b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35
+       |ORDER BY i, j""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact"   -> (d1DedupExact _),
     "d2_dedup_normset" -> (d2DedupNormSet _),
@@ -725,6 +787,7 @@ object DedupOps {
     "d9_minhash_jaccard" -> (d9MinhashJaccard _),
     "d10_containment"  -> (d10Containment _),
     "d11_jaccard_dfcap" -> (d11JaccardDfCap _),
+    "d12_cosine_dup_kmeans" -> (d12CosineDupKmeans _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -739,5 +802,6 @@ object DedupOps {
     "d9_minhash_jaccard" -> d9MinhashJaccardSql,
     "d10_containment"  -> d10ContainmentSql,
     "d11_jaccard_dfcap" -> d11JaccardDfCapSql,
+    "d12_cosine_dup_kmeans" -> d12CosineDupKmeansSql,
   )
 }

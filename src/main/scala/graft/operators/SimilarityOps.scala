@@ -577,11 +577,23 @@ object SimilarityOps {
 
   /** Argmin cell id over literal centroids; ties break on the smaller
     * id (struct ordering compares d2 first, then cid). */
-  private def argminOver(vcol: Column,
+  private[operators] def argminOver(vcol: Column,
                          cents: Seq[(Long, Array[Double])]): Column =
     array_min(array(cents.map { case (id, c) =>
       struct(sqdToCol(vcol, c).as("d2"), lit(id).as("cid")) }: _*))
       .getField("cid")
+
+  /** The `n` nearest cell ids over literal centroids (ties as in
+    * [[argminOver]]) — the multi-assignment used for blocking, where a
+    * vector near a cell boundary must land in both cells so boundary
+    * pairs are not lost. One sorted literal-array projection per row;
+    * no shuffle. */
+  private[operators] def topCells(vcol: Column,
+                                  cents: Seq[(Long, Array[Double])],
+                                  n: Int): Column =
+    transform(slice(array_sort(array(cents.map { case (id, c) =>
+      struct(sqdToCol(vcol, c).as("d2"), lit(id).as("cid")) }: _*)), 1, n),
+      s => s.getField("cid"))
 
   /** Label-free k-means codebook over (vec_id, v) — deterministic and
     * engine-exact (see [[s6KnnKmeans]] for the full rationale):
@@ -591,7 +603,7 @@ object SimilarityOps {
     * is one argmin map pass plus one hash aggregate of exact
     * floor-micro coordinate sums — order-independent integers, one
     * double divide per coordinate. */
-  private def kmeansCentroids(e: DataFrame, k: Int = 10, iters: Int = 2,
+  private[operators] def kmeansCentroids(e: DataFrame, k: Int = 10, iters: Int = 2,
                               saltSeed: String = ":s6",
                               saltCoin: String = ":s6c")
       : Seq[(Long, Array[Double])] = {
@@ -712,7 +724,7 @@ object SimilarityOps {
 
   /** DuckDB squared-L2 fold over two lists — the oracle twin of
     * [[sqdToCol]]. */
-  private def sqlSqd(a: String, b: String): String =
+  private[operators] def sqlSqd(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
 
   /** The coarse k-means training as oracle CTEs (seed draw →
@@ -720,7 +732,7 @@ object SimilarityOps {
     * rounds), producing `c2(cid, cv)` — mirrors [[kmeansCentroids]]
     * op for op. Expects CTEs `e(vec_id, v, ...)` and `dims(d)` in
     * scope. Shared by the s6 and s7 oracles. */
-  private val sqlCoarseKmeansCtes: String = {
+  private[operators] val sqlCoarseKmeansCtes: String = {
     val dist = sqlSqd _
     val coin = (20.0 * math.pow(2.0, 60)).toString
     val hSeed = sqlMd5Long("CAST(vec_id AS VARCHAR) || ':s6'")

@@ -45,6 +45,32 @@ class Round6OpsSpec extends AnyFunSuite {
       s"planted dup below threshold: $row")
   }
 
+  test("d12: learned-cell blocking is sound and keeps useful recall vs all-pairs") {
+    import spark.implicits._
+    import graft.functions.EngineFns._
+    registerAll(spark)
+    val got = graft.SparkEntry.queries("d12_cosine_dup_kmeans")(spark, sf)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    // brute-force ground truth: every pair with cos >= 0.35 (500 vectors
+    // at this SF — all-pairs is fine in a spec, and exactly what d12
+    // must never do at scale)
+    val e = graft.Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    val all = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
+      .filter($"cos" >= 0.35)
+      .select($"a.vec_id", $"b.vec_id").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(all),
+      s"blocking produced ${got.diff(all).size} pairs below the threshold")
+    val recall = (got & all).size.toDouble / all.size
+    // top-2-of-10 learned cells: boundary pairs in disjoint cells are the
+    // accepted miss mode; degenerate clustering (everything one cell →
+    // recall 1.0 but quadratic) or dead blocking (recall ~0) both fail
+    assert(recall >= 0.4 && got.size < all.size,
+      s"d12 recall $recall over ${all.size} true pairs (found ${got.size})")
+  }
+
   test("s6: learned label-free codebook reaches useful recall vs exact top-k") {
     import spark.implicits._
     val exact = graft.SparkEntry.queries("s1_knn_brute")(spark, sf)
