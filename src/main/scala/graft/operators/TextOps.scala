@@ -525,6 +525,76 @@ object TextOps {
       |FROM p
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- t13
+  /** Corpus-familiarity score — the integer-exact stand-in for LM-
+    * perplexity quality filtering (CCNet scores documents against a
+    * reference LM; the engine-reproducible core of that signal is "how
+    * much of this document is made of the corpus's own most common
+    * phrases"). Per doc: the permille of its distinct word trigrams
+    * that fall in the corpus-wide top-[[FamiliarTop]] trigrams by
+    * document frequency. Boilerplate scores ~1000, natural prose in the
+    * middle, junk/garble near 0 — combined with t3's shape signals it
+    * brackets the quality axis from both ends.
+    *
+    * Scale shape: one hash-agg over fixed-width gram hashes builds the
+    * df table (the shuffle carries longs, never text); the top set is
+    * `FamiliarTop` rows — broadcast — so scoring is a map-side join on
+    * the gram stream plus one per-doc agg. Ties at the top-N boundary
+    * break on the gram hash, so both engines pick the identical set. */
+  private val FamiliarTop = 200
+
+  /** Familiarity scores for any (doc_id, text) frame — exposed so specs
+    * can plant boilerplate/garble corpora. */
+  private[graft] def familiarityOf(docsDf: DataFrame, topN: Int): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    graft.functions.TrigramHash60.register(spark)
+    val grams = docsDf
+      .select($"doc_id", explode(expr("trigram_hashes(text)")).as("gh"))
+    val hot = grams.groupBy($"gh").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"gh".asc).limit(topN)
+      .select($"gh", lit(1).as("hit"))
+    val scored = grams.join(broadcast(hot), Seq("gh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), count($"hit").as("n_familiar"))
+    // short docs (<3 tokens) have no grams: left join + explicit zeros
+    docsDf.select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_familiar", lit(0L)).as("n_familiar"),
+        when(coalesce($"n_grams", lit(0L)) === 0, lit(0L))
+          .otherwise(permille($"n_familiar", $"n_grams"))
+          .as("familiar_milli"))
+      .orderBy($"doc_id")
+  }
+
+  def t13Familiarity(spark: SparkSession, dir: String): DataFrame =
+    familiarityOf(docs(spark, dir), FamiliarTop)
+
+  val t13FamiliaritySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |gr AS (SELECT doc_id, ${sqlTrigrams("l")} AS grams FROM toks),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_transform(grams, g -> ${sqlMd5Long("g")})) AS gh
+       |  FROM gr),
+       |hot AS (
+       |  SELECT gh FROM (
+       |    SELECT gh, COUNT(*) AS df FROM grams GROUP BY gh
+       |    ORDER BY df DESC, gh ASC LIMIT $FamiliarTop)),
+       |sc AS (
+       |  SELECT g.doc_id, COUNT(*) AS n_grams, COUNT(h.gh) AS n_familiar
+       |  FROM grams g LEFT JOIN hot h ON g.gh = h.gh
+       |  GROUP BY g.doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(sc.n_grams, 0) AS n_grams,
+       |  COALESCE(sc.n_familiar, 0) AS n_familiar,
+       |  CASE WHEN COALESCE(sc.n_grams, 0) = 0 THEN 0
+       |       ELSE ${sqlPermille("sc.n_familiar", "sc.n_grams")} END AS familiar_milli
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_profile" -> (t2LangProfile _),
@@ -538,6 +608,7 @@ object TextOps {
     "t10_corpus_shingles" -> (t10CorpusShingles _),
     "t11_decontaminate" -> (t11Decontaminate _),
     "t12_subword_tokens" -> (t12SubwordTokens _),
+    "t13_familiarity" -> (t13Familiarity _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -553,5 +624,6 @@ object TextOps {
     "t10_corpus_shingles" -> t10CorpusShinglesSql,
     "t11_decontaminate" -> t11DecontaminateSql,
     "t12_subword_tokens" -> t12SubwordTokensSql,
+    "t13_familiarity" -> t13FamiliaritySql,
   )
 }

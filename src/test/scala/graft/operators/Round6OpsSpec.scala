@@ -71,6 +71,26 @@ class Round6OpsSpec extends AnyFunSuite {
       s"d12 recall $recall over ${all.size} true pairs (found ${got.size})")
   }
 
+  test("t13: shared boilerplate scores high, garble zero, short docs guarded") {
+    import spark.implicits._
+    val boiler = "terms of service apply all rights reserved"
+    val planted = (0 until 30).map(i =>
+      (i.toLong, s"unique$i filler$i " + boiler)) ++ Seq(
+      (100L, "xq zv qp wk jj zz xx yy"), // all-rare grams
+      (101L, "one two"))                 // <3 tokens: no grams at all
+    // topN = 5: exactly the 5 fully-shared boilerplate grams (df=30);
+    // a larger N would pad the hot set with df=1 grams by hash order
+    val r = TextOps.familiarityOf(planted.toDF("doc_id", "text"), 5)
+      .select($"doc_id", $"n_grams", $"familiar_milli")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // each boilerplate doc: 7 grams, 5 in the hot set → 714 permille
+    (0 until 30).foreach { i =>
+      assert(r(i.toLong) == ((7L, 714L)), s"doc $i scored ${r(i.toLong)}")
+    }
+    assert(r(100L)._2 == 0L, s"garble scored ${r(100L)}")
+    assert(r(101L) == ((0L, 0L)), s"short doc scored ${r(101L)}")
+  }
+
   test("s6: learned label-free codebook reaches useful recall vs exact top-k") {
     import spark.implicits._
     val exact = graft.SparkEntry.queries("s1_knn_brute")(spark, sf)

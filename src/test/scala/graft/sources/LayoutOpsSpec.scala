@@ -153,4 +153,49 @@ class LayoutOpsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("writeZOrdered: box predicates prune files on BOTH dims; linear sort only on one") {
+    import spark.implicits._
+    // 40k-point uniform grid in (x, y)
+    val grid = spark.range(40000).select(
+      (col("id") % 200).as("x"), (col("id") / 200).cast("long").as("y"),
+      col("id").as("payload"))
+    val zdir = tmpDir() + "/z"
+    val ldir = tmpDir() + "/linear"
+    LayoutOps.writeZOrdered(grid, zdir, "x", "y", nFiles = 16)
+    grid.repartitionByRange(16, col("x"))
+      .sortWithinPartitions(col("x")).write.parquet(ldir)
+
+    // round trip exact
+    val back = spark.read.parquet(zdir)
+    assert(back.count() == 40000L)
+    assert(back.agg(sum("payload")).head().getLong(0) ==
+      grid.agg(sum("payload")).head().getLong(0))
+
+    // candidate files for a box query = files whose per-file min/max
+    // bounding box intersects it (what parquet stats pruning consults)
+    def candidates(dir: String, xLo: Long, xHi: Long,
+                   yLo: Long, yHi: Long): Int =
+      leafFiles(dir).count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("x"), max("x"), min("y"), max("y")).head()
+        r.getLong(1) >= xLo && r.getLong(0) <= xHi &&
+          r.getLong(3) >= yLo && r.getLong(2) <= yHi
+      }
+
+    // y-range predicate: the x-sorted layout cannot prune at all (every
+    // file spans y's full range); z-order confines it to a curve strip
+    val zY = candidates(zdir, 0, 199, 0, 24)
+    val lY = candidates(ldir, 0, 199, 0, 24)
+    assert(lY == 16, s"x-sorted layout unexpectedly pruned on y ($lY)")
+    assert(zY <= 8, s"z-order failed to prune on y: $zY of 16 files")
+    // x-range predicate: linear is perfect here, z-order must still
+    // prune meaningfully (the curve trades a little x-locality for y)
+    val zX = candidates(zdir, 0, 24, 0, 199)
+    assert(zX <= 8, s"z-order failed to prune on x: $zX of 16 files")
+    // box on both: the quarter-quarter box covers 1/16 of the curve;
+    // files whose z-run straddles the box boundary pad that a little
+    val zBox = candidates(zdir, 0, 49, 0, 49)
+    assert(zBox <= 6, s"z-order box query touched $zBox of 16 files")
+  }
 }
