@@ -400,6 +400,73 @@ object PipelineOps {
        |ORDER BY lang""".stripMargin
 
   // ------------------------------------------------------------ registry
+  // ---------------------------------------------------------------- p7
+  /** Mixture-REALIZED training schedule: p6 computes the temperature-
+    * scaled language weights; p7 turns them into an actual deterministic
+    * interleaved order — every document gets a virtual-time slot, and
+    * reading the corpus in vt order plays languages at their α=0.5
+    * target rates (the mixture a trainer actually consumes, not just its
+    * summary). vt = pos·10¹²/wm in pure BIGINT floor division: a
+    * language with twice the weight fires twice as often per unit of
+    * virtual time; ties cannot collide across langs at the same pos
+    * because wm differs, and the (vt, lang, pos) sort is total.
+    *
+    * The in-language position is a SHARDED rank (p4's trick, the p5
+    * hazard avoided): docs hash into [[ScheduleShards]] shards; per-
+    * (lang, shard) row_number windows are bounded at corpus/|langs|/
+    * |shards| rows, and a tiny (langs×shards) offset table — prefix sums
+    * over shard sizes, broadcast — lifts shard-local ranks to the
+    * lang-global position. Total order: (shard, h, doc_id), mirrored
+    * verbatim in the oracle's single window. At 100 TB raise the shard
+    * count and every window partition still fits one task; a naive
+    * `Window.partitionBy(lang)` rank would sort billions of rows on one
+    * core. pos·10¹² stays in BIGINT up to ~9·10⁶ docs per language; past
+    * that, swap the product into DECIMAL(38,0) on both engines. */
+  private val ScheduleShards = 8L
+
+  def p7MixtureSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", $"lang")
+      .withColumn("h", md5Long(concat($"doc_id".cast("string"), lit(":p7"))))
+      .withColumn("shard", pmod($"h", lit(ScheduleShards)))
+    val sizes = d.groupBy($"lang", $"shard").agg(count(lit(1)).as("n"))
+    val wOff = Window.partitionBy($"lang").orderBy($"shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sizes.withColumn("off", coalesce(sum($"n").over(wOff), lit(0L)))
+      .select($"lang", $"shard", $"off")
+    val wIn = Window.partitionBy($"lang", $"shard").orderBy($"h", $"doc_id")
+    val ranked = d.withColumn("rin", row_number().over(wIn))
+      .join(broadcast(offs), Seq("lang", "shard"))
+      .withColumn("pos", $"off" + $"rin")
+    val wm = docs(spark, dir).groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("wm",
+        floor(lit(1000000.0) * sqrt($"n_docs".cast("double"))).cast("long"))
+      .select($"lang", $"wm")
+    ranked.join(broadcast(wm), Seq("lang"))
+      .withColumn("vt", expr("pos * 1000000000000 DIV wm"))
+      .select($"doc_id", $"lang", $"pos", $"vt")
+      .orderBy($"vt", $"lang", $"pos")
+  }
+
+  val p7MixtureScheduleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    ${sqlMd5Long("CAST(doc_id AS VARCHAR) || ':p7'")} AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY h % $ScheduleShards, h, doc_id) AS pos
+       |  FROM d),
+       |w AS (
+       |  SELECT lang,
+       |    CAST(FLOOR(1000000.0 * sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS wm
+       |  FROM documents GROUP BY lang)
+       |SELECT r.doc_id, r.lang, CAST(r.pos AS BIGINT) AS pos,
+       |  (r.pos * 1000000000000) // w.wm AS vt
+       |FROM r JOIN w USING (lang)
+       |ORDER BY vt, lang, pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_prep_pipeline" -> (p1PrepPipeline _),
     "p2_hash_sample"   -> (p2HashSample _),
@@ -407,6 +474,7 @@ object PipelineOps {
     "p4_pack_sequences" -> (p4PackSequences _),
     "p5_stratified_quota" -> (p5StratifiedQuota _),
     "p6_mixture_weights" -> (p6MixtureWeights _),
+    "p7_mixture_schedule" -> (p7MixtureSchedule _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -416,5 +484,6 @@ object PipelineOps {
     "p4_pack_sequences" -> p4PackSequencesSql,
     "p5_stratified_quota" -> p5StratifiedQuotaSql,
     "p6_mixture_weights" -> p6MixtureWeightsSql,
+    "p7_mixture_schedule" -> p7MixtureScheduleSql,
   )
 }

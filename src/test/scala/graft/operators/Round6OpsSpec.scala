@@ -139,6 +139,51 @@ class Round6OpsSpec extends AnyFunSuite {
       s"learned codebooks far below label codebooks: $rLearned vs $rLabel")
   }
 
+  test("d12: candidate join is a shuffled join on the cell id, never a cross product") {
+    val p = graft.SparkEntry.queries("d12_cosine_dup_kmeans")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin on cell:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"all-pairs shape leaked into d12:\n$p")
+  }
+
+  test("t13: the hot-gram set broadcasts; the gram stream is never broadcast") {
+    val p = graft.SparkEntry.queries("t13_familiarity")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot set should reach the gram stream as a broadcast:\n$p")
+    // the broadcast build side is the LIMIT-ed top-N (TakeOrdered), i.e.
+    // a bounded artifact — not the unbounded gram explode
+    assert(p.contains("TakeOrderedAndProject"),
+      s"broadcast side should be the top-N hot set:\n$p")
+  }
+
+  test("p7: vt order plays each language at its temperature-weighted rate") {
+    import spark.implicits._
+    val r = graft.SparkEntry.queries("p7_mixture_schedule")(spark, sf)
+      .select($"lang", $"pos", $"vt")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    // positions are a dense 1..n permutation per language
+    r.groupBy(_._1).foreach { case (lang, rows) =>
+      val ps = rows.map(_._2).sorted
+      assert(ps.sameElements(1L to ps.length),
+        s"$lang positions not dense: ${ps.take(5).mkString(",")}…")
+    }
+    // rate property: up to the first language's exhaustion point T, each
+    // language has emitted ~T·wm/1e12 docs (±2 for floor edges) — the
+    // realized mixture matches the α=0.5 weights
+    val wm = r.groupBy(_._1).map { case (l, rows) =>
+      l -> math.floor(1e6 * math.sqrt(rows.length.toDouble)).toLong
+    }
+    val T = r.groupBy(_._1).map { case (_, rows) => rows.map(_._3).max }.min
+    r.groupBy(_._1).foreach { case (lang, rows) =>
+      val emitted = rows.count(_._3 <= T)
+      val expected = T * wm(lang) / 1000000000000L
+      assert(math.abs(emitted - expected) <= 2,
+        s"$lang emitted $emitted by vt=$T, expected ~$expected")
+    }
+  }
+
   test("d11: hot set broadcasts; gram stream is never broadcast") {
     val p = graft.SparkEntry.queries("d11_jaccard_dfcap")(spark, sf)
       .queryExecution.executedPlan.toString
