@@ -586,6 +586,48 @@ object EventOps {
       |FROM scored
       |ORDER BY event_type, hour""".stripMargin
 
+  // ---------------------------------------------------------------- e16
+  /** Per-user engagement concentration: the Simpson index Σnᵢ²/n² over a
+    * user's event-type distribution — 1/n_types when perfectly spread,
+    * →1 when one event type dominates. The standard diversity signal
+    * that needs NO logarithm, so unlike Shannon entropy it stays in
+    * exact integer arithmetic end-to-end (Σnᵢ² and n² are exact longs;
+    * ONE floor-micro division at the end) and hash-matches across
+    * engines — the same reason e15 uses cross-multiplied variance.
+    *
+    * Scale shape: two partial-aggregated hash shuffles, (user, type)
+    * then user — both keyed on user-cardinality keys, no windows, no
+    * per-user sort. */
+  def e16SimpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("ni"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_types"),
+           sum($"ni").as("n_events"),
+           sum($"ni" * $"ni").as("s2"))
+      .select($"user_id", $"n_types", $"n_events",
+        floor(lit(1000000.0) * $"s2" / ($"n_events" * $"n_events"))
+          .cast("long").as("simpson_micro"))
+      .orderBy($"user_id")
+  }
+
+  val e16SimpsonDiversitySql: String =
+    """WITH per AS (
+      |  SELECT user_id, event_type, COUNT(*) AS ni
+      |  FROM events GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS n_types,
+      |    CAST(SUM(ni) AS BIGINT) AS n_events,
+      |    CAST(SUM(ni * ni) AS BIGINT) AS s2
+      |  FROM per GROUP BY user_id)
+      |SELECT user_id, n_types, n_events,
+      |  CAST(FLOOR(1000000.0 * s2 / (n_events * n_events)) AS BIGINT)
+      |    AS simpson_micro
+      |FROM agg
+      |ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
@@ -603,6 +645,7 @@ object EventOps {
     "e13_json_parse_once" -> (e13JsonParseOnce _),
     "e14_transitions" -> (e14Transitions _),
     "e15_anomaly"    -> (e15Anomaly _),
+    "e16_simpson"    -> (e16SimpsonDiversity _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -621,5 +664,6 @@ object EventOps {
     "e13_json_parse_once" -> e13JsonParseOnceSql,
     "e14_transitions" -> e14TransitionsSql,
     "e15_anomaly"    -> e15AnomalySql,
+    "e16_simpson"    -> e16SimpsonDiversitySql,
   )
 }

@@ -184,6 +184,19 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e16: simpson concentration sits in [1/n_types, 1] exactly") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("e16_simpson")(spark, sf)
+      .select($"n_types", $"simpson_micro").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nTypes, micro) =>
+      // Σnᵢ²/n² is minimized at the uniform split (= 1/n_types) and
+      // maximized when one type carries everything (= 1)
+      assert(micro >= 1000000L / nTypes - 1 && micro <= 1000000L,
+        s"simpson $micro out of bounds for $nTypes types")
+    }
+  }
+
   test("d11: hot set broadcasts; gram stream is never broadcast") {
     val p = graft.SparkEntry.queries("d11_jaccard_dfcap")(spark, sf)
       .queryExecution.executedPlan.toString
