@@ -775,6 +775,62 @@ object DedupOps {
        |ORDER BY i, j""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d13
+  /** Incremental (batch-vs-corpus) dedup — the daily-ingest shape: a new
+    * batch arrives and each document must be checked against the
+    * EXISTING corpus, not the batch alone. Here the split is a
+    * deterministic md5 coin (≈20% "today's batch", ≈80% standing
+    * corpus); production swaps in the real ingest partition. Per batch
+    * doc: is its exact signature already known, and under how many
+    * corpus copies.
+    *
+    * Scale shape: the corpus side collapses to (sig, count) with one
+    * hash agg BEFORE the join — the join input is one fixed-width row
+    * per distinct corpus signature, not the corpus — and the join keys
+    * are 32-byte md5s, so nothing document-sized ever shuffles. At
+    * 100 TB the corpus signature table is the thing you persist between
+    * ingests (bucketed by sig via [[graft.sources.LayoutOps
+    * .writeBucketed]], making the daily join exchange-free on the
+    * corpus side). The near-dup variant composes from d4: restrict the
+    * LSH band self-join to (batch × corpus) pairs with the same coin
+    * column. */
+  def d13IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // d2's normalized set-signature (order/multiplicity-insensitive):
+    // the corpus has no byte-exact duplicates, but it does have
+    // shuffled-token near-dups — the realistic incremental hit
+    val normSig =
+      md5(concat_ws(" ", array_sort(array_distinct(tokens($"text")))).cast("binary"))
+    val coined = docs(spark, dir)
+      .select($"doc_id", normSig.as("sig"),
+        (pmod(md5Long(concat($"doc_id".cast("string"), lit(":d13"))),
+          lit(5L)) === 0L).as("is_batch"))
+    val corpusSigs = coined.filter(!$"is_batch")
+      .groupBy($"sig").agg(count(lit(1)).as("n_corpus_copies"))
+    coined.filter($"is_batch")
+      .join(corpusSigs, Seq("sig"), "left")
+      .select($"doc_id",
+        $"n_corpus_copies".isNotNull.as("known"),
+        coalesce($"n_corpus_copies", lit(0L)).as("n_corpus_copies"))
+      .orderBy($"doc_id")
+  }
+
+  val d13IncrementalDedupSql: String =
+    s"""WITH coined AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig,
+       |    ${sqlMd5Long("CAST(doc_id AS VARCHAR) || ':d13'")} % 5 = 0 AS is_batch
+       |  FROM documents),
+       |corpus AS (
+       |  SELECT sig, COUNT(*) AS n_corpus_copies
+       |  FROM coined WHERE NOT is_batch GROUP BY sig)
+       |SELECT b.doc_id,
+       |  c.sig IS NOT NULL AS known,
+       |  COALESCE(c.n_corpus_copies, 0) AS n_corpus_copies
+       |FROM coined b LEFT JOIN corpus c ON b.sig = c.sig
+       |WHERE b.is_batch
+       |ORDER BY b.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact"   -> (d1DedupExact _),
     "d2_dedup_normset" -> (d2DedupNormSet _),
@@ -788,6 +844,7 @@ object DedupOps {
     "d10_containment"  -> (d10Containment _),
     "d11_jaccard_dfcap" -> (d11JaccardDfCap _),
     "d12_cosine_dup_kmeans" -> (d12CosineDupKmeans _),
+    "d13_incremental" -> (d13IncrementalDedup _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -803,5 +860,6 @@ object DedupOps {
     "d10_containment"  -> d10ContainmentSql,
     "d11_jaccard_dfcap" -> d11JaccardDfCapSql,
     "d12_cosine_dup_kmeans" -> d12CosineDupKmeansSql,
+    "d13_incremental" -> d13IncrementalDedupSql,
   )
 }
