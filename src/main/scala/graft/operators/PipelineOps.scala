@@ -467,6 +467,109 @@ object PipelineOps {
        |FROM r JOIN w USING (lang)
        |ORDER BY vt, lang, pos""".stripMargin
 
+  // ---------------------------------------------------------------- p8
+  /** Incremental corpus-refresh funnel — the DAILY-INGEST pipeline
+    * composed end-to-end, the incremental twin of p1's batch prep:
+    * today's batch (d13's md5 coin; production swaps in the ingest
+    * partition) flows through quality gate (t3's predicate) → novelty
+    * vs the STANDING corpus (d13's normalized signature) → benchmark
+    * decontamination (t11's 8-gram shingles vs the corpus's src0 set),
+    * reported as a per-language cascade with accepted token volume.
+    *
+    * Scale shape: the corpus side collapses to DISTINCT fixed-width
+    * signatures before its join (persist that table bucketed between
+    * ingests and the daily join is exchange-free); the benchmark shingle
+    * set is bounded (t11's argument) and broadcast, so decontamination
+    * never shuffles the batch; every flag is computed once per batch doc
+    * and the funnel is one partial-aggregated groupBy on lang. Nothing
+    * document-sized rides any shuffle. */
+  def p8IncrementalRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.NgramHash60.register(spark)
+    val toks = tokens($"text")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, tk => tk.isInCollection(TextOps.stopwords)))
+    val normSig =
+      md5(concat_ws(" ", array_sort(array_distinct(toks))).cast("binary"))
+    val coined = docs(spark, dir)
+      .select($"doc_id", $"lang", $"source", $"text",
+        nTok.as("n_tokens"), permille(nStop, nTok).as("stop_milli"),
+        normSig.as("sig"),
+        (pmod(md5Long(concat($"doc_id".cast("string"), lit(":d13"))),
+          lit(5L)) === 0L).as("is_batch"))
+    val corpusSigs = coined.filter(!$"is_batch")
+      .select($"sig").distinct().withColumn("known", lit(1))
+    val benchShingles = coined.filter(!$"is_batch" && $"source" === "src0")
+      .select(explode(expr("ngram_hashes(text, 8)")).as("h")).distinct()
+    val batch = coined.filter($"is_batch")
+      .withColumn("good",
+        $"n_tokens" >= 20 && $"stop_milli" <= 150 && $"stop_milli" >= 10)
+    val dirty = batch
+      .select($"doc_id", explode(expr("ngram_hashes(text, 8)")).as("h"))
+      .join(broadcast(benchShingles), Seq("h"), "left_semi")
+      .select($"doc_id").distinct().withColumn("dirty", lit(1))
+    batch.join(corpusSigs, Seq("sig"), "left")
+      .withColumn("novel", $"known".isNull)
+      .join(dirty, Seq("doc_id"), "left")
+      .withColumn("clean", $"dirty".isNull)
+      .groupBy($"lang").agg(
+        count(lit(1)).as("n_batch"),
+        sum(when($"good", 1L).otherwise(0L)).as("n_good"),
+        sum(when($"good" && $"novel", 1L).otherwise(0L)).as("n_novel"),
+        sum(when($"good" && $"novel" && $"clean", 1L).otherwise(0L))
+          .as("n_accepted"),
+        sum(when($"good" && $"novel" && $"clean", $"n_tokens".cast("long"))
+          .otherwise(0L)).as("tok_accepted"))
+      .orderBy($"lang")
+  }
+
+  val p8IncrementalRefreshSql: String = {
+    val shingle = (0 until 8).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |    ${sqlMd5Long("CAST(doc_id AS VARCHAR) || ':d13'")} % 5 = 0 AS is_batch,
+       |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig,
+       |    ${sqlPermille(
+            s"len(list_filter(string_split(text, ' '), tk -> tk IN (${TextOps.stopwordsSql})))",
+            "len(string_split(text, ' '))")} AS stop_milli
+       |  FROM documents),
+       |corpus_sigs AS (SELECT DISTINCT sig FROM base WHERE NOT is_batch),
+       |bsh AS (
+       |  SELECT DISTINCT ${sqlMd5Long("g")} AS h
+       |  FROM (SELECT unnest(list_distinct(list_transform(
+       |          generate_series(1, greatest(len(toks) - 7, 0)),
+       |          i -> $shingle))) AS g
+       |        FROM base WHERE NOT is_batch AND source = 'src0')),
+       |batch AS (
+       |  SELECT *, (n_tokens >= 20 AND stop_milli <= 150 AND stop_milli >= 10)
+       |    AS good
+       |  FROM base WHERE is_batch),
+       |dirty AS (
+       |  SELECT DISTINCT doc_id
+       |  FROM (SELECT doc_id, ${sqlMd5Long("g")} AS h
+       |        FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+       |                generate_series(1, greatest(len(toks) - 7, 0)),
+       |                i -> $shingle))) AS g
+       |              FROM batch))
+       |  WHERE h IN (SELECT h FROM bsh)),
+       |flags AS (
+       |  SELECT b.lang, b.n_tokens, b.good,
+       |    b.sig NOT IN (SELECT sig FROM corpus_sigs) AS novel,
+       |    b.doc_id NOT IN (SELECT doc_id FROM dirty) AS clean
+       |  FROM batch b)
+       |SELECT lang, COUNT(*) AS n_batch,
+       |  CAST(SUM(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       |  CAST(SUM(CASE WHEN good AND novel THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  CAST(SUM(CASE WHEN good AND novel AND clean THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_accepted,
+       |  CAST(SUM(CASE WHEN good AND novel AND clean THEN n_tokens ELSE 0 END)
+       |    AS BIGINT) AS tok_accepted
+       |FROM flags
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_prep_pipeline" -> (p1PrepPipeline _),
     "p2_hash_sample"   -> (p2HashSample _),
@@ -475,6 +578,7 @@ object PipelineOps {
     "p5_stratified_quota" -> (p5StratifiedQuota _),
     "p6_mixture_weights" -> (p6MixtureWeights _),
     "p7_mixture_schedule" -> (p7MixtureSchedule _),
+    "p8_incremental_refresh" -> (p8IncrementalRefresh _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -485,5 +589,6 @@ object PipelineOps {
     "p5_stratified_quota" -> p5StratifiedQuotaSql,
     "p6_mixture_weights" -> p6MixtureWeightsSql,
     "p7_mixture_schedule" -> p7MixtureScheduleSql,
+    "p8_incremental_refresh" -> p8IncrementalRefreshSql,
   )
 }
