@@ -197,6 +197,20 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d13/p8: the corpus side collapses to distinct signatures before its join") {
+    // the signature-side HashAggregate must sit BELOW the join — the
+    // join input is one fixed-width row per distinct corpus signature,
+    // never the corpus itself
+    Seq("d13_incremental", "p8_incremental_refresh").foreach { q =>
+      val plan = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val joinAt = plan.indexOf("Join [sig")
+      assert(joinAt >= 0, s"$q: no join keyed on sig in:\n$plan")
+      assert(plan.indexOf("HashAggregate", joinAt) >= 0,
+        s"$q: corpus side not aggregated under the sig join:\n$plan")
+    }
+  }
+
   test("d11: hot set broadcasts; gram stream is never broadcast") {
     val p = graft.SparkEntry.queries("d11_jaccard_dfcap")(spark, sf)
       .queryExecution.executedPlan.toString
