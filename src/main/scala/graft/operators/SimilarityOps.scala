@@ -416,6 +416,22 @@ object SimilarityOps {
     * order-independent integer add. */
   def s5KnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val (cands, _) = s5AdcScored(spark, dir)
+    val w = Window.partitionBy($"qid").orderBy($"adc_micro".asc, $"nid".asc)
+    cands
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"nid", $"rnk", $"adc_micro")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** The s5 pipeline up to the ADC score — shared by s5 (which ranks the
+    * ADC order directly) and s8 (which exact-re-ranks the ADC shortlist).
+    * Returns the candidate frame (qid, nid, adc_micro) plus the collected
+    * query vectors with their fold-exact norms (qid, v, ‖v‖). */
+  private def s5AdcScored(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[(Long, Array[Double], Double)]) = {
+    import spark.implicits._
     registerAll(spark)
     val SUBS = 8
     val SD = 8
@@ -475,8 +491,7 @@ object SimilarityOps {
       lit(l).as("label"))): _*)).getField("label")
     val adcExpr = (0 until SUBS).map(m => element_at(typedLit(lut),
       concat_ws(":", $"qid", lit(m), col(s"c$m")))).reduce(_ + _)
-    val w = Window.partitionBy($"qid").orderBy($"adc_micro".asc, $"nid".asc)
-    e.select($"vec_id".as("nid"), $"v", $"nrm")
+    val cands = e.select($"vec_id".as("nid"), $"v", $"nrm")
       .withColumn("cell", cellExpr)
       .select(Seq($"nid", $"cell") ++
         (0 until SUBS).map(m => codeExpr(m).as(s"c$m")): _*)
@@ -484,13 +499,13 @@ object SimilarityOps {
       .withColumn("qid", explode(element_at(typedLit(probesOf), $"cell")))
       .filter($"qid" =!= $"nid")
       .withColumn("adc_micro", adcExpr)
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= K)
-      .select($"qid", $"nid", $"rnk", $"adc_micro")
-      .orderBy($"qid", $"rnk")
+      .select($"qid", $"nid", $"adc_micro")
+    (cands, qs.map { case (qid, qv) => (qid, qv, math.sqrt(dotA(qv, qv))) })
   }
 
-  val s5KnnIvfPqSql: String = {
+  /** Oracle CTE prefix shared by s5 and s8: the whole pipeline through
+    * the ADC-scored candidate set (`adc`). */
+  private val s5AdcCtesSql: String = {
     val dist = (a: String, b: String) =>
       s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
     s"""WITH e AS (
@@ -546,7 +561,11 @@ object SimilarityOps {
        |  FROM cand cd
        |  JOIN asg a ON a.nid = cd.nid
        |  JOIN lut l ON l.qid = cd.qid AND l.m = a.m AND l.label = a.code
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  val s5KnnIvfPqSql: String =
+    s"""$s5AdcCtesSql,
        |ranked AS (
        |  SELECT qid, nid, adc_micro,
        |    ROW_NUMBER() OVER (PARTITION BY qid
@@ -555,7 +574,74 @@ object SimilarityOps {
        |SELECT qid, nid, CAST(rnk AS INT) AS rnk, adc_micro
        |FROM ranked WHERE rnk <= $K
        |ORDER BY qid, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- s8
+  /** Two-stage retrieval: ADC shortlist → exact re-rank — the standard
+    * production serving composition over s5's index. PQ compression is
+    * lossy, so the ADC order near the cut is noisy; the production fix is
+    * to over-fetch (SHORTLIST = 3K ids per query by ADC) and re-score
+    * ONLY those with the exact metric. Within the shortlist the exact
+    * order is perfect, so every true neighbor the shortlist contains
+    * lands in the final top-K — recall is provably ≥ s5's (s5's ADC
+    * top-K is a subset of the shortlist, and an exact re-rank can only
+    * promote true neighbors past false ones; Round6OpsSpec asserts the
+    * inequality against s1's exact answer).
+    *
+    * Shape at scale: the shortlist is tiny (Q × 3K rows of (qid, nid)),
+    * so it BROADCASTS into one more corpus scan that fetches full
+    * vectors for shortlist members only — map-side hash filter, and only
+    * Q × 3K (qid, vector) pairs reach the final top-K shuffle. Against
+    * an id-bucketed corpus ([[graft.sources.LayoutOps]]) this second
+    * pass becomes a pruned point-lookup fetch; either way the
+    * 8-bytes-per-vector ADC scan is untouched and the exact math runs on
+    * a vanishing fraction of the corpus. Query vectors and norms ride in
+    * as literal maps (s5's query-compiled pattern). */
+  def s8KnnRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val SHORTLIST = 3 * K
+    val (cands, qvecs) = s5AdcScored(spark, dir)
+    val wAdc = Window.partitionBy($"qid").orderBy($"adc_micro".asc, $"nid".asc)
+    val short = cands
+      .withColumn("srnk", row_number().over(wAdc))
+      .filter($"srnk" <= SHORTLIST)
+      .select($"qid", $"nid")
+    val qv = typedLit(qvecs.map { case (q, v, _) => q -> v }.toMap)
+    val qn = typedLit(qvecs.map { case (q, _, n) => q -> n }.toMap)
+    val wCos = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    emb(spark, dir)
+      .select($"vec_id".as("nid"), $"embedding".cast("array<double>").as("nv"))
+      .withColumn("nrm", sqrt(dot($"nv", $"nv")))
+      .join(broadcast(short), Seq("nid"))
+      .withColumn("cos",
+        dot(element_at(qv, $"qid"), $"nv") / (element_at(qn, $"qid") * $"nrm"))
+      .withColumn("rnk", row_number().over(wCos))
+      .filter($"rnk" <= K)
+      .select($"qid", $"nid", $"rnk", micro($"cos").as("cos_micro"))
+      .orderBy($"qid", $"rnk")
   }
+
+  val s8KnnRerankSql: String =
+    s"""$s5AdcCtesSql,
+       |short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY adc_micro ASC, nid ASC) AS srnk
+       |    FROM adc) WHERE srnk <= ${3 * K}),
+       |rer AS (
+       |  SELECT s.qid, s.nid,
+       |    ${sqlDot("q.v", "n.v")} / (q.nrm * n.nrm) AS cos
+       |  FROM short s
+       |  JOIN e q ON q.vec_id = s.qid
+       |  JOIN e n ON n.vec_id = s.nid),
+       |rranked AS (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid ASC) AS rnk
+       |  FROM rer)
+       |SELECT qid, nid, CAST(rnk AS INT) AS rnk, ${sqlMicro("cos")} AS cos_micro
+       |FROM rranked WHERE rnk <= $K
+       |ORDER BY qid, rnk""".stripMargin
 
   // ------------------------------------------------ k-means machinery
   /** Driver twins of the engine folds (left fold, seed 0.0 — exact
@@ -1041,6 +1127,7 @@ object SimilarityOps {
     "s5_knn_ivfpq" -> (s5KnnIvfPq _),
     "s6_knn_kmeans" -> (s6KnnKmeans _),
     "s7_knn_ivfpq_kmeans" -> (s7KnnIvfPqKmeans _),
+    "s8_knn_rerank" -> (s8KnnRerank _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1051,5 +1138,6 @@ object SimilarityOps {
     "s5_knn_ivfpq" -> s5KnnIvfPqSql,
     "s6_knn_kmeans" -> s6KnnKmeansSql,
     "s7_knn_ivfpq_kmeans" -> s7KnnIvfPqKmeansSql,
+    "s8_knn_rerank" -> s8KnnRerankSql,
   )
 }

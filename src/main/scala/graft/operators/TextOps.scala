@@ -595,6 +595,156 @@ object TextOps {
        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t14
+  /** PII scrub audit: per source, how many documents carry email / IPv4 /
+    * long-digit-run patterns, total match counts, and how many characters
+    * a redaction pass removes. The regexes stay inside the Java↔RE2
+    * common subset (character classes, bounded repeats, `\b` — no
+    * lookaround, no backreferences), so Spark's `regexp_count` /
+    * `regexp_replace` and DuckDB's `regexp_extract_all` /
+    * `regexp_replace(..., 'g')` agree match-for-match, including the
+    * non-overlapping left-to-right scan order. Redaction applies the
+    * three patterns in a fixed order (email → IPv4 → digit-run) on both
+    * engines; `<PII>` contains no digits, so earlier replacements cannot
+    * manufacture later matches.
+    *
+    * The synthetic corpus carries no PII, so the oracle proves the
+    * no-match path cross-engine; the planted-document spec
+    * (Round6OpsSpec, via [[piiProjected]]) proves the match path —
+    * counts, per-doc flags, and redaction deltas on text that does
+    * contain emails, IPs and id numbers.
+    *
+    * Scale shape: a pure map pass (three codegen'd regex ops per row)
+    * plus one partial-aggregated group-by on `source` — document text
+    * never rides a shuffle. */
+  private[operators] val piiEmail =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val piiIpv4 =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[operators] val piiDigits = "\\d{6,}"
+
+  /** Per-document PII projection over any frame with a `text` column —
+    * shared by the t14 query and the planted-data spec. */
+  private[operators] def piiProjected(df: DataFrame): DataFrame = {
+    val redacted = Seq(piiEmail, piiIpv4, piiDigits)
+      .foldLeft(col("text")) { (c, p) => regexp_replace(c, p, "<PII>") }
+    df.withColumn("n_email", regexp_count(col("text"), lit(piiEmail)))
+      .withColumn("n_ipv4", regexp_count(col("text"), lit(piiIpv4)))
+      .withColumn("n_digits", regexp_count(col("text"), lit(piiDigits)))
+      .withColumn("orig_len", length(col("text")))
+      .withColumn("redacted_len", length(redacted))
+  }
+
+  def t14PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    piiProjected(docs(spark, dir))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(($"n_email" + $"n_ipv4" + $"n_digits" > 0).cast("long"))
+          .as("docs_with_pii"),
+        sum($"n_email".cast("long")).as("email_hits"),
+        sum($"n_ipv4".cast("long")).as("ipv4_hits"),
+        sum($"n_digits".cast("long")).as("digit_hits"),
+        sum(($"orig_len" - $"redacted_len").cast("long")).as("chars_redacted"))
+      .orderBy($"source")
+  }
+
+  val t14PiiScrubSql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val digits = "\\d{6,}"
+    s"""WITH p AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(text, '$email')) AS n_email,
+       |    len(regexp_extract_all(text, '$ipv4')) AS n_ipv4,
+       |    len(regexp_extract_all(text, '$digits')) AS n_digits,
+       |    length(text) AS orig_len,
+       |    length(regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$email', '<PII>', 'g'), '$ipv4', '<PII>', 'g'),
+       |      '$digits', '<PII>', 'g')) AS redacted_len
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_email + n_ipv4 + n_digits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       |  CAST(SUM(n_email) AS BIGINT) AS email_hits,
+       |  CAST(SUM(n_ipv4) AS BIGINT) AS ipv4_hits,
+       |  CAST(SUM(n_digits) AS BIGINT) AS digit_hits,
+       |  CAST(SUM(orig_len - redacted_len) AS BIGINT) AS chars_redacted
+       |FROM p GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t15
+  /** Gopher-style quality rule flags (Rae et al. 2021's document filters,
+    * adapted to the integer-exact discipline): per document, the four
+    * measurements and the pass/fail flag for each rule —
+    *
+    *  - `r_len`: token count in [10, 100000];
+    *  - `r_meanlen`: mean token length in [3, 10] characters
+    *    (permille thresholds 3000..10000). The corpus is single-space
+    *    separated, so Σ len(token) = len(text) − (n_tokens − 1) — the
+    *    mean needs no second pass over the tokens;
+    *  - `r_stop`: at least 2 distinct stopwords present (the
+    *    "contains common English words" rule);
+    *  - `r_rep`: the most frequent token ≤ 20% of the document
+    *    (top_tok_permille ≤ 200) — the repetition screen.
+    *
+    * `keep` is the conjunction. All ratios are floor-permille integers,
+    * so every rule boundary is exact on both engines. The top-token
+    * frequency is computed INSIDE the row (transform over distinct
+    * tokens + a nested filter — O(distinct·n) on ≤ few-hundred-token
+    * docs) rather than via explode + two shuffled aggregations: the
+    * whole operator is one map pass, and only the fixed-width result
+    * rows move. */
+  def t15GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val meanLen = permille(length($"text") - (size(toks) - 1), size(toks))
+    val nStop = size(array_intersect(array_distinct(toks),
+      typedLit(stopwords)))
+    val topTok = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    docs(spark, dir)
+      .select($"doc_id",
+        size(toks).as("n_tokens"),
+        meanLen.as("mean_len_permille"),
+        nStop.as("n_stop"),
+        permille(topTok, size(toks)).as("top_tok_permille"))
+      .withColumn("r_len",
+        ($"n_tokens" >= 10 && $"n_tokens" <= 100000).cast("int"))
+      .withColumn("r_meanlen",
+        ($"mean_len_permille" >= 3000 && $"mean_len_permille" <= 10000)
+          .cast("int"))
+      .withColumn("r_stop", ($"n_stop" >= 2).cast("int"))
+      .withColumn("r_rep", ($"top_tok_permille" <= 200).cast("int"))
+      .withColumn("keep",
+        ($"r_len" + $"r_meanlen" + $"r_stop" + $"r_rep" === 4).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val t15GopherRulesSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS tlen
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS INT) AS n_tokens,
+       |    ${sqlPermille("(tlen - (len(toks) - 1))", "len(toks)")} AS mean_len_permille,
+       |    CAST(len(list_intersect(list_distinct(toks), [$stopwordsSql])) AS INT) AS n_stop,
+       |    ${sqlPermille(
+            "list_max(list_transform(list_distinct(toks), t -> len(list_filter(toks, x -> x = t))))",
+            "len(toks)")} AS top_tok_permille
+       |  FROM s)
+       |SELECT doc_id, n_tokens, mean_len_permille, n_stop, top_tok_permille,
+       |  CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1 ELSE 0 END AS r_len,
+       |  CASE WHEN mean_len_permille BETWEEN 3000 AND 10000 THEN 1 ELSE 0 END AS r_meanlen,
+       |  CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop,
+       |  CASE WHEN top_tok_permille <= 200 THEN 1 ELSE 0 END AS r_rep,
+       |  CASE WHEN n_tokens BETWEEN 10 AND 100000
+       |        AND mean_len_permille BETWEEN 3000 AND 10000
+       |        AND n_stop >= 2 AND top_tok_permille <= 200
+       |       THEN 1 ELSE 0 END AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_profile" -> (t2LangProfile _),
@@ -609,6 +759,8 @@ object TextOps {
     "t11_decontaminate" -> (t11Decontaminate _),
     "t12_subword_tokens" -> (t12SubwordTokens _),
     "t13_familiarity" -> (t13Familiarity _),
+    "t14_pii_scrub"   -> (t14PiiScrub _),
+    "t15_gopher_rules" -> (t15GopherRules _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -625,5 +777,7 @@ object TextOps {
     "t11_decontaminate" -> t11DecontaminateSql,
     "t12_subword_tokens" -> t12SubwordTokensSql,
     "t13_familiarity" -> t13FamiliaritySql,
+    "t14_pii_scrub"   -> t14PiiScrubSql,
+    "t15_gopher_rules" -> t15GopherRulesSql,
   )
 }

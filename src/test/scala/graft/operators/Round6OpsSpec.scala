@@ -139,6 +139,53 @@ class Round6OpsSpec extends AnyFunSuite {
       s"learned codebooks far below label codebooks: $rLearned vs $rLabel")
   }
 
+  test("t14: planted PII is counted and redacted; clean text is untouched") {
+    import spark.implicits._
+    val planted = Seq(
+      (0L, "contact me at alice.smith+work@example.co.uk for details"),
+      (1L, "server at 10.0.255.3 and backup at 192.168.1.10 answered"),
+      (2L, "order 12345678 shipped with tracking 000991122334"),
+      (3L, "mixed: bob@corp.io from 172.16.0.9 ref 7654321"),
+      (4L, "perfectly clean prose with no identifiers at all"),
+      (5L, "not pii: 1.2.3 semver, 12345 short id, a@b local part only"))
+      .toDF("doc_id", "text")
+    val r = TextOps.piiProjected(planted)
+      .select($"doc_id", $"n_email", $"n_ipv4", $"n_digits",
+        $"orig_len" - $"redacted_len")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getInt(3), x.getInt(4)))).toMap
+    assert(r(0L)._1 == 1 && r(0L)._2 == 0 && r(0L)._3 == 0)
+    assert(r(1L)._2 == 2, s"ipv4 count ${r(1L)}")
+    assert(r(2L)._3 == 2, s"digit-run count ${r(2L)}")
+    assert(r(3L) == ((1, 1, 1, r(3L)._4)) && r(3L)._4 > 0, s"mixed ${r(3L)}")
+    // clean docs: zero matches, zero redaction delta
+    assert(r(4L) == ((0, 0, 0, 0)), s"clean doc touched: ${r(4L)}")
+    assert(r(5L) == ((0, 0, 0, 0)), s"near-miss doc matched: ${r(5L)}")
+  }
+
+  test("s8: exact re-rank of the ADC shortlist never loses recall vs s5") {
+    import spark.implicits._
+    val exact = graft.SparkEntry.queries("s1_knn_brute")(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val adc = graft.SparkEntry.queries("s5_knn_ivfpq")(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val rer = graft.SparkEntry.queries("s8_knn_rerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val rerSet = rer.map(t => (t._1, t._2)).toSet
+    val rAdc = (adc & exact).size.toDouble / exact.size
+    val rRer = (rerSet & exact).size.toDouble / exact.size
+    // provable: s5's ADC top-K ⊆ the shortlist, and the exact re-rank
+    // puts every true neighbor the shortlist contains into the top-K —
+    // so re-ranking can never lose recall, only gain it
+    assert(rRer >= rAdc, s"re-rank lost recall: $rRer vs ADC $rAdc")
+    // within each query the exact scores must be non-increasing in rank
+    rer.groupBy(_._1).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"s8 q$qid cos not monotone in rank: ${byRank.toSeq}")
+    }
+  }
+
   test("d12: candidate join is a shuffled join on the cell id, never a cross product") {
     val p = graft.SparkEntry.queries("d12_cosine_dup_kmeans")(spark, sf)
       .queryExecution.executedPlan.toString
