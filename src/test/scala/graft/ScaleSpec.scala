@@ -84,6 +84,17 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("t15: quality rules are one map pass — no hash shuffle, no window") {
+    // the top-token frequency is computed inside the row (nested lambda),
+    // not via explode + shuffled re-aggregation; the only exchange is the
+    // output sort's range partitioning
+    val p = SparkEntry.queries("t15_gopher_rules")(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"t15 must not shuffle on a hash key:\n$p")
+    assert(!p.contains("Window"), s"t15 must not use a window:\n$p")
+  }
+
   test("p5: rank window sorts only the histogram-cut sliver, never the full stratum") {
     import org.apache.spark.sql.functions._
     // 1. plan shape: the per-stratum cut filter sits BELOW the rank
@@ -121,6 +132,20 @@ class ScaleSpec extends AnyFunSuite {
     val got = SparkEntry.queries("p5_stratified_quota")(spark, sf)
       .collect().map(_.toString).sorted.toSeq
     assert(got == legacy)
+  }
+
+  test("s8: shortlist broadcasts into the re-rank scan; corpus is never broadcast") {
+    // The re-rank stage must be a BroadcastHashJoin with the tiny
+    // (qid, nid) shortlist on the build side — if the corpus scan ever
+    // becomes the broadcast side (or the join degrades to a cartesian),
+    // the second pass stops being a map-side point fetch and re-ranking
+    // is no longer free at scale.
+    val p = SparkEntry.queries("s8_knn_rerank")(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected shortlist BroadcastHashJoin:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"re-rank join degraded:\n$p")
   }
 
   test("e6: bucketed range join is an equi-join, never a cartesian product") {
