@@ -753,7 +753,9 @@ object DedupOps {
       .orderBy($"i", $"j")
   }
 
-  val d12CosineDupKmeansSql: String = {
+  /** Oracle CTE prefix shared by d12 and d14: the learned codebook plus
+    * the top-2-cell `blocks` assignment. */
+  private val d12BlocksCtesSql: String = {
     val dist = SimilarityOps.sqlSqd _
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -767,13 +769,64 @@ object DedupOps {
        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
        |        ORDER BY ${dist("x.v", "c.cv")}, c.cid) AS rn
        |    FROM e x CROSS JOIN c2 c)
-       |  WHERE rn <= 2)
+       |  WHERE rn <= 2)""".stripMargin
+  }
+
+  val d12CosineDupKmeansSql: String =
+    s"""$d12BlocksCtesSql
        |SELECT DISTINCT a.vec_id AS i, b.vec_id AS j,
        |  ${sqlMicro(sqlDot("a.v", "b.v") + " / (a.nrm * b.nrm)")} AS cos_micro
        |FROM blocks a JOIN blocks b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35
        |ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------- d14
+  /** The SemDeDup KEEP step over d12's near-dup pairs: every vector
+    * either survives or is dropped in favor of a representative. The
+    * rule is greedy keep-smallest-id — a vector is dropped iff it has a
+    * near-dup neighbor with a smaller id, and its representative is its
+    * SMALLEST such neighbor. This is a per-vector AGGREGATE over the
+    * pair list (min + count), not a connected-components iteration:
+    * SemDeDup's published procedure also drops all-but-one per ε-ball
+    * greedily rather than chasing transitive chains (d8 exists for the
+    * cases where the full transitive cluster is wanted), so the
+    * representative is a direct neighbor, not a chain root.
+    *
+    * Scale shape: d12's blocked candidate generation is reused verbatim
+    * (linear in intra-cell collisions); on top of it are one hash
+    * aggregate keyed by the dropped vector's id and one left join of
+    * the id-only corpus against that (≤ #dropped)-row fixed-width
+    * frame. No iteration, no window over the corpus, nothing
+    * vector-sized past the pair stage. */
+  def d14SemdedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val smaller = d12CosineDupKmeans(spark, dir)
+      .groupBy($"j".as("vec_id"))
+      .agg(min($"i").as("rep0"), count(lit(1)).as("n_smaller_dups"))
+    emb(spark, dir).select($"vec_id")
+      .join(smaller, Seq("vec_id"), "left")
+      .select($"vec_id",
+        $"rep0".isNull.cast("int").as("kept"),
+        coalesce($"rep0", $"vec_id").as("rep"),
+        coalesce($"n_smaller_dups", lit(0L)).as("n_smaller_dups"))
+      .orderBy($"vec_id")
   }
+
+  val d14SemdedupKeepSql: String =
+    s"""$d12BlocksCtesSql,
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       |  FROM blocks a JOIN blocks b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35),
+       |sm AS (
+       |  SELECT j AS vec_id, MIN(i) AS rep0, COUNT(*) AS n_smaller_dups
+       |  FROM pairs GROUP BY j)
+       |SELECT e.vec_id,
+       |  CASE WHEN sm.vec_id IS NULL THEN 1 ELSE 0 END AS kept,
+       |  COALESCE(sm.rep0, e.vec_id) AS rep,
+       |  COALESCE(sm.n_smaller_dups, 0) AS n_smaller_dups
+       |FROM e LEFT JOIN sm ON e.vec_id = sm.vec_id
+       |ORDER BY e.vec_id""".stripMargin
 
   // ---------------------------------------------------------------- d13
   /** Incremental (batch-vs-corpus) dedup — the daily-ingest shape: a new
@@ -845,6 +898,7 @@ object DedupOps {
     "d11_jaccard_dfcap" -> (d11JaccardDfCap _),
     "d12_cosine_dup_kmeans" -> (d12CosineDupKmeans _),
     "d13_incremental" -> (d13IncrementalDedup _),
+    "d14_semdedup_keep" -> (d14SemdedupKeep _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -861,5 +915,6 @@ object DedupOps {
     "d11_jaccard_dfcap" -> d11JaccardDfCapSql,
     "d12_cosine_dup_kmeans" -> d12CosineDupKmeansSql,
     "d13_incremental" -> d13IncrementalDedupSql,
+    "d14_semdedup_keep" -> d14SemdedupKeepSql,
   )
 }

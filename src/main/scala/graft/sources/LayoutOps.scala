@@ -214,6 +214,49 @@ object LayoutOps {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** File-statistics MANIFEST: per data file, min/max/count of a chosen
+    * column — the metadata layer a lake table format (Iceberg/Delta)
+    * maintains automatically, built here explicitly for plain parquet
+    * directories. One scan groups by the hidden `_metadata.file_path`
+    * column; the result is one fixed-width row per file (a 100 TB
+    * directory at ~1 GB/file is ~100k rows — driver-metadata-sized), so
+    * the manifest itself is a tiny parquet file.
+    *
+    * The manifest describes the directory AS WRITTEN; rewriting the data
+    * (compact / a new version) invalidates it — pair with the versioned
+    * layout (one manifest per `v<N>`) for multi-writer safety. */
+  def writeManifest(spark: SparkSession, dataPath: String,
+                    manifestPath: String, statCol: String): Unit =
+    spark.read.parquet(dataPath)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col(statCol)).as("min_v"), max(col(statCol)).as("max_v"),
+           count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath)
+
+  /** Manifest-driven FILE SKIPPING: list only the files whose [min, max]
+    * overlaps the predicate range, and hand exactly those paths to the
+    * scan. Row-group stats inside parquet footers prune AFTER a file is
+    * opened and scheduled; the manifest prunes BEFORE — the driver never
+    * lists, schedules, or footers the excluded files, which is where a
+    * narrow range query on a 100k-file directory spends its time. On a
+    * range-disjoint layout ([[compact]]'s `repartitionByRange` or
+    * [[writeZOrdered]]) a narrow range touches O(1) files.
+    *
+    * The residual filter stays on the scan: the manifest bounds are
+    * file-granular, so surviving files can still carry out-of-range
+    * rows. */
+  def manifestPrunedRead(spark: SparkSession, dataPath: String,
+                         manifestPath: String, statCol: String,
+                         lo: Long, hi: Long): DataFrame = {
+    val files = spark.read.parquet(manifestPath)
+      .filter(col("max_v") >= lo && col("min_v") <= hi)
+      .select("file").collect().map(_.getString(0))
+    val pred = col(statCol) >= lo && col(statCol) <= hi
+    if (files.isEmpty) spark.read.parquet(dataPath).filter(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*).filter(pred)
+  }
+
   /** Morton spread of an 8-bit value: bits interleaved with zeros
     * (abcdefgh → 0a0b0c0d0e0f0g0h). Precomputed for 0..255 and shipped
     * as a literal lookup array — one element_at per row, no UDF. */

@@ -186,6 +186,27 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d14: keep step drops exactly the vectors with a smaller near-dup neighbor") {
+    import spark.implicits._
+    val pairs = graft.SparkEntry.queries("d12_cosine_dup_kmeans")(spark, sf)
+      .select($"i", $"j").as[(Long, Long)].collect()
+    val kept = graft.SparkEntry.queries("d14_semdedup_keep")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    val droppedIds = pairs.map(_._2).toSet
+    // a vector is dropped iff it appears as the larger side of some pair
+    kept.foreach { case (id, (k, rep, n)) =>
+      assert((k == 0) == droppedIds.contains(id), s"vec $id kept=$k")
+      if (k == 0) {
+        val smallest = pairs.filter(_._2 == id).map(_._1).min
+        assert(rep == smallest && rep < id && n > 0,
+          s"vec $id rep=$rep n=$n expected rep=$smallest")
+      } else assert(rep == id && n == 0L, s"kept vec $id has rep=$rep n=$n")
+    }
+    // the whole corpus is partitioned: every vector appears exactly once
+    assert(kept.size == graft.Tables(spark, sf, "embeddings").count())
+  }
+
   test("d12: candidate join is a shuffled join on the cell id, never a cross product") {
     val p = graft.SparkEntry.queries("d12_cosine_dup_kmeans")(spark, sf)
       .queryExecution.executedPlan.toString

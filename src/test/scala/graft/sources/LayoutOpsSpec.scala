@@ -154,6 +154,41 @@ class LayoutOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest: narrow range reads only overlapping files, result matches full scan") {
+    import spark.implicits._
+    val dir = tmpDir() + "/data"
+    val mdir = tmpDir() + "/manifest"
+    // range-disjoint layout: 16 files, each covering ~1/16th of the key
+    spark.range(16000).select(col("id").as("k"), (col("id") * 7).as("v"))
+      .repartitionByRange(16, col("k"))
+      .sortWithinPartitions(col("k"))
+      .write.parquet(dir)
+    LayoutOps.writeManifest(spark, dir, mdir, "k")
+
+    val m = spark.read.parquet(mdir)
+    assert(m.count() == leafFiles(dir).size.toLong,
+      "manifest must carry one row per data file")
+    assert(m.agg(sum("n_rows")).head().getLong(0) == 16000L)
+
+    // a 1.5-file-wide range: the pruned scan's input files must be a
+    // strict subset, and the rows must match the brute-force filter
+    val pruned = LayoutOps.manifestPrunedRead(spark, dir, mdir, "k", 1000, 2500)
+    val nInput = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s.relation.location.inputFiles.length
+    }.sum
+    assert(nInput <= 3 && nInput < leafFiles(dir).size,
+      s"expected <=3 input files for a 1.5-file range, got $nInput")
+    val expect = spark.read.parquet(dir)
+      .filter(col("k") >= 1000 && col("k") <= 2500)
+    assert(pruned.count() == expect.count())
+    assert(pruned.agg(sum("v")).head().getLong(0) ==
+      expect.agg(sum("v")).head().getLong(0))
+
+    // a range outside the data: zero files, empty frame, schema intact
+    val none = LayoutOps.manifestPrunedRead(spark, dir, mdir, "k", 90000, 99000)
+    assert(none.count() == 0L && none.columns.sameElements(Array("k", "v")))
+  }
+
   test("writeZOrdered: box predicates prune files on BOTH dims; linear sort only on one") {
     import spark.implicits._
     // 40k-point uniform grid in (x, y)
