@@ -197,12 +197,70 @@ object MultimodalOps {
       |  UNNEST(generate_series(0, greatest(length(text) - 1, 0), 64)) AS u(off)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- m5
+  /** Media near-dup via frame-fingerprint overlap — the production video/
+    * audio dedup shape: two streams are near-dups when the Jaccard of
+    * their sampled-frame signature SETS clears a threshold (500‰ here).
+    * Candidate generation is a self-join on the frame signature (only
+    * streams sharing at least one sampled frame are ever paired — d3's
+    * shared-gram discipline applied to media), never all-pairs; the
+    * frames come from m4's typed decode path, so the whole pipeline —
+    * codec, sampling, fingerprint, dedup — is the composition a real
+    * media pipeline runs.
+    *
+    * Scale shape: frame sigs are fixed-width md5 hex (raw frames never
+    * ride the shuffle); the per-doc signature-set sizes and the pair
+    * intersection are two hash aggregates; the final Jaccard is computed
+    * on the (i, j, shared) frame, metadata-sized. A boilerplate frame
+    * shared by everything (station idents, color bars) would need d11's
+    * df-cap — one extra hash-agg, same move. */
+  def m5MediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = m4FrameSample(spark, dir)
+      .select($"doc_id", $"frame_sig").distinct()
+    val counts = sigs.groupBy($"doc_id").agg(count(lit(1)).as("n_sigs"))
+    sigs.as("a")
+      .join(sigs.hint("shuffle_hash").as("b"),
+        $"a.frame_sig" === $"b.frame_sig" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.withColumnRenamed("doc_id", "i")
+        .withColumnRenamed("n_sigs", "ni"), Seq("i"))
+      .join(counts.withColumnRenamed("doc_id", "j")
+        .withColumnRenamed("n_sigs", "nj"), Seq("j"))
+      .withColumn("jac_permille",
+        floor(lit(1000.0) * $"shared" / ($"ni" + $"nj" - $"shared"))
+          .cast("long"))
+      .filter($"jac_permille" >= 500)
+      .select($"i", $"j", $"shared", $"jac_permille")
+      .orderBy($"i", $"j")
+  }
+
+  val m5MediaDedupSql: String =
+    """WITH f AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(substr(text, CAST(off + 1 AS INT), 16)) AS sig
+      |  FROM documents,
+      |    UNNEST(generate_series(0, greatest(length(text) - 1, 0), 64)) AS u(off)),
+      |n AS (SELECT doc_id, COUNT(*) AS n_sigs FROM f GROUP BY doc_id),
+      |p AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
+      |  FROM f a JOIN f b ON a.sig = b.sig AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i, j, shared,
+      |  CAST(FLOOR(1000.0 * shared / (na.n_sigs + nb.n_sigs - shared)) AS BIGINT)
+      |    AS jac_permille
+      |FROM p JOIN n na ON p.i = na.doc_id JOIN n nb ON p.j = nb.doc_id
+      |WHERE CAST(FLOOR(1000.0 * shared / (na.n_sigs + nb.n_sigs - shared)) AS BIGINT) >= 500
+      |ORDER BY i, j""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> (m1MultimodalMeta _),
     "m2_media_features"  -> (m2MediaFeatures _),
     "m3_media_bytes"     -> (m3MediaBytes _),
     "m4_frame_sample"    -> (m4FrameSample _),
+    "m5_media_dedup"     -> (m5MediaDedup _),
   )
 
   /** m2 intentionally has no oracle (stubbed decode → rows-only check);
@@ -211,5 +269,6 @@ object MultimodalOps {
     "m1_multimodal_meta" -> m1MultimodalMetaSql,
     "m3_media_bytes"     -> m3MediaBytesSql,
     "m4_frame_sample"    -> m4FrameSampleSql,
+    "m5_media_dedup"     -> m5MediaDedupSql,
   )
 }

@@ -134,6 +134,13 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == legacy)
   }
 
+  test("m5: frame-sig self-join is shuffle-hash, never a broadcast of the frame stream") {
+    val p = SparkEntry.queries("m5_media_dedup")(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin:\n$p")
+    assert(!p.contains("CartesianProduct"), s"m5 degraded to cartesian:\n$p")
+  }
+
   test("s8: shortlist broadcasts into the re-rank scan; corpus is never broadcast") {
     // The re-rank stage must be a BroadcastHashJoin with the tiny
     // (qid, nid) shortlist on the build side — if the corpus scan ever
