@@ -628,6 +628,69 @@ object EventOps {
       |FROM agg
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- e17
+  /** Per-event-type Gini coefficient of the per-user activity
+    * distribution — the inequality complement to e16's concentration:
+    * 0 when every user fires a type equally often, →1 when a few users
+    * dominate it. Exact integer arithmetic end-to-end via the HISTOGRAM
+    * PAIR identity: with the per-user counts collapsed to (value v_k,
+    * multiplicity c_k), the mean-absolute-difference numerator
+    * Σᵢⱼ|xᵢ−xⱼ| equals Σ_kl c_k·c_l·|v_k−v_l| — computable from the
+    * value histogram alone. One floor-permille division at the end;
+    * G = Σ|xᵢ−xⱼ| / (2·n·Σx).
+    *
+    * Scale shape — the p5 lesson applied to Gini: the textbook rank
+    * formulation (2Σi·xᵢ…) needs a per-type SORT of all user counts —
+    * a full-stratum window, the exact hazard p5 removed. The histogram
+    * pair trick needs no order at all: one (type, user) hash agg, one
+    * (type, value) hash agg — the histogram is bounded by the number of
+    * DISTINCT activity levels, not by users — and a per-type self-join
+    * of that tiny frame. Nothing user-cardinality ever sorts. */
+  def e17GiniActivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = events(spark, dir)
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("x"))
+      .groupBy($"event_type", $"x".as("v"))
+      .agg(count(lit(1)).as("c"))
+    val totals = hist.groupBy($"event_type")
+      .agg(sum($"c").as("n_users"), sum($"c" * $"v").as("total_events"))
+    // per-type cross of the tiny histogram; Σ c_a·c_b·|v_a−v_b| stays in
+    // longs at the test SFs (lift into DECIMAL(38,0) on both engines past
+    // ~10^9 users per type)
+    hist.as("a").join(hist.as("b"), "event_type")
+      .groupBy($"event_type")
+      .agg(sum($"a.c" * $"b.c" * abs($"a.v" - $"b.v")).as("mad_num"))
+      .join(totals, "event_type")
+      .select($"event_type", $"n_users", $"total_events",
+        floor(lit(1000.0) * $"mad_num" /
+          (lit(2.0) * $"n_users" * $"total_events"))
+          .cast("long").as("gini_permille"))
+      .orderBy($"event_type")
+  }
+
+  val e17GiniActivitySql: String =
+    """WITH per AS (
+      |  SELECT event_type, user_id, COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |hist AS (
+      |  SELECT event_type, x AS v, COUNT(*) AS c
+      |  FROM per GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_users,
+      |    CAST(SUM(c * v) AS BIGINT) AS total_events
+      |  FROM hist GROUP BY event_type),
+      |num AS (
+      |  SELECT a.event_type,
+      |    CAST(SUM(a.c * b.c * abs(a.v - b.v)) AS BIGINT) AS mad_num
+      |  FROM hist a JOIN hist b USING (event_type)
+      |  GROUP BY a.event_type)
+      |SELECT event_type, n_users, total_events,
+      |  CAST(FLOOR(1000.0 * mad_num / (2.0 * n_users * total_events)) AS BIGINT)
+      |    AS gini_permille
+      |FROM num JOIN totals USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
@@ -646,6 +709,7 @@ object EventOps {
     "e14_transitions" -> (e14Transitions _),
     "e15_anomaly"    -> (e15Anomaly _),
     "e16_simpson"    -> (e16SimpsonDiversity _),
+    "e17_gini"       -> (e17GiniActivity _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -665,5 +729,6 @@ object EventOps {
     "e14_transitions" -> e14TransitionsSql,
     "e15_anomaly"    -> e15AnomalySql,
     "e16_simpson"    -> e16SimpsonDiversitySql,
+    "e17_gini"       -> e17GiniActivitySql,
   )
 }

@@ -570,6 +570,75 @@ object PipelineOps {
        |ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p9
+  /** Epoch-repeat schedule under data-constrained training (Muennighoff
+    * et al. 2023: repeating good data up to ~4 epochs is nearly as good
+    * as fresh data; junk is not worth one): per (lang, quality tier),
+    * document/token volume, the tier's epoch multiplicity (good ×3,
+    * stopword_heavy ×2, anything else ×1) and its share of the
+    * EFFECTIVE — post-repeat — token budget within its language. Tiers
+    * are t3's exact quality buckets, so the gate and the schedule agree
+    * document-for-document.
+    *
+    * Scale shape: one partial-aggregated groupBy over (lang, tier) —
+    * ≤ |langs|×4 result rows; the epoch arithmetic and the per-lang
+    * share window run on that constant-size frame with integer sums
+    * (order-independent), one floor-permille division at the end. The
+    * 100 TB input contributes exactly one count shuffle. */
+  def p9EpochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, tk => tk.isInCollection(TextOps.stopwords)))
+    val stopMilli = permille(nStop, nTok)
+    val tier = when(nTok < 20, "too_short")
+      .when(stopMilli > 150, "stopword_heavy")
+      .when(stopMilli < 10, "unnatural")
+      .otherwise("good")
+    val perLang = Window.partitionBy($"lang")
+    docs(spark, dir)
+      .select($"lang", tier.as("tier"), nTok.as("n_tokens"))
+      .groupBy($"lang", $"tier")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tokens".cast("long")).as("tokens"))
+      .withColumn("epochs",
+        when($"tier" === "good", 3L)
+          .when($"tier" === "stopword_heavy", 2L).otherwise(1L))
+      .withColumn("effective_tokens", $"epochs" * $"tokens")
+      .withColumn("eff_share_permille",
+        permille($"effective_tokens", sum($"effective_tokens").over(perLang)))
+      .orderBy($"lang", $"tier")
+  }
+
+  val p9EpochScheduleSql: String =
+    s"""WITH s AS (
+       |  SELECT lang,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |                         tk -> tk IN (${TextOps.stopwordsSql}))) AS INT) AS n_stop
+       |  FROM documents),
+       |q AS (
+       |  SELECT lang, n_tokens,
+       |    CASE WHEN n_tokens < 20 THEN 'too_short'
+       |         WHEN ${sqlPermille("n_stop", "n_tokens")} > 150 THEN 'stopword_heavy'
+       |         WHEN ${sqlPermille("n_stop", "n_tokens")} < 10 THEN 'unnatural'
+       |         ELSE 'good' END AS tier
+       |  FROM s),
+       |a AS (
+       |  SELECT lang, tier, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS tokens
+       |  FROM q GROUP BY 1, 2),
+       |e AS (
+       |  SELECT lang, tier, n_docs, tokens,
+       |    CAST(CASE tier WHEN 'good' THEN 3
+       |                   WHEN 'stopword_heavy' THEN 2 ELSE 1 END AS BIGINT) AS epochs
+       |  FROM a)
+       |SELECT lang, tier, n_docs, tokens, epochs,
+       |  CAST(epochs * tokens AS BIGINT) AS effective_tokens,
+       |  ${sqlPermille("epochs * tokens",
+                        "SUM(epochs * tokens) OVER (PARTITION BY lang)")} AS eff_share_permille
+       |FROM e ORDER BY lang, tier""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_prep_pipeline" -> (p1PrepPipeline _),
     "p2_hash_sample"   -> (p2HashSample _),
@@ -579,6 +648,7 @@ object PipelineOps {
     "p6_mixture_weights" -> (p6MixtureWeights _),
     "p7_mixture_schedule" -> (p7MixtureSchedule _),
     "p8_incremental_refresh" -> (p8IncrementalRefresh _),
+    "p9_epoch_schedule" -> (p9EpochSchedule _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -590,5 +660,6 @@ object PipelineOps {
     "p6_mixture_weights" -> p6MixtureWeightsSql,
     "p7_mixture_schedule" -> p7MixtureScheduleSql,
     "p8_incremental_refresh" -> p8IncrementalRefreshSql,
+    "p9_epoch_schedule" -> p9EpochScheduleSql,
   )
 }
