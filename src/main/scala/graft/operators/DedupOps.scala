@@ -730,10 +730,11 @@ object DedupOps {
     * linear in true intra-cell collisions, never all-pairs. At 100 TB
     * the codebook grows with the corpus (SemDeDup uses ~100k clusters;
     * k ≈ √N keeps expected cell size √N) and hot cells are split
-    * recursively, so per-cell pair work stays bounded; with k this
-    * small (10, sized to the sf test corpora) the join keys are few —
-    * the production setting raises k, which both balances cells and
-    * restores join parallelism. */
+    * recursively — [[SimilarityOps.refineHotCells]], spec-proven on a
+    * planted 80%-of-corpus blob — so per-cell pair work stays bounded;
+    * with k this small (10, sized to the sf test corpora) the join keys
+    * are few — the production setting raises k, which both balances
+    * cells and restores join parallelism. */
   def d12CosineDupKmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     registerAll(spark)

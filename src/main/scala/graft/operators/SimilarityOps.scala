@@ -735,6 +735,65 @@ object SimilarityOps {
     cents
   }
 
+  /** Recursive HOT-CELL SPLIT — the at-scale refinement d12/s6's
+    * scaladocs promise: a k-means codebook balances cells only
+    * statistically, and one dense region (a template cluster, a
+    * boilerplate embedding) can swallow a large corpus fraction, making
+    * every within-cell pair join quadratic in that cell. The fix
+    * production systems ship (FAISS's IVF re-training, SemDeDup's
+    * per-cluster recursion) is to re-cluster oversized cells: any cell
+    * with more than `maxSize` members gets its own k-means over ITS
+    * members only (salted per cell id, so the sub-codebooks are
+    * deterministic and independent), members are reassigned to sub-cell
+    * ids, and the check recurses until every cell fits or `depth`
+    * bounds the work. Sub-cell ids are `parent·SubBase + child + 1`, so
+    * the final ids remain globally unique and the result stays a
+    * PARTITION of the input (spec-asserted on a planted hot blob).
+    *
+    * Scale shape: each level is one argmin map pass over only the
+    * still-hot subset plus a cell-size hash agg (metadata-sized); the
+    * driver loop is over HOT CELLS (few, by construction), not members.
+    * A uniform-density blob halves per level with k=4 sub-cells, so
+    * depth grows logarithmically in the hottest cell's size. */
+  private[operators] def refineHotCells(e: DataFrame,
+                                        cents: Seq[(Long, Array[Double])],
+                                        maxSize: Long, depth: Int = 3,
+                                        subK: Int = 4): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val SubBase = 100L
+    val assigned = e.withColumn("cell", argminOver($"v", cents))
+      .select($"vec_id", $"v", $"cell")
+    def loop(cur: DataFrame, level: Int): DataFrame = {
+      val sizes = cur.groupBy($"cell").agg(count(lit(1)).as("n"))
+      val hot = sizes.filter($"n" > maxSize)
+        .select($"cell").as[Long].collect().sorted
+      if (hot.isEmpty || level >= depth) cur
+      else {
+        val cold = cur.join(broadcast(sizes.filter($"n" <= maxSize)
+          .select($"cell")), Seq("cell"), "left_semi")
+        val refined = hot.map { c =>
+          val members = cur.filter($"cell" === c).select($"vec_id", $"v")
+          val sub = kmeansCentroids(members, k = subK, iters = 1,
+            saltSeed = s":hot$c", saltCoin = s":hotc$c")
+          // a degenerate sub-clustering (all mass on one centroid) can't
+          // make progress; keep the cell as-is rather than loop on it
+          val subIdx = sub.map(_._1).zipWithIndex.toMap
+          if (sub.size < 2) members.withColumn("cell", lit(c))
+          else members.withColumn("sub", argminOver($"v", sub))
+            .withColumn("cell",
+              lit(c * SubBase) + element_at(
+                typedLit(subIdx.map { case (id, i) => id -> (i + 1L) }),
+                $"sub") )
+            .select($"cell", $"vec_id", $"v")
+        }
+        loop(refined.foldLeft(cold.select($"cell", $"vec_id", $"v"))(_ unionByName _),
+          level + 1)
+      }
+    }
+    loop(assigned, 0).select($"vec_id", $"cell")
+  }
+
   // ---------------------------------------------------------------- s6
   /** IVF ANN over a LABEL-FREE learned codebook: k-means trained on the
     * embedding corpus itself. s3/s4/s5 key their codebooks on the

@@ -207,6 +207,32 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(kept.size == graft.Tables(spark, sf, "embeddings").count())
   }
 
+  test("refineHotCells: planted hot blob splits until cells fit; assignment stays a partition") {
+    import spark.implicits._
+    // 800 vectors in a dense cube (one k-means cell will swallow them)
+    // + 200 scattered — the skew that makes a within-cell pair join
+    // quadratic without the split
+    val blob = (0 until 800).map(i =>
+      (i.toLong, Array.tabulate(8)(d => 5.0 + ((i * 31 + d * 7) % 100) / 100.0)))
+    val scatter = (0 until 200).map(i =>
+      (800L + i, Array.tabulate(8)(d => ((i * 17 + d * 13) % 1000) / 50.0)))
+    val e = (blob ++ scatter).toDF("vec_id", "v")
+    val cents = SimilarityOps.kmeansCentroids(e, k = 4, iters = 1,
+      saltSeed = ":hotspec", saltCoin = ":hotspecc")
+    val before = e.withColumn("cell", SimilarityOps.argminOver($"v", cents))
+      .groupBy($"cell").count().agg(max("count")).head().getLong(0)
+    assert(before > 400, s"planted blob did not concentrate: max cell $before")
+
+    val refined = SimilarityOps.refineHotCells(e, cents, maxSize = 250)
+    // partition property: every vector exactly once
+    assert(refined.count() == 1000L)
+    assert(refined.select("vec_id").distinct().count() == 1000L)
+    val after = refined.groupBy($"cell").count()
+      .agg(max("count")).head().getLong(0)
+    assert(after <= 250, s"hot cell not split below maxSize: $after")
+    assert(after < before, s"split made no progress: $before -> $after")
+  }
+
   test("d12: candidate join is a shuffled join on the cell id, never a cross product") {
     val p = graft.SparkEntry.queries("d12_cosine_dup_kmeans")(spark, sf)
       .queryExecution.executedPlan.toString
