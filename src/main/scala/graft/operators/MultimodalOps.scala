@@ -214,10 +214,17 @@ object MultimodalOps {
     * on the (i, j, shared) frame, metadata-sized. A boilerplate frame
     * shared by everything (station idents, color bars) would need d11's
     * df-cap — one extra hash-agg, same move. */
-  def m5MediaDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** The distinct (doc_id, frame_sig) stream m5 consumes three times. */
+  private def m5Sigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigs = m4FrameSample(spark, dir)
-      .select($"doc_id", $"frame_sig").distinct()
+    m4FrameSample(spark, dir).select($"doc_id", $"frame_sig").distinct()
+  }
+
+  /** m5's pair pipeline over a given sig frame — also built un-persisted
+    * by the ScaleSpec plan guard (the shipped query checkpoints its
+    * result, which hides the join from the plan string). */
+  private[graft] def m5PairsFrom(sigs: DataFrame): DataFrame = {
+    import sigs.sparkSession.implicits._
     val counts = sigs.groupBy($"doc_id").agg(count(lit(1)).as("n_sigs"))
     sigs.as("a")
       .join(sigs.hint("shuffle_hash").as("b"),
@@ -234,6 +241,21 @@ object MultimodalOps {
       .filter($"jac_permille" >= 500)
       .select($"i", $"j", $"shared", $"jac_permille")
       .orderBy($"i", $"j")
+  }
+
+  /** The un-persisted plan, for guards and inspection. */
+  private[graft] def m5Plan(spark: SparkSession, dir: String): DataFrame =
+    m5PairsFrom(m5Sigs(spark, dir))
+
+  def m5MediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    // the sig stream is consumed three times (both self-join sides + the
+    // per-doc set sizes); persist the one decode+distinct pass and
+    // release it after the small pair result is checkpointed (s3's
+    // shared-subtree pattern)
+    val sigs = m5Sigs(spark, dir).persist()
+    try m5PairsFrom(sigs)
+      .localCheckpoint()   // eager: materialized before the unpersist
+    finally sigs.unpersist(blocking = false)
   }
 
   val m5MediaDedupSql: String =

@@ -135,7 +135,10 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("m5: frame-sig self-join is shuffle-hash, never a broadcast of the frame stream") {
-    val p = SparkEntry.queries("m5_media_dedup")(spark, sf).queryExecution
+    // the shipped query checkpoints its (persisted-subtree) result, which
+    // collapses the plan string to an RDD scan — audit the un-persisted
+    // plan builder instead
+    val p = graft.operators.MultimodalOps.m5Plan(spark, sf).queryExecution
       .executedPlan.toString
     assert(p.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin:\n$p")
     assert(!p.contains("CartesianProduct"), s"m5 degraded to cartesian:\n$p")
