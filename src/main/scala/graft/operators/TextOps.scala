@@ -22,7 +22,7 @@ object TextOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
-  private[operators] val stopwords = Seq("the", "a", "of", "and", "to")
+  private[graft] val stopwords = Seq("the", "a", "of", "and", "to")
   private[operators] val stopwordsSql = stopwords.map(s => s"'$s'").mkString(", ")
 
   // ---------------------------------------------------------------- t1

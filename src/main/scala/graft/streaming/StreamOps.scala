@@ -196,6 +196,37 @@ object StreamOps {
               $"user_id", $"n_events")
   }
 
+  /** Streaming corpus-ingest filter — the stateless streaming dual of
+    * p8's batch refresh funnel: each arriving document is flagged by
+    * t3's quality gate and a compiled decontamination check before it
+    * reaches the sink, with WHY attached so the funnel is observable.
+    *
+    * Both stages are per-row map work — the quality rules are column
+    * expressions and the benchmark shingle set (bounded, t11's argument)
+    * ships as a LITERAL array probed with `arrays_overlap` (the
+    * query-compiled pattern; a deployment with a larger set swaps in a
+    * bloom filter, q34's shape, still a per-row probe). No watermark, no
+    * state, no shuffle: the filter runs in append mode and adds nothing
+    * to the ingest path's state store at any volume. */
+  def corpusIngestFilter(docsStream: DataFrame,
+                         benchShingles: Array[Long]): DataFrame = {
+    val sp = docsStream.sparkSession
+    graft.functions.NgramHash60.register(sp)
+    import sp.implicits._
+    val toks = split($"text", " ")
+    val nTok = size(toks)
+    val nStop = size(filter(toks,
+      tk => tk.isInCollection(graft.operators.TextOps.stopwords)))
+    val stopMilli = floor(lit(1000.0) * nStop / nTok).cast("long")
+    docsStream
+      .withColumn("quality_ok",
+        nTok >= 20 && stopMilli >= 10 && stopMilli <= 150)
+      .withColumn("contaminated",
+        arrays_overlap(expr("ngram_hashes(text, 8)"),
+          typedLit(benchShingles)))
+      .withColumn("accepted", $"quality_ok" && !$"contaminated")
+  }
+
   /** Streaming exact dedup: at-least-once delivery → exactly-once rows,
     * keyed on event_id. `dropDuplicatesWithinWatermark` bounds the dedup
     * state to the watermark horizon (plain dropDuplicates would grow

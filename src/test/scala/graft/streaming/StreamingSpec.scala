@@ -222,6 +222,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(state.isRemoved, "evicted key must drop its sketch state")
   }
 
+  test("streaming ingest filter: quality gate + compiled decontamination, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.expr
+    graft.functions.NgramHash60.register(spark)
+    // the "benchmark" text whose 8-gram shingles must not leak into the
+    // accepted corpus
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench: Array[Long] = spark.range(1)
+      .select(expr(s"ngram_hashes('$benchText', 8)"))
+      .head().getSeq[Long](0).toArray
+    assert(bench.nonEmpty)
+
+    val clean = ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 " +
+      "w16 w17 w18 w19 w20 w21 w22 w23 the w25")        // 25 toks, 40‰ stop
+    val short = "tiny doc the end"                       // fails length rule
+    val contaminated = ("alpha beta gamma delta epsilon zeta eta theta " +
+      "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 the x13 x14") // carries a bench 8-gram
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.corpusIngestFilter(
+        input.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("ingest_filter")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, clean), (2L, short), (3L, contaminated))
+      q.processAllAvailable()
+      val rows = spark.table("ingest_filter")
+        .select($"doc_id", $"quality_ok", $"contaminated", $"accepted")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+      assert(rows(1L) == ((true, false, true)), s"clean doc: ${rows(1L)}")
+      assert(rows(2L)._1 == false && rows(2L)._3 == false,
+        s"short doc must fail quality: ${rows(2L)}")
+      assert(rows(3L) == ((true, true, false)),
+        s"contaminated doc must be flagged and rejected: ${rows(3L)}")
+      // stateless: the plan carries no stateful operator
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "ingest filter must not create streaming state")
+    } finally q.stop()
+  }
+
   test("file-source streaming over the real events parquet matches batch") {
     import org.apache.spark.sql.functions._
     val sf = graft.SharedSpark.sf
