@@ -220,9 +220,7 @@ object MultimodalOps {
     m4FrameSample(spark, dir).select($"doc_id", $"frame_sig").distinct()
   }
 
-  /** m5's pair pipeline over a given sig frame — also built un-persisted
-    * by the ScaleSpec plan guard (the shipped query checkpoints its
-    * result, which hides the join from the plan string). */
+  /** m5's pair pipeline over a given sig frame. */
   private[graft] def m5PairsFrom(sigs: DataFrame): DataFrame = {
     import sigs.sparkSession.implicits._
     val counts = sigs.groupBy($"doc_id").agg(count(lit(1)).as("n_sigs"))
@@ -243,20 +241,21 @@ object MultimodalOps {
       .orderBy($"i", $"j")
   }
 
-  /** The un-persisted plan, for guards and inspection. */
+  /** The plan as planned, for guards and inspection. */
   private[graft] def m5Plan(spark: SparkSession, dir: String): DataFrame =
     m5PairsFrom(m5Sigs(spark, dir))
 
-  def m5MediaDedup(spark: SparkSession, dir: String): DataFrame = {
-    // the sig stream is consumed three times (both self-join sides + the
-    // per-doc set sizes); persist the one decode+distinct pass and
-    // release it after the small pair result is checkpointed (s3's
-    // shared-subtree pattern)
-    val sigs = m5Sigs(spark, dir).persist()
-    try m5PairsFrom(sigs)
-      .localCheckpoint()   // eager: materialized before the unpersist
-    finally sigs.unpersist(blocking = false)
-  }
+  /** The sig stream has three consumers (both self-join sides + the
+    * per-doc set sizes), but NO explicit persist: the distinct ends in a
+    * shuffle exchange, and ReuseExchange dedupes that identical subtree
+    * across all three consumers — the decode pass runs once. Forcing a
+    * persist + checkpoint here was measured 3× SLOWER at sf0.1 (0.6 s →
+    * 1.9 s): it trades free in-plan reuse for cache materialization.
+    * (s3/s4 persist their subtrees because those feed SEPARATE driver
+    * actions, which exchange reuse cannot span; one plan ≠ one job
+    * there. m5 is a single plan.) */
+  def m5MediaDedup(spark: SparkSession, dir: String): DataFrame =
+    m5Plan(spark, dir)
 
   val m5MediaDedupSql: String =
     """WITH f AS (
