@@ -181,16 +181,24 @@ object DedupOps {
     gramRows.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
   }
 
-  /** LSH banding: candidate pairs (i < j) colliding in any 4-slot band. */
-  private def bandedPairs(sig: DataFrame): DataFrame = {
+  /** LSH band keys per doc: (doc_id, band, key) with key = md5 of the
+    * band's 4 signature slots — shared by the d4 self-join and d15's
+    * batch-vs-corpus join. */
+  private def bandedKeys(sig: DataFrame): DataFrame = {
     val spark = sig.sparkSession
     import spark.implicits._
-    // band key b in 0..3 = md5 of the 4 signature slots of the band
     val bandKeys = array((0 until 4).map { b =>
       md5(concat_ws(",",
         (0 until 4).map(i => col(s"m${b * 4 + i}").cast("string")): _*).cast("binary"))
     }: _*)
-    val banded = sig.select($"doc_id", posexplode(bandKeys).as(Seq("band", "key")))
+    sig.select($"doc_id", posexplode(bandKeys).as(Seq("band", "key")))
+  }
+
+  /** LSH banding: candidate pairs (i < j) colliding in any 4-slot band. */
+  private def bandedPairs(sig: DataFrame): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    val banded = bandedKeys(sig)
     banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
         $"a.doc_id" < $"b.doc_id")
@@ -204,10 +212,10 @@ object DedupOps {
       .orderBy($"i", $"j")
   }
 
-  /** The d4 LSH candidate-pair generation as a reusable CTE block
-    * (`pairs(i, j)` with i < j) — shared by the d4 oracle and the d8
-    * connected-components oracle. */
-  private val d4PairsCte: String =
+  /** The d4 LSH banding as a reusable CTE block (`bands(doc_id, band,
+    * key)`) — shared by the d4/d8 pair oracles and d15's batch-vs-corpus
+    * oracle. */
+  private val d4BandsCte: String =
     s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
        |gr AS (SELECT doc_id,
@@ -225,7 +233,13 @@ object DedupOps {
        |  SELECT doc_id, u.b AS band,
        |    md5(array_to_string(list_transform(sig[u.b*4+1:u.b*4+4],
        |        x -> CAST(x AS VARCHAR)), ',')) AS key
-       |  FROM sig, UNNEST(generate_series(0, 3)) AS u(b)),
+       |  FROM sig, UNNEST(generate_series(0, 3)) AS u(b))""".stripMargin
+
+  /** The d4 LSH candidate-pair generation as a reusable CTE block
+    * (`pairs(i, j)` with i < j) — shared by the d4 oracle and the d8
+    * connected-components oracle. */
+  private val d4PairsCte: String =
+    s"""$d4BandsCte,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |  FROM bands a JOIN bands b
@@ -845,9 +859,9 @@ object DedupOps {
     * 100 TB the corpus signature table is the thing you persist between
     * ingests (bucketed by sig via [[graft.sources.LayoutOps
     * .writeBucketed]], making the daily join exchange-free on the
-    * corpus side). The near-dup variant composes from d4: restrict the
-    * LSH band self-join to (batch × corpus) pairs with the same coin
-    * column. */
+    * corpus side). The near-dup variant is [[d15IncrementalNeardup]]:
+    * d4's LSH banding restricted to (batch × corpus) pairs with this
+    * same coin. */
   def d13IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // d2's normalized set-signature (order/multiplicity-insensitive):
@@ -885,6 +899,49 @@ object DedupOps {
        |WHERE b.is_batch
        |ORDER BY b.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d15
+  /** Incremental NEAR-dup — the composition d13's scaladoc promises:
+    * d4's MinHash-LSH banding restricted to (batch × corpus) pairs using
+    * d13's md5 coin, so each new-batch document surfaces its fuzzy
+    * matches in the STANDING corpus (d13 catches only signature-exact
+    * re-ingests; this catches the near-rewrites). Same 16-slot
+    * signatures, same 4×4 banding, same coin salt as d13 — the two
+    * incremental views agree on what "today's batch" is.
+    *
+    * Scale shape: identical to d4's — the only join is on (band, key),
+    * and the sides are DISJOINT (batch ∨ corpus), so the collision set
+    * is linear in true near-dups crossing the boundary. At 100 TB the
+    * corpus band keys are the artifact to persist between ingests
+    * (alongside d13's signature table, bucketed by key); the daily batch
+    * bands against a static corpus-side table, which is exactly this
+    * join with the corpus scan swapped for the persisted table. */
+  def d15IncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val isBatch = pmod(md5Long(concat($"doc_id".cast("string"), lit(":d13"))),
+      lit(5L)) === 0L
+    val keys = bandedKeys(minhashSigsFrom(gramSets(spark, dir)))
+      .withColumn("is_batch", isBatch)
+    keys.filter($"is_batch").as("n")
+      .join(keys.filter(!$"is_batch").hint("shuffle_hash").as("c"),
+        $"n.band" === $"c.band" && $"n.key" === $"c.key")
+      .select($"n.doc_id".as("batch_id"), $"c.doc_id".as("corpus_id"))
+      .distinct()
+      .orderBy($"batch_id", $"corpus_id")
+  }
+
+  val d15IncrementalNeardupSql: String =
+    s"""WITH $d4BandsCte,
+       |coin AS (
+       |  SELECT doc_id,
+       |    ${sqlMd5Long("CAST(doc_id AS VARCHAR) || ':d13'")} % 5 = 0 AS is_batch
+       |  FROM documents)
+       |SELECT DISTINCT n.doc_id AS batch_id, c.doc_id AS corpus_id
+       |FROM bands n
+       |JOIN coin cn ON n.doc_id = cn.doc_id AND cn.is_batch
+       |JOIN bands c ON n.band = c.band AND n.key = c.key
+       |JOIN coin cc ON c.doc_id = cc.doc_id AND NOT cc.is_batch
+       |ORDER BY batch_id, corpus_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact"   -> (d1DedupExact _),
     "d2_dedup_normset" -> (d2DedupNormSet _),
@@ -900,6 +957,7 @@ object DedupOps {
     "d12_cosine_dup_kmeans" -> (d12CosineDupKmeans _),
     "d13_incremental" -> (d13IncrementalDedup _),
     "d14_semdedup_keep" -> (d14SemdedupKeep _),
+    "d15_incremental_neardup" -> (d15IncrementalNeardup _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -917,5 +975,6 @@ object DedupOps {
     "d12_cosine_dup_kmeans" -> d12CosineDupKmeansSql,
     "d13_incremental" -> d13IncrementalDedupSql,
     "d14_semdedup_keep" -> d14SemdedupKeepSql,
+    "d15_incremental_neardup" -> d15IncrementalNeardupSql,
   )
 }
