@@ -697,18 +697,22 @@ object TextOps {
     * rows move. */
   def t15GopherRules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = tokens($"text")
-    val meanLen = permille(length($"text") - (size(toks) - 1), size(toks))
-    val nStop = size(array_intersect(array_distinct(toks),
-      typedLit(stopwords)))
-    val topTok = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t))))
+    // materialize the token array (and its distinct) ONCE per row: the
+    // rules reference them six times, and the lambda-bearing expressions
+    // sit outside whole-stage codegen where subexpression elimination
+    // would otherwise have to save us
     docs(spark, dir)
+      .select($"doc_id", length($"text").as("tlen"),
+        tokens($"text").as("toks"))
+      .withColumn("dtoks", array_distinct($"toks"))
       .select($"doc_id",
-        size(toks).as("n_tokens"),
-        meanLen.as("mean_len_permille"),
-        nStop.as("n_stop"),
-        permille(topTok, size(toks)).as("top_tok_permille"))
+        size($"toks").as("n_tokens"),
+        permille($"tlen" - (size($"toks") - 1), size($"toks"))
+          .as("mean_len_permille"),
+        size(array_intersect($"dtoks", typedLit(stopwords))).as("n_stop"),
+        permille(array_max(transform($"dtoks",
+            t => size(filter($"toks", x => x === t)))), size($"toks"))
+          .as("top_tok_permille"))
       .withColumn("r_len",
         ($"n_tokens" >= 10 && $"n_tokens" <= 100000).cast("int"))
       .withColumn("r_meanlen",
