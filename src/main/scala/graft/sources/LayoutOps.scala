@@ -214,6 +214,22 @@ object LayoutOps {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Statistics maintenance for catalog tables — the ANALYZE step a lake
+    * job scheduler runs after large writes: table-level row count/size
+    * plus per-column NDV/min/max/null counts. These are what the
+    * cost-based optimizer consumes for join reordering and build-side
+    * selection on STATIC plans (AQE fixes sizes at runtime, but only
+    * after a stage has executed; CBO stats inform the initial plan —
+    * both matter at 100 TB where a wrong initial join order can be the
+    * whole job). */
+  def analyzeTable(spark: SparkSession, table: String,
+                   cols: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (cols.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS " +
+        cols.mkString(", "))
+  }
+
   /** File-statistics MANIFEST: per data file, min/max/count of a chosen
     * column — the metadata layer a lake table format (Iceberg/Delta)
     * maintains automatically, built here explicitly for plain parquet

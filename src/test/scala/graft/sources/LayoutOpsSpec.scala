@@ -154,6 +154,23 @@ class LayoutOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("analyzeTable: row count and column NDV/min/max land in the catalog") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    spark.range(1000)
+      .selectExpr("id AS k", "CAST(id % 7 AS LONG) AS grp")
+      .write.mode("overwrite").format("parquet").saveAsTable("stats_t")
+    LayoutOps.analyzeTable(spark, "stats_t", Seq("k", "grp"))
+    val stats = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier("stats_t")).stats
+      .getOrElse(fail("no stats recorded"))
+    assert(stats.rowCount.contains(BigInt(1000)), s"rowCount ${stats.rowCount}")
+    val grp = stats.colStats.getOrElse("grp", fail("no grp column stats"))
+    assert(grp.distinctCount.exists(_.toInt == 7), s"grp ndv ${grp.distinctCount}")
+    assert(grp.min.exists(_.toString == "0") && grp.max.exists(_.toString == "6"),
+      s"grp min/max ${grp.min}/${grp.max}")
+    assert(stats.sizeInBytes > 0)
+  }
+
   test("manifest: narrow range reads only overlapping files, result matches full scan") {
     import spark.implicits._
     val dir = tmpDir() + "/data"
