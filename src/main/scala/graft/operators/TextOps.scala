@@ -749,6 +749,85 @@ object TextOps {
        |       THEN 1 ELSE 0 END AS keep
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t16
+  /** SOURCE-level curation profile — the domain-reputation decision a
+    * web-corpus pipeline makes before any per-document filtering
+    * (Common Crawl practice: block or keep whole domains first; a
+    * domain that is mostly junk or mostly self-copies is cheaper to
+    * drop wholesale than to filter document-by-document). Per source:
+    * volume, the within-source duplicate rate (docs minus distinct
+    * normalized signatures — d2's order/multiplicity-insensitive sig),
+    * the share of t3-"good" documents, and the block verdict
+    * (good < 30% or dups > 50%, floor-permille exact).
+    *
+    * Scale shape: two partial-aggregated hash aggregates — (source, sig)
+    * collapses before anything counts a duplicate, so document text
+    * never rides a shuffle and the second aggregate sees one
+    * fixed-width row per distinct signature; the profile frame is
+    * |sources| rows. */
+  def t16SourceProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, tk => tk.isInCollection(stopwords)))
+    val stopMilli = permille(nStop, nTok)
+    val good = (nTok >= 20 && stopMilli <= 150 && stopMilli >= 10)
+    val sig =
+      md5(concat_ws(" ", array_sort(array_distinct(toks))).cast("binary"))
+    val perSig = docs(spark, dir)
+      .select($"source", sig.as("sig"), nTok.as("n_tokens"),
+        good.cast("long").as("is_good"))
+      .groupBy($"source", $"sig")
+      .agg(count(lit(1)).as("n_copies"),
+           sum($"n_tokens".cast("long")).as("sig_tokens"),
+           sum($"is_good").as("sig_good"))
+    perSig.groupBy($"source")
+      .agg(sum($"n_copies").as("n_docs"),
+           count(lit(1)).as("distinct_sigs"),
+           sum($"sig_tokens").as("total_tokens"),
+           sum($"sig_good").as("good_docs"))
+      .withColumn("dup_permille",
+        permille($"n_docs" - $"distinct_sigs", $"n_docs"))
+      .withColumn("good_permille", permille($"good_docs", $"n_docs"))
+      .withColumn("blocked",
+        ($"good_permille" < 300 || $"dup_permille" > 500).cast("int"))
+      .orderBy($"source")
+  }
+
+  val t16SourceProfileSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |                         tk -> tk IN ($stopwordsSql))) AS INT) AS n_stop
+       |  FROM documents),
+       |g AS (
+       |  SELECT source, sig, n_tokens,
+       |    CASE WHEN n_tokens >= 20
+       |          AND ${sqlPermille("n_stop", "n_tokens")} BETWEEN 10 AND 150
+       |         THEN 1 ELSE 0 END AS is_good
+       |  FROM d),
+       |per_sig AS (
+       |  SELECT source, sig, COUNT(*) AS n_copies,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS sig_tokens,
+       |    CAST(SUM(is_good) AS BIGINT) AS sig_good
+       |  FROM g GROUP BY 1, 2),
+       |prof AS (
+       |  SELECT source,
+       |    CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+       |    COUNT(*) AS distinct_sigs,
+       |    CAST(SUM(sig_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(sig_good) AS BIGINT) AS good_docs
+       |  FROM per_sig GROUP BY source)
+       |SELECT source, n_docs, distinct_sigs, total_tokens, good_docs,
+       |  ${sqlPermille("(n_docs - distinct_sigs)", "n_docs")} AS dup_permille,
+       |  ${sqlPermille("good_docs", "n_docs")} AS good_permille,
+       |  CASE WHEN ${sqlPermille("good_docs", "n_docs")} < 300
+       |        OR ${sqlPermille("(n_docs - distinct_sigs)", "n_docs")} > 500
+       |       THEN 1 ELSE 0 END AS blocked
+       |FROM prof ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_profile" -> (t2LangProfile _),
@@ -765,6 +844,7 @@ object TextOps {
     "t13_familiarity" -> (t13Familiarity _),
     "t14_pii_scrub"   -> (t14PiiScrub _),
     "t15_gopher_rules" -> (t15GopherRules _),
+    "t16_source_profile" -> (t16SourceProfile _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -783,5 +863,6 @@ object TextOps {
     "t13_familiarity" -> t13FamiliaritySql,
     "t14_pii_scrub"   -> t14PiiScrubSql,
     "t15_gopher_rules" -> t15GopherRulesSql,
+    "t16_source_profile" -> t16SourceProfileSql,
   )
 }
