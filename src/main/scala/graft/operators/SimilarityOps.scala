@@ -643,6 +643,102 @@ object SimilarityOps {
        |FROM rranked WHERE rnk <= $K
        |ORDER BY qid, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- s9
+  /** Scalar-quantized (SQ8) ANN — the third production compression
+    * family alongside IVF (s3) and PQ (s4): each dimension is linearly
+    * quantized to one byte against its corpus-wide [min, max], so a
+    * 64-float vector becomes 64 small ints and the approximate distance
+    * is a PURE INTEGER sum of squared code differences. Integer
+    * arithmetic makes this the only ANN scorer here with zero
+    * float-order hazard — the ADC sum is order-independent by
+    * construction, no fixed-point projection needed.
+    *
+    * Training artifact = the per-dimension min/max frame (64 rows, one
+    * partial-aggregated pass), collected and baked into the plan as
+    * literal arrays (the query-compiled pattern). Serving is one corpus
+    * map pass — quantize (a transform over literal bounds) and score
+    * against the literal quantized queries — and the only shuffle is
+    * the per-query top-K. At 100 TB the scan reads 64 code bytes per
+    * vector (8× under float32), the standard SQ8 trade: cheaper
+    * compression than PQ (no codebook training), coarser distances
+    * (byte grid vs learned cells); the recall spec bounds the loss
+    * against s1's exact answer. A constant dimension (max = min)
+    * quantizes to 0 on both engines. */
+  def s9KnnSq8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    val e = emb(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val mm = e.select(posexplode($"v").as(Seq("d0", "dv")))
+      .groupBy(($"d0" + 1).as("d"))
+      .agg(min($"dv").as("mn"), max($"dv").as("mx"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val dims = (1 to 64)
+    val mnA = dims.map(d => mm(d)._1).toArray
+    val mxA = dims.map(d => mm(d)._2).toArray
+    def quantize(v: Column): Column =
+      zip_with(v, typedLit(dims.toArray), (x, d) => {
+        val mn = element_at(typedLit(mnA), d)
+        val mx = element_at(typedLit(mxA), d)
+        when(mx === mn, lit(0L))
+          .otherwise(floor((x - mn) * lit(255.0) / (mx - mn)).cast("long"))
+      })
+    // query codes: driver twins of the same expressions (same doubles)
+    val qs: Seq[(Long, Array[Long])] = e.filter($"vec_id" < NQUERIES)
+      .select($"vec_id", $"v").collect().toSeq
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        r.getLong(0) -> dims.map { d =>
+          val (mn, mx) = mm(d)
+          if (mx == mn) 0L
+          else math.floor((v(d - 1) - mn) * 255.0 / (mx - mn)).toLong
+        }.toArray
+      }
+    val w = Window.partitionBy($"qid").orderBy($"d2_sq8".asc, $"nid".asc)
+    val qCodes = typedLit(qs.toMap)
+    e.select($"vec_id".as("nid"), quantize($"v").as("codes"))
+      .withColumn("qid", explode(typedLit(qs.map(_._1).sorted.toArray)))
+      .filter($"qid" =!= $"nid")
+      .withColumn("d2_sq8",
+        aggregate(zip_with($"codes", element_at(qCodes, $"qid"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"nid", $"rnk", $"d2_sq8")
+      .orderBy($"qid", $"rnk")
+  }
+
+  val s9KnnSq8Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+       |mm AS (
+       |  SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+       |  FROM e CROSS JOIN dims GROUP BY d),
+       |codes AS (
+       |  SELECT e.vec_id,
+       |    list(CAST(CASE WHEN mx = mn THEN 0
+       |              ELSE FLOOR((v[d] - mn) * 255.0 / (mx - mn)) END AS BIGINT)
+       |         ORDER BY d) AS c
+       |  FROM e CROSS JOIN dims JOIN mm USING (d)
+       |  GROUP BY e.vec_id),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |    CAST(list_reduce(list_transform(list_zip(q.c, n.c),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS BIGINT)
+       |      AS d2_sq8
+       |  FROM codes q JOIN codes n
+       |    ON q.vec_id < $NQUERIES AND q.vec_id <> n.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, d2_sq8,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY d2_sq8 ASC, nid ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, nid, CAST(rnk AS INT) AS rnk, d2_sq8
+       |FROM ranked WHERE rnk <= $K
+       |ORDER BY qid, rnk""".stripMargin
+
   // ------------------------------------------------ k-means machinery
   /** Driver twins of the engine folds (left fold, seed 0.0 — exact
     * parity with VecDot / DuckDB list_reduce). */
@@ -1187,6 +1283,7 @@ object SimilarityOps {
     "s6_knn_kmeans" -> (s6KnnKmeans _),
     "s7_knn_ivfpq_kmeans" -> (s7KnnIvfPqKmeans _),
     "s8_knn_rerank" -> (s8KnnRerank _),
+    "s9_knn_sq8"   -> (s9KnnSq8 _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1198,5 +1295,6 @@ object SimilarityOps {
     "s6_knn_kmeans" -> s6KnnKmeansSql,
     "s7_knn_ivfpq_kmeans" -> s7KnnIvfPqKmeansSql,
     "s8_knn_rerank" -> s8KnnRerankSql,
+    "s9_knn_sq8"   -> s9KnnSq8Sql,
   )
 }

@@ -186,6 +186,20 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s9: SQ8 integer distances keep useful recall vs exact top-k") {
+    import spark.implicits._
+    val exact = graft.SparkEntry.queries("s1_knn_brute")(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val sq8 = graft.SparkEntry.queries("s9_knn_sq8")(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = (sq8 & exact).size.toDouble / exact.size
+    // byte-grid distances on 64 dims lose little: the quantization error
+    // per dim is ≤ range/255. s1 ranks by cosine while SQ8 ranks by
+    // (unnormalized) L2, so the bound is loose — but a broken quantizer
+    // (all-zero codes, swapped bounds) collapses to ~0.1 and must fail
+    assert(recall >= 0.3, s"s9 recall collapsed: $recall")
+  }
+
   test("d14: keep step drops exactly the vectors with a smaller near-dup neighbor") {
     import spark.implicits._
     val pairs = graft.SparkEntry.queries("d12_cosine_dup_kmeans")(spark, sf)
