@@ -682,7 +682,11 @@ object DedupOps {
     import spark.implicits._
     graft.functions.TrigramHash60.register(spark)
     val raw = docsDf.select($"doc_id", explode(expr("trigram_hashes(text)")).as("gh"))
-    val hot = raw.groupBy($"gh").agg(count(lit(1)).as("df"))
+    // DOCUMENT frequency, not occurrence frequency: a single document
+    // repeating a gram must not evict that gram corpus-wide. distinct
+    // (gh, doc_id) first keeps the count a plain two-phase hash agg.
+    val hot = raw.select($"gh", $"doc_id").distinct()
+      .groupBy($"gh").agg(count(lit(1)).as("df"))
       .filter($"df" > dfCap).select($"gh")
     val kept = raw.join(broadcast(hot), Seq("gh"), "left_anti")
     val cnt = kept.groupBy($"doc_id").agg(count(lit(1)).as("c"))
@@ -711,7 +715,7 @@ object DedupOps {
        |raw AS (
        |  SELECT doc_id, unnest(list_transform(grams, g -> ${sqlMd5Long("g")})) AS gh
        |  FROM gr),
-       |hot AS (SELECT gh FROM raw GROUP BY gh HAVING COUNT(*) > $DfCap),
+       |hot AS (SELECT gh FROM raw GROUP BY gh HAVING COUNT(DISTINCT doc_id) > $DfCap),
        |kept AS (
        |  SELECT doc_id, gh FROM raw WHERE gh NOT IN (SELECT gh FROM hot)),
        |cnt AS (SELECT doc_id, COUNT(*) AS c FROM kept GROUP BY doc_id),

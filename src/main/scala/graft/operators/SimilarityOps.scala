@@ -842,9 +842,17 @@ object SimilarityOps {
     * members only (salted per cell id, so the sub-codebooks are
     * deterministic and independent), members are reassigned to sub-cell
     * ids, and the check recurses until every cell fits or `depth`
-    * bounds the work. Sub-cell ids are `parent·SubBase + child + 1`, so
-    * the final ids remain globally unique and the result stays a
-    * PARTITION of the input (spec-asserted on a planted hot blob).
+    * bounds the work. Cell ids form a radix-`SubBase` PATH CODE:
+    * top-level cells are remapped to their dense index in the sorted
+    * codebook (codes < SubBase), and a child of cell `p` gets
+    * `(p+1)·SubBase + childIndex` (codes ≥ SubBase invert uniquely to
+    * (parent, child)) — so no synthesized id can ever collide with a
+    * top-level cell or with another path at any depth, and the result
+    * stays a PARTITION of the input (spec-asserted on a planted hot
+    * blob). Raw centroid vec_ids are NOT used as cell ids: they are
+    * arbitrary longs, and `parent·base + child` over them could
+    * collide with another centroid's id, silently merging two
+    * unrelated blocking cells.
     *
     * Scale shape: each level is one argmin map pass over only the
     * still-hot subset plus a cell-size hash agg (metadata-sized); the
@@ -858,7 +866,12 @@ object SimilarityOps {
     val spark = e.sparkSession
     import spark.implicits._
     val SubBase = 100L
-    val assigned = e.withColumn("cell", argminOver($"v", cents))
+    require(subK < SubBase, s"subK $subK must fit one radix digit")
+    require(cents.size <= SubBase, s"top-level k ${cents.size} exceeds radix")
+    val idx: Map[Long, Long] =
+      cents.map(_._1).zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    val assigned = e.withColumn("cell0", argminOver($"v", cents))
+      .withColumn("cell", element_at(typedLit(idx), $"cell0"))
       .select($"vec_id", $"v", $"cell")
     def loop(cur: DataFrame, level: Int): DataFrame = {
       val sizes = cur.groupBy($"cell").agg(count(lit(1)).as("n"))
@@ -878,8 +891,8 @@ object SimilarityOps {
           if (sub.size < 2) members.withColumn("cell", lit(c))
           else members.withColumn("sub", argminOver($"v", sub))
             .withColumn("cell",
-              lit(c * SubBase) + element_at(
-                typedLit(subIdx.map { case (id, i) => id -> (i + 1L) }),
+              lit((c + 1L) * SubBase) + element_at(
+                typedLit(subIdx.map { case (id, i) => id -> i.toLong }),
                 $"sub") )
             .select($"cell", $"vec_id", $"v")
         }

@@ -76,8 +76,13 @@ object LayoutOps {
     val dst = new org.apache.hadoop.fs.Path(path)
     val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_old")
     fs.delete(bak, true)
-    fs.rename(dst, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // Hadoop rename signals failure by returning false, not throwing: a
+    // silent failure here would let the final backup delete remove the
+    // only copy at the published path. Check every step before deleting.
+    require(fs.rename(dst, bak), s"compact: rename $dst -> $bak failed")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"compact: rename $tmp -> $dst failed; original preserved at $bak")
+    require(fs.exists(dst), s"compact: $dst missing after swap")
     fs.delete(bak, true)
   }
 
