@@ -690,11 +690,18 @@ object TextOps {
     *
     * `keep` is the conjunction. All ratios are floor-permille integers,
     * so every rule boundary is exact on both engines. The top-token
-    * frequency is computed INSIDE the row (transform over distinct
-    * tokens + a nested filter — O(distinct·n) on ≤ few-hundred-token
-    * docs) rather than via explode + two shuffled aggregations: the
-    * whole operator is one map pass, and only the fixed-width result
-    * rows move. */
+    * frequency is computed INSIDE the row as a SORTED RUN-LENGTH scan:
+    * sort the tokens, find the 1-based run-start positions (i=1 or
+    * st[i] != st[i-1]), append the n+1 sentinel, and the max gap
+    * between consecutive boundaries is the top token's count —
+    * O(n log n) per row with O(1) `element_at` lookups. The earlier
+    * form (transform over distinct tokens + a nested filter re-scanning
+    * the full array per distinct token) was O(n·distinct) per row —
+    * harmless on 100-token docs but a single-row straggler on a
+    * 100k-token document (~10^10 comparisons) that no partitioning can
+    * fix; t9's own scaladoc bans exactly that pattern. The whole
+    * operator remains one map pass, and only fixed-width result rows
+    * move. */
   def t15GopherRules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // materialize the token array (and its distinct) ONCE per row: the
@@ -705,13 +712,27 @@ object TextOps {
       .select($"doc_id", length($"text").as("tlen"),
         tokens($"text").as("toks"))
       .withColumn("dtoks", array_distinct($"toks"))
+      .withColumn("st", array_sort($"toks"))
+      // run starts (1-based): position 1 plus every i in [2,n] where the
+      // sorted token changes; element_at indices stay within [1,n] so
+      // the expression is ANSI-safe for any n >= 2 (guarded below)
+      .withColumn("starts", concat(array(lit(1)),
+        filter(sequence(lit(2), greatest(size($"st"), lit(2))),
+          i => when(i <= size($"st"),
+                 element_at($"st", i) =!= element_at($"st", i - 1))
+               .otherwise(lit(false)))))
+      .withColumn("bounds", concat($"starts", array(size($"st") + 1)))
       .select($"doc_id",
         size($"toks").as("n_tokens"),
         permille($"tlen" - (size($"toks") - 1), size($"toks"))
           .as("mean_len_permille"),
         size(array_intersect($"dtoks", typedLit(stopwords))).as("n_stop"),
-        permille(array_max(transform($"dtoks",
-            t => size(filter($"toks", x => x === t)))), size($"toks"))
+        permille(
+          when(size($"toks") <= 1, size($"toks")).otherwise(
+            array_max(zip_with(
+              slice($"bounds", lit(2), size($"starts")), $"starts",
+              (a, b) => a - b))),
+          size($"toks"))
           .as("top_tok_permille"))
       .withColumn("r_len",
         ($"n_tokens" >= 10 && $"n_tokens" <= 100000).cast("int"))
@@ -729,15 +750,22 @@ object TextOps {
     s"""WITH s AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS tlen
        |  FROM documents),
+       |so AS (SELECT *, list_sort(toks) AS st FROM s),
+       |b AS (
+       |  SELECT *, list_concat([1],
+       |    list_filter(range(2, len(st) + 1), i -> st[i] != st[i-1])) AS starts
+       |  FROM so),
+       |b2 AS (SELECT *, list_concat(starts, [len(st) + 1]) AS bounds FROM b),
        |m AS (
        |  SELECT doc_id,
        |    CAST(len(toks) AS INT) AS n_tokens,
        |    ${sqlPermille("(tlen - (len(toks) - 1))", "len(toks)")} AS mean_len_permille,
        |    CAST(len(list_intersect(list_distinct(toks), [$stopwordsSql])) AS INT) AS n_stop,
        |    ${sqlPermille(
-            "list_max(list_transform(list_distinct(toks), t -> len(list_filter(toks, x -> x = t))))",
+            "(CASE WHEN len(toks) <= 1 THEN len(toks) ELSE " +
+            "list_max(list_transform(range(1, len(starts) + 1), j -> bounds[j+1] - bounds[j])) END)",
             "len(toks)")} AS top_tok_permille
-       |  FROM s)
+       |  FROM b2)
        |SELECT doc_id, n_tokens, mean_len_permille, n_stop, top_tok_permille,
        |  CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1 ELSE 0 END AS r_len,
        |  CASE WHEN mean_len_permille BETWEEN 3000 AND 10000 THEN 1 ELSE 0 END AS r_meanlen,
