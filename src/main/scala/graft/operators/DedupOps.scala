@@ -866,17 +866,25 @@ object DedupOps {
     * corpus side). The near-dup variant is [[d15IncrementalNeardup]]:
     * d4's LSH banding restricted to (batch × corpus) pairs with this
     * same coin. */
-  def d13IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, sig, is_batch): d2's normalized set-signature
+    * (order/multiplicity-insensitive — the corpus has no byte-exact
+    * duplicates, but it does have shuffled-token near-dups, the
+    * realistic incremental hit) plus the deterministic batch coin.
+    * Shared by d13/d16 and p8/p10 so every incremental view agrees on
+    * what "today's batch" is. */
+  private[operators] def d13Coined(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // d2's normalized set-signature (order/multiplicity-insensitive):
-    // the corpus has no byte-exact duplicates, but it does have
-    // shuffled-token near-dups — the realistic incremental hit
     val normSig =
       md5(concat_ws(" ", array_sort(array_distinct(tokens($"text")))).cast("binary"))
-    val coined = docs(spark, dir)
+    docs(spark, dir)
       .select($"doc_id", normSig.as("sig"),
         (pmod(md5Long(concat($"doc_id".cast("string"), lit(":d13"))),
           lit(5L)) === 0L).as("is_batch"))
+  }
+
+  def d13IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val coined = d13Coined(spark, dir)
     val corpusSigs = coined.filter(!$"is_batch")
       .groupBy($"sig").agg(count(lit(1)).as("n_corpus_copies"))
     coined.filter($"is_batch")
@@ -946,6 +954,64 @@ object DedupOps {
        |JOIN coin cc ON c.doc_id = cc.doc_id AND NOT cc.is_batch
        |ORDER BY batch_id, corpus_id""".stripMargin
 
+  // ---------------------------------------------------------------- d16
+  /** d13's DAY-2 form — the persisted-standing-state composition d13's
+    * scaladoc promises, made real: the corpus signature table is built
+    * ONCE with [[graft.sources.LayoutOps.writeBucketed]] (bucketed +
+    * sorted on `sig`, one file per bucket) and every later ingest
+    * probes it as a catalog table. Because the bucketed scan already
+    * provides hash-partitioning on the join key, the daily probe join
+    * plans ZERO exchange and zero sort on the corpus side — only the
+    * (small) daily batch shuffles (plan-guarded in Round7OpsSpec). The
+    * `merge` hint pins the sort-merge shape: at 100 TB the standing
+    * side is never broadcastable, and letting the test-scale optimizer
+    * broadcast it would hide exactly the exchange this operator exists
+    * to eliminate. Output is identical to d13 (same oracle): the state
+    * table is a pure materialization of d13's corpus aggregate. */
+  def d16IncrementalDay2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val coined = d13Coined(spark, dir)
+    val t = graft.sources.LayoutOps.stateTable("graft_state_d13_sigs", dir)
+    if (!spark.catalog.tableExists(t)) {
+      val corpusSigs = coined.filter(!$"is_batch")
+        .groupBy($"sig").agg(count(lit(1)).as("n_corpus_copies"))
+      graft.sources.LayoutOps.writeBucketed(corpusSigs, t, "sig", 8)
+    }
+    coined.filter($"is_batch")
+      .join(spark.table(t).hint("merge"), Seq("sig"), "left")
+      .select($"doc_id",
+        $"n_corpus_copies".isNotNull.as("known"),
+        coalesce($"n_corpus_copies", lit(0L)).as("n_corpus_copies"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- d17
+  /** d15's DAY-2 form: the corpus LSH band keys are the persisted
+    * artifact (alongside d16's signature table), bucketed on the
+    * combined `band:key` string so the daily batch-vs-corpus band join
+    * reads the standing side exchange-free. The band key is md5 hex
+    * (no ':'), so the concatenation is collision-free. Only today's
+    * batch is shingled, minhashed and shuffled; the corpus side is a
+    * bucketed scan of fixed-width rows. Output (and oracle) identical
+    * to d15. */
+  def d17NeardupDay2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val isBatch = pmod(md5Long(concat($"doc_id".cast("string"), lit(":d13"))),
+      lit(5L)) === 0L
+    val keys = bandedKeys(minhashSigsFrom(gramSets(spark, dir)))
+      .withColumn("is_batch", isBatch)
+      .withColumn("bk", concat_ws(":", $"band", $"key"))
+    val t = graft.sources.LayoutOps.stateTable("graft_state_d15_bands", dir)
+    if (!spark.catalog.tableExists(t))
+      graft.sources.LayoutOps.writeBucketed(
+        keys.filter(!$"is_batch").select($"bk", $"doc_id"), t, "bk", 8)
+    keys.filter($"is_batch").select($"bk", $"doc_id".as("batch_id"))
+      .join(spark.table(t).hint("merge")
+        .withColumnRenamed("doc_id", "corpus_id"), Seq("bk"))
+      .select($"batch_id", $"corpus_id").distinct()
+      .orderBy($"batch_id", $"corpus_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact"   -> (d1DedupExact _),
     "d2_dedup_normset" -> (d2DedupNormSet _),
@@ -962,6 +1028,8 @@ object DedupOps {
     "d13_incremental" -> (d13IncrementalDedup _),
     "d14_semdedup_keep" -> (d14SemdedupKeep _),
     "d15_incremental_neardup" -> (d15IncrementalNeardup _),
+    "d16_incremental_day2" -> (d16IncrementalDay2 _),
+    "d17_neardup_day2" -> (d17NeardupDay2 _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -980,5 +1048,9 @@ object DedupOps {
     "d13_incremental" -> d13IncrementalDedupSql,
     "d14_semdedup_keep" -> d14SemdedupKeepSql,
     "d15_incremental_neardup" -> d15IncrementalNeardupSql,
+    // day-2 forms materialize the corpus side as bucketed standing
+    // state; the RESULT is identical to the day-1 query by construction
+    "d16_incremental_day2" -> d13IncrementalDedupSql,
+    "d17_neardup_day2" -> d15IncrementalNeardupSql,
   )
 }

@@ -646,27 +646,40 @@ object EventOps {
     * (type, value) hash agg — the histogram is bounded by the number of
     * DISTINCT activity levels, not by users — and a per-type self-join
     * of that tiny frame. Nothing user-cardinality ever sorts. */
-  def e17GiniActivity(spark: SparkSession, dir: String): DataFrame = {
+  /** Gini from a (event_type, v, c) value histogram — e17's arithmetic
+    * core, exposed so the overflow spec can feed planted BIGINT-breaking
+    * cardinalities. The pair sum Σ c_a·c_b·|v_a−v_b| runs in
+    * DECIMAL(38,0): each factor is cast to DECIMAL(12,0) so the triple
+    * product lands exactly in (38,0) — longs overflow this sum past
+    * ~10⁹ users per type (n²·v̄ ≈ 10²¹ > 2⁶³), decimals hold to ~10¹⁷
+    * users. The single mad_num→double conversion at the end is the same
+    * one the long path did (both engines round-to-nearest), so the
+    * permille result is unchanged where longs sufficed. */
+  private[operators] def giniFromHist(hist: DataFrame): DataFrame = {
+    val spark = hist.sparkSession
     import spark.implicits._
-    val hist = events(spark, dir)
-      .groupBy($"event_type", $"user_id")
-      .agg(count(lit(1)).as("x"))
-      .groupBy($"event_type", $"x".as("v"))
-      .agg(count(lit(1)).as("c"))
     val totals = hist.groupBy($"event_type")
       .agg(sum($"c").as("n_users"), sum($"c" * $"v").as("total_events"))
-    // per-type cross of the tiny histogram; Σ c_a·c_b·|v_a−v_b| stays in
-    // longs at the test SFs (lift into DECIMAL(38,0) on both engines past
-    // ~10^9 users per type)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(12,0)")
     hist.as("a").join(hist.as("b"), "event_type")
       .groupBy($"event_type")
-      .agg(sum($"a.c" * $"b.c" * abs($"a.v" - $"b.v")).as("mad_num"))
+      .agg(sum(dec($"a.c") * dec($"b.c") * dec(abs($"a.v" - $"b.v")))
+        .as("mad_num"))
       .join(totals, "event_type")
       .select($"event_type", $"n_users", $"total_events",
-        floor(lit(1000.0) * $"mad_num" /
+        floor(lit(1000.0) * $"mad_num".cast("double") /
           (lit(2.0) * $"n_users" * $"total_events"))
           .cast("long").as("gini_permille"))
       .orderBy($"event_type")
+  }
+
+  def e17GiniActivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    giniFromHist(events(spark, dir)
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("x"))
+      .groupBy($"event_type", $"x".as("v"))
+      .agg(count(lit(1)).as("c")))
   }
 
   val e17GiniActivitySql: String =
@@ -682,11 +695,14 @@ object EventOps {
       |  FROM hist GROUP BY event_type),
       |num AS (
       |  SELECT a.event_type,
-      |    CAST(SUM(a.c * b.c * abs(a.v - b.v)) AS BIGINT) AS mad_num
+      |    CAST(SUM(CAST(a.c AS DECIMAL(12,0)) * CAST(b.c AS DECIMAL(12,0))
+      |             * CAST(abs(a.v - b.v) AS DECIMAL(12,0)))
+      |         AS DECIMAL(38,0)) AS mad_num
       |  FROM hist a JOIN hist b USING (event_type)
       |  GROUP BY a.event_type)
       |SELECT event_type, n_users, total_events,
-      |  CAST(FLOOR(1000.0 * mad_num / (2.0 * n_users * total_events)) AS BIGINT)
+      |  CAST(FLOOR(1000.0 * CAST(mad_num AS DOUBLE)
+      |             / (2.0 * n_users * total_events)) AS BIGINT)
       |    AS gini_permille
       |FROM num JOIN totals USING (event_type)
       |ORDER BY event_type""".stripMargin

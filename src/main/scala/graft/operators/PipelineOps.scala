@@ -420,13 +420,19 @@ object PipelineOps {
     * verbatim in the oracle's single window. At 100 TB raise the shard
     * count and every window partition still fits one task; a naive
     * `Window.partitionBy(lang)` rank would sort billions of rows on one
-    * core. pos·10¹² stays in BIGINT up to ~9·10⁶ docs per language; past
-    * that, swap the product into DECIMAL(38,0) on both engines. */
+    * core. The vt product pos·10¹² runs in DECIMAL(38,0) — BIGINT
+    * overflows it past ~9·10⁶ docs per language — and the integral
+    * divide lands back in BIGINT (vt itself ≈ pos·10⁶/√n fits longs at
+    * any plausible corpus size; only the intermediate product needs the
+    * lift — overflow-spec'd at a planted 10⁷-doc language). */
   private val ScheduleShards = 8L
 
-  def p7MixtureSchedule(spark: SparkSession, dir: String): DataFrame = {
+  /** p7's schedule from any (doc_id, lang) frame — exposed for the
+    * planted-cardinality overflow spec. */
+  private[operators] def p7ScheduleFrom(d0: DataFrame): DataFrame = {
+    val spark = d0.sparkSession
     import spark.implicits._
-    val d = docs(spark, dir).select($"doc_id", $"lang")
+    val d = d0.select($"doc_id", $"lang")
       .withColumn("h", md5Long(concat($"doc_id".cast("string"), lit(":p7"))))
       .withColumn("shard", pmod($"h", lit(ScheduleShards)))
     val sizes = d.groupBy($"lang", $"shard").agg(count(lit(1)).as("n"))
@@ -438,15 +444,19 @@ object PipelineOps {
     val ranked = d.withColumn("rin", row_number().over(wIn))
       .join(broadcast(offs), Seq("lang", "shard"))
       .withColumn("pos", $"off" + $"rin")
-    val wm = docs(spark, dir).groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val wm = d0.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
       .withColumn("wm",
         floor(lit(1000000.0) * sqrt($"n_docs".cast("double"))).cast("long"))
       .select($"lang", $"wm")
     ranked.join(broadcast(wm), Seq("lang"))
-      .withColumn("vt", expr("pos * 1000000000000 DIV wm"))
+      .withColumn("vt",
+        expr("CAST(pos AS DECIMAL(38,0)) * 1000000000000 DIV wm"))
       .select($"doc_id", $"lang", $"pos", $"vt")
       .orderBy($"vt", $"lang", $"pos")
   }
+
+  def p7MixtureSchedule(spark: SparkSession, dir: String): DataFrame =
+    p7ScheduleFrom(docs(spark, dir))
 
   val p7MixtureScheduleSql: String =
     s"""WITH d AS (
@@ -463,7 +473,7 @@ object PipelineOps {
        |    CAST(FLOOR(1000000.0 * sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS wm
        |  FROM documents GROUP BY lang)
        |SELECT r.doc_id, r.lang, CAST(r.pos AS BIGINT) AS pos,
-       |  (r.pos * 1000000000000) // w.wm AS vt
+       |  CAST((CAST(r.pos AS HUGEINT) * 1000000000000) // w.wm AS BIGINT) AS vt
        |FROM r JOIN w USING (lang)
        |ORDER BY vt, lang, pos""".stripMargin
 
@@ -483,7 +493,17 @@ object PipelineOps {
     * never shuffles the batch; every flag is computed once per batch doc
     * and the funnel is one partial-aggregated groupBy on lang. Nothing
     * document-sized rides any shuffle. */
-  def p8IncrementalRefresh(spark: SparkSession, dir: String): DataFrame = {
+  def p8IncrementalRefresh(spark: SparkSession, dir: String): DataFrame =
+    p8Funnel(spark, dir, fromStandingState = false)
+
+  /** Shared p8/p10 funnel body; `fromStandingState = true` is p10's
+    * day-2 form — the corpus signature table is materialized once via
+    * [[graft.sources.LayoutOps.writeBucketed]] and the novelty join
+    * probes the catalog table (exchange-free on the corpus side, merge
+    * hint for the same reason as d16: the standing side is never
+    * broadcastable at 100 TB). */
+  private def p8Funnel(spark: SparkSession, dir: String,
+                       fromStandingState: Boolean): DataFrame = {
     import spark.implicits._
     graft.functions.NgramHash60.register(spark)
     val toks = tokens($"text")
@@ -497,8 +517,19 @@ object PipelineOps {
         normSig.as("sig"),
         (pmod(md5Long(concat($"doc_id".cast("string"), lit(":d13"))),
           lit(5L)) === 0L).as("is_batch"))
-    val corpusSigs = coined.filter(!$"is_batch")
-      .select($"sig").distinct().withColumn("known", lit(1))
+    val corpusSigs =
+      if (!fromStandingState)
+        coined.filter(!$"is_batch")
+          .select($"sig").distinct().withColumn("known", lit(1))
+      else {
+        val t = graft.sources.LayoutOps.stateTable("graft_state_p8_sigs", dir)
+        if (!spark.catalog.tableExists(t))
+          graft.sources.LayoutOps.writeBucketed(
+            coined.filter(!$"is_batch")
+              .select($"sig").distinct().withColumn("known", lit(1)),
+            t, "sig", 8)
+        spark.table(t).hint("merge")
+      }
     val benchShingles = coined.filter(!$"is_batch" && $"source" === "src0")
       .select(explode(expr("ngram_hashes(text, 8)")).as("h")).distinct()
     val batch = coined.filter($"is_batch")
@@ -522,6 +553,13 @@ object PipelineOps {
           .otherwise(0L)).as("tok_accepted"))
       .orderBy($"lang")
   }
+
+  // --------------------------------------------------------------- p10
+  /** p8's DAY-2 form: same funnel, novelty checked against the
+    * PERSISTED bucketed corpus signature table instead of a same-run
+    * aggregate. Output (and oracle) identical to p8 by construction. */
+  def p10RefreshDay2(spark: SparkSession, dir: String): DataFrame =
+    p8Funnel(spark, dir, fromStandingState = true)
 
   val p8IncrementalRefreshSql: String = {
     val shingle = (0 until 8).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
@@ -649,6 +687,7 @@ object PipelineOps {
     "p7_mixture_schedule" -> (p7MixtureSchedule _),
     "p8_incremental_refresh" -> (p8IncrementalRefresh _),
     "p9_epoch_schedule" -> (p9EpochSchedule _),
+    "p10_refresh_day2" -> (p10RefreshDay2 _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -661,5 +700,7 @@ object PipelineOps {
     "p7_mixture_schedule" -> p7MixtureScheduleSql,
     "p8_incremental_refresh" -> p8IncrementalRefreshSql,
     "p9_epoch_schedule" -> p9EpochScheduleSql,
+    // day-2 form: result identical to p8 (corpus side materialized)
+    "p10_refresh_day2" -> p8IncrementalRefreshSql,
   )
 }

@@ -1109,16 +1109,21 @@ object SimilarityOps {
     *    cell argmin, 8 code argmins, unprobed cells dropped map-side,
     *    fixed-point ADC sums from a literal LUT; the only shuffle is
     *    the per-query top-K. */
-  def s7KnnIvfPqKmeans(spark: SparkSession, dir: String): DataFrame = {
+  private val S7Subs = 8
+  private val S7Sd = 8
+  private val S7Kpq = 10
+
+  /** s7's full label-free index training — coarse k-means codebook +
+    * 8 per-subspace PQ codebooks from the md5-coin sample. Shared by
+    * [[s7KnnIvfPqKmeans]] (train + serve in one run) and [[s10KnnServe]]
+    * (train once, PERSIST, serve from the saved tables). */
+  private def s7TrainCodebooks(e: DataFrame)
+      : (Seq[(Long, Array[Double])], Map[Int, Seq[(Long, Array[Double])]]) = {
+    val spark = e.sparkSession
     import spark.implicits._
-    registerAll(spark)
-    val NPROBE = 4
-    val SUBS = 8
-    val SD = 8
-    val Kpq = 10
-    def microL(x: Double): Long = math.floor(x * 1000000.0).toLong
-    val e = emb(spark, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val SUBS = S7Subs
+    val SD = S7Sd
+    val Kpq = S7Kpq
     // coarse quantizer: s6's learned codebook (same salts, same result)
     val cents = kmeansCentroids(e)
     // ---- PQ codebooks: per-subspace k-means on the md5-coin sample
@@ -1158,6 +1163,19 @@ object SimilarityOps {
         m -> entries.map { case ((_, cid), arr) => cid -> arr }.sortBy(_._1)
       }
     }
+    (cents, codes)
+  }
+
+  def s7KnnIvfPqKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    val NPROBE = 4
+    val SUBS = S7Subs
+    val SD = S7Sd
+    def microL(x: Double): Long = math.floor(x * 1000000.0).toLong
+    val e = emb(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val (cents, codes) = s7TrainCodebooks(e)
     // ---- serving: one corpus map pass against the compiled index
     val qs: Seq[(Long, Array[Double])] = e.filter($"vec_id" < NQUERIES)
       .select($"vec_id", $"v").collect().toSeq
@@ -1286,6 +1304,92 @@ object SimilarityOps {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s10
+  /** s7 split into BUILD and SERVE — the build-once/serve-many shape
+    * every production ANN deployment has, which s5/s7 (train + serve in
+    * one run) deliberately do not. The BUILD step (first call only)
+    * trains s7's codebooks and persists three catalog tables:
+    *
+    *  - `…_cent(cid, cv)` / `…_pq(m, cid, cv)` — the codebooks
+    *    (metadata-sized; doubles round-trip exactly through parquet);
+    *  - `…_codes(nid, c0..c7, cell)` — the encoded corpus, written
+    *    hive-PARTITIONED BY `cell`: the partition directories ARE the
+    *    IVF inverted lists, materialized as layout.
+    *
+    * The SERVE step compiles the saved codebooks (collected — tiny by
+    * construction) into probe lists and the ADC LUT exactly as s7 does,
+    * then scans ONLY the probed cells: the `cell isin probes` filter
+    * resolves as PartitionFilters on the codes table, so unprobed
+    * inverted lists are never listed, let alone read — at 100 TB with
+    * k ≈ 100k cells and nprobe = 4·|queries| distinct cells, the serve
+    * scan touches a vanishing corpus fraction where s7's single-run
+    * form re-encodes everything. No k-means job appears in the serve
+    * plan's lineage (Round7OpsSpec asserts the plan reads the codes
+    * table and nothing else). Output (and oracle) identical to s7: the
+    * saved index is a pure materialization of s7's training. */
+  def s10KnnServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    val NPROBE = 4
+    val SUBS = S7Subs
+    val SD = S7Sd
+    def microL(x: Double): Long = math.floor(x * 1000000.0).toLong
+    val centT = graft.sources.LayoutOps.stateTable("graft_state_s7_cent", dir)
+    val pqT = graft.sources.LayoutOps.stateTable("graft_state_s7_pq", dir)
+    val codesT = graft.sources.LayoutOps.stateTable("graft_state_s7_codes", dir)
+    val e = emb(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // ---- build (day 1, first call only): train, encode, persist
+    if (!spark.catalog.tableExists(codesT)) {
+      val (cents, codes) = s7TrainCodebooks(e)
+      cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+        .write.mode("overwrite").format("parquet").saveAsTable(centT)
+      codes.toSeq.flatMap { case (m, cbs) =>
+        cbs.map { case (cid, cv) => (m, cid, cv.toSeq) }
+      }.toDF("m", "cid", "cv")
+        .write.mode("overwrite").format("parquet").saveAsTable(pqT)
+      e.withColumn("cell", argminOver($"v", cents))
+        .select(Seq($"vec_id".as("nid"), $"cell") ++ (0 until SUBS).map(m =>
+          argminOver(slice($"v", m * SD + 1, SD), codes(m)).as(s"c$m")): _*)
+        .repartition(col("cell"))
+        .write.mode("overwrite").format("parquet").partitionBy("cell")
+        .saveAsTable(codesT)
+    }
+    // ---- serve (every call): compile the SAVED index, scan probed cells
+    val cents: Seq[(Long, Array[Double])] = spark.table(centT).collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val codes: Map[Int, Seq[(Long, Array[Double])]] =
+      spark.table(pqT).collect().toSeq
+        .groupBy(_.getInt(0)).map { case (m, rs) =>
+          m -> rs.map(r => r.getLong(1) -> r.getSeq[Double](2).toArray)
+            .sortBy(_._1)
+        }
+    val qs: Seq[(Long, Array[Double])] = e.filter($"vec_id" < NQUERIES)
+      .select($"vec_id", $"v").collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val probesOf: Map[Long, Seq[Long]] = qs.flatMap { case (qid, qv) =>
+      cents.map { case (cid, c) => (sqdArr(qv, c), cid) }
+        .sortBy { case (d2, cid) => (d2, cid) }
+        .take(NPROBE).map { case (_, cell) => (cell, qid) }
+    }.groupBy(_._1).map { case (c, ps) => c -> ps.map(_._2).sorted }
+    val lut: Map[String, Long] = (for {
+      (qid, qvec) <- qs; m <- 0 until SUBS; (cid, cv) <- codes(m)
+    } yield s"$qid:$m:$cid" ->
+      microL(sqdArr(qvec.slice(m * SD, m * SD + SD), cv))).toMap
+    val adcExpr = (0 until SUBS).map(m => element_at(typedLit(lut),
+      concat_ws(":", $"qid", lit(m), col(s"c$m")))).reduce(_ + _)
+    val w = Window.partitionBy($"qid").orderBy($"adc_micro".asc, $"nid".asc)
+    spark.table(codesT)
+      .filter($"cell".isin(probesOf.keys.toSeq.sorted: _*))
+      .withColumn("qid", explode(element_at(typedLit(probesOf), $"cell")))
+      .filter($"qid" =!= $"nid")
+      .withColumn("adc_micro", adcExpr)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"nid", $"rnk", $"adc_micro")
+      .orderBy($"qid", $"rnk")
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
@@ -1297,6 +1401,7 @@ object SimilarityOps {
     "s7_knn_ivfpq_kmeans" -> (s7KnnIvfPqKmeans _),
     "s8_knn_rerank" -> (s8KnnRerank _),
     "s9_knn_sq8"   -> (s9KnnSq8 _),
+    "s10_knn_serve" -> (s10KnnServe _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1309,5 +1414,7 @@ object SimilarityOps {
     "s7_knn_ivfpq_kmeans" -> s7KnnIvfPqKmeansSql,
     "s8_knn_rerank" -> s8KnnRerankSql,
     "s9_knn_sq8"   -> s9KnnSq8Sql,
+    // serve-from-saved-index: result identical to s7 (pure materialization)
+    "s10_knn_serve" -> s7KnnIvfPqKmeansSql,
   )
 }

@@ -211,6 +211,18 @@ object LayoutOps {
     * task writes a sliver of every bucket (tasks × buckets small files)
     * and the per-bucket `sortBy` order no longer implies a single sorted
     * run, forcing joins to re-sort. */
+  /** Deterministic catalog-table name for PERSISTED STANDING STATE — the
+    * artifact an incremental pipeline keeps between ingests (a corpus
+    * signature table, an LSH band table, an ANN index). Keyed on the
+    * dataset directory so state built from different scale factors in
+    * the same session never collides. Incremental operators build the
+    * table once ([[writeBucketed]] for join state, so the daily probe
+    * join is exchange-free on the corpus side) and every later run
+    * probes it — build once, serve many. */
+  def stateTable(prefix: String, dir: String): String =
+    prefix + "_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
   def writeBucketed(df: DataFrame, table: String,
                     bucketCol: String, buckets: Int): Unit =
     df.repartition(buckets, col(bucketCol))
