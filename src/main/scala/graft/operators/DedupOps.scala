@@ -600,23 +600,23 @@ object DedupOps {
     * crawl pathology (quoted articles, syndicated bodies, footer/header
     * variants). Output carries both directions' permille containment;
     * the threshold tests the max (= the smaller side's) with
-    * cross-multiplied integer math, exact on both engines.
-    *
-    * Scale shape: identical to d3 — candidate pairs from the self-join
-    * on shared 60-bit gram hashes (shuffle-hash, one exchange computed
-    * once and read twice), cost proportional to true collisions, never
+    * cross-multiplied integer math, exact on both engines. */
+  private val DfCap = 5
+
+  /**
+    * Scale shape: d11's CAPPED candidate generation (not d3's uncapped
+    * form): grams present in more than [[DfCap]] distinct documents are
+    * dropped before the self-join, and both the shared count and the
+    * per-doc denominators run over the surviving grams only. A
+    * containment operator is MORE exposed to the universal-boilerplate
+    * hot key than Jaccard (the wrapper shingles that motivate
+    * containment are exactly the corpus-frequent ones), so the cap is
+    * the default here, same reasoning and same linearity bound as d11;
+    * the candidate join stays proportional to true collisions, never
     * |docs|². The containment arithmetic adds nothing to the shuffle. */
   def d10Containment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.functions.TrigramHash60.register(spark)
-    val grams = docs(spark, dir)
-      .select($"doc_id", expr("trigram_hashes(text)").as("gh_arr"))
-      .select($"doc_id", size($"gh_arr").as("c"), explode($"gh_arr").as("gh"))
-    grams.as("a").join(grams.hint("shuffle_hash").as("b"),
-        $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"),
-               $"a.c".as("ca"), $"b.c".as("cb"))
-      .agg(count(lit(1)).as("shared"))
+    cappedCandidates(docs(spark, dir), DfCap)
       .filter($"shared" * 10 >= least($"ca", $"cb") * 8)
       .select($"i", $"j", $"shared", $"ca", $"cb",
         permille($"shared", $"ca").as("cont_i_milli"),
@@ -628,14 +628,18 @@ object DedupOps {
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
        |gr AS (SELECT doc_id, ${sqlTrigrams("l")} AS grams FROM toks),
-       |grams AS (
-       |  SELECT doc_id, len(grams) AS c,
-       |         unnest(list_transform(grams, g -> ${sqlMd5Long("g")})) AS gh
+       |raw AS (
+       |  SELECT doc_id, unnest(list_transform(grams, g -> ${sqlMd5Long("g")})) AS gh
        |  FROM gr),
+       |hot AS (SELECT gh FROM raw GROUP BY gh HAVING COUNT(DISTINCT doc_id) > $DfCap),
+       |kept AS (
+       |  SELECT doc_id, gh FROM raw WHERE gh NOT IN (SELECT gh FROM hot)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS c FROM kept GROUP BY doc_id),
+       |g AS (SELECT k.doc_id, k.gh, c.c FROM kept k JOIN cnt c USING (doc_id)),
        |shared AS (
        |  SELECT a.doc_id AS i, b.doc_id AS j, a.c AS ca, b.c AS cb,
        |         COUNT(*) AS shared
-       |  FROM grams a JOIN grams b ON a.gh = b.gh AND a.doc_id < b.doc_id
+       |  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2, 3, 4)
        |SELECT i, j, shared, ca, cb,
        |  ${sqlPermille("shared", "ca")} AS cont_i_milli,
@@ -662,7 +666,8 @@ object DedupOps {
     * distribution (the planted-shingle spec proves it). Semantically, a
     * gram shared by thousands of documents carries no near-dup signal —
     * dropping it is the same reasoning as a stopword list, applied at
-    * the shingle level.
+    * the shingle level. ([[DfCap]] is declared above d10, which shares
+    * it — object val initialization order matters for the SQL strings.)
     *
     * Shape at scale: one extra hash aggregate computes df per gram
     * (map-side partial, fixed-width keys); the hot set is tiny by
@@ -670,9 +675,10 @@ object DedupOps {
     * left-anti probe — the gram stream never takes an extra shuffle.
     * The per-doc recount joins on doc_id against its own aggregate
     * (exchange reuse, d3's pattern), then the capped self-join proceeds
-    * exactly as d3. (t10/t11 need no cap: they only aggregate per gram
-    * — cost linear by construction — and never form pairs.) */
-  private val DfCap = 5
+    * exactly as d3. (t11 needs no cap: it only aggregates per gram
+    * — cost linear by construction — and never forms pairs; t10's
+    * skew-split is the no-pairs analogue, see
+    * [[graft.operators.TextOps.t10CorpusShingles]].) */
 
   /** Capped candidate pairs (pre-threshold) from any (doc_id, text)
     * frame — exposed so the planted-universal-shingle spec can prove

@@ -212,8 +212,15 @@ object MultimodalOps {
     * ride the shuffle); the per-doc signature-set sizes and the pair
     * intersection are two hash aggregates; the final Jaccard is computed
     * on the (i, j, shared) frame, metadata-sized. A boilerplate frame
-    * shared by everything (station idents, color bars) would need d11's
-    * df-cap — one extra hash-agg, same move. */
+    * shared by everything (station idents, color bars) gets d11's
+    * df-cap BY DEFAULT: sigs in more than [[M5DfCap]] streams are
+    * dropped before the self-join (one extra hash-agg computing the
+    * Zipf-tiny hot set, broadcast into a left-anti probe), and the
+    * per-stream set sizes run over surviving sigs only — the candidate
+    * join stays linear in true collisions no matter how common the
+    * test pattern. The sig frame is distinct (doc_id, sig), so the
+    * per-sig count IS the distinct stream frequency. */
+  private val M5DfCap = 5
   /** The distinct (doc_id, frame_sig) stream m5 consumes three times. */
   private def m5Sigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -221,8 +228,12 @@ object MultimodalOps {
   }
 
   /** m5's pair pipeline over a given sig frame. */
-  private[graft] def m5PairsFrom(sigs: DataFrame): DataFrame = {
-    import sigs.sparkSession.implicits._
+  private[graft] def m5PairsFrom(rawSigs: DataFrame,
+                                 dfCap: Int = M5DfCap): DataFrame = {
+    import rawSigs.sparkSession.implicits._
+    val hot = rawSigs.groupBy($"frame_sig").agg(count(lit(1)).as("df"))
+      .filter($"df" > dfCap).select($"frame_sig")
+    val sigs = rawSigs.join(broadcast(hot), Seq("frame_sig"), "left_anti")
     val counts = sigs.groupBy($"doc_id").agg(count(lit(1)).as("n_sigs"))
     sigs.as("a")
       .join(sigs.hint("shuffle_hash").as("b"),
@@ -258,15 +269,17 @@ object MultimodalOps {
     m5Plan(spark, dir)
 
   val m5MediaDedupSql: String =
-    """WITH f AS (
+    s"""WITH f AS (
       |  SELECT DISTINCT doc_id,
       |    md5(substr(text, CAST(off + 1 AS INT), 16)) AS sig
       |  FROM documents,
       |    UNNEST(generate_series(0, greatest(length(text) - 1, 0), 64)) AS u(off)),
-      |n AS (SELECT doc_id, COUNT(*) AS n_sigs FROM f GROUP BY doc_id),
+      |hot AS (SELECT sig FROM f GROUP BY sig HAVING COUNT(*) > $M5DfCap),
+      |k AS (SELECT doc_id, sig FROM f WHERE sig NOT IN (SELECT sig FROM hot)),
+      |n AS (SELECT doc_id, COUNT(*) AS n_sigs FROM k GROUP BY doc_id),
       |p AS (
       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
-      |  FROM f a JOIN f b ON a.sig = b.sig AND a.doc_id < b.doc_id
+      |  FROM k a JOIN k b ON a.sig = b.sig AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT i, j, shared,
       |  CAST(FLOOR(1000.0 * shared / (na.n_sigs + nb.n_sigs - shared)) AS BIGINT)

@@ -354,20 +354,47 @@ object TextOps {
     * the native [[graft.functions.NgramHash60]] expression — the
     * composed transform/concat_ws lambda chain costs ~2 ms/doc
     * interpreted (10.7 s at sf0.1; ~1 s native). */
-  def t10CorpusShingles(spark: SparkSession, dir: String): DataFrame = {
+  /** Shingles in more than this many docs are marked duplicated via a
+    * broadcast of the (Zipf-tiny) hot set instead of the shuffle join. */
+  private val HotCap = 5
+
+  def t10CorpusShingles(spark: SparkSession, dir: String): DataFrame =
+    t10From(docs(spark, dir))
+
+  /** t10 over any (doc_id, text) frame — exposed for the planted
+    * hot-shingle spec (`checkpoint = false` keeps the plan inspectable
+    * instead of collapsing it to the checkpointed RDD scan). */
+  private[operators] def t10From(docsDf: DataFrame,
+                                 checkpoint: Boolean = true): DataFrame = {
+    val spark = docsDf.sparkSession
     import spark.implicits._
     graft.functions.NgramHash60.register(spark)
-    val sh = docs(spark, dir)
+    val sh = docsDf
       .select($"doc_id", explode(expr("ngram_hashes(text, 8)")).as("h"))
       .persist()
     try {
-      val dup = sh.groupBy($"h").agg(count(lit(1)).as("n_docs_with"))
-        .filter($"n_docs_with" >= 2)
+      // Skew split (d11's df-cap reasoning applied to a no-pairs
+      // operator): a universal shingle puts its entire occurrence list
+      // in ONE shuffle partition of the dup-marking join — not
+      // quadratic, but an unboundedly skewed straggler. Shingles above
+      // the cap are BY DEFINITION duplicated (df > cap >= 2), so they
+      // need no join at all: the hot set (tiny by Zipf) broadcasts and
+      // marks its occurrences map-side; only the cold keys — per-key
+      // multiplicity <= HotCap by construction — take the shuffle
+      // join. Output is IDENTICAL to the naive single semi-join (hot
+      // and cold-dup key sets are disjoint), so the oracle is
+      // unchanged; a planted-universal-shingle spec pins the equality
+      // and the broadcast shape.
+      val dfreq = sh.groupBy($"h").agg(count(lit(1)).as("n_docs_with"))
+      val hot = dfreq.filter($"n_docs_with" > HotCap).select($"h")
+      val coldDup = dfreq
+        .filter($"n_docs_with" >= 2 && $"n_docs_with" <= HotCap)
         .select($"h")
       val perDoc = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-      val dupPerDoc = sh.join(dup, Seq("h"), "left_semi")
+      val dupPerDoc = sh.join(broadcast(hot), Seq("h"), "left_semi")
+        .unionByName(sh.join(coldDup, Seq("h"), "left_semi"))
         .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
-      docs(spark, dir).select($"doc_id")
+      val out = docsDf.select($"doc_id")
         .join(perDoc, Seq("doc_id"), "left")
         .join(dupPerDoc, Seq("doc_id"), "left")
         .select($"doc_id",
@@ -377,7 +404,8 @@ object TextOps {
           coalesce(permille($"n_dup", $"n_shingles"), lit(0L)))
         .withColumn("boilerplate", $"dup_milli" >= 300)
         .orderBy($"doc_id")
-        .localCheckpoint()   // eager: materialized before the unpersist
+      // eager checkpoint: materialized before the unpersist
+      if (checkpoint) out.localCheckpoint() else out
     } finally {
       sh.unpersist(blocking = false)
     }

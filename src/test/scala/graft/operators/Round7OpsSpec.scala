@@ -58,6 +58,77 @@ class Round7OpsSpec extends AnyFunSuite {
       graft.SparkEntry.queries("p8_incremental_refresh")(spark, sf).collect().toSeq)
   }
 
+  test("d10: containment candidates stay linear under a planted universal shingle") {
+    import spark.implicits._
+    // the d11 spec shape with d10's threshold: 60 unrelated docs share
+    // one boilerplate trigram; one true subset-dup pair is planted
+    val boiler = (0 until 60).map(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i common shared tail"))
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = (boiler ++ Seq(
+      (900L, base), (901L, base + " wrapped in extra boilerplate text here")))
+      .toDF("doc_id", "text")
+    def contained(cap: Int) = DedupOps.cappedCandidates(df, cap)
+      .filter($"shared" * 10 >= least($"ca", $"cb") * 8)
+    // uncapped: the universal gram alone pairs all 60 carriers
+    assert(DedupOps.cappedCandidates(df, 1000).count() >= 60L * 59 / 2)
+    // capped: candidates collapse to rare-gram collisions; the true
+    // subset-dup survives the 80% containment threshold
+    val capped = contained(10)
+    assert(capped.count() <= 5, s"cap did not bound d10 candidates")
+    assert(capped.select("i", "j").as[(Long, Long)].collect().toSet
+      .contains((900L, 901L)), "true containment pair lost by the cap")
+  }
+
+  test("t10: hot shingles are marked via broadcast; output identical to the naive join") {
+    import spark.implicits._
+    // 40 docs share one universal 8-token shingle; docs 0 and 1 also
+    // share a rare shingle pair (true duplication signal)
+    val univ = "u1 u2 u3 u4 u5 u6 u7 u8"
+    val rare = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val docsDf = (0 until 40).map { i =>
+      val extra = if (i < 2) s" $rare" else s" only$i mine$i"
+      (i.toLong, s"$univ$extra")
+    }.toDF("doc_id", "text")
+    val out = TextOps.t10From(docsDf, checkpoint = false)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot-shingle marking should broadcast the hot set:\n$plan")
+    // ground truth from a naive single semi-join over the same shingles
+    graft.functions.NgramHash60.register(spark)
+    val sh = docsDf.select($"doc_id", explode(expr("ngram_hashes(text, 8)")).as("h"))
+    val dup = sh.groupBy($"h").agg(count(lit(1)).as("n")).filter($"n" >= 2).select($"h")
+    val naive = sh.join(dup, Seq("h"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.collect().foreach { r =>
+      assert(r.getLong(2) == naive.getOrElse(r.getLong(0), 0L),
+        s"doc ${r.getLong(0)}: skew-split n_dup ${r.getLong(2)} != naive")
+    }
+  }
+
+  test("m5: frame-sig candidates stay linear under a planted boilerplate frame") {
+    import spark.implicits._
+    // 60 streams all sample one station-ident frame; streams 900/901
+    // share 3 rare frames (a true near-dup with high Jaccard)
+    val boiler = (0 until 60).map(i => Seq((i.toLong, "IDENT"), (i.toLong, s"own$i")))
+      .flatten
+    val dup = Seq(900L, 901L).flatMap(d =>
+      Seq((d, "IDENT"), (d, "fA"), (d, "fB"), (d, "fC")))
+    val sigs = (boiler ++ dup).toDF("doc_id", "frame_sig")
+    // uncapped candidate join: the ident frame alone pairs all 62
+    // carriers — 62*61/2 = 1891 candidates from one hot key
+    val uncapped = sigs.as("a").join(sigs.as("b"),
+      $"a.frame_sig" === $"b.frame_sig" && $"a.doc_id" < $"b.doc_id").count()
+    assert(uncapped >= 62L * 61 / 2, s"planted frame not hot: $uncapped")
+    // capped: the ident drops before the self-join; only the rare-frame
+    // collisions remain and the true pair clears the 500-permille gate
+    val capped = MultimodalOps.m5PairsFrom(sigs, dfCap = 10).collect()
+    assert(capped.length == 1, s"cap did not bound m5 pairs: ${capped.length}")
+    assert(capped.head.getLong(0) == 900L && capped.head.getLong(1) == 901L,
+      "true media near-dup lost by the cap")
+  }
+
   test("e17: gini pair sum survives a planted cardinality that overflows BIGINT") {
     import spark.implicits._
     // two activity levels, 2e9 users each: the histogram-pair numerator
