@@ -1018,6 +1018,139 @@ object DedupOps {
       .orderBy($"batch_id", $"corpus_id")
   }
 
+  // ---------------------------------------------------------------- d18
+  /** Embedding near-dup pairs over the HOT-CELL-SPLIT partition — the
+    * shipped path for [[SimilarityOps.refineHotCells]], closing round
+    * 6's "spec-only" gap: the k-means codebook balances cells only
+    * statistically, and one dense region makes every within-cell pair
+    * join quadratic in that cell; here any cell holding more than
+    * [[HotCellMax]] vectors is re-clustered (k=4 sub-k-means over ITS
+    * members, salted by cell path code) and pairs form within the
+    * REFINED partition. One refinement round per query (`depth = 1`) —
+    * enough to bound the sf cell sizes, and what keeps the oracle
+    * statically expressible; production iterates the same move.
+    *
+    * The oracle replicates the whole per-cell training GROUPED in SQL:
+    * every CTE of the s6 k-means (seed draw, φ, oversample coin,
+    * weights, init, one Lloyd round) re-keyed by cell with the same
+    * `:hot<cell>`/`:hotc<cell>` salts, then the radix path-code
+    * reassignment `(cell+1)·100 + subIndex` — so the engine's driver
+    * loop and the oracle's grouped windows must agree cell by cell,
+    * member by member. Single-assignment blocking (vs d12's top-2):
+    * the refinement demo wants a PARTITION, and the output carries the
+    * refined cell id to pin the id scheme cross-engine. */
+  private val HotCellMax = 60L
+
+  def d18CosineDupHotsplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    val e = emb(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    val cents = SimilarityOps.kmeansCentroids(e)
+    val cells = SimilarityOps.refineHotCells(e.select($"vec_id", $"v"),
+      cents, maxSize = HotCellMax, depth = 1, subK = 4)
+    val b = e.join(cells, "vec_id")
+    b.as("a").join(b.hint("shuffle_hash").as("b"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
+      .filter($"cos" >= 0.35)
+      .select($"a.cell".as("cell"), $"a.vec_id".as("i"), $"b.vec_id".as("j"),
+              micro($"cos").as("cos_micro"))
+      .orderBy($"i", $"j")
+  }
+
+  val d18CosineDupHotsplitSql: String = {
+    val dist = SimilarityOps.sqlSqd _
+    val coin4 = (8.0 * math.pow(2.0, 60)).toString
+    val hSeed =
+      sqlMd5Long("CAST(m.vec_id AS VARCHAR) || ':hot' || CAST(m.cell AS VARCHAR)")
+    val hCoin =
+      sqlMd5Long("CAST(d.vec_id AS VARCHAR) || ':hotc' || CAST(d.cell AS VARCHAR)")
+    s"""$d12BlocksCtesSql,
+       |idx AS (SELECT cid, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS cell FROM c2),
+       |asg AS (
+       |  SELECT vec_id, v, nrm, cell FROM (
+       |    SELECT x.vec_id, x.v, x.nrm, i.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${dist("x.v", "c.cv")}, c.cid) AS rn
+       |    FROM e x CROSS JOIN c2 c JOIN idx i ON i.cid = c.cid)
+       |  WHERE rn = 1),
+       |siz AS (SELECT cell, COUNT(*) AS n FROM asg GROUP BY cell),
+       |hotc AS (SELECT cell FROM siz WHERE n > $HotCellMax),
+       |hm AS (SELECT a.vec_id, a.v, a.cell FROM asg a JOIN hotc USING (cell)),
+       |hseed AS (
+       |  SELECT cell, vec_id AS sid, v AS sv FROM (
+       |    SELECT m.cell, m.vec_id, m.v,
+       |      ROW_NUMBER() OVER (PARTITION BY m.cell ORDER BY $hSeed, m.vec_id) AS rn
+       |    FROM hm m) WHERE rn = 1),
+       |hd0 AS (
+       |  SELECT m.cell, m.vec_id, m.v, s.sid,
+       |    CAST(FLOOR(1000000.0 * ${dist("m.v", "s.sv")}) AS BIGINT) AS d2m
+       |  FROM hm m JOIN hseed s USING (cell)),
+       |hphi AS (SELECT cell, CAST(SUM(d2m) AS BIGINT) AS p FROM hd0 GROUP BY cell),
+       |hcand AS (
+       |  SELECT d.cell, d.vec_id, d.v FROM hd0 d JOIN hphi ph USING (cell)
+       |  WHERE CAST($hCoin AS DOUBLE) * CAST(ph.p AS DOUBLE)
+       |          < $coin4 * CAST(d.d2m AS DOUBLE)
+       |     OR d.vec_id = d.sid),
+       |hw0 AS (
+       |  SELECT m.cell, m.vec_id AS xid, c.vec_id AS cid,
+       |    ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id
+       |      ORDER BY ${dist("m.v", "c.v")}, c.vec_id) AS rn
+       |  FROM hm m JOIN hcand c USING (cell)),
+       |hwt AS (SELECT cell, cid, COUNT(*) AS n FROM hw0 WHERE rn = 1 GROUP BY 1, 2),
+       |hinit AS (
+       |  SELECT cell, cid, cv FROM (
+       |    SELECT c.cell, c.vec_id AS cid, c.v AS cv,
+       |      ROW_NUMBER() OVER (PARTITION BY c.cell
+       |        ORDER BY w.n DESC, c.vec_id) AS rk
+       |    FROM hcand c JOIN hwt w ON w.cell = c.cell AND w.cid = c.vec_id)
+       |  WHERE rk <= 4),
+       |ha1 AS (
+       |  SELECT m.cell, m.vec_id, m.v, i.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id
+       |      ORDER BY ${dist("m.v", "i.cv")}, i.cid) AS rn
+       |  FROM hm m JOIN hinit i USING (cell)),
+       |hs1 AS (
+       |  SELECT cell, cid, d,
+       |    CAST(SUM(CAST(FLOOR(1000000.0 * v[d]) AS BIGINT)) AS BIGINT) AS s,
+       |    COUNT(*) AS n
+       |  FROM ha1 CROSS JOIN dims WHERE rn = 1 GROUP BY 1, 2, 3),
+       |hc1 AS (
+       |  SELECT cell, cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+       |                         ORDER BY d) AS cv
+       |  FROM hs1 GROUP BY 1, 2),
+       |hcnt AS (SELECT cell, COUNT(*) AS nc FROM hc1 GROUP BY cell),
+       |sidx AS (
+       |  SELECT cell, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cid) - 1 AS si
+       |  FROM hc1),
+       |rasg AS (
+       |  SELECT r.cell, r.vec_id, s.si FROM (
+       |    SELECT m.cell, m.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id
+       |        ORDER BY ${dist("m.v", "c.cv")}, c.cid) AS rn
+       |    FROM hm m JOIN hc1 c USING (cell)) r
+       |  JOIN sidx s ON s.cell = r.cell AND s.cid = r.cid
+       |  WHERE r.rn = 1),
+       |refined AS (
+       |  SELECT a.vec_id, a.v, a.nrm,
+       |    CASE WHEN h.cell IS NULL THEN a.cell
+       |         WHEN hc.nc < 2 THEN a.cell
+       |         ELSE (a.cell + 1) * 100 + r.si END AS cell
+       |  FROM asg a
+       |  LEFT JOIN hotc h ON h.cell = a.cell
+       |  LEFT JOIN hcnt hc ON hc.cell = a.cell
+       |  LEFT JOIN rasg r ON r.cell = a.cell AND r.vec_id = a.vec_id)
+       |SELECT x.cell, x.vec_id AS i, y.vec_id AS j,
+       |  ${sqlMicro(s"(${sqlDot("x.v", "y.v")} / (x.nrm * y.nrm))")} AS cos_micro
+       |FROM refined x JOIN refined y
+       |  ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |WHERE ${sqlDot("x.v", "y.v")} / (x.nrm * y.nrm) >= 0.35
+       |ORDER BY i, j""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact"   -> (d1DedupExact _),
     "d2_dedup_normset" -> (d2DedupNormSet _),
@@ -1036,6 +1169,7 @@ object DedupOps {
     "d15_incremental_neardup" -> (d15IncrementalNeardup _),
     "d16_incremental_day2" -> (d16IncrementalDay2 _),
     "d17_neardup_day2" -> (d17NeardupDay2 _),
+    "d18_cosine_dup_hotsplit" -> (d18CosineDupHotsplit _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1058,5 +1192,6 @@ object DedupOps {
     // state; the RESULT is identical to the day-1 query by construction
     "d16_incremental_day2" -> d13IncrementalDedupSql,
     "d17_neardup_day2" -> d15IncrementalNeardupSql,
+    "d18_cosine_dup_hotsplit" -> d18CosineDupHotsplitSql,
   )
 }

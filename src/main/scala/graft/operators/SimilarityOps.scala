@@ -883,8 +883,14 @@ object SimilarityOps {
           .select($"cell")), Seq("cell"), "left_semi")
         val refined = hot.map { c =>
           val members = cur.filter($"cell" === c).select($"vec_id", $"v")
-          val sub = kmeansCentroids(members, k = subK, iters = 1,
-            saltSeed = s":hot$c", saltCoin = s":hotc$c")
+          // the sub-training runs ~5 driver actions over this subset;
+          // persist for their duration (released before the lazy
+          // reassignment union, which recomputes the cheap filter once)
+          members.persist()
+          val sub =
+            try kmeansCentroids(members, k = subK, iters = 1,
+              saltSeed = s":hot$c", saltCoin = s":hotc$c")
+            finally members.unpersist(blocking = false)
           // a degenerate sub-clustering (all mass on one centroid) can't
           // make progress; keep the cell as-is rather than loop on it
           val subIdx = sub.map(_._1).zipWithIndex.toMap

@@ -129,6 +129,31 @@ class Round7OpsSpec extends AnyFunSuite {
       "true media near-dup lost by the cap")
   }
 
+  test("d18: refined partition bounds the pair-join input on a planted hot blob") {
+    import spark.implicits._
+    // round-6's planted blob: 800 vectors in a dense cube (one cell
+    // swallows them) + 200 scattered
+    val blob = (0 until 800).map(i =>
+      (i.toLong, Array.tabulate(8)(d => 5.0 + ((i * 31 + d * 7) % 100) / 100.0)))
+    val scatter = (0 until 200).map(i =>
+      (800L + i, Array.tabulate(8)(d => ((i * 17 + d * 13) % 1000) / 50.0)))
+    val e = (blob ++ scatter).toDF("vec_id", "v")
+    val cents = SimilarityOps.kmeansCentroids(e, k = 4, iters = 1,
+      saltSeed = ":hotspec", saltCoin = ":hotspecc")
+    def pairInput(cells: DataFrame): Long =
+      cells.groupBy($"cell").count()
+        .agg(sum($"count" * ($"count" - 1))).head().getLong(0) / 2
+    val naive = e.withColumn("cell", SimilarityOps.argminOver($"v", cents))
+      .select($"vec_id", $"cell")
+    val refined = SimilarityOps.refineHotCells(e, cents, maxSize = 250)
+    val before = pairInput(naive)
+    val after = pairInput(refined)
+    // the hot blob alone contributes >= 800*799/2 pairs unrefined; the
+    // split must cut the within-cell pair-join input by well over half
+    assert(before >= 800L * 799 / 2, s"blob did not concentrate: $before")
+    assert(after * 2 < before, s"split did not bound pair input: $before -> $after")
+  }
+
   test("e17: gini pair sum survives a planted cardinality that overflows BIGINT") {
     import spark.implicits._
     // two activity levels, 2e9 users each: the histogram-pair numerator
