@@ -154,13 +154,23 @@ object DedupOps {
     * folded mod p) — ONE pass over text; signatures (d4/d9) and the
     * exact-Jaccard side (d9) both derive from it. Width is bounded by
     * document length (~4 B per gram). */
-  private def gramSets(spark: SparkSession, dir: String): DataFrame = {
+  private def gramSets(spark: SparkSession, dir: String): DataFrame =
+    gramSetsFrom(docs(spark, dir))
+
+  private def gramSetsFrom(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
     import spark.implicits._
     graft.functions.TrigramHash60.register(spark)
-    docs(spark, dir).select($"doc_id",
+    docsDf.select($"doc_id",
       array_distinct(transform(expr("trigram_hashes(text)"),
         x => pmod(x, lit(P31)))).as("hs"))
   }
+
+  /** The d4/d15 LSH band keys (doc_id, band, key) for ANY (doc_id, text)
+    * frame — per-doc and stateless, so the streaming ingest dual can
+    * band each micro-batch with exactly the batch pipeline's hashes. */
+  private[graft] def bandKeysFor(docsDf: DataFrame): DataFrame =
+    bandedKeys(minhashSigsFrom(gramSetsFrom(docsDf)))
 
   /** 16-slot minhash signature per doc from a (doc_id, hs) frame.
     * Cheap affine hash family h_s(x) = (a_s·x + b_s) mod p (p = 2^31-1,

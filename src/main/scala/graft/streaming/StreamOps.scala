@@ -268,4 +268,36 @@ object StreamOps {
         $"r_ts" >= $"l_ts" &&
         $"r_ts" <= $"l_ts" + expr(s"interval $horizon"))
   }
+
+  /** Streaming NEAR-dup ingest — d15's streaming dual, probing the
+    * PERSISTED corpus band table (d17's standing state): each
+    * micro-batch of (doc_id, text) documents is shingled, minhashed and
+    * LSH-banded with exactly the batch pipeline's hashes
+    * ([[graft.operators.DedupOps.bandKeysFor]] — per-doc and stateless,
+    * so a doc's band keys do not depend on which micro-batch carried
+    * it), then joined against the bucketed standing table (merge hint:
+    * the corpus side reads exchange-free and is never broadcastable at
+    * scale). Matched (batch_id, corpus_id) pairs append to `sinkTable`.
+    *
+    * Banding needs a per-doc aggregation (the 16 min-hash slots), which
+    * streaming append mode cannot host without watermark gymnastics —
+    * and needs none: foreachBatch runs the SAME batch plan per
+    * micro-batch, which is exactly the daily-ingest shape d17
+    * materializes the state for. The streamed union over any batch
+    * split equals the one-shot batch d15 (spec-pinned). */
+  def streamingNeardupIngest(docsStream: DataFrame, corpusBandTable: String,
+                             sinkTable: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docsStream.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        graft.operators.DedupOps.bandKeysFor(batch.toDF())
+          .withColumn("bk", concat_ws(":", $"band", $"key"))
+          .select($"bk", $"doc_id".as("batch_id"))
+          .join(sp.table(corpusBandTable).hint("merge")
+            .withColumnRenamed("doc_id", "corpus_id"), Seq("bk"))
+          .select($"batch_id", $"corpus_id").distinct()
+          .write.mode("append").format("parquet").saveAsTable(sinkTable)
+      }
 }

@@ -263,6 +263,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest: two micro-batches match batch d15 on the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val sf = SharedSpark.sf
+    // day 1: materialize the standing corpus band table (idempotent)
+    graft.SparkEntry.queries("d17_neardup_day2")(spark, sf).collect()
+    val bandTable =
+      graft.sources.LayoutOps.stateTable("graft_state_d15_bands", sf)
+    // today's batch = the d13 coin side, split into two micro-batches
+    val batchDocs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text")
+      .where(pmod(graft.functions.EngineFns.md5Long(
+        concat($"doc_id".cast("string"), lit(":d13"))), lit(5L)) === 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(batchDocs.nonEmpty)
+    val (half1, half2) = batchDocs.splitAt(batchDocs.length / 2)
+    spark.sql("DROP TABLE IF EXISTS stream_neardup_sink")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingNeardupIngest(
+      input.toDF().toDF("doc_id", "text"), bandTable,
+      "stream_neardup_sink").start()
+    try {
+      input.addData(half1: _*)
+      q.processAllAvailable()
+      input.addData(half2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_neardup_sink").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.SparkEntry.queries("d15_incremental_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"streamed flags (${got.size}) != batch d15 (${want.size}): " +
+        s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("file-source streaming over the real events parquet matches batch") {
     import org.apache.spark.sql.functions._
     val sf = graft.SharedSpark.sf
