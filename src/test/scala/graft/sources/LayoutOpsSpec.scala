@@ -171,6 +171,43 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(stats.sizeInBytes > 0)
   }
 
+  test("analyzeTable stats flip the initial (pre-AQE) join build side under CBO") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hash-valued columns so parquet cannot compress the files below the
+    // broadcast threshold — the no-stats fallback estimate is FILE size
+    spark.range(500000).select($"id", hash($"id").as("pad"))
+      .write.mode("overwrite").format("parquet").saveAsTable("cbo_big")
+    spark.range(100000)
+      .select($"id", pmod(hash($"id"), lit(1000)).as("k"), hash($"id" + 1).as("pad"))
+      .write.mode("overwrite").format("parquet").saveAsTable("cbo_dim")
+    def initialPlan: String = spark.table("cbo_big")
+      .join(spark.table("cbo_dim").filter($"k" === 7), "id")
+      .queryExecution.executedPlan.toString
+    val saveCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val saveTh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "50000")
+      // without stats the filter cannot shrink the dim's size estimate
+      // (size-only propagation keeps the child's file size): sort-merge
+      val before = initialPlan
+      assert(before.contains("SortMergeJoin") && !before.contains("BroadcastHashJoin"),
+        s"expected SMJ before stats:\n$before")
+      // ANALYZE gives rowCount + ndv(k): the k = 7 filter estimates
+      // ~100000/1000 rows, far under the threshold — the initial plan
+      // (not an AQE runtime rescue) now builds a broadcast on the dim
+      LayoutOps.analyzeTable(spark, "cbo_dim", Seq("id", "k"))
+      LayoutOps.analyzeTable(spark, "cbo_big", Seq("id"))
+      val after = initialPlan
+      assert(after.contains("BroadcastHashJoin"),
+        s"stats did not flip the initial build side:\n$after")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", saveCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saveTh)
+    }
+  }
+
   test("manifest: narrow range reads only overlapping files, result matches full scan") {
     import spark.implicits._
     val dir = tmpDir() + "/data"
