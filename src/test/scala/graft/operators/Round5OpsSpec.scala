@@ -228,7 +228,9 @@ class Round5OpsSpec extends AnyFunSuite {
     val rows = q("d10_containment").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (shared, ca, cb) = (r.getLong(2), r.getInt(3), r.getInt(4))
+      // ca/cb widened to long when d10 moved onto the df-capped
+      // candidate path (count() of capped grams, not size() of an array)
+      val (shared, ca, cb) = (r.getLong(2), r.getLong(3), r.getLong(4))
       assert(shared <= math.min(ca, cb), "intersection can't exceed a side")
       assert(math.max(r.getLong(5), r.getLong(6)) >= 800,
         "below the containment threshold")
