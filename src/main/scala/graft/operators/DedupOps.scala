@@ -1161,6 +1161,95 @@ object DedupOps {
        |ORDER BY i, j""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d19
+  /** Duplicated-SPAN coverage — the n-gram-granular form of exact
+    * substring deduplication (suffix-array dedup finds maximal repeated
+    * substrings; fixed-n gram starts are the distributable
+    * approximation: a repeated substring of length ≥ n is exactly a run
+    * of repeated n-gram starts). Reports, per document, how many of its
+    * tokens sit inside an n-gram that also occurs in ≥ 2 DISTINCT
+    * documents — the signal a span-removal pass would act on, and the
+    * corpus statistic ("how much of my data is boilerplate spans?") a
+    * curation dashboard shows.
+    *
+    * Coverage is an exact interval union, not `dup_starts · n`: each
+    * duplicated start at position p covers [p, p+n-1]; overlapping
+    * spans must not double-count. Per doc, over starts sorted by
+    * position, the new tokens contributed by a start are
+    * `min(n, pos - prev_pos)` (n for the first) — a single `lag`
+    * window per document, O(starts) per doc.
+    *
+    * 100 TB shape: per-position hashes come from the native
+    * [[graft.functions.NgramHashSeq]] (one md5 pass per doc, same
+    * measured rationale as ngram_hashes); every shuffle afterwards
+    * carries only (doc_id, pos, hash) — text never leaves the scan.
+    * The duplicated-gram set is found by distinct-doc df ≥ 2 (one
+    * fixed-width hash agg), membership by a LEFT SEMI join on the gram
+    * hash — semi joins are linear in the probe side even under a
+    * universal boilerplate gram (each gram row matches at most once;
+    * no pair explosion, so d11's df-cap is not needed here), and the
+    * per-doc interval union is one window over each doc's own starts. */
+  private val D19N = 5
+
+  def d19DupspanCoverage(spark: SparkSession, dir: String): DataFrame =
+    d19From(docs(spark, dir))
+
+  private[operators] def d19From(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    graft.functions.NgramHashSeq.register(spark)
+    val grams = d.select($"doc_id",
+      posexplode(expr(s"ngram_hash_seq(text, $D19N)")).as(Seq("pos", "h")))
+    val dup = grams.select($"doc_id", $"h").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2).select($"h")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val cov = grams.join(dup, Seq("h"), "left_semi")
+      .withColumn("prev", lag($"pos", 1).over(w))
+      .withColumn("add", when($"prev".isNull, lit(D19N))
+        .otherwise(least(lit(D19N), $"pos" - $"prev")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("dup_starts"),
+           sum($"add").cast("long").as("covered"))
+    d.select($"doc_id", size(split($"text", " ")).cast("long").as("n_toks"))
+      .join(cov, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_toks",
+        coalesce($"dup_starts", lit(0L)).as("dup_starts"),
+        coalesce($"covered", lit(0L)).as("covered_toks"),
+        floor(lit(1000.0) * coalesce($"covered", lit(0L)) / $"n_toks")
+          .cast("long").as("coverage_permille"))
+      .orderBy($"doc_id")
+  }
+
+  val d19DupspanCoverageSql: String = {
+    val n = D19N
+    val gramHash =
+      sqlMd5Long(s"array_to_string(list_slice(t.ts, u.i, u.i + ${n - 1}), ' ')")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |grams AS (
+       |  SELECT t.doc_id, CAST(u.i AS BIGINT) - 1 AS pos, $gramHash AS h
+       |  FROM toks t, UNNEST(generate_series(1, len(t.ts) - ${n - 1})) AS u(i)),
+       |dup AS (
+       |  SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY h)
+       |  WHERE df >= 2),
+       |st AS (
+       |  SELECT g.doc_id, g.pos,
+       |    LAG(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
+       |  FROM grams g JOIN dup USING (h)),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS dup_starts,
+       |    CAST(SUM(CASE WHEN prev IS NULL THEN $n
+       |                  ELSE LEAST($n, pos - prev) END) AS BIGINT) AS covered
+       |  FROM st GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_toks,
+       |  COALESCE(a.dup_starts, 0) AS dup_starts,
+       |  COALESCE(a.covered, 0) AS covered_toks,
+       |  CAST(FLOOR(1000.0 * COALESCE(a.covered, 0) / len(t.ts)) AS BIGINT)
+       |    AS coverage_permille
+       |FROM toks t LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact"   -> (d1DedupExact _),
     "d2_dedup_normset" -> (d2DedupNormSet _),
@@ -1180,6 +1269,7 @@ object DedupOps {
     "d16_incremental_day2" -> (d16IncrementalDay2 _),
     "d17_neardup_day2" -> (d17NeardupDay2 _),
     "d18_cosine_dup_hotsplit" -> (d18CosineDupHotsplit _),
+    "d19_dupspan_coverage" -> (d19DupspanCoverage _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1203,5 +1293,6 @@ object DedupOps {
     "d16_incremental_day2" -> d13IncrementalDedupSql,
     "d17_neardup_day2" -> d15IncrementalNeardupSql,
     "d18_cosine_dup_hotsplit" -> d18CosineDupHotsplitSql,
+    "d19_dupspan_coverage" -> d19DupspanCoverageSql,
   )
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.EngineFns.{md5Long, sqlMd5Long}
 
 /** Event-stream analytics over the `events` table: tumbling/sliding
   * windows, JSON property extraction, and gap-based sessionization.
@@ -707,6 +708,71 @@ object EventOps {
       |FROM num JOIN totals USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- e18
+  /** Count-Min sketch build + probe with a full accuracy ledger — the
+    * mergeable frequency sketch (Cormode & Muthukrishnan) in the one
+    * form that stays hash-checkable cross-engine: unlike q15's HLL/KLL
+    * (whose internals differ by engine, hence golden-pinned only), a
+    * CMS is plain integer arithmetic over deterministic hash buckets,
+    * so BOTH the sketch cells and every estimate are engine-exact.
+    *
+    * Build: each event increments d=3 salted md5 rows × w=64 buckets —
+    * as a grouped count it partial-aggregates map-side to ≤ 192
+    * fixed-width cells per partition, the textbook mergeable-sketch
+    * shape (at 100 TB each executor emits one 192-cell partial; the
+    * reduce is trivial). Probe: every key's estimate is the MIN of its
+    * 3 cells, joined against the 192-cell sketch — broadcast by
+    * construction. The ledger pairs each estimate with the exact count
+    * (CMS guarantees est ≥ exact; the spec asserts it), and flags
+    * heavy hitters at 5% of the stream — the decision a frequency-
+    * capped pipeline (hot-key salting, d11's df-cap) would make from
+    * the sketch alone. */
+  def e18CmsHeavy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"user_id")
+    val bucket = pmod(md5Long(concat($"user_id".cast("string"), lit(":cms"),
+      $"r".cast("string"))), lit(64L))
+    val cells = ev.withColumn("r", explode(sequence(lit(0), lit(2))))
+      .withColumn("b", bucket)
+      .groupBy($"r", $"b").agg(count(lit(1)).as("cell"))
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_n"))
+    val total = exact.agg(sum($"exact_n").as("total_n"))
+    exact.withColumn("r", explode(sequence(lit(0), lit(2))))
+      .withColumn("b", bucket)
+      .join(broadcast(cells), Seq("r", "b"))
+      .groupBy($"user_id", $"exact_n").agg(min($"cell").as("est_n"))
+      .crossJoin(broadcast(total))
+      .select($"user_id", $"exact_n", $"est_n",
+        ($"est_n" - $"exact_n").as("over_n"),
+        ($"est_n" * 20L >= $"total_n").as("heavy"))
+      .orderBy($"user_id")
+  }
+
+  val e18CmsHeavySql: String = {
+    val bHash = sqlMd5Long("CAST(user_id AS VARCHAR) || ':cms' || CAST(r AS VARCHAR)")
+    s"""WITH ev AS (SELECT user_id FROM events),
+       |threes AS (SELECT CAST(unnest(generate_series(0, 2)) AS BIGINT) AS r),
+       |cells AS (
+       |  SELECT r, $bHash % 64 AS b, COUNT(*) AS cell
+       |  FROM ev CROSS JOIN threes GROUP BY 1, 2),
+       |exact AS (SELECT user_id, COUNT(*) AS exact_n FROM ev GROUP BY 1),
+       |total AS (SELECT CAST(SUM(exact_n) AS BIGINT) AS total_n FROM exact),
+       |keyb AS (
+       |  SELECT e.user_id, e.exact_n, t.r,
+       |    ${sqlMd5Long(
+                "CAST(e.user_id AS VARCHAR) || ':cms' || CAST(t.r AS VARCHAR)")}
+       |      % 64 AS b
+       |  FROM exact e CROSS JOIN threes t),
+       |est AS (
+       |  SELECT k.user_id, k.exact_n, MIN(c.cell) AS est_n
+       |  FROM keyb k JOIN cells c ON c.r = k.r AND c.b = k.b
+       |  GROUP BY 1, 2)
+       |SELECT user_id, exact_n, est_n, est_n - exact_n AS over_n,
+       |  est_n * 20 >= total_n AS heavy
+       |FROM est CROSS JOIN total
+       |ORDER BY user_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
@@ -726,6 +792,7 @@ object EventOps {
     "e15_anomaly"    -> (e15Anomaly _),
     "e16_simpson"    -> (e16SimpsonDiversity _),
     "e17_gini"       -> (e17GiniActivity _),
+    "e18_cms_heavy"  -> (e18CmsHeavy _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -746,5 +813,6 @@ object EventOps {
     "e15_anomaly"    -> e15AnomalySql,
     "e16_simpson"    -> e16SimpsonDiversitySql,
     "e17_gini"       -> e17GiniActivitySql,
+    "e18_cms_heavy"  -> e18CmsHeavySql,
   )
 }

@@ -884,6 +884,75 @@ object TextOps {
        |       THEN 1 ELSE 0 END AS blocked
        |FROM prof ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t17
+  /** Hashing-trick linear quality classifier — the SERVING path of the
+    * fastText-style model every production pretraining pipeline runs
+    * (a linear scorer over hashed bag-of-words features; the GPT-3 /
+    * CCNet-lineage quality filter). Training happens offline; what the
+    * engine must do at corpus scale is score every document, and that
+    * is what this operator exercises end to end: tokens are feature-
+    * hashed into a fixed 64-bucket space, per-(doc, bucket) counts form
+    * the sparse feature vector, and the score is the integer dot
+    * product with a deterministic weight vector (md5-derived per-mille
+    * weights standing in for trained parameters — the arithmetic
+    * shape, overflow headroom, and plan are exactly those of a real
+    * model; only the weight VALUES are fake, which keeps the operator
+    * hash-checkable cross-engine with no model file in the sandbox).
+    *
+    * 100 TB shape: two hash aggregates, both map-side partial —
+    * (doc_id, bucket) collapses each doc to ≤ 64 fixed-width rows
+    * before the exchange, then one row per doc; the weight lookup is a
+    * pure expression on the bucket id (no join, no broadcast, no UDF).
+    * Scores are exact integers (count × per-mille weight), so the
+    * keep/drop verdict is engine-exact; headroom: |score_w| ≤ 1000 ×
+    * n_tokens, overflowing BIGINT only past ~9·10¹⁵ tokens per
+    * document. */
+  private val T17Buckets = 64L
+
+  /** Keep threshold per token. The md5 weights carry a positive bias
+    * (they are not zero-mean over the 64 realized buckets), so a 0
+    * cut would keep everything; a real model's bias term plays the
+    * same role. 290 sits at the corpus median score-per-token, so the
+    * verdict genuinely splits the corpus (spec-asserted). */
+  private val T17Bias = 290L
+
+  def t17HashedClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = docs(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .withColumn("b", pmod(md5Long(concat($"tok", lit(":t17f"))),
+        lit(T17Buckets)))
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("cnt"))
+    feats
+      .withColumn("w",
+        pmod(md5Long(concat($"b".cast("string"), lit(":t17w"))),
+          lit(2001L)) - lit(1000L))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt" * $"w").as("score_w"), sum($"cnt").as("n_toks"))
+      .select($"doc_id", $"n_toks", $"score_w",
+        // per-token threshold (the bias a trained model would carry),
+        // compared in cross-multiplied integer form — no division
+        ($"score_w" >= lit(T17Bias) * $"n_toks").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val t17HashedClassifierSql: String = {
+    val fHash = sqlMd5Long("tok || ':t17f'")
+    val wHash = sqlMd5Long("CAST(b AS VARCHAR) || ':t17w'")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |feat AS (
+       |  SELECT doc_id, $fHash % $T17Buckets AS b, COUNT(*) AS cnt
+       |  FROM tok GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(cnt * ($wHash % 2001 - 1000)) AS BIGINT) AS score_w,
+       |    CAST(SUM(cnt) AS BIGINT) AS n_toks
+       |  FROM feat GROUP BY doc_id)
+       |SELECT doc_id, n_toks, score_w, score_w >= $T17Bias * n_toks AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_profile" -> (t2LangProfile _),
@@ -901,6 +970,7 @@ object TextOps {
     "t14_pii_scrub"   -> (t14PiiScrub _),
     "t15_gopher_rules" -> (t15GopherRules _),
     "t16_source_profile" -> (t16SourceProfile _),
+    "t17_hashed_classifier" -> (t17HashedClassifier _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -920,5 +990,6 @@ object TextOps {
     "t14_pii_scrub"   -> t14PiiScrubSql,
     "t15_gopher_rules" -> t15GopherRulesSql,
     "t16_source_profile" -> t16SourceProfileSql,
+    "t17_hashed_classifier" -> t17HashedClassifierSql,
   )
 }

@@ -210,4 +210,110 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(df.collect().toSeq ==
       graft.SparkEntry.queries("s7_knn_ivfpq_kmeans")(spark, sf).collect().toSeq)
   }
+
+  test("s11: day-2 ingest encodes only the batch — no k-means lineage, standing scan pruned") {
+    val df = graft.SparkEntry.queries("s11_index_update")(spark, sf)
+    val plan = physical(df)
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    // exactly two scans: the saved standing codes + the raw batch slice
+    assert(scans.size == 2, s"want codes + batch scans, got ${scans.size}:\n$plan")
+    val codesScan = scans.filter(_.toString.contains("graft_state_s11_codes"))
+    assert(codesScan.size == 1, s"no saved-codes scan:\n$plan")
+    assert(codesScan.head.partitionFilters.nonEmpty,
+      s"probe filter did not prune the standing inverted lists:\n${codesScan.head}")
+    // encoding the batch with SAVED codebooks is pure projection: no
+    // join anywhere, and no aggregate below the union (a k-means or
+    // training aggregate in the lineage would mean a rebuild crept in)
+    assert(plan.collect { case j: BaseJoinExec => j }.isEmpty,
+      s"day-2 serve must not join:\n$plan")
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    assert(plan.collect { case a: BaseAggregateExec => a }.isEmpty,
+      s"day-2 serve must not aggregate below the top-K:\n$plan")
+    // and a second call (same saved state) reproduces the first exactly
+    assert(df.collect().toSeq ==
+      graft.SparkEntry.queries("s11_index_update")(spark, sf).collect().toSeq)
+  }
+
+  test("d19: coverage is an interval UNION — overlapping dup spans never double-count") {
+    import spark.implicits._
+    // docs 1 and 2 share tokens w1..w6 → two duplicated 5-gram starts
+    // (pos 0 and 1) in each; union coverage is 6 tokens, not 10.
+    // doc 3 is unique → zero coverage. doc 4 shares w1..w5 with 1/2
+    // (one start, 5 covered of its 6 tokens).
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 tail1 x1"),
+      (2L, "w1 w2 w3 w4 w5 w6 other2"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7"),
+      (4L, "w1 w2 w3 w4 w5 solo4")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.d19From(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((2L, 6L, 750L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((2L, 6L, 857L)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0L)), s"unique doc must have zero coverage")
+    assert(out(4L) == ((1L, 5L, 833L)), s"doc 4: ${out(4L)}")
+  }
+
+  test("d19: a universal boilerplate gram cannot blow up the span join (semi-join linearity)") {
+    import spark.implicits._
+    // 200 docs all carry one universal 5-gram: a pair-join would make
+    // 200*199/2 candidates; the semi-join form must keep exactly one
+    // output row per doc and one semi-join in the plan
+    val univ = "b1 b2 b3 b4 b5"
+    val df = (0 until 200).map(i => (i.toLong, s"$univ own$i mine$i"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.d19From(df)
+    val rows = out.collect()
+    assert(rows.length == 200)
+    // every doc: 1 dup start, 5 covered tokens of its 7
+    rows.foreach(r => assert(r.getLong(2) == 1L && r.getLong(3) == 5L,
+      s"doc ${r.getLong(0)}: ${r.mkString(",")}"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"dup-gram membership must be a semi join:\n$plan")
+  }
+
+  test("t17: hashed-classifier score is the exact integer dot product of hashed counts") {
+    import graft.functions.EngineFns.md5Long60
+    val rows = graft.SparkEntry.queries("t17_hashed_classifier")(spark, sf)
+      .limit(50).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ", -1)
+      val expected = toks.map { t =>
+        val b = md5Long60(t + ":t17f") % 64
+        md5Long60(b.toString + ":t17w") % 2001 - 1000
+      }.sum
+      assert(r.getLong(1) == toks.length.toLong, s"n_toks for doc ${r.getLong(0)}")
+      assert(r.getLong(2) == expected,
+        s"doc ${r.getLong(0)}: score ${r.getLong(2)} != replayed $expected")
+      assert(r.getBoolean(3) == (expected >= 290L * toks.length), "keep flag")
+    }
+    // both verdicts must occur on real data or the filter is vacuous
+    val keeps = graft.SparkEntry.queries("t17_hashed_classifier")(spark, sf)
+      .groupBy("keep").count().collect().map(_.getBoolean(0)).toSet
+    assert(keeps == Set(true, false), s"classifier must split the corpus: $keeps")
+  }
+
+  test("e18: CMS estimates dominate exact counts and the sketch side broadcasts") {
+    val df = graft.SparkEntry.queries("e18_cms_heavy")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the defining CMS guarantee: no underestimates, ever
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"user ${r.getLong(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}"))
+    // ... and over_n is the (non-negative) slack
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(2) - r.getLong(1)))
+    // one ledger row per distinct user
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.length.toLong == users)
+    // the 192-cell sketch must ride as a broadcast, never a shuffle join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sketch probe should broadcast the cells:\n$plan")
+  }
 }
