@@ -1211,14 +1211,18 @@ object SimilarityOps {
       .orderBy($"qid", $"rnk")
   }
 
-  val s7KnnIvfPqKmeansSql: String = {
+  /** s7's oracle, parameterized by the WITH-clause header and the CTE
+    * name serving/encoding reads from. Training CTEs always read the
+    * CTE named `e` (the [[sqlCoarseKmeansCtes]] contract); s7 trains
+    * and serves on the same full corpus (`serveFrom = "e"`), while
+    * s11's day-2 form trains on the STANDING subset (header defines
+    * `e` as the coin-filtered corpus) yet encodes/serves everything
+    * (`serveFrom = "eall"`). */
+  private def s7SqlFrom(headerCtes: String, serveFrom: String): String = {
     val dist = sqlSqd _
     val hSamp = sqlMd5Long("CAST(vec_id AS VARCHAR) || ':s7s'")
     val hInit = sqlMd5Long("CAST(vec_id AS VARCHAR) || ':s7:' || CAST(m AS VARCHAR)")
-    s"""WITH e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
-       |  FROM embeddings),
+    s"""WITH $headerCtes,
        |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
        |$sqlCoarseKmeansCtes,
        |samp AS (SELECT * FROM e WHERE $hSamp % 100 < 50),
@@ -1264,20 +1268,20 @@ object SimilarityOps {
        |sub AS (
        |  SELECT vec_id, CAST(u.m AS INT) AS m,
        |    list_slice(v, u.m * 8 + 1, u.m * 8 + 8) AS sv
-       |  FROM e, UNNEST(generate_series(0, 7)) AS u(m)),
+       |  FROM $serveFrom, UNNEST(generate_series(0, 7)) AS u(m)),
        |cells AS (
        |  SELECT vec_id AS nid, cid AS cell FROM (
        |    SELECT x.vec_id, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
        |        ORDER BY ${dist("x.v", "c.cv")}, c.cid) AS rn
-       |    FROM e x CROSS JOIN c2 c)
+       |    FROM $serveFrom x CROSS JOIN c2 c)
        |  WHERE rn = 1),
        |probes AS (
        |  SELECT vec_id AS qid, cid AS cell FROM (
        |    SELECT q.vec_id, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${dist("q.v", "c.cv")}, c.cid) AS pr
-       |    FROM e q CROSS JOIN c2 c WHERE q.vec_id < $NQUERIES)
+       |    FROM $serveFrom q CROSS JOIN c2 c WHERE q.vec_id < $NQUERIES)
        |  WHERE pr <= 4),
        |pasg AS (
        |  SELECT vec_id AS nid, m, cid AS code FROM (
@@ -1309,6 +1313,13 @@ object SimilarityOps {
        |FROM ranked WHERE rnk <= $K
        |ORDER BY qid, rnk""".stripMargin
   }
+
+  val s7KnnIvfPqKmeansSql: String = s7SqlFrom(
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+       |  FROM embeddings)""".stripMargin,
+    "e")
 
   // ---------------------------------------------------------------- s10
   /** s7 split into BUILD and SERVE — the build-once/serve-many shape
@@ -1396,6 +1407,117 @@ object SimilarityOps {
       .orderBy($"qid", $"rnk")
   }
 
+  // ---------------------------------------------------------------- s11
+  /** ANN index MAINTENANCE — the day-2 ingest s10's build/serve split
+    * implies but does not exercise: new vectors arrive AFTER the index
+    * was built, and a production deployment encodes them with the
+    * EXISTING codebooks (retraining on every ingest would be a full
+    * rebuild; codebook drift is handled by scheduled rebuilds, not
+    * per-batch ones — the FAISS/IVF operational standard). The corpus
+    * splits by the engine's standard md5 coin into standing (~80%,
+    * indexed on day 1) and a new batch (~20%, "today's arrivals").
+    *
+    * Day 1 (first call only): train s7's full codebook stack on the
+    * STANDING corpus only, persist codebooks + standing codes
+    * (partitioned by cell, exactly s10's layout). Day 2 (every call):
+    * encode ONLY the batch with the SAVED codebooks — one map pass
+    * over 20% of the data, zero k-means jobs — union with the standing
+    * codes table, and serve s7-style over the combined index. At
+    * 100 TB the daily cost is proportional to the batch, not the
+    * corpus: the standing side is a partition-pruned scan of
+    * fixed-width code rows (Round7OpsSpec asserts no aggregate
+    * appears under the standing scan and the serve output matches the
+    * first call's).
+    *
+    * The oracle re-derives the same thing statically: train CTEs over
+    * the coin-filtered standing subset, encode/serve CTEs over the
+    * full corpus ([[s7SqlFrom]] with `eall`). Queries are drawn from
+    * the full corpus, so a "new" vector can both query and be found —
+    * matching a serving tier that indexes today's batch before
+    * tonight's rebuild. */
+  def s11IndexUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    val NPROBE = 4
+    val SUBS = S7Subs
+    val SD = S7Sd
+    def microL(x: Double): Long = math.floor(x * 1000000.0).toLong
+    val centT = graft.sources.LayoutOps.stateTable("graft_state_s11_cent", dir)
+    val pqT = graft.sources.LayoutOps.stateTable("graft_state_s11_pq", dir)
+    val codesT = graft.sources.LayoutOps.stateTable("graft_state_s11_codes", dir)
+    val e = emb(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val isNew = pmod(md5Long(concat($"vec_id".cast("string"), lit(":s11"))),
+      lit(5L)) === 0L
+    // ---- day 1 (first call only): train on standing, encode standing
+    if (!spark.catalog.tableExists(codesT)) {
+      val standing = e.filter(!isNew)
+      val (cents, codes) = s7TrainCodebooks(standing)
+      cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+        .write.mode("overwrite").format("parquet").saveAsTable(centT)
+      codes.toSeq.flatMap { case (m, cbs) =>
+        cbs.map { case (cid, cv) => (m, cid, cv.toSeq) }
+      }.toDF("m", "cid", "cv")
+        .write.mode("overwrite").format("parquet").saveAsTable(pqT)
+      standing.withColumn("cell", argminOver($"v", cents))
+        .select(Seq($"vec_id".as("nid"), $"cell") ++ (0 until SUBS).map(m =>
+          argminOver(slice($"v", m * SD + 1, SD), codes(m)).as(s"c$m")): _*)
+        .repartition(col("cell"))
+        .write.mode("overwrite").format("parquet").partitionBy("cell")
+        .saveAsTable(codesT)
+    }
+    // ---- day 2 (every call): load codebooks, encode ONLY the batch
+    val cents: Seq[(Long, Array[Double])] = spark.table(centT).collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val codes: Map[Int, Seq[(Long, Array[Double])]] =
+      spark.table(pqT).collect().toSeq
+        .groupBy(_.getInt(0)).map { case (m, rs) =>
+          m -> rs.map(r => r.getLong(1) -> r.getSeq[Double](2).toArray)
+            .sortBy(_._1)
+        }
+    val batchCodes = e.filter(isNew)
+      .withColumn("cell", argminOver($"v", cents))
+      .select(Seq($"vec_id".as("nid"), $"cell") ++ (0 until SUBS).map(m =>
+        argminOver(slice($"v", m * SD + 1, SD), codes(m)).as(s"c$m")): _*)
+    val qs: Seq[(Long, Array[Double])] = e.filter($"vec_id" < NQUERIES)
+      .select($"vec_id", $"v").collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val probesOf: Map[Long, Seq[Long]] = qs.flatMap { case (qid, qv) =>
+      cents.map { case (cid, c) => (sqdArr(qv, c), cid) }
+        .sortBy { case (d2, cid) => (d2, cid) }
+        .take(NPROBE).map { case (_, cell) => (cell, qid) }
+    }.groupBy(_._1).map { case (c, ps) => c -> ps.map(_._2).sorted }
+    val lut: Map[String, Long] = (for {
+      (qid, qvec) <- qs; m <- 0 until SUBS; (cid, cv) <- codes(m)
+    } yield s"$qid:$m:$cid" ->
+      microL(sqdArr(qvec.slice(m * SD, m * SD + SD), cv))).toMap
+    val adcExpr = (0 until SUBS).map(m => element_at(typedLit(lut),
+      concat_ws(":", $"qid", lit(m), col(s"c$m")))).reduce(_ + _)
+    val w = Window.partitionBy($"qid").orderBy($"adc_micro".asc, $"nid".asc)
+    val probedCells = probesOf.keys.toSeq.sorted
+    spark.table(codesT)
+      .filter($"cell".isin(probedCells: _*))
+      .unionByName(batchCodes.filter($"cell".isin(probedCells: _*)))
+      .withColumn("qid", explode(element_at(typedLit(probesOf), $"cell")))
+      .filter($"qid" =!= $"nid")
+      .withColumn("adc_micro", adcExpr)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"nid", $"rnk", $"adc_micro")
+      .orderBy($"qid", $"rnk")
+  }
+
+  val s11IndexUpdateSql: String = {
+    val coin = sqlMd5Long("CAST(vec_id AS VARCHAR) || ':s11'")
+    s7SqlFrom(
+      s"""eall AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+         |  FROM embeddings),
+         |e AS (SELECT * FROM eall WHERE NOT ($coin % 5 = 0))""".stripMargin,
+      "eall")
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
@@ -1408,6 +1530,7 @@ object SimilarityOps {
     "s8_knn_rerank" -> (s8KnnRerank _),
     "s9_knn_sq8"   -> (s9KnnSq8 _),
     "s10_knn_serve" -> (s10KnnServe _),
+    "s11_index_update" -> (s11IndexUpdate _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1422,5 +1545,6 @@ object SimilarityOps {
     "s9_knn_sq8"   -> s9KnnSq8Sql,
     // serve-from-saved-index: result identical to s7 (pure materialization)
     "s10_knn_serve" -> s7KnnIvfPqKmeansSql,
+    "s11_index_update" -> s11IndexUpdateSql,
   )
 }
