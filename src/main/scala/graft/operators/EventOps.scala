@@ -727,14 +727,30 @@ object EventOps {
     * heavy hitters at 5% of the stream — the decision a frequency-
     * capped pipeline (hot-key salting, d11's df-cap) would make from
     * the sketch alone. */
+  /** The CMS build as a plain grouped count over (row, bucket) — the
+    * mergeability of the sketch IS the associativity of this aggregate,
+    * which is why the SAME definition serves batch (e18) and streaming
+    * ([[graft.streaming.StreamOps.streamingCmsCells]], where Spark
+    * maintains the cells as native streaming state across
+    * micro-batches). */
+  private[graft] def cmsBucket: Column =
+    pmod(md5Long(concat(col("user_id").cast("string"), lit(":cms"),
+      col("r").cast("string"))), lit(64L))
+
+  private[graft] def cmsCells(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select($"user_id")
+      .withColumn("r", explode(sequence(lit(0), lit(2))))
+      .withColumn("b", cmsBucket)
+      .groupBy($"r", $"b").agg(count(lit(1)).as("cell"))
+  }
+
   def e18CmsHeavy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = events(spark, dir).select($"user_id")
-    val bucket = pmod(md5Long(concat($"user_id".cast("string"), lit(":cms"),
-      $"r".cast("string"))), lit(64L))
-    val cells = ev.withColumn("r", explode(sequence(lit(0), lit(2))))
-      .withColumn("b", bucket)
-      .groupBy($"r", $"b").agg(count(lit(1)).as("cell"))
+    val bucket = cmsBucket
+    val cells = cmsCells(ev)
     val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_n"))
     val total = exact.agg(sum($"exact_n").as("total_n"))
     exact.withColumn("r", explode(sequence(lit(0), lit(2))))

@@ -227,6 +227,22 @@ object StreamOps {
       .withColumn("accepted", $"quality_ok" && !$"contaminated")
   }
 
+  /** Streaming Count-Min sketch — e18's batch build run as a LIVE
+    * aggregation: because a CMS is a mergeable grouped count, the same
+    * `groupBy(r, b).count()` that builds it in batch IS its streaming
+    * maintenance; Spark's state store holds exactly the 192 fixed-width
+    * cells and each micro-batch folds in map-side partials. No custom
+    * state function needed — the mergeable-sketch property collapses
+    * "maintain a sketch over a stream" to a native streaming aggregate
+    * with O(d·w) state REGARDLESS of stream volume or key cardinality
+    * (contrast [[streamingDistinctEstimate]], whose KMV state is also
+    * bounded but needs mapGroupsWithState because a k-minimum set is
+    * not a grouped count). Run in Complete/Update mode; the spec
+    * asserts cells after N micro-batches equal e18's batch build over
+    * the same prefix — the mergeability proof, live. */
+  def streamingCmsCells(events: DataFrame): DataFrame =
+    graft.operators.EventOps.cmsCells(events)
+
   /** Streaming exact dedup: at-least-once delivery → exactly-once rows,
     * keyed on event_id. `dropDuplicatesWithinWatermark` bounds the dedup
     * state to the watermark horizon (plain dropDuplicates would grow

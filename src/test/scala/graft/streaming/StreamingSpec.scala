@@ -136,6 +136,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS cells after two micro-batches equal the batch build on the union") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.streamingCmsCells(input.toDF())
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData((1 to 60).map(u =>
+        Ev(t("2024-01-01 00:00:00"), u % 7, "click", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData((1 to 40).map(u =>
+        Ev(t("2024-01-01 01:00:00"), u % 11, "view", 1.0)): _*)
+      q.processAllAvailable()
+      // the streaming state must hold EXACTLY the batch sketch over the
+      // union of both micro-batches — mergeability, observed live
+      import spark.implicits._
+      val unionDf = ((1 to 60).map(u => (u % 7).toLong) ++
+        (1 to 40).map(u => (u % 11).toLong)).toDF("user_id")
+      val expected = graft.operators.EventOps.cmsCells(unionDf)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val got = spark.table("cms_cells").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expected,
+        s"streaming cells diverge from batch build: $got vs $expected")
+      // bounded state: never more than d*w = 192 cells
+      assert(got.size <= 192)
+    } finally q.stop()
+  }
+
   test("streaming KMV idleTimeout wires ProcessingTimeTimeout into the plan") {
     // Executing a TTL'd query under processAllAvailable is impossible by
     // Spark semantics: with ProcessingTimeTimeout the engine must keep
