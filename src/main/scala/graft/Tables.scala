@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   /** TPC-H-ish star schema + events stream table + LLM-pipeline tables. */
   val all: Seq[String] = Seq(
@@ -23,11 +23,17 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark reads as raw
-    // nanos (spark.sql.legacy.parquet.nanosAsLong, set in GraftSession);
-    // truncate to micros exactly like DuckDB does when it reads the file.
+    // Normalize events.ts across driver testdata generations: older data
+    // is TIMESTAMP(NANOS) parquet, which Spark reads as raw nanos
+    // (spark.sql.legacy.parquet.nanosAsLong, set in GraftSession) —
+    // truncate to micros exactly like DuckDB does; newer data is
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    // TIMESTAMP_NTZ — cast to TIMESTAMP_LTZ (session TZ is pinned UTC,
+    // so the instant equals DuckDB's naive read of the same file).
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 

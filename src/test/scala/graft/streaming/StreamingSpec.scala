@@ -336,9 +336,18 @@ class StreamingSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     java.nio.file.Files.copy(java.nio.file.Paths.get(file),
       dir.resolve("events.parquet"))
-    val rawSchema = spark.read.parquet(file).schema // ts arrives as nanos long
+    val rawSchema = spark.read.parquet(file).schema
+    // normalize ts across testdata generations, like Tables.apply: raw
+    // nanos long (legacy) or TIMESTAMP_NTZ micros (current) → LTZ
+    val tsNorm = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      case _ => col("ts")
+    }
     val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", tsNorm)
     val q = StreamOps.windowedAgg(stream, windowLen = "1 hour",
         lateness = "10 minutes")
       .writeStream.format("memory").queryName("file_win")
