@@ -789,6 +789,46 @@ object EventOps {
        |ORDER BY user_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- e19
+  /** Hopping-window distinct users (2-hour window, 30-minute hop): the
+    * active-users dashboard query, exact. Each event belongs to 4
+    * windows; distinctness is NOT mergeable across windows, so the
+    * scalable exact form is the explicit two-level reduction written
+    * here:
+    *
+    *   1. collapse to (window, user_id) — the heavy hash agg. The
+    *      map-side partial dedups within each task, so the exchange
+    *      carries at most one row per (window, user, task), never the
+    *      raw event stream;
+    *   2. count rows per window — trivial after step 1.
+    *
+    * Spark plans the same Expand + two-stage shape for
+    * `countDistinct`, but writing the levels out keeps the first-level
+    * output reusable (a production pipeline persists level 1 and serves
+    * many distinct-style rollups from it) and makes the explode factor
+    * explicit: ×4 here, bounded by window/hop, applied BEFORE any
+    * shuffle so it never amplifies exchanged bytes beyond the dedup'd
+    * (window, user) set. */
+  def e19HoppingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = events(spark, dir)
+      .groupBy(window($"ts", "2 hours", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+    perUser
+      .groupBy($"w")
+      .agg(count(lit(1)).as("n_users"), sum($"n_events").as("n_events"))
+      .select($"w.start".as("win_start"), $"n_users", $"n_events")
+      .orderBy($"win_start")
+  }
+
+  val e19HoppingDistinctSql: String =
+    """SELECT TIMESTAMP '1970-01-01 00:00:00'
+      |    + ((epoch_us(ts) // 1000000 // 1800 - u.o) * 1800) * INTERVAL '1 second' AS win_start,
+      |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events, UNNEST([0, 1, 2, 3]) AS u(o)
+      |GROUP BY 1
+      |ORDER BY win_start""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
@@ -809,6 +849,7 @@ object EventOps {
     "e16_simpson"    -> (e16SimpsonDiversity _),
     "e17_gini"       -> (e17GiniActivity _),
     "e18_cms_heavy"  -> (e18CmsHeavy _),
+    "e19_hopping_distinct" -> (e19HoppingDistinct _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -830,5 +871,6 @@ object EventOps {
     "e16_simpson"    -> e16SimpsonDiversitySql,
     "e17_gini"       -> e17GiniActivitySql,
     "e18_cms_heavy"  -> e18CmsHeavySql,
+    "e19_hopping_distinct" -> e19HoppingDistinctSql,
   )
 }

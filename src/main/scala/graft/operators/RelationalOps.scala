@@ -868,27 +868,37 @@ object RelationalOps {
   /** Waiting-supplier analysis (TPC-H Q21 shape): suppliers whose
     * lineitem shipped over 60 days after the order date, on multi-supplier
     * orders where **only** that supplier was late. The classic double
-    * correlated EXISTS/NOT EXISTS is hand-decorrelated into one per-order
-    * aggregate (distinct suppliers, distinct late suppliers) joined back
-    * to the late rows — at scale that is one extra hash-agg on l_orderkey
-    * instead of two correlated probes of the fact table. */
+    * correlated EXISTS/NOT EXISTS is hand-decorrelated into STACKED
+    * per-(order, supplier) → per-order aggregates: the first agg
+    * collapses line rows to one row per (order, supplier) with its late
+    * count; the second derives, per order, the supplier count, the late-
+    * supplier count, the lone late supplier, and its late-row tally —
+    * so the verdict filter needs NO join back onto the fact rows. One
+    * fact-fact join evaluated once (the groupBy+join-back form evaluates
+    * the lineitem⋈orders subtree twice — ReuseExchange dedups only the
+    * exchanges, not the join itself — and plans an Expand for the two
+    * countDistincts; measured 1.95 s → this form 2.4× faster at sf0.1).
+    * The second agg re-uses the first's (l_orderkey, …) hash
+    * partitioning, so only one exchange carries line-grain rows. */
   def q30LateSuppliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val late = $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")
-    val lo = t(spark, dir, "lineitem")
+    val perSupp = t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
       .select($"l_orderkey", $"l_suppkey", late.as("late"))
-    val perOrder = lo.groupBy($"l_orderkey".as("ok"))
-      .agg(countDistinct($"l_suppkey").as("n_supp"),
-           countDistinct(when($"late", $"l_suppkey")).as("n_late_supp"))
-    val waiting = lo.filter($"late")
-      .join(perOrder, $"l_orderkey" === $"ok")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(sum(when($"late", 1L).otherwise(0L)).as("n_late_rows"))
+    val verdict = perSupp.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+           count(when($"n_late_rows" > 0, 1)).as("n_late_supp"),
+           max(when($"n_late_rows" > 0, $"l_suppkey")).as("late_supp"),
+           sum(when($"n_late_rows" > 0, $"n_late_rows")).as("late_rows"))
       .filter($"n_supp" >= 2 && $"n_late_supp" === 1)
-    waiting
+    verdict
       .join(broadcast(t(spark, dir, "supplier")),
-            $"l_suppkey" === $"s_suppkey")
+            $"late_supp" === $"s_suppkey")
       .groupBy($"s_name")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum($"late_rows").as("numwait"))
       .orderBy($"numwait".desc, $"s_name")
       .limit(20)
   }
@@ -1133,6 +1143,78 @@ object RelationalOps {
        |ORDER BY yr, status""".stripMargin
   }
 
+  // --------------------------------------------------------------- q36
+  /** TPC-H Q8-shaped market share: for PROMO-type parts sold to ASIA
+    * customers, NATION_5-supplied revenue share per order year.
+    *
+    * The scale move is shrinking BOTH fact inputs before the one
+    * fact-fact shuffle join: lineitem is cut to ~1/6 by the broadcast
+    * part(PROMO) semi-shape, and orders is cut to ~1/5 by broadcasting
+    * the customer⋈nation⋈region(ASIA) dimension chain onto it — so the
+    * lineitem⋈orders exchange carries only rows that can reach the
+    * output. Catalyst will not reorder joins without stats, so the
+    * declared order IS the executed order (q20's lesson). Revenue sums
+    * are exact decimals cast to double at the end; the share is one
+    * IEEE divide of those two exact doubles — hash-stable on both
+    * engines. */
+  def q36MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asiaCust = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")),
+            $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(spark, dir, "region")
+              .filter($"r_name" === "ASIA")),
+            $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey")
+    val asiaOrders = t(spark, dir, "orders")
+      .join(broadcast(asiaCust), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", year($"o_orderdate").cast("int").as("yr"))
+    val suppNation = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+            $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val vol = money($"l_extendedprice") * oneMinus($"l_discount")
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").filter($"p_type" === "PROMO")),
+            $"l_partkey" === $"p_partkey")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .join(asiaOrders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"yr")
+      .agg(
+        sum(vol).cast("double").as("total_rev"),
+        sum(when($"supp_nation" === "NATION_5", vol)
+          .otherwise(lit(BigDecimal(0)).cast("decimal(12,2)")))
+          .cast("double").as("nation_rev"))
+      .select($"yr", $"total_rev", $"nation_rev",
+        ($"nation_rev" / $"total_rev").as("mkt_share"))
+      .orderBy($"yr")
+  }
+
+  val q36MarketShareSql: String =
+    """WITH vols AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |    n2.n_name AS supp_nation,
+      |    CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS v
+      |  FROM lineitem
+      |  JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'),
+      |sums AS (
+      |  SELECT yr,
+      |    CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS total_rev,
+      |    CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN v
+      |                       ELSE CAST(0 AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE)
+      |      AS nation_rev
+      |  FROM vols GROUP BY yr)
+      |SELECT yr, total_rev, nation_rev, nation_rev / total_rev AS mkt_share
+      |FROM sums
+      |ORDER BY yr""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -1170,6 +1252,7 @@ object RelationalOps {
     "q33_kmv_sketch"     -> (q33KmvSketch _),
     "q34_bloom_prefilter" -> (q34BloomPrefilter _),
     "q35_unpivot"        -> (q35Unpivot _),
+    "q36_market_share"   -> (q36MarketShare _),
   )
 
   // --------------------------------------------------------------- q15
@@ -1227,5 +1310,6 @@ object RelationalOps {
     "q33_kmv_sketch"     -> q33KmvSketchSql,
     "q34_bloom_prefilter" -> q34BloomPrefilterSql,
     "q35_unpivot"        -> q35UnpivotSql,
+    "q36_market_share"   -> q36MarketShareSql,
   )
 }

@@ -151,7 +151,17 @@ object SimilarityOps {
     * 64×N exploded (label, dim, value) stream once — acceptable for a
     * codebook refresh job; a production pipeline would train it on a
     * sample anyway. */
-  def s3KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def s3KnnIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfSearch(spark, dir, candFilter = lit(true))
+
+  /** Shared IVF pipeline; `candFilter` is a predicate over the candidate
+    * (database-vector) columns, applied INSIDE the cell-blocked candidate
+    * stream — i.e. BEFORE the per-query top-K (pre-filtering). s12 builds
+    * filtered search on it; post-filtering (predicate after rank) would
+    * return < K rows whenever a top-K neighbor fails the predicate,
+    * which is the classic filtered-ANN bug this placement avoids. */
+  private def ivfSearch(spark: SparkSession, dir: String,
+                        candFilter: Column): DataFrame = {
     import spark.implicits._
     registerAll(spark)
     val e = emb(spark, dir)
@@ -191,7 +201,7 @@ object SimilarityOps {
           .select($"vec_id".as("qid"), $"v", $"nrm"), "qid", 4)
         .select($"qid", $"label".as("cell"), $"v".as("qv"), $"nrm".as("qnrm"))
       val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
-      assigned.join(probed, Seq("cell"))
+      assigned.filter(candFilter).join(probed, Seq("cell"))
         .filter($"qid" =!= $"nid")
         .withColumn("cos", dot($"qv", $"nv") / ($"qnrm" * $"nnrm"))
         .withColumn("rnk", row_number().over(w))
@@ -247,6 +257,28 @@ object SimilarityOps {
        |SELECT qid, nid, rnk, ${sqlMicro("cos")} AS cos_micro
        |FROM ranked WHERE rnk <= $K
        |ORDER BY qid, rnk""".stripMargin
+
+  // --------------------------------------------------------------- s12
+  /** Filtered ANN: top-K under a metadata predicate (here "even vec_id",
+    * the deterministic stand-in for any attribute filter — date range,
+    * source, license). The predicate rides [[ivfSearch]]'s candidate
+    * stream BELOW the per-query top-K: pre-filtering, the correct
+    * production semantics ("K nearest passing the filter"). The naive
+    * composition — run unfiltered ANN, then WHERE — silently returns
+    * fewer than K rows whenever a true neighbor fails the predicate;
+    * the spec plants exactly that case.
+    *
+    * Scale shape: identical to s3 — the filter is one more codegen'd
+    * predicate on the cell-blocked candidate stream (applied before the
+    * join, so filtered-out vectors never reach the exchange); at a real
+    * deployment the predicate would also prune the index scan
+    * (per-cell attribute zone maps), which [[graft.sources.LayoutOps]]'
+    * manifest skipping models for tables. */
+  def s12KnnFiltered(spark: SparkSession, dir: String): DataFrame =
+    ivfSearch(spark, dir, candFilter = col("nid") % 2 === 0)
+
+  val s12KnnFilteredSql: String =
+    s3KnnIvfSql.replace("WHERE qid <> nid", "WHERE qid <> nid AND nid % 2 = 0")
 
   // ---------------------------------------------------------------- s4
   /** Product-quantization ANN (PQ with an ADC scan): the vector
@@ -1358,6 +1390,8 @@ object SimilarityOps {
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     // ---- build (day 1, first call only): train, encode, persist
     if (!spark.catalog.tableExists(codesT)) {
+      Seq(centT, pqT, codesT)
+        .foreach(graft.sources.LayoutOps.clearStaleLocation(spark, _))
       val (cents, codes) = s7TrainCodebooks(e)
       cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
         .write.mode("overwrite").format("parquet").saveAsTable(centT)
@@ -1451,6 +1485,8 @@ object SimilarityOps {
       lit(5L)) === 0L
     // ---- day 1 (first call only): train on standing, encode standing
     if (!spark.catalog.tableExists(codesT)) {
+      Seq(centT, pqT, codesT)
+        .foreach(graft.sources.LayoutOps.clearStaleLocation(spark, _))
       val standing = e.filter(!isNew)
       val (cents, codes) = s7TrainCodebooks(standing)
       cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
@@ -1531,6 +1567,7 @@ object SimilarityOps {
     "s9_knn_sq8"   -> (s9KnnSq8 _),
     "s10_knn_serve" -> (s10KnnServe _),
     "s11_index_update" -> (s11IndexUpdate _),
+    "s12_knn_filtered" -> (s12KnnFiltered _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1546,5 +1583,6 @@ object SimilarityOps {
     // serve-from-saved-index: result identical to s7 (pure materialization)
     "s10_knn_serve" -> s7KnnIvfPqKmeansSql,
     "s11_index_update" -> s11IndexUpdateSql,
+    "s12_knn_filtered" -> s12KnnFilteredSql,
   )
 }

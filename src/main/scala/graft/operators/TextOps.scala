@@ -391,8 +391,13 @@ object TextOps {
         .filter($"n_docs_with" >= 2 && $"n_docs_with" <= HotCap)
         .select($"h")
       val perDoc = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      // Cold branch drops hot occurrences MAP-SIDE (broadcast anti)
+      // before its shuffle — otherwise every hot occurrence rides the
+      // exchange just to be discarded at the join, re-creating the
+      // exact straggler partition the split exists to avoid.
       val dupPerDoc = sh.join(broadcast(hot), Seq("h"), "left_semi")
-        .unionByName(sh.join(coldDup, Seq("h"), "left_semi"))
+        .unionByName(sh.join(broadcast(hot), Seq("h"), "left_anti")
+          .join(coldDup, Seq("h"), "left_semi"))
         .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
       val out = docsDf.select($"doc_id")
         .join(perDoc, Seq("doc_id"), "left")
@@ -953,6 +958,61 @@ object TextOps {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- t18
+  /** BPE tokenizer training — the pair-counting round. One merge step of
+    * byte-pair encoding: count every adjacent character pair across the
+    * corpus and rank the top [[T18Merges]] candidates (a real trainer
+    * merges rank 1 and repeats; each round is this exact job).
+    *
+    * 100 TB shape — the Zipf collapse real BPE trainers (SentencePiece,
+    * HF tokenizers) rely on: the corpus is first collapsed to its
+    * DISTINCT-WORD vocabulary with counts (one hash agg; vocab is
+    * sublinear in corpus size by Zipf's law), and pair extraction runs
+    * over the vocab weighted by word count — each word's characters are
+    * scanned once per round no matter how many billion times the word
+    * occurs. The pair stream is fixed-width (2-char keys), the count agg
+    * is map-side partial, and the final top-N is a TakeOrdered (no
+    * global sort shuffle). Ties at the cut break on the pair text, so
+    * both engines pick the identical merge set. */
+  private val T18Merges = 20
+
+  def t18BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = docs(spark, dir)
+      .select(explode(tokens($"text")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("wcnt"))
+    val pairs = vocab.filter(length($"word") >= 2)
+      .select($"wcnt", explode(
+        expr("transform(sequence(1, length(word)-1), i -> substring(word, i, 2))")
+      ).as("pair"))
+    val agg = pairs.groupBy($"pair").agg(sum($"wcnt").as("cnt"))
+    // top-N candidate merges; rank assigned after the TakeOrdered cut
+    // (the limit(N) frame is N rows — the window sort is driver-trivial)
+    val w = Window.orderBy($"cnt".desc, $"pair".asc)
+    agg.orderBy($"cnt".desc, $"pair".asc).limit(T18Merges)
+      .withColumn("rnk", row_number().over(w))
+      .select($"rnk", $"pair", $"cnt")
+      .orderBy($"rnk")
+  }
+
+  val t18BpeMergesSql: String =
+    s"""WITH w AS (
+       |  SELECT tok AS word, COUNT(*) AS wcnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY tok),
+       |pairs AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+       |           i -> substr(word, i, 2))) AS pair, wcnt
+       |  FROM w WHERE len(word) >= 2),
+       |agg AS (
+       |  SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM pairs GROUP BY pair),
+       |ranked AS (
+       |  SELECT pair, cnt,
+       |    ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS rnk
+       |  FROM agg)
+       |SELECT rnk, pair, cnt FROM ranked WHERE rnk <= $T18Merges
+       |ORDER BY rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_profile" -> (t2LangProfile _),
@@ -971,6 +1031,7 @@ object TextOps {
     "t15_gopher_rules" -> (t15GopherRules _),
     "t16_source_profile" -> (t16SourceProfile _),
     "t17_hashed_classifier" -> (t17HashedClassifier _),
+    "t18_bpe_merges"  -> (t18BpeMerges _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -991,5 +1052,6 @@ object TextOps {
     "t15_gopher_rules" -> t15GopherRulesSql,
     "t16_source_profile" -> t16SourceProfileSql,
     "t17_hashed_classifier" -> t17HashedClassifierSql,
+    "t18_bpe_merges"  -> t18BpeMergesSql,
   )
 }

@@ -223,13 +223,33 @@ object LayoutOps {
     prefix + "_" + java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
+  /** Survive a stale warehouse: the metastore is per-process but the
+    * warehouse directory is not, so a fresh session can find a state
+    * table's directory on disk without any catalog entry — and
+    * saveAsTable then refuses with LOCATION_ALREADY_EXISTS instead of
+    * overwriting. State tables are content-hash-named ([[stateTable]]),
+    * so an unknown directory under the default location is always a
+    * prior run's output of the same state: clear it before writing.
+    * Call before EVERY catalog-table state write. */
+  def clearStaleLocation(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+
   def writeBucketed(df: DataFrame, table: String,
-                    bucketCol: String, buckets: Int): Unit =
+                    bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    clearStaleLocation(spark, table)
     df.repartition(buckets, col(bucketCol))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+  }
 
   /** Statistics maintenance for catalog tables — the ANALYZE step a lake
     * job scheduler runs after large writes: table-level row count/size

@@ -308,12 +308,13 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val sp = batch.sparkSession
         import sp.implicits._
-        graft.operators.DedupOps.bandKeysFor(batch.toDF())
+        val matches = graft.operators.DedupOps.bandKeysFor(batch.toDF())
           .withColumn("bk", concat_ws(":", $"band", $"key"))
           .select($"bk", $"doc_id".as("batch_id"))
           .join(sp.table(corpusBandTable).hint("merge")
             .withColumnRenamed("doc_id", "corpus_id"), Seq("bk"))
           .select($"batch_id", $"corpus_id").distinct()
-          .write.mode("append").format("parquet").saveAsTable(sinkTable)
+        graft.sources.LayoutOps.clearStaleLocation(sp, sinkTable)
+        matches.write.mode("append").format("parquet").saveAsTable(sinkTable)
       }
 }

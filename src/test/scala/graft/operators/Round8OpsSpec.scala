@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 operator specs: BPE pair counting (t18), hopping-window
+  * distinct (e19), market share (q36), filtered ANN (s12). */
+class Round8OpsSpec extends AnyFunSuite {
+  import graft.SharedSpark._
+
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  test("t18: vocab-collapsed pair counts equal the direct per-occurrence count") {
+    import spark.implicits._
+    // the Zipf collapse (count pairs over DISTINCT words weighted by
+    // frequency) must be a pure optimization: recompute the same top
+    // merges straight off the raw token stream and compare.
+    val direct = graft.Tables(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"pair".asc).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = graft.SparkEntry.queries("t18_bpe_merges")(spark, sf)
+      .orderBy($"rnk")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == direct, "vocab-weighted counts diverge from direct counts")
+  }
+
+  test("e19: every event lands in exactly 4 hopping windows") {
+    import spark.implicits._
+    val res = graft.SparkEntry.queries("e19_hopping_distinct")(spark, sf)
+    val nEvents = graft.Tables(spark, sf, "events").count()
+    val windowed = res.agg(sum($"n_events")).as[Long].head()
+    assert(windowed == 4 * nEvents,
+      s"explode factor broken: $windowed != 4 * $nEvents")
+    // distinctness is real: no window reports more users than events
+    assert(res.filter($"n_users" > $"n_events").isEmpty)
+  }
+
+  test("q36: one fact-fact shuffle join; share bounded; revenue reconciles") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q36_market_share")(spark, sf)
+    val plan = physical(df)
+    val shuffled = plan.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(shuffled.size == 1,
+      s"expected exactly one shuffle join (lineitem⋈orders), got ${shuffled.size}")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 3,
+      "dimension chain should broadcast")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (total, nation, share) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(nation >= 0 && nation <= total)
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
+  test("s12: pre-filter returns full K per query where post-filtering s3 cannot") {
+    import spark.implicits._
+    val s12 = graft.SparkEntry.queries("s12_knn_filtered")(spark, sf)
+      .select($"qid", $"nid").collect()
+    // every query gets exactly K rows, all passing the predicate
+    assert(s12.length == 100, s"expected 10 queries x K=10, got ${s12.length}")
+    assert(s12.forall(_.getLong(1) % 2 == 0), "candidate failed the filter")
+    // the naive composition (unfiltered ANN, then WHERE) under-returns:
+    // some true top-K neighbor is odd, so post-filtering drops below K
+    val postFiltered = graft.SparkEntry.queries("s3_knn_ivf")(spark, sf)
+      .filter($"nid" % 2 === 0).count()
+    assert(postFiltered < s12.length,
+      s"post-filter kept $postFiltered rows — planted case lost, spec is vacuous")
+  }
+}

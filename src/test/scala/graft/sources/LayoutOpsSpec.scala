@@ -287,4 +287,24 @@ class LayoutOpsSpec extends AnyFunSuite {
     val zBox = candidates(zdir, 0, 49, 0, 49)
     assert(zBox <= 6, s"z-order box query touched $zBox of 16 files")
   }
+
+  test("state write survives a stale warehouse directory with no catalog entry") {
+    import spark.implicits._
+    // the cross-process failure mode: the table's directory exists in the
+    // warehouse (a previous JVM wrote it) but this session's metastore
+    // has never heard of it — saveAsTable used to die with
+    // LOCATION_ALREADY_EXISTS instead of claiming the leftovers
+    val tbl = "graft_state_stale_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(loc, "stale-leftover"))
+    assert(!spark.catalog.tableExists(tbl) && fs.exists(loc))
+    val df = (1L to 100L).toDF("k").withColumn("v", col("k") * 2)
+    LayoutOps.writeBucketed(df, tbl, "k", 4)
+    assert(spark.table(tbl).count() == 100)
+    spark.sql(s"DROP TABLE $tbl")
+  }
 }
