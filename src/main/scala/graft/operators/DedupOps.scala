@@ -1054,6 +1054,10 @@ object DedupOps {
   def d18CosineDupHotsplit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     registerAll(spark)
+    // the raw corpus frame is NOT cached (array columns defeat the
+    // columnar cache — s6's measured anti-lesson); the expensive
+    // intermediate, the refined assignment, is checkpointed inside
+    // refineHotCells
     val e = emb(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot($"v", $"v")))

@@ -288,6 +288,47 @@ object MultimodalOps {
       |WHERE CAST(FLOOR(1000.0 * shared / (na.n_sigs + nb.n_sigs - shared)) AS BIGINT) >= 500
       |ORDER BY i, j""".stripMargin
 
+  // ---------------------------------------------------------------- m6
+  /** Cross-modal consistency audit: which media near-dup pairs carry
+    * DIFFERENT text? A multimodal training pair (image/video + caption)
+    * whose media duplicates another's while its caption does not is the
+    * canonical curation hazard — same asset relabeled, scraped twice
+    * with different alt text, or a caption-swap corruption. m5's frame-
+    * signature pairs compose with a full-text fingerprint join to flag
+    * exactly those (SemDeDup-style pipelines run this audit between
+    * modality-specific dedups; the reference has no media surface at
+    * all, SURVEY.md §2.2).
+    *
+    * Scale shape: m5's capped sig join does the heavy lifting; the text
+    * fingerprints ride in through two joins on doc_id against the
+    * (metadata-sized) pair list — the big documents table is never
+    * joined against itself. Fingerprints are md5 of the full text
+    * (t4's discipline), so "differs" is exact, not fuzzy. */
+  def m6ModalMismatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = Tables(spark, dir, "documents")
+      .select($"doc_id", md5($"text".cast("binary")).as("fp"))
+    m5Plan(spark, dir)
+      .join(fp.withColumnRenamed("doc_id", "i").withColumnRenamed("fp", "fi"),
+        Seq("i"))
+      .join(fp.withColumnRenamed("doc_id", "j").withColumnRenamed("fp", "fj"),
+        Seq("j"))
+      .select($"i", $"j", $"jac_permille",
+        ($"fi" =!= $"fj").as("text_differs"))
+      .orderBy($"i", $"j")
+  }
+
+  val m6ModalMismatchSql: String = {
+    val pairs = m5MediaDedupSql.replace("ORDER BY i, j", "")
+    s"""WITH pairs AS ($pairs),
+       |fp AS (SELECT doc_id, md5(text) AS f FROM documents)
+       |SELECT p.i, p.j, p.jac_permille, fi.f <> fj.f AS text_differs
+       |FROM pairs p
+       |JOIN fp fi ON fi.doc_id = p.i
+       |JOIN fp fj ON fj.doc_id = p.j
+       |ORDER BY i, j""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> (m1MultimodalMeta _),
@@ -295,6 +336,7 @@ object MultimodalOps {
     "m3_media_bytes"     -> (m3MediaBytes _),
     "m4_frame_sample"    -> (m4FrameSample _),
     "m5_media_dedup"     -> (m5MediaDedup _),
+    "m6_modal_mismatch"  -> (m6ModalMismatch _),
   )
 
   /** m2 intentionally has no oracle (stubbed decode → rows-only check);
@@ -304,5 +346,6 @@ object MultimodalOps {
     "m3_media_bytes"     -> m3MediaBytesSql,
     "m4_frame_sample"    -> m4FrameSampleSql,
     "m5_media_dedup"     -> m5MediaDedupSql,
+    "m6_modal_mismatch"  -> m6ModalMismatchSql,
   )
 }

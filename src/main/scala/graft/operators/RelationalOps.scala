@@ -1215,6 +1215,92 @@ object RelationalOps {
       |FROM sums
       |ORDER BY yr""".stripMargin
 
+  // --------------------------------------------------------------- q37
+  /** Iterative graph rank (PageRank shape) over the bipartite
+    * customer–supplier purchase graph: nodes are customers (2k) and
+    * suppliers (2k+1), an undirected edge per distinct (customer,
+    * supplier) purchase relation, two damped iterations from a uniform
+    * start. The iterative-dataflow workload class (Pregel/GraphX's home
+    * turf) expressed as plain DataFrame ops: each iteration is one join
+    * of the rank vector against the edge list plus one aggregate by
+    * destination — the exact per-superstep shape of a vertex-centric
+    * framework, driven by a driver-side loop.
+    *
+    * Determinism: ranks are integer micro-units; contributions are
+    * integer floor-divides (`rank div deg`) and the damping is
+    * `150000 + (85·Σ) div 100` — all order-independent integer
+    * arithmetic, so two engines agree bit for bit (a double PageRank
+    * never hash-matches across engines). Headroom: Σ ≤ in-degree·10⁶,
+    * so 85·Σ overflows BIGINT only past ~10¹¹ in-degree.
+    *
+    * Scale shape: the edge list is the big invariant — persisted once,
+    * reused every superstep (at cluster scale: bucketed by src so the
+    * per-iteration join never re-shuffles the edges; the rank vector,
+    * |V| ≪ |E|, is what re-partitions each round). The per-iteration
+    * plan is join + partial-agg; lineage stays shallow because each
+    * rank frame is small and the loop is 2 rounds (longer chains take
+    * d8's lazy-checkpoint pattern). */
+  def q37GraphRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ed = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("u"), ($"l_suppkey" * 2 + 1).as("v"))
+      .distinct()
+    // The edge list is persisted ALREADY HASH-PARTITIONED on the join
+    // key, so each superstep's join plans zero exchange on the edges —
+    // only the (|V|-sized) rank vector shuffles per round, the same
+    // contract the day-2 bucketed standing state proves for incremental
+    // dedup. shuffle_hash on the rank side: sorting 2|E| cached rows
+    // per round for an SMJ would waste the co-location.
+    val edges = ed.unionByName(ed.select($"v".as("u"), $"u".as("v")))
+      .repartition($"u").persist()
+    try {
+      val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+      var ranks = deg.select($"u".as("node"), lit(1000000L).as("rank"))
+      for (_ <- 1 to 2) {
+        val contrib = edges
+          .join(ranks.join(deg, $"node" === $"u").drop("u")
+                  .hint("shuffle_hash"),
+                edges("u") === col("node"))
+          .select($"v".as("node"), expr("rank div deg").as("c"))
+        ranks = contrib.groupBy($"node")
+          .agg(expr("CAST(150000 AS BIGINT) + (85 * sum(c)) div 100").as("rank"))
+      }
+      val w = Window.orderBy($"rank".desc, $"node".asc)
+      ranks.orderBy($"rank".desc, $"node".asc).limit(50)
+        .withColumn("rnk", row_number().over(w))
+        .select($"rnk", $"node", $"rank")
+        .orderBy($"rnk")
+        .localCheckpoint() // eager: materialized before the unpersist
+    } finally {
+      edges.unpersist(blocking = false)
+    }
+  }
+
+  val q37GraphRankSql: String =
+    """WITH ed0 AS (
+      |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT u, v FROM ed0 UNION ALL SELECT v AS u, u AS v FROM ed0),
+      |deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+      |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+      |c1 AS (
+      |  SELECT e.v AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
+      |  FROM edges e JOIN r0 r ON e.u = r.node JOIN deg d ON e.u = d.u
+      |  GROUP BY e.v),
+      |r1 AS (SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS rank FROM c1),
+      |c2 AS (
+      |  SELECT e.v AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
+      |  FROM edges e JOIN r1 r ON e.u = r.node JOIN deg d ON e.u = d.u
+      |  GROUP BY e.v),
+      |r2 AS (SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS rank FROM c2),
+      |ranked AS (
+      |  SELECT node, rank,
+      |    ROW_NUMBER() OVER (ORDER BY rank DESC, node ASC) AS rnk
+      |  FROM r2)
+      |SELECT rnk, node, rank FROM ranked WHERE rnk <= 50
+      |ORDER BY rnk""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -1253,6 +1339,7 @@ object RelationalOps {
     "q34_bloom_prefilter" -> (q34BloomPrefilter _),
     "q35_unpivot"        -> (q35Unpivot _),
     "q36_market_share"   -> (q36MarketShare _),
+    "q37_graph_rank"     -> (q37GraphRank _),
   )
 
   // --------------------------------------------------------------- q15
@@ -1311,5 +1398,6 @@ object RelationalOps {
     "q34_bloom_prefilter" -> q34BloomPrefilterSql,
     "q35_unpivot"        -> q35UnpivotSql,
     "q36_market_share"   -> q36MarketShareSql,
+    "q37_graph_rank"     -> q37GraphRankSql,
   )
 }

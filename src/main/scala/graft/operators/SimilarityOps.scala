@@ -823,6 +823,14 @@ object SimilarityOps {
       : Seq[(Long, Array[Double])] = {
     val spark = e.sparkSession
     import spark.implicits._
+    // The training is 4+iters SEPARATE driver actions over `e` — but
+    // deliberately NOT persisted: callers pass raw (vec_id, v) frames
+    // whose recompute is one vectorized parquet scan + cast, and
+    // caching an array<double> column uses the columnar cache's generic
+    // nested-type path, measured SLOWER than the re-scans it saves
+    // (s6 1.7 → 2.1 s with a cache here). Persist pays only when the
+    // recompute includes real work — refineHotCells caches its
+    // post-argmin level frames for exactly that reason.
     // L·2^60: the oversampling factor L = 2k scaled to the 60-bit coin
     val coin = 2.0 * k * math.pow(2.0, 60)
     val seed = e.select($"vec_id", $"v")
@@ -905,7 +913,22 @@ object SimilarityOps {
     val assigned = e.withColumn("cell0", argminOver($"v", cents))
       .withColumn("cell", element_at(typedLit(idx), $"cell0"))
       .select($"vec_id", $"v", $"cell")
-    def loop(cur: DataFrame, level: Int): DataFrame = {
+    // Every hot cell's sub-training is computed GROUPED — one frame-wide
+    // pass per training step keyed by cell, never a per-cell driver loop
+    // (the oracle's CTEs have the same grouped shape). A per-cell loop
+    // of kmeansCentroids calls was measured 13 s at sf0.1 where every
+    // top-level cell is hot: #cells × ~5 driver jobs plus a full
+    // corpus-assignment recompute per cell. Grouped, a level is SIX
+    // driver actions — census, seed, φ, oversample, weights, one Lloyd
+    // round — regardless of how many cells split. Per-cell constants
+    // (seed vector, φ, codebooks) are compiled into coalesce(when(cell
+    // === c, …)) branch expressions, fine for the few-hot-cells regime
+    // this operator exists for.
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val coin = 2.0 * subK * math.pow(2.0, 60)
+    def loop(cur0: DataFrame, level: Int): DataFrame = {
+      val cur = cur0.persist() // many separate-action consumers per level
+      persisted += cur
       val sizes = cur.groupBy($"cell").agg(count(lit(1)).as("n"))
       val hot = sizes.filter($"n" > maxSize)
         .select($"cell").as[Long].collect().sorted
@@ -913,32 +936,88 @@ object SimilarityOps {
       else {
         val cold = cur.join(broadcast(sizes.filter($"n" <= maxSize)
           .select($"cell")), Seq("cell"), "left_semi")
-        val refined = hot.map { c =>
-          val members = cur.filter($"cell" === c).select($"vec_id", $"v")
-          // the sub-training runs ~5 driver actions over this subset;
-          // persist for their duration (released before the lazy
-          // reassignment union, which recomputes the cheap filter once)
-          members.persist()
-          val sub =
-            try kmeansCentroids(members, k = subK, iters = 1,
-              saltSeed = s":hot$c", saltCoin = s":hotc$c")
-            finally members.unpersist(blocking = false)
-          // a degenerate sub-clustering (all mass on one centroid) can't
-          // make progress; keep the cell as-is rather than loop on it
-          val subIdx = sub.map(_._1).zipWithIndex.toMap
-          if (sub.size < 2) members.withColumn("cell", lit(c))
-          else members.withColumn("sub", argminOver($"v", sub))
-            .withColumn("cell",
-              lit((c + 1L) * SubBase) + element_at(
-                typedLit(subIdx.map { case (id, i) => id -> i.toLong }),
-                $"sub") )
-            .select($"cell", $"vec_id", $"v")
+        val hm = cur.filter($"cell".isin(hot: _*))
+        def perCell(f: Long => Column): Column =
+          coalesce(hot.map(c => when($"cell" === c, f(c))): _*)
+        // per-cell salts as column expressions: ":hot<cell>"/":hotc<cell>"
+        // — identical strings to the per-cell kmeansCentroids salts
+        val hSeed = md5Long(concat($"vec_id".cast("string"), lit(":hot"),
+          $"cell".cast("string")))
+        val hCoin = md5Long(concat($"vec_id".cast("string"), lit(":hotc"),
+          $"cell".cast("string")))
+        // seed draw: min (h, vec_id) per cell
+        val seeds: Map[Long, (Long, Array[Double])] = hm
+          .withColumn("h", hSeed)
+          .groupBy($"cell")
+          .agg(min_by(struct($"vec_id", $"v"), struct($"h", $"vec_id")).as("s"))
+          .select($"cell", $"s.vec_id", $"s.v").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2).toArray))
+          .toMap
+        val d2m = floor(lit(1000000.0) *
+          perCell(c => sqdToCol($"v", seeds(c)._2))).cast("long")
+        val phis: Map[Long, Long] = hm.withColumn("d2m", d2m)
+          .groupBy($"cell").agg(sum($"d2m").as("p"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // d²-proportional oversample, md5-coin-derandomized
+        val cands: Map[Long, Seq[(Long, Array[Double])]] = hm
+          .withColumn("d2m", d2m)
+          .filter(hCoin.cast("double") * perCell(c => lit(phis(c).toDouble))
+              < lit(coin) * $"d2m".cast("double")
+            || $"vec_id" === perCell(c => lit(seeds(c)._1)))
+          .select($"cell", $"vec_id", $"v").collect()
+          .groupBy(_.getLong(0)).map { case (c, rs) =>
+            c -> rs.map(r => r.getLong(1) -> r.getSeq[Double](2).toArray)
+              .toSeq.sortBy(_._1)
+          }
+        // candidate weights: nearest-candidate cell sizes
+        val wts: Map[Long, Map[Long, Long]] = hm
+          .withColumn("cid", perCell(c => argminOver($"v", cands(c))))
+          .groupBy($"cell", $"cid").agg(count(lit(1)).as("n"))
+          .collect().groupBy(_.getLong(0)).map { case (c, rs) =>
+            c -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+          }
+        val inits: Map[Long, Seq[(Long, Array[Double])]] = cands.map {
+          case (c, cand) =>
+            c -> cand.flatMap { case (id, cv) =>
+                wts.getOrElse(c, Map.empty).get(id).map(n => (id, cv, n)) }
+              .sortBy { case (id, _, n) => (-n, id) }
+              .take(subK).map { case (id, cv, _) => (id, cv) }.sortBy(_._1)
         }
-        loop(refined.foldLeft(cold.select($"cell", $"vec_id", $"v"))(_ unionByName _),
+        // one Lloyd round: argmin map pass + exact integer sums
+        val subs: Map[Long, Seq[(Long, Array[Double])]] = hm
+          .withColumn("cid", perCell(c => argminOver($"v", inits(c))))
+          .select($"cell", $"cid", posexplode($"v").as(Seq("d0", "dv")))
+          .groupBy($"cell", $"cid", ($"d0" + 1).as("d"))
+          .agg(sum(floor(lit(1000000.0) * $"dv").cast("long")).as("s"),
+               count(lit(1)).as("n"))
+          .collect().groupBy(_.getLong(0)).map { case (c, rs) =>
+            c -> rs.groupBy(_.getLong(1)).map { case (cid, rs2) =>
+              cid -> rs2.sortBy(_.getInt(2))
+                .map(r => r.getLong(3).toDouble /
+                  (r.getLong(4).toDouble * 1000000.0)).toArray
+            }.toSeq.sortBy(_._1)
+          }
+        // reassign to radix path codes; a degenerate sub-clustering (all
+        // mass on one centroid) can't make progress — keep the cell
+        val newCell = perCell { c =>
+          val sub = subs(c)
+          if (sub.size < 2) lit(c)
+          else {
+            val subIdx = sub.map(_._1).zipWithIndex
+              .map { case (id, i) => id -> i.toLong }.toMap
+            lit((c + 1L) * SubBase) +
+              element_at(typedLit(subIdx), argminOver($"v", sub))
+          }
+        }
+        val refined = hm.withColumn("cell", newCell)
+          .select($"cell", $"vec_id", $"v")
+        loop(cold.select($"cell", $"vec_id", $"v").unionByName(refined),
           level + 1)
       }
     }
-    loop(assigned, 0).select($"vec_id", $"cell")
+    try loop(assigned, 0).select($"vec_id", $"cell")
+      .localCheckpoint() // eager: materialized before the unpersists
+    finally persisted.foreach(_.unpersist(blocking = false))
   }
 
   // ---------------------------------------------------------------- s6
@@ -985,6 +1064,11 @@ object SimilarityOps {
     import spark.implicits._
     registerAll(spark)
     val NPROBE = 4
+    // NOT persisted: the array<double> column defeats the columnar
+    // cache (generic encoding for nested types — measured s6 1.7 s →
+    // 2.1 s WITH a cache here; the vectorized parquet re-read is
+    // cheaper than cache build + generic scans). kmeansCentroids
+    // persists internally only for its own action burst.
     val e = emb(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot($"v", $"v")))
@@ -1211,6 +1295,8 @@ object SimilarityOps {
     val SUBS = S7Subs
     val SD = S7Sd
     def microL(x: Double): Long = math.floor(x * 1000000.0).toLong
+    // NOT persisted: array columns defeat the columnar cache (s6's
+    // measured anti-lesson; s7 with a cache here was 1.4 s SLOWER)
     val e = emb(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val (cents, codes) = s7TrainCodebooks(e)

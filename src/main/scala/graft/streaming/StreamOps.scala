@@ -39,6 +39,26 @@ object StreamOps {
       .select($"w.start".as("win_start"), $"event_type", $"n_events", $"total_value")
   }
 
+  /** Streaming dual of the batch e19 hopping-window distinct-users
+    * query: stateful dedup on (window, user) chained into a windowed
+    * count — the two-stateful-operator pipeline (dedup → agg) Spark
+    * supports in append mode. The dedup state holds one entry per
+    * (window, user) and is dropped with the watermark, exactly the
+    * bounded-state shape of the batch form's first-level hash agg;
+    * the downstream count then sees each user once per window. */
+  def hoppingDistinct(events: DataFrame, windowLen: String = "2 hours",
+                      hop: String = "30 minutes",
+                      lateness: String = "10 minutes"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .select(window($"ts", windowLen, hop).as("w"), $"user_id", $"ts")
+      .dropDuplicates("w", "user_id")
+      .groupBy($"w")
+      .agg(count(lit(1)).as("n_users"))
+      .select($"w.start".as("win_start"), $"n_users")
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * count + value total, updated each micro-batch. This is the escape
     * hatch for stateful logic Spark's built-in windows can't express

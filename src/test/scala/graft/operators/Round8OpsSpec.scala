@@ -71,6 +71,18 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q37: two damped supersteps produce bounded, ordered integer ranks") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q37_graph_rank")(spark, sf).collect()
+    assert(rows.length == 50)
+    val ranks = rows.map(_.getLong(2))
+    assert(ranks.sameElements(ranks.sortBy(-_)), "not rank-descending")
+    // every node keeps at least the damping floor, exactly as the
+    // integer recurrence guarantees (150000 + a non-negative term)
+    assert(ranks.forall(_ >= 150000L))
+    assert(rows.map(_.getLong(1)).distinct.length == 50, "duplicate nodes")
+  }
+
   test("s12: pre-filter returns full K per query where post-filtering s3 cannot") {
     import spark.implicits._
     val s12 = graft.SparkEntry.queries("s12_knn_filtered")(spark, sf)

@@ -50,6 +50,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hopping distinct: dedup state chained into the windowed count") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.hoppingDistinct(input.toDF(), windowLen = "1 hour",
+        hop = "30 minutes", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("hop_distinct")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 fires twice inside one hop; user 2 once — the 00:00
+      // window must count 2 users, not 3 events
+      input.addData(
+        Ev(t("2024-01-01 00:05:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 00:20:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 00:40:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-01 06:00:00"), 9, "view", 1.0)) // close all
+      q.processAllAvailable()
+      val rows = spark.table("hop_distinct").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      // 1h window / 30m hop: events at :05/:20 (user 1) live in the
+      // 23:30 and 00:00 windows; :40 (user 2) in 00:00 and 00:30
+      assert(rows("2023-12-31 23:30:00.0") == 1L, s"got $rows")
+      assert(rows("2024-01-01 00:00:00.0") == 2L, s"got $rows")
+      assert(rows("2024-01-01 00:30:00.0") == 1L, s"got $rows")
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
