@@ -677,6 +677,47 @@ object PipelineOps {
                         "SUM(epochs * tokens) OVER (PARTITION BY lang)")} AS eff_share_permille
        |FROM e ORDER BY lang, tier""".stripMargin
 
+  // --------------------------------------------------------------- p11
+  /** Deterministic training-order shuffle: the "randomize the corpus
+    * once, write sharded" job every pretraining pipeline runs between
+    * curation and the data loader. Each document draws a 60-bit md5
+    * position key, lands in one of [[P11Shards]] shards by key modulus,
+    * and gets a dense within-shard position by (key, doc_id) — a
+    * reproducible global permutation (reshuffling an epoch = changing
+    * the salt), with no global total order ever materialized.
+    *
+    * Scale shape: the shard assignment is a map-side expression; the
+    * within-shard rank is a window per shard — shard-parallel, and each
+    * shard is corpus/[[P11Shards]] rows by hash uniformity, so no task
+    * sorts the whole corpus (production raises the shard count with the
+    * corpus; the loader reads shards in index order). The same move as
+    * p7's sharded rank, pointed at loader-order instead of mixture
+    * accounting. */
+  private val P11Shards = 8L
+
+  def p11TrainingOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+    docs(spark, dir)
+      .select($"doc_id",
+        md5Long(concat($"doc_id".cast("string"), lit(":p11"))).as("h"))
+      .withColumn("shard", pmod($"h", lit(P11Shards)))
+      .withColumn("pos", row_number().over(w))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
+  val p11TrainingOrderSql: String = {
+    val h = sqlMd5Long("CAST(doc_id AS VARCHAR) || ':p11'")
+    s"""WITH keyed AS (
+       |  SELECT doc_id, $h AS h, $h % $P11Shards AS shard FROM documents)
+       |SELECT doc_id, shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT)
+       |    AS pos
+       |FROM keyed
+       |ORDER BY shard, pos""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_prep_pipeline" -> (p1PrepPipeline _),
     "p2_hash_sample"   -> (p2HashSample _),
@@ -688,6 +729,7 @@ object PipelineOps {
     "p8_incremental_refresh" -> (p8IncrementalRefresh _),
     "p9_epoch_schedule" -> (p9EpochSchedule _),
     "p10_refresh_day2" -> (p10RefreshDay2 _),
+    "p11_training_order" -> (p11TrainingOrder _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -702,5 +744,6 @@ object PipelineOps {
     "p9_epoch_schedule" -> p9EpochScheduleSql,
     // day-2 form: result identical to p8 (corpus side materialized)
     "p10_refresh_day2" -> p8IncrementalRefreshSql,
+    "p11_training_order" -> p11TrainingOrderSql,
   )
 }
