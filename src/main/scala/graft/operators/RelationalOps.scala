@@ -1301,6 +1301,69 @@ object RelationalOps {
       |SELECT rnk, node, rank FROM ranked WHERE rnk <= 50
       |ORDER BY rnk""".stripMargin
 
+  // --------------------------------------------------------------- q38
+  /** SCD2 point-in-time dimension join: every order priced against the
+    * customer-dimension VERSION that was valid on its order date — the
+    * slowly-changing-dimension lookup every warehouse runs (the
+    * versioned dimension is derived deterministically here: three
+    * versions per customer with per-customer staggered validity starts,
+    * so both engines build the identical dimension).
+    *
+    * The naive form is a range join (`o_orderdate BETWEEN valid_from
+    * AND valid_to`) — an O(|fact|·|versions-per-key|) probe that Spark
+    * plans as BroadcastNestedLoop unless the dimension broadcasts. The
+    * scalable form used here is e5's union trick generalized to SCD:
+    * union dimension-version rows and fact rows on the entity key, one
+    * window pass ordered by (ts, kind) carrying the last version
+    * attributes forward (kind orders dim rows first at equal ts, giving
+    * inclusive valid_from), keep fact rows. ONE shuffle on the entity
+    * key, no range probing, no per-version fan-out — the shape survives
+    * a dimension with millions of versions per hot key. */
+  def q38Scd2PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = t(spark, dir, "customer")
+      .select($"c_custkey".as("k"), $"c_mktsegment",
+        explode(sequence(lit(0), lit(2))).as("ver"))
+      .select($"k", lit(0).as("kind"),
+        date_add(lit("1994-01-01").cast("date"),
+          ($"ver" * 730 + pmod($"k", lit(365))).cast("int")).cast("timestamp")
+          .as("ts"),
+        concat($"c_mktsegment", lit("#"), $"ver").as("seg_v"),
+        lit(null).cast("double").as("o_totalprice"))
+    val fact = t(spark, dir, "orders")
+      .select($"o_custkey".as("k"), lit(1).as("kind"),
+        $"o_orderdate".as("ts"),
+        lit(null).cast("string").as("seg_v"), $"o_totalprice")
+    val w = Window.partitionBy($"k").orderBy($"ts", $"kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(fact)
+      .withColumn("seg", last($"seg_v", ignoreNulls = true).over(w))
+      .filter($"kind" === 1)
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+      .orderBy($"seg")
+  }
+
+  val q38Scd2PointInTimeSql: String =
+    """WITH dim AS (
+      |  SELECT c_custkey AS k, v.ver,
+      |    CAST(DATE '1994-01-01'
+      |      + CAST(v.ver * 730 + c_custkey % 365 AS INT) * INTERVAL '1 day'
+      |      AS TIMESTAMP) AS valid_from,
+      |    c_mktsegment || '#' || CAST(v.ver AS VARCHAR) AS seg_v
+      |  FROM customer, UNNEST(generate_series(0, 2)) AS v(ver)),
+      |vers AS (
+      |  SELECT k, seg_v, valid_from,
+      |    COALESCE(LEAD(valid_from) OVER (PARTITION BY k ORDER BY ver),
+      |             TIMESTAMP '9999-01-01') AS valid_to
+      |  FROM dim)
+      |SELECT seg_v AS seg, COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS total
+      |FROM orders JOIN vers
+      |  ON o_custkey = k AND o_orderdate >= valid_from AND o_orderdate < valid_to
+      |GROUP BY seg
+      |ORDER BY seg""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -1340,6 +1403,7 @@ object RelationalOps {
     "q35_unpivot"        -> (q35Unpivot _),
     "q36_market_share"   -> (q36MarketShare _),
     "q37_graph_rank"     -> (q37GraphRank _),
+    "q38_scd2_pit"       -> (q38Scd2PointInTime _),
   )
 
   // --------------------------------------------------------------- q15
@@ -1399,5 +1463,6 @@ object RelationalOps {
     "q35_unpivot"        -> q35UnpivotSql,
     "q36_market_share"   -> q36MarketShareSql,
     "q37_graph_rank"     -> q37GraphRankSql,
+    "q38_scd2_pit"       -> q38Scd2PointInTimeSql,
   )
 }

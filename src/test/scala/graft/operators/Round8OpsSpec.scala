@@ -83,6 +83,22 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).distinct.length == 50, "duplicate nodes")
   }
 
+  test("q38: SCD2 lookup plans as union+window — zero join nodes, every order matched") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q38_scd2_pit")(spark, sf)
+    // the naive BETWEEN range join plans a nested-loop probe; the union
+    // form must contain NO join operator of any kind
+    val joins = physical(df).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"expected join-free union+window plan, got ${joins.map(_.nodeName)}")
+    // version validity covers every order date (v0 starts before the
+    // first order), so no fact row may be lost or double-counted
+    val matched = df.agg(sum($"n_orders")).as[Long].head()
+    val nOrders = graft.Tables(spark, sf, "orders").count()
+    assert(matched == nOrders, s"$matched matched of $nOrders orders")
+  }
+
   test("s12: pre-filter returns full K per query where post-filtering s3 cannot") {
     import spark.implicits._
     val s12 = graft.SparkEntry.queries("s12_knn_filtered")(spark, sf)
