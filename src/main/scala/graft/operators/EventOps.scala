@@ -829,6 +829,57 @@ object EventOps {
       |GROUP BY 1
       |ORDER BY win_start""".stripMargin
 
+  // --------------------------------------------------------------- e20
+  /** Sequence-pattern matching over per-user event streams — the
+    * MATCH_RECOGNIZE / funnel-regex workload: each user's events
+    * collapse to an ordered initial-letter string (c=click, v=view,
+    * p=purchase, …) and conversions are counted as non-overlapping
+    * `cv*p` matches (a click, any views, then a purchase). e10's funnel
+    * asks "did the steps happen in order at least once"; this operator
+    * counts EVERY completed pattern instance and exposes the raw
+    * sequence for downstream mining.
+    *
+    * Engine safety: the pattern uses only literals and a starred
+    * literal class — in the common subset where Java regex (Spark) and
+    * RE2 (DuckDB) provably agree; leftmost-earliest non-overlapping
+    * matching is the same rule in both. Ordering ties break on
+    * event_id, so both engines build the identical sequence string.
+    *
+    * Scale shape: one hash agg collects per-user (ts, id, initial)
+    * structs (bounded by per-user activity — the per-entity sequence is
+    * the unit of this workload by definition); the sort + join + regex
+    * run INSIDE the row via array_sort/transform — no window over the
+    * raw event stream, no second shuffle. */
+  def e20PatternMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seq0 = events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        substring($"event_type", 1, 1).as("ini"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          transform(array_sort(collect_list(struct($"us", $"event_id", $"ini"))),
+            x => x.getField("ini")), "").as("seq"))
+    seq0
+      .withColumn("n_conversions",
+        size(expr("regexp_extract_all(seq, 'cv*p', 0)")).cast("long"))
+      .select($"user_id", $"n_events", $"seq", $"n_conversions",
+        ($"n_conversions" > 0).as("converted"))
+      .orderBy($"user_id")
+  }
+
+  val e20PatternMatchSql: String =
+    """WITH s AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    string_agg(substr(event_type, 1, 1), ''
+      |               ORDER BY epoch_us(ts), event_id) AS seq
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events, seq,
+      |  CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT) AS n_conversions,
+      |  len(regexp_extract_all(seq, 'cv*p')) > 0 AS converted
+      |FROM s
+      |ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
@@ -850,6 +901,7 @@ object EventOps {
     "e17_gini"       -> (e17GiniActivity _),
     "e18_cms_heavy"  -> (e18CmsHeavy _),
     "e19_hopping_distinct" -> (e19HoppingDistinct _),
+    "e20_pattern_match" -> (e20PatternMatch _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -872,5 +924,6 @@ object EventOps {
     "e17_gini"       -> e17GiniActivitySql,
     "e18_cms_heavy"  -> e18CmsHeavySql,
     "e19_hopping_distinct" -> e19HoppingDistinctSql,
+    "e20_pattern_match" -> e20PatternMatchSql,
   )
 }

@@ -99,6 +99,21 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(matched == nOrders, s"$matched matched of $nOrders orders")
   }
 
+  test("e20: sequence string is complete and conversions are bounded by their letters") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("e20_pattern_match")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, seq, conv) = (r.getLong(1), r.getString(2), r.getLong(3))
+      assert(seq.length == n, "sequence must contain every event")
+      val (cs, ps) = (seq.count(_ == 'c'), seq.count(_ == 'p'))
+      assert(conv <= math.min(cs, ps),
+        s"conversions $conv exceed clicks=$cs or purchases=$ps")
+      assert(r.getBoolean(4) == (conv > 0))
+    }
+    assert(rows.exists(_.getLong(3) > 0), "no conversions anywhere — vacuous")
+  }
+
   test("s12: pre-filter returns full K per query where post-filtering s3 cannot") {
     import spark.implicits._
     val s12 = graft.SparkEntry.queries("s12_knn_filtered")(spark, sf)
