@@ -1233,48 +1233,64 @@ object RelationalOps {
     * never hash-matches across engines). Headroom: Σ ≤ in-degree·10⁶,
     * so 85·Σ overflows BIGINT only past ~10¹¹ in-degree.
     *
-    * Scale shape: the edge list is the big invariant — persisted once,
-    * reused every superstep (at cluster scale: bucketed by src so the
-    * per-iteration join never re-shuffles the edges; the rank vector,
-    * |V| ≪ |E|, is what re-partitions each round). The per-iteration
-    * plan is join + partial-agg; lineage stays shallow because each
-    * rank frame is small and the loop is 2 rounds (longer chains take
-    * d8's lazy-checkpoint pattern). */
-  def q37GraphRank(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape: the edge list is the big invariant — built once and
+    * saved as a BUCKETED standing table (src-bucketed), so every
+    * superstep's join plans zero exchange on the edges and only the
+    * rank vector, |V| ≪ |E|, re-partitions each round (plan-guarded;
+    * see the in-body note on why a cached repartition does NOT give
+    * this under AQE). The per-iteration plan is join + partial-agg;
+    * lineage stays shallow because each rank frame is small and the
+    * loop is 2 rounds (longer chains take d8's lazy-checkpoint
+    * pattern). */
+  def q37GraphRank(spark: SparkSession, dir: String): DataFrame =
+    q37GraphRankPlan(spark, dir, checkpoint = true)
+
+  /** `checkpoint = false` keeps the full superstep plan inspectable for
+    * the exchange-free-edges guard (t10From's pattern); the shipped
+    * query eagerly checkpoints so the edge cache can be released in the
+    * finally. */
+  private[operators] def q37GraphRankPlan(spark: SparkSession, dir: String,
+                                          checkpoint: Boolean): DataFrame = {
     import spark.implicits._
-    val ed = t(spark, dir, "orders")
-      .join(t(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
-      .select(($"o_custkey" * 2).as("u"), ($"l_suppkey" * 2 + 1).as("v"))
-      .distinct()
-    // The edge list is persisted ALREADY HASH-PARTITIONED on the join
-    // key, so each superstep's join plans zero exchange on the edges —
-    // only the (|V|-sized) rank vector shuffles per round, the same
-    // contract the day-2 bucketed standing state proves for incremental
-    // dedup. shuffle_hash on the rank side: sorting 2|E| cached rows
-    // per round for an SMJ would waste the co-location.
-    val edges = ed.unionByName(ed.select($"v".as("u"), $"u".as("v")))
-      .repartition($"u").persist()
-    try {
-      val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
-      var ranks = deg.select($"u".as("node"), lit(1000000L).as("rank"))
-      for (_ <- 1 to 2) {
-        val contrib = edges
-          .join(ranks.join(deg, $"node" === $"u").drop("u")
-                  .hint("shuffle_hash"),
-                edges("u") === col("node"))
-          .select($"v".as("node"), expr("rank div deg").as("c"))
-        ranks = contrib.groupBy($"node")
-          .agg(expr("CAST(150000 AS BIGINT) + (85 * sum(c)) div 100").as("rank"))
-      }
-      val w = Window.orderBy($"rank".desc, $"node".asc)
-      ranks.orderBy($"rank".desc, $"node".asc).limit(50)
-        .withColumn("rnk", row_number().over(w))
-        .select($"rnk", $"node", $"rank")
-        .orderBy($"rnk")
-        .localCheckpoint() // eager: materialized before the unpersist
-    } finally {
-      edges.unpersist(blocking = false)
+    // The edge list is the big loop invariant. A cached
+    // repartition($"u") does NOT make the supersteps exchange-free:
+    // under AQE the InMemoryRelation wraps an AdaptiveSparkPlan whose
+    // final partitioning is opaque to the outer planner, so
+    // ENSURE_REQUIREMENTS re-shuffles the cache anyway (the plan guard
+    // in Round8OpsSpec caught exactly that). The standing-state pattern
+    // is what actually delivers the property: the edges persist as a
+    // BUCKETED table (built on first call, like s10's saved index), and
+    // the bucketed scan's declared hashpartitioning lets each superstep
+    // join plan ZERO exchange on the edges — only the |V|-sized rank
+    // vector shuffles per round. shuffle_hash on the rank side: sorting
+    // 2|E| bucketed rows per round for an SMJ would waste co-location.
+    val edgesT = graft.sources.LayoutOps.stateTable("graft_state_q37_edges", dir)
+    if (!spark.catalog.tableExists(edgesT)) {
+      val ed = t(spark, dir, "orders")
+        .join(t(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .select(($"o_custkey" * 2).as("u"), ($"l_suppkey" * 2 + 1).as("v"))
+        .distinct()
+      graft.sources.LayoutOps.writeBucketed(
+        ed.unionByName(ed.select($"v".as("u"), $"u".as("v"))), edgesT, "u", 32)
     }
+    val edges = spark.table(edgesT)
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+    var ranks = deg.select($"u".as("node"), lit(1000000L).as("rank"))
+    for (_ <- 1 to 2) {
+      val contrib = edges
+        .join(ranks.join(deg, $"node" === $"u").drop("u")
+                .hint("shuffle_hash"),
+              edges("u") === col("node"))
+        .select($"v".as("node"), expr("rank div deg").as("c"))
+      ranks = contrib.groupBy($"node")
+        .agg(expr("CAST(150000 AS BIGINT) + (85 * sum(c)) div 100").as("rank"))
+    }
+    val w = Window.orderBy($"rank".desc, $"node".asc)
+    val out = ranks.orderBy($"rank".desc, $"node".asc).limit(50)
+      .withColumn("rnk", row_number().over(w))
+      .select($"rnk", $"node", $"rank")
+      .orderBy($"rnk")
+    if (checkpoint) out.localCheckpoint() else out
   }
 
   val q37GraphRankSql: String =

@@ -71,6 +71,23 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q37: superstep joins are shuffle-hash with the bucketed edges side exchange-free") {
+    val df = RelationalOps.q37GraphRankPlan(spark, sf, checkpoint = false)
+    val shjs = physical(df).collect { case j: ShuffledHashJoinExec => j }
+    assert(shjs.size == 2, s"expected one shuffle-hash join per superstep, got ${shjs.size}")
+    shjs.foreach { j =>
+      // the rank side's lineage ALSO reads the edges table (deg/ranks
+      // derive from it) and legitimately exchanges; the property is
+      // that the raw edges PROBE side — the bucketed scan — plans no
+      // exchange at all
+      val clean = Seq(j.left, j.right).exists(s =>
+        s.toString.contains("graft_state_q37_edges") &&
+          !s.toString.contains("Exchange"))
+      assert(clean,
+        s"no exchange-free bucketed edges side on superstep join:\n$j")
+    }
+  }
+
   test("q37: two damped supersteps produce bounded, ordered integer ranks") {
     import spark.implicits._
     val rows = graft.SparkEntry.queries("q37_graph_rank")(spark, sf).collect()
