@@ -1149,14 +1149,25 @@ object RelationalOps {
     *
     * The scale move is shrinking BOTH fact inputs before the one
     * fact-fact shuffle join: lineitem is cut to ~1/6 by the broadcast
-    * part(PROMO) semi-shape, and orders is cut to ~1/5 by broadcasting
-    * the customer⋈nation⋈region(ASIA) dimension chain onto it — so the
-    * lineitem⋈orders exchange carries only rows that can reach the
-    * output. Catalyst will not reorder joins without stats, so the
-    * declared order IS the executed order (q20's lesson). Revenue sums
-    * are exact decimals cast to double at the end; the share is one
-    * IEEE divide of those two exact doubles — hash-stable on both
-    * engines. */
+    * part(PROMO) semi-shape, and orders is cut to ~1/5 by a LEFT SEMI
+    * join against the customer⋈nation⋈region(ASIA) dimension chain —
+    * so the lineitem⋈orders exchange carries only rows that can reach
+    * the output. The semi side and the supplier→nation map both grow
+    * linearly with the corpus, so neither carries a broadcast hint:
+    * AQE is free to broadcast them at small SF, and at 100× they
+    * degrade to shuffle joins instead of failing outright (a forced
+    * broadcast of a corpus-proportional side is a plan that STOPS
+    * WORKING at scale, not a slow one). The supplier join is further
+    * deferred until after a (yr, l_suppkey) partial aggregate, so the
+    * frame meeting supplier is at most |years|·|suppliers| rows — the
+    * exact-decimal partial sums re-aggregate exactly, so the two-level
+    * sum is a pure plan optimization. Only provably-constant sides
+    * (nation, region, the 1/6 PROMO part slice) keep explicit
+    * broadcast hints. Catalyst will not reorder joins without stats,
+    * so the declared order IS the executed order (q20's lesson).
+    * Revenue sums are exact decimals cast to double at the end; the
+    * share is one IEEE divide of those two exact doubles —
+    * hash-stable on both engines. */
   def q36MarketShare(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val asiaCust = t(spark, dir, "customer")
@@ -1167,23 +1178,26 @@ object RelationalOps {
             $"n_regionkey" === $"r_regionkey")
       .select($"c_custkey")
     val asiaOrders = t(spark, dir, "orders")
-      .join(broadcast(asiaCust), $"o_custkey" === $"c_custkey")
+      .join(asiaCust, $"o_custkey" === $"c_custkey", "left_semi")
       .select($"o_orderkey", year($"o_orderdate").cast("int").as("yr"))
     val suppNation = t(spark, dir, "supplier")
       .join(broadcast(t(spark, dir, "nation")),
             $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey", $"n_name".as("supp_nation"))
     val vol = money($"l_extendedprice") * oneMinus($"l_discount")
-    t(spark, dir, "lineitem")
+    val perSupplier = t(spark, dir, "lineitem")
       .join(broadcast(t(spark, dir, "part").filter($"p_type" === "PROMO")),
             $"l_partkey" === $"p_partkey")
-      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
       .join(asiaOrders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"yr", $"l_suppkey")
+      .agg(sum(vol).as("v"))
+    perSupplier
+      .join(suppNation, $"l_suppkey" === $"s_suppkey")
       .groupBy($"yr")
       .agg(
-        sum(vol).cast("double").as("total_rev"),
-        sum(when($"supp_nation" === "NATION_5", vol)
-          .otherwise(lit(BigDecimal(0)).cast("decimal(12,2)")))
+        sum($"v").cast("double").as("total_rev"),
+        sum(when($"supp_nation" === "NATION_5", $"v")
+          .otherwise(lit(BigDecimal(0)).cast("decimal(22,2)")))
           .cast("double").as("nation_rev"))
       .select($"yr", $"total_rev", $"nation_rev",
         ($"nation_rev" / $"total_rev").as("mkt_share"))

@@ -49,14 +49,32 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(res.filter($"n_users" > $"n_events").isEmpty)
   }
 
-  test("q36: one fact-fact shuffle join; share bounded; revenue reconciles") {
+  test("q36: one fact-fact shuffle join; no forced broadcast on linear sides") {
     import spark.implicits._
     val df = graft.SparkEntry.queries("q36_market_share")(spark, sf)
+    // broadcast HINTS may only sit on provably-constant sides (nation,
+    // region, the PROMO part slice). A hint on a customer- or
+    // supplier-derived frame forces a broadcast that grows with the
+    // corpus — a plan that fails outright at 100× — and also disables
+    // the AQE size check that would otherwise protect it.
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.nonEmpty, "constant-size dimension broadcasts should remain hinted")
+    hints.foreach { h =>
+      val cols = h.child.output.map(_.name)
+      assert(!cols.exists(c =>
+          c.startsWith("c_") || c.startsWith("s_") || c.startsWith("supp_")),
+        s"forced broadcast on a corpus-proportional side: $cols")
+    }
     val plan = physical(df)
     val shuffled = plan.collect {
       case j: SortMergeJoinExec => j
       case j: ShuffledHashJoinExec => j
     }
+    // at spec SF the un-hinted linear sides are still stats-small, so
+    // Catalyst broadcasts them on its own and the only exchange-backed
+    // join left is the lineitem⋈orders fact join
     assert(shuffled.size == 1,
       s"expected exactly one shuffle join (lineitem⋈orders), got ${shuffled.size}")
     assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 3,
