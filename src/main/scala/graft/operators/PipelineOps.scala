@@ -687,21 +687,34 @@ object PipelineOps {
     * the salt), with no global total order ever materialized.
     *
     * Scale shape: the shard assignment is a map-side expression; the
-    * within-shard rank is a window per shard — shard-parallel, and each
-    * shard is corpus/[[P11Shards]] rows by hash uniformity, so no task
-    * sorts the whole corpus (production raises the shard count with the
-    * corpus; the loader reads shards in index order). The same move as
-    * p7's sharded rank, pointed at loader-order instead of mixture
+    * within-shard rank is a window per shard — shard-parallel. The
+    * shard count is DERIVED from the corpus (one metadata-cheap
+    * parquet count, then [[p11ShardCount]]'s integer formula), so each
+    * shard's window input is capped at ~[[P11TargetShardRows]] rows no
+    * matter how large the corpus grows — at 100 TB the count rises
+    * instead of any task sorting corpus/8 rows. The oracle computes
+    * the identical formula as a scalar subquery, so both engines
+    * derive the same count from the same table. The same move as p7's
+    * sharded rank, pointed at loader-order instead of mixture
     * accounting. */
-  private val P11Shards = 8L
+  private[operators] val P11TargetShardRows = 25000L
 
-  def p11TrainingOrder(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** ceil(nDocs / target) with an 8-shard floor — pure integer
+    * arithmetic so Spark and the SQL oracle agree exactly. */
+  private[operators] def p11ShardCount(nDocs: Long): Long =
+    math.max(8L, (nDocs + P11TargetShardRows - 1) / P11TargetShardRows)
+
+  def p11TrainingOrder(spark: SparkSession, dir: String): DataFrame =
+    p11TrainingOrderFrom(docs(spark, dir),
+      p11ShardCount(docs(spark, dir).count()))
+
+  private[operators] def p11TrainingOrderFrom(
+      d: DataFrame, shards: Long): DataFrame = {
+    import d.sparkSession.implicits._
     val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
-    docs(spark, dir)
-      .select($"doc_id",
+    d.select($"doc_id",
         md5Long(concat($"doc_id".cast("string"), lit(":p11"))).as("h"))
-      .withColumn("shard", pmod($"h", lit(P11Shards)))
+      .withColumn("shard", pmod($"h", lit(shards)))
       .withColumn("pos", row_number().over(w))
       .select($"doc_id", $"shard", $"pos")
       .orderBy($"shard", $"pos")
@@ -709,8 +722,15 @@ object PipelineOps {
 
   val p11TrainingOrderSql: String = {
     val h = sqlMd5Long("CAST(doc_id AS VARCHAR) || ':p11'")
-    s"""WITH keyed AS (
-       |  SELECT doc_id, $h AS h, $h % $P11Shards AS shard FROM documents)
+    val t = P11TargetShardRows
+    s"""WITH n AS (
+       |  SELECT GREATEST(8, CAST(FLOOR((COUNT(*) + ${t - 1}.0) / $t.0)
+       |                          AS BIGINT)) AS shards
+       |  FROM documents),
+       |keyed AS (
+       |  SELECT doc_id, $h AS h,
+       |    $h % (SELECT shards FROM n) AS shard
+       |  FROM documents)
        |SELECT doc_id, shard,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT)
        |    AS pos
