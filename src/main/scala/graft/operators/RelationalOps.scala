@@ -1263,6 +1263,25 @@ object RelationalOps {
     * the exchange-free-edges guard (t10From's pattern); the shipped
     * query eagerly checkpoints so the edge cache can be released in the
     * finally. */
+  /** The customer–supplier purchase graph's symmetric edge list as a
+    * BUCKETED standing table (built once per warehouse, src-bucketed),
+    * shared by every graph query: the bucketed scan's declared
+    * hashpartitioning is what lets each superstep join plan zero
+    * exchange on the |E|-sized side. */
+  private[operators] def graphEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edgesT = graft.sources.LayoutOps.stateTable("graft_state_q37_edges", dir)
+    if (!spark.catalog.tableExists(edgesT)) {
+      val ed = t(spark, dir, "orders")
+        .join(t(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .select(($"o_custkey" * 2).as("u"), ($"l_suppkey" * 2 + 1).as("v"))
+        .distinct()
+      graft.sources.LayoutOps.writeBucketed(
+        ed.unionByName(ed.select($"v".as("u"), $"u".as("v"))), edgesT, "u", 32)
+    }
+    spark.table(edgesT)
+  }
+
   private[operators] def q37GraphRankPlan(spark: SparkSession, dir: String,
                                           checkpoint: Boolean): DataFrame = {
     import spark.implicits._
@@ -1278,16 +1297,7 @@ object RelationalOps {
     // join plan ZERO exchange on the edges — only the |V|-sized rank
     // vector shuffles per round. shuffle_hash on the rank side: sorting
     // 2|E| bucketed rows per round for an SMJ would waste co-location.
-    val edgesT = graft.sources.LayoutOps.stateTable("graft_state_q37_edges", dir)
-    if (!spark.catalog.tableExists(edgesT)) {
-      val ed = t(spark, dir, "orders")
-        .join(t(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
-        .select(($"o_custkey" * 2).as("u"), ($"l_suppkey" * 2 + 1).as("v"))
-        .distinct()
-      graft.sources.LayoutOps.writeBucketed(
-        ed.unionByName(ed.select($"v".as("u"), $"u".as("v"))), edgesT, "u", 32)
-    }
-    val edges = spark.table(edgesT)
+    val edges = graphEdges(spark, dir)
     val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
     var ranks = deg.select($"u".as("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to 2) {
@@ -1394,6 +1404,137 @@ object RelationalOps {
       |GROUP BY seg
       |ORDER BY seg""".stripMargin
 
+  // --------------------------------------------------------------- q39
+  /** Convergence-driven graph rank: q37's superstep iterated to the
+    * EXACT integer fix-point instead of a pinned round count — the
+    * shape every real ranking/propagation job has (run until the
+    * vector stops moving), and the query that actually exercises the
+    * long-chain lineage/checkpoint story q37's 2 rounds only assert.
+    *
+    * Determinism across engines without a pinned round count: the
+    * recurrence `rank' = 500 + Σ(rank div deg) div 2` is a
+    * deterministic map, so once any round r satisfies
+    * vec(r) == vec(r-1), every later round is identical — the oracle
+    * can therefore unroll a fixed [[Q39MaxRounds]] supersteps and
+    * output the LAST one, while Spark early-exits at the first
+    * unchanged round; both describe the same vector. The α=1/2
+    * damping (vs q37's 0.85) halves the residual per round, so the
+    * 1000-unit integer lattice reaches its exact fix-point in
+    * ~log₂(Δ₀) ≈ 14 rounds. The reported `rounds` column is the first
+    * fix-point round on both sides (Spark: loop exit; oracle: MIN r
+    * with zero changed nodes).
+    *
+    * Scale shape: the per-round plan is q37's — bucketed standing
+    * edges probe with ZERO exchange, only the |V|-sized rank vector
+    * shuffles. The loop is d8's storage discipline: each round's
+    * vector is LAZILY checkpointed and materialized by the same
+    * change-count action that tests convergence (one job per round),
+    * then the superseded round's blocks are released immediately — at
+    * any instant storage holds ONE rank vector, not O(rounds)
+    * copies. */
+  private[operators] val Q39MaxRounds = 24
+
+  /** One superstep: rank mass flows along the bucketed edges, lands
+    * aggregated by destination. Factored out so the plan guard can
+    * inspect a single round's physical plan. */
+  private[operators] def q39Superstep(edges: DataFrame, deg: DataFrame,
+                                      ranks: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    edges
+      .join(ranks.join(deg, Seq("node")).hint("shuffle_hash"),
+            edges("u") === col("node"))
+      .select($"v".as("node"), expr("rank div deg").as("c"))
+      .groupBy($"node")
+      .agg(expr("CAST(500 AS BIGINT) + sum(c) div 2").as("rank"))
+  }
+
+  def q39GraphRankConverged(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = graphEdges(spark, dir)
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+      .select($"u".as("node"), $"deg")
+      .localCheckpoint()   // |V|-sized loop invariant, reused every round
+    var ranks = deg.select($"node", lit(1000L).as("rank"))
+      .localCheckpoint(eager = false)
+    var rounds = 0
+    var converged = false
+    try {
+      while (!converged && rounds < Q39MaxRounds) {
+        val next = q39Superstep(edges, deg, ranks)
+          .localCheckpoint(eager = false)
+        // ONE action per round: the change-count join materializes the
+        // lazy checkpoint AND measures convergence. If it dies, next's
+        // partial blocks are unreachable from `ranks` — release first.
+        val changed = try {
+          next.join(ranks.select($"node", $"rank".as("prev")), Seq("node"))
+            .filter($"rank" =!= $"prev").count()
+        } catch {
+          case t: Throwable => DedupOps.unpersistCheckpointed(next); throw t
+        }
+        converged = changed == 0
+        rounds += 1
+        DedupOps.unpersistCheckpointed(ranks)
+        ranks = next
+      }
+      // not converged by the cap is still well-defined output (the
+      // oracle describes exactly vec(Q39MaxRounds)) — never a throw
+      val w = Window.orderBy($"rank".desc, $"node".asc)
+      ranks.orderBy($"rank".desc, $"node".asc).limit(50)
+        .withColumn("rnk", row_number().over(w))
+        .select($"rnk", $"node", $"rank",
+          lit(rounds).cast("int").as("rounds"))
+        .orderBy($"rnk")
+        .localCheckpoint()   // eager: backs the result past the finally
+    } finally {
+      DedupOps.unpersistCheckpointed(ranks)
+      DedupOps.unpersistCheckpointed(deg)
+    }
+  }
+
+  val q39GraphRankConvergedSql: String = {
+    val M = Q39MaxRounds
+    // every r$r is referenced 3× (next step + two change checks):
+    // MATERIALIZED stops DuckDB's CTE inlining from recomputing the
+    // whole prefix per reference (exponential blowup over 24 rounds)
+    val steps = (1 to M).map { r =>
+      s"""c$r AS (
+         |  SELECT e.v AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
+         |  FROM edges e JOIN r${r - 1} r ON e.u = r.node JOIN deg d ON e.u = d.u
+         |  GROUP BY e.v),
+         |r$r AS MATERIALIZED (
+         |  SELECT node, CAST(500 + s // 2 AS BIGINT) AS rank FROM c$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    val chgs = (1 to M).map { r =>
+      s"""chg$r AS (
+         |  SELECT $r AS r, COUNT(*) AS n
+         |  FROM r$r a JOIN r${r - 1} b ON a.node = b.node
+         |  WHERE a.rank <> b.rank)""".stripMargin
+    }.mkString(",\n")
+    val chgUnion = (1 to M).map(r => s"SELECT r, n FROM chg$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ed0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT u, v FROM ed0 UNION ALL SELECT v AS u, u AS v FROM ed0),
+       |deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+       |r0 AS (SELECT u AS node, CAST(1000 AS BIGINT) AS rank FROM deg),
+       |$steps,
+       |$chgs,
+       |fixp AS (
+       |  SELECT COALESCE(MIN(r), $M) AS rounds
+       |  FROM ($chgUnion) WHERE n = 0),
+       |ranked AS (
+       |  SELECT node, rank,
+       |    ROW_NUMBER() OVER (ORDER BY rank DESC, node ASC) AS rnk
+       |  FROM r$M)
+       |SELECT rnk, node, rank,
+       |  CAST((SELECT rounds FROM fixp) AS INT) AS rounds
+       |FROM ranked WHERE rnk <= 50
+       |ORDER BY rnk""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
@@ -1434,6 +1575,7 @@ object RelationalOps {
     "q36_market_share"   -> (q36MarketShare _),
     "q37_graph_rank"     -> (q37GraphRank _),
     "q38_scd2_pit"       -> (q38Scd2PointInTime _),
+    "q39_graph_converge" -> (q39GraphRankConverged _),
   )
 
   // --------------------------------------------------------------- q15
@@ -1494,5 +1636,6 @@ object RelationalOps {
     "q36_market_share"   -> q36MarketShareSql,
     "q37_graph_rank"     -> q37GraphRankSql,
     "q38_scd2_pit"       -> q38Scd2PointInTimeSql,
+    "q39_graph_converge" -> q39GraphRankConvergedSql,
   )
 }

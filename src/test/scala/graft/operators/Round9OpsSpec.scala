@@ -2,12 +2,21 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-9 operator specs: corpus-derived shard counts (p11),
-  * convergence-driven graph rank, hot-entity caps. */
+  * convergence-driven graph rank (q39), hot-entity caps. */
 class Round9OpsSpec extends AnyFunSuite {
   import graft.SharedSpark._
+
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
 
   test("p11: shard count is derived from the corpus and floors at 8") {
     // below the floor: any corpus under 8 target-shards stays at 8
@@ -38,5 +47,57 @@ class Round9OpsSpec extends AnyFunSuite {
       s"16 shards should bound the window input below 4 shards ($max16 >= $max4)")
     // hash uniformity keeps the largest shard near corpus/shards
     assert(max16 < 2 * (2000 / 16))
+  }
+
+  test("q39: loop reaches an exact integer fix-point within the cap") {
+    import spark.implicits._
+    val res = graft.SparkEntry.queries("q39_graph_converge")(spark, sf).collect()
+    assert(res.length == 50)
+    val rounds = res.map(_.getInt(3)).distinct
+    assert(rounds.length == 1, "rounds must be a constant column")
+    assert(rounds.head < RelationalOps.Q39MaxRounds,
+      s"hit the round cap (${rounds.head}) — convergence never exercised")
+    assert(res.forall(_.getLong(2) >= 500L), "damping floor violated")
+    // independent fix-point proof: re-run the superstep chain and show
+    // one FURTHER superstep leaves the full vector bit-identical
+    val edges = RelationalOps.graphEdges(spark, sf)
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+      .select($"u".as("node"), $"deg")
+    var ranks = deg.select($"node", lit(1000L).as("rank"))
+    for (_ <- 1 to rounds.head)
+      ranks = RelationalOps.q39Superstep(edges, deg, ranks).localCheckpoint()
+    val again = RelationalOps.q39Superstep(edges, deg, ranks)
+    val moved = again
+      .join(ranks.withColumnRenamed("rank", "prev"), Seq("node"))
+      .filter($"rank" =!= $"prev")
+    assert(moved.isEmpty, "vector still moving past the reported fix-point")
+  }
+
+  test("q39: superstep probes the bucketed edges exchange-free") {
+    import spark.implicits._
+    val edges = RelationalOps.graphEdges(spark, sf)
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+      .select($"u".as("node"), $"deg")
+    val step = RelationalOps.q39Superstep(
+      edges, deg, deg.select($"node", lit(1000L).as("rank")))
+    val shjs = physical(step).collect { case j: ShuffledHashJoinExec => j }
+    assert(shjs.size == 1, s"expected one shuffle-hash join, got ${shjs.size}")
+    val clean = shjs.forall(j => Seq(j.left, j.right).exists(s =>
+      s.toString.contains("graft_state_q37_edges") &&
+        !s.toString.contains("Exchange")))
+    assert(clean, "edges probe side plans an exchange — bucketing lost")
+  }
+
+  test("q39: per-round checkpoints are released (no storage leak)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    graft.SparkEntry.queries("q39_graph_converge")(spark, sf)
+      .write.mode("overwrite").format("noop").save()
+    val leaked = (sc.getPersistentRDDs.keySet -- before).toSeq.sorted
+    // ONE retained block allowed: the eager checkpoint backing the
+    // returned frame; every round's vector and deg must be gone.
+    assert(leaked.size <= 1, s"leaked persistent RDDs: $leaked")
+    leaked.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
   }
 }
