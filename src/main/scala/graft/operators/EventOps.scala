@@ -845,18 +845,37 @@ object EventOps {
     * matching is the same rule in both. Ordering ties break on
     * event_id, so both engines build the identical sequence string.
     *
-    * Scale shape: one hash agg collects per-user (ts, id, initial)
-    * structs (bounded by per-user activity — the per-entity sequence is
-    * the unit of this workload by definition); the sort + join + regex
-    * run INSIDE the row via array_sort/transform — no window over the
-    * raw event stream, no second shuffle. */
-  def e20PatternMatch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val seq0 = events(spark, dir)
+    * Scale shape: ONE shuffle on user_id serves both the window pass
+    * and the collect — the groupBy's required hashpartitioning is
+    * already satisfied by the window's, so Catalyst plans no second
+    * exchange. The HOT-ENTITY CAP is the load-bearing piece: a bot
+    * user with 10⁸ events would otherwise accumulate a 10⁸-element
+    * collect_list buffer, and aggregation buffers do NOT spill — the
+    * row OOMs the executor. The row_number pre-filter keeps only the
+    * EARLIEST [[E20MaxEventsPerUser]] events per user (by (ts,
+    * event_id)) before anything is collected: the window SORT handles
+    * the bot's volume and sorts spill gracefully, so the collected
+    * row is bounded by construction. The true event count and an
+    * `overflow` flag survive the cut (d11's df-cap discipline — cap
+    * plus an honest flag, never a silent truncation). The sort +
+    * regex still run INSIDE the row over the ≤cap structs. */
+  private[operators] val E20MaxEventsPerUser = 1000L
+
+  def e20PatternMatch(spark: SparkSession, dir: String): DataFrame =
+    e20PatternMatchFrom(events(spark, dir), E20MaxEventsPerUser)
+
+  private[operators] def e20PatternMatchFrom(ev: DataFrame, cap: Long): DataFrame = {
+    import ev.sparkSession.implicits._
+    val byTime = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val perUser = Window.partitionBy($"user_id")
+    val seq0 = ev
       .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
         substring($"event_type", 1, 1).as("ini"))
+      .withColumn("rn", row_number().over(byTime))
+      .withColumn("n_events", count(lit(1)).over(perUser))
+      .filter($"rn" <= cap)
       .groupBy($"user_id")
-      .agg(count(lit(1)).as("n_events"),
+      .agg(max($"n_events").as("n_events"),
         array_join(
           transform(array_sort(collect_list(struct($"us", $"event_id", $"ini"))),
             x => x.getField("ini")), "").as("seq"))
@@ -864,19 +883,26 @@ object EventOps {
       .withColumn("n_conversions",
         size(expr("regexp_extract_all(seq, 'cv*p', 0)")).cast("long"))
       .select($"user_id", $"n_events", $"seq", $"n_conversions",
-        ($"n_conversions" > 0).as("converted"))
+        ($"n_conversions" > 0).as("converted"),
+        ($"n_events" > cap).as("overflow"))
       .orderBy($"user_id")
   }
 
   val e20PatternMatchSql: String =
-    """WITH s AS (
-      |  SELECT user_id, COUNT(*) AS n_events,
-      |    string_agg(substr(event_type, 1, 1), ''
-      |               ORDER BY epoch_us(ts), event_id) AS seq
-      |  FROM events GROUP BY user_id)
+    s"""WITH r AS (
+      |  SELECT user_id, event_id, ts, substr(event_type, 1, 1) AS ini,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_us(ts), event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, MAX(n_events) AS n_events,
+      |    string_agg(ini, '' ORDER BY epoch_us(ts), event_id) AS seq
+      |  FROM r WHERE rn <= $E20MaxEventsPerUser GROUP BY user_id)
       |SELECT user_id, n_events, seq,
       |  CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT) AS n_conversions,
-      |  len(regexp_extract_all(seq, 'cv*p')) > 0 AS converted
+      |  len(regexp_extract_all(seq, 'cv*p')) > 0 AS converted,
+      |  n_events > $E20MaxEventsPerUser AS overflow
       |FROM s
       |ORDER BY user_id""".stripMargin
 

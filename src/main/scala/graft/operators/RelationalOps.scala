@@ -1358,7 +1358,16 @@ object RelationalOps {
     * attributes forward (kind orders dim rows first at equal ts, giving
     * inclusive valid_from), keep fact rows. ONE shuffle on the entity
     * key, no range probing, no per-version fan-out — the shape survives
-    * a dimension with millions of versions per hot key. */
+    * a dimension with millions of versions per hot key.
+    *
+    * Hot-entity note (e20's cap question, answered differently): a hot
+    * key here lands its rows in one window partition, but WindowExec
+    * buffers the partition in a SPILLABLE row array and the running
+    * `last(...)` frame evaluates incrementally — a 10⁸-event key
+    * degrades to a spilled sort, not an executor OOM. e20 needs an
+    * explicit cap only because collect_list accumulates an
+    * unspillable aggregation buffer; no such buffer exists in this
+    * plan, so no cap is imposed and no rows are ever dropped. */
   def q38Scd2PointInTime(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dim = t(spark, dir, "customer")

@@ -140,7 +140,9 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (n, seq, conv) = (r.getLong(1), r.getString(2), r.getLong(3))
-      assert(seq.length == n, "sequence must contain every event")
+      assert(seq.length == math.min(n, EventOps.E20MaxEventsPerUser),
+        "sequence must contain every event up to the hot-entity cap")
+      assert(r.getBoolean(5) == (n > EventOps.E20MaxEventsPerUser))
       val (cs, ps) = (seq.count(_ == 'c'), seq.count(_ == 'p'))
       assert(conv <= math.min(cs, ps),
         s"conversions $conv exceed clicks=$cs or purchases=$ps")

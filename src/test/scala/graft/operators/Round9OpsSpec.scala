@@ -49,6 +49,47 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(max16 < 2 * (2000 / 16))
   }
 
+  test("e20: planted bot user collects a capped row with an honest overflow flag") {
+    import spark.implicits._
+    // one bot with 5000 events, one normal user with 3 — the collected
+    // row for the bot must stay bounded at the cap, keep the EARLIEST
+    // events, and flag the cut instead of hiding it
+    val bot = spark.range(5000).select(
+      lit("bot").as("user_id"),
+      timestamp_micros(lit(1700000000000000L) + $"id" * 1000000L).as("ts"),
+      $"id".as("event_id"),
+      when($"id" % 3 === 0, "click").when($"id" % 3 === 1, "view")
+        .otherwise("purchase").as("event_type"))
+    val human = spark.range(3).select(
+      lit("human").as("user_id"),
+      timestamp_micros(lit(1700000000000000L) + $"id" * 1000000L).as("ts"),
+      ($"id" + 10000).as("event_id"),
+      lit("click").as("event_type"))
+    val res = EventOps.e20PatternMatchFrom(bot.unionByName(human), cap = 100)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val b = res("bot")
+    assert(b.getLong(1) == 5000, "true event count must survive the cut")
+    assert(b.getString(2).length == 100, "collected row must be capped")
+    assert(b.getBoolean(5), "overflow must be flagged")
+    // keep-earliest: the first 100 events by ts are ids 0..99, whose
+    // initials cycle c,v,p — the capped sequence is exactly that prefix
+    assert(b.getString(2) == "cvp" * 33 + "c")
+    val h = res("human")
+    assert(h.getLong(1) == 3 && h.getString(2) == "ccc" && !h.getBoolean(5))
+  }
+
+  test("e20: the window pre-filter and the collect share ONE hash exchange") {
+    val df = graft.SparkEntry.queries("e20_pattern_match")(spark, sf)
+    // the row_number cap must not buy a second shuffle: the groupBy's
+    // required hashpartitioning(user_id) is satisfied by the window's
+    val hashEx = physical(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(hashEx.size == 1,
+      s"expected one hash exchange on user_id, got ${hashEx.size}")
+  }
+
   test("q39: loop reaches an exact integer fix-point within the cap") {
     import spark.implicits._
     val res = graft.SparkEntry.queries("q39_graph_converge")(spark, sf).collect()
