@@ -1388,6 +1388,14 @@ object RelationalOps {
     dim.unionByName(fact)
       .withColumn("seg", last($"seg_v", ignoreNulls = true).over(w))
       .filter($"kind" === 1)
+      // cross-engine agreement rests on a data invariant: every order
+      // lands at or after its customer's v0 valid_from. An earlier
+      // order would form a null-seg group here while the oracle's
+      // range join silently DROPS it — fail loudly instead of
+      // diverging (coalesce short-circuits, so the error expression
+      // never evaluates while the invariant holds).
+      .withColumn("seg", coalesce($"seg", raise_error(lit(
+        "q38: order predates every dimension version — add a floor version"))))
       .groupBy($"seg")
       .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
       .orderBy($"seg")

@@ -224,20 +224,40 @@ object LayoutOps {
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
   /** Survive a stale warehouse: the metastore is per-process but the
-    * warehouse directory is not, so a fresh session can find a state
-    * table's directory on disk without any catalog entry — and
-    * saveAsTable then refuses with LOCATION_ALREADY_EXISTS instead of
-    * overwriting. State tables are content-hash-named ([[stateTable]]),
-    * so an unknown directory under the default location is always a
-    * prior run's output of the same state: clear it before writing.
-    * Call before EVERY catalog-table state write. */
+    * warehouse directory is not, so a fresh session can find a table's
+    * directory on disk without any catalog entry — and saveAsTable
+    * then refuses with LOCATION_ALREADY_EXISTS instead of overwriting.
+    * What to do with the orphan depends on what the name promises:
+    *
+    *  - `graft_state_*` tables are content-hash-named ([[stateTable]])
+    *    REBUILDABLE state — an unknown directory is always a prior
+    *    run's output of the same derivation, so it is safe to clear
+    *    and rebuild.
+    *  - Any OTHER name is caller-owned data (e.g. a streaming append
+    *    sink) whose accumulated output must NOT be wiped on a fresh
+    *    JVM: the existing location is ADOPTED — re-registered in this
+    *    session's catalog so appends keep accumulating. An empty
+    *    leftover directory (no data files) is the one non-state case
+    *    that is still cleared, since there is nothing to adopt and
+    *    registration cannot infer a schema from it.
+    *
+    * Call before EVERY catalog-table state/sink write. */
   def clearStaleLocation(spark: SparkSession, table: String): Unit =
     if (!spark.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(
         spark.sessionState.catalog.defaultTablePath(
           org.apache.spark.sql.catalyst.TableIdentifier(table)))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      if (fs.exists(loc)) {
+        val hasData = fs.listStatus(loc).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        if (table.startsWith("graft_state_") || !hasData)
+          fs.delete(loc, true)
+        else
+          spark.catalog.createTable(table, loc.toString, "parquet")
+      }
     }
 
   def writeBucketed(df: DataFrame, table: String,

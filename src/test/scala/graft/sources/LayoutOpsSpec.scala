@@ -307,4 +307,41 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(spark.table(tbl).count() == 100)
     spark.sql(s"DROP TABLE $tbl")
   }
+
+  test("non-state sink directory is ADOPTED, not wiped: prior appends survive") {
+    import spark.implicits._
+    // a caller-named append sink is accumulated output, not rebuildable
+    // state — a fresh JVM must re-register the existing location so
+    // appends continue, never delete it
+    val tbl = "adopt_sink_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    (1L to 50L).toDF("k").write.parquet(loc.toString)
+    assert(!spark.catalog.tableExists(tbl) && fs.exists(loc))
+    LayoutOps.clearStaleLocation(spark, tbl)
+    assert(spark.catalog.tableExists(tbl),
+      "existing sink output must be registered, not deleted")
+    assert(spark.table(tbl).count() == 50, "prior rows must survive")
+    (51L to 60L).toDF("k").write.mode("append").format("parquet").saveAsTable(tbl)
+    assert(spark.table(tbl).count() == 60, "appends must keep accumulating")
+    spark.sql(s"DROP TABLE $tbl")
+    fs.delete(loc, true)
+  }
+
+  test("empty non-state leftover directory is still cleared (nothing to adopt)") {
+    val tbl = "adopt_empty_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    LayoutOps.clearStaleLocation(spark, tbl)
+    assert(!fs.exists(loc), "schema-less empty dir should be cleared")
+    assert(!spark.catalog.tableExists(tbl))
+  }
 }
