@@ -1465,16 +1465,29 @@ object SimilarityOps {
   def s10KnnServe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     registerAll(spark)
-    val NPROBE = 4
+    s10EnsureIndex(spark, dir)
+    val qs: Seq[(Long, Array[Double])] = emb(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter($"vec_id" < NQUERIES)
+      .collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    s10ServeFrom(spark, dir, qs)
+  }
+
+  /** Build s10's persisted index if this warehouse has none yet:
+    * train, encode, write codebooks + cell-partitioned codes. The one
+    * and only place k-means runs on this path — serving (batch or
+    * streaming) never trains. */
+  private[graft] def s10EnsureIndex(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    registerAll(spark)
     val SUBS = S7Subs
     val SD = S7Sd
-    def microL(x: Double): Long = math.floor(x * 1000000.0).toLong
     val centT = graft.sources.LayoutOps.stateTable("graft_state_s7_cent", dir)
     val pqT = graft.sources.LayoutOps.stateTable("graft_state_s7_pq", dir)
     val codesT = graft.sources.LayoutOps.stateTable("graft_state_s7_codes", dir)
     val e = emb(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    // ---- build (day 1, first call only): train, encode, persist
     if (!spark.catalog.tableExists(codesT)) {
       Seq(centT, pqT, codesT)
         .foreach(graft.sources.LayoutOps.clearStaleLocation(spark, _))
@@ -1492,7 +1505,30 @@ object SimilarityOps {
         .write.mode("overwrite").format("parquet").partitionBy("cell")
         .saveAsTable(codesT)
     }
-    // ---- serve (every call): compile the SAVED index, scan probed cells
+  }
+
+  /** Serve an arbitrary query set against s10's SAVED index: compile
+    * the per-query probe list + ADC lookup table from the persisted
+    * codebooks (driver-side, query-count-sized), then one
+    * partition-pruned scan of the probed cells. Shared by the batch
+    * query (s10) and the streaming server ([[graft.streaming.StreamOps
+    * .streamingAnnServe]]), which calls it once per micro-batch — the
+    * queries are the small side of serving by definition, so
+    * collecting a micro-batch of them to the driver is the
+    * metadata-sized move, not a data-sized one. */
+  private[graft] def s10ServeFrom(spark: SparkSession, dir: String,
+      qs: Seq[(Long, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    val NPROBE = 4
+    val SUBS = S7Subs
+    val SD = S7Sd
+    def microL(x: Double): Long = math.floor(x * 1000000.0).toLong
+    val centT = graft.sources.LayoutOps.stateTable("graft_state_s7_cent", dir)
+    val pqT = graft.sources.LayoutOps.stateTable("graft_state_s7_pq", dir)
+    val codesT = graft.sources.LayoutOps.stateTable("graft_state_s7_codes", dir)
+    if (qs.isEmpty)
+      return spark.range(0).select($"id".as("qid"), $"id".as("nid"),
+        $"id".cast("int").as("rnk"), $"id".as("adc_micro"))
     val cents: Seq[(Long, Array[Double])] = spark.table(centT).collect().toSeq
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
     val codes: Map[Int, Seq[(Long, Array[Double])]] =
@@ -1501,9 +1537,6 @@ object SimilarityOps {
           m -> rs.map(r => r.getLong(1) -> r.getSeq[Double](2).toArray)
             .sortBy(_._1)
         }
-    val qs: Seq[(Long, Array[Double])] = e.filter($"vec_id" < NQUERIES)
-      .select($"vec_id", $"v").collect().toSeq
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
     val probesOf: Map[Long, Seq[Long]] = qs.flatMap { case (qid, qv) =>
       cents.map { case (cid, c) => (sqdArr(qv, c), cid) }
         .sortBy { case (d2, cid) => (d2, cid) }

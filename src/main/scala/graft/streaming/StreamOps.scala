@@ -337,4 +337,33 @@ object StreamOps {
         graft.sources.LayoutOps.clearStaleLocation(sp, sinkTable)
         matches.write.mode("append").format("parquet").saveAsTable(sinkTable)
       }
+
+  /** Streaming ANN SERVING — the online half of s10's build/serve
+    * split: query vectors arrive as a stream, and every micro-batch is
+    * answered against the PERSISTED index (cell-partitioned code
+    * lists + saved codebooks) with top-K per query appended to
+    * `sinkTable`. The index must already exist
+    * ([[graft.operators.SimilarityOps.s10EnsureIndex]] — day-1 build);
+    * the per-batch work is exactly s10's serve step: read the
+    * codebooks ONCE per batch (driver-cached, metadata-sized), compile
+    * the batch's probe lists + ADC lookup literals, one
+    * partition-pruned scan of the probed cells. ZERO k-means jobs per
+    * batch — training never appears in this lineage, which is what
+    * makes per-arrival latency proportional to nprobe·cell size, not
+    * corpus size. Schema in: (vec_id LONG, v ARRAY<DOUBLE>); out:
+    * (qid, nid, rnk, adc_micro). */
+  def streamingAnnServe(queryStream: DataFrame, dir: String,
+                        sinkTable: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        val qs = batch.select("vec_id", "v").collect().toSeq
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+        if (qs.nonEmpty) {
+          val res = graft.operators.SimilarityOps.s10ServeFrom(sp, dir, qs)
+          graft.sources.LayoutOps.clearStaleLocation(sp, sinkTable)
+          res.write.mode("append").format("parquet").saveAsTable(sinkTable)
+        }
+      }
 }

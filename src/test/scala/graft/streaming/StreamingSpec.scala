@@ -355,6 +355,44 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("streaming ANN serving: two micro-batches match batch s10 on the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val sf = SharedSpark.sf
+    // day 1: build the persisted index once (the only place k-means runs)
+    graft.operators.SimilarityOps.s10EnsureIndex(spark, sf)
+    // the batch query set, split into two "arriving" micro-batches
+    val qs = graft.Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter($"vec_id" < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    assert(qs.size == 10)
+    val (half1, half2) = qs.splitAt(5)
+    spark.sql("DROP TABLE IF EXISTS stream_ann_sink")
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.streamingAnnServe(
+      input.toDF().toDF("vec_id", "v"), sf, "stream_ann_sink").start()
+    // zero k-means per batch: the serve path only READS the persisted
+    // index — the codebook table must be untouched after both batches
+    val centT = graft.sources.LayoutOps.stateTable("graft_state_s7_cent", sf)
+    val centBefore = spark.table(centT).collect().toSet
+    try {
+      input.addData(half1: _*)
+      q.processAllAvailable()
+      input.addData(half2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table(centT).collect().toSet == centBefore,
+      "serving must never retrain/rewrite the index")
+    val got = spark.table("stream_ann_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = graft.SparkEntry.queries("s10_knn_serve")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want,
+      s"streamed top-K (${got.size}) != batch s10 (${want.size}): " +
+        s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("file-source streaming over the real events parquet matches batch") {
     import org.apache.spark.sql.functions._
     val sf = graft.SharedSpark.sf
