@@ -738,6 +738,230 @@ object PipelineOps {
        |ORDER BY shard, pos""".stripMargin
   }
 
+  // --------------------------------------------------------------- p12
+  /** The WHOLE corpus-prep pipeline as one funnel: quality gate →
+    * exact dedup → near dedup → benchmark decontamination → mixture
+    * sampling → sequence packing → training-order sharding, reported
+    * as one stage-by-stage (n_docs, n_tokens) table — the nightly
+    * job's one-page answer to "where did my tokens go". Each stage is
+    * the batch dual of an operator shipped standalone (t3's gate, d1/
+    * d7's dedups — the derivations d16/d17 keep as standing state —
+    * t11's shingle decontamination, p6's temperature mixture, p4's
+    * packing, p11's shard layout), composed without driver-side glue.
+    *
+    * Scale shape: document text NEVER rides a shuffle (plan-guarded).
+    * One text-bearing scan computes every per-doc feature map-side
+    * (token/stopword counts, exact + normalized md5 signatures); the
+    * persisted narrow frame (ids, counts, 32-byte sigs) is what the
+    * dedup hash-aggs, the anti-join and the stage counts shuffle. The
+    * decontamination side runs t11's shape: shingle hashes (60-bit
+    * longs, not text) explode map-side and semi-join the broadcast
+    * bench set. Mixture weights are p6's integer fixed-point over a
+    * |langs|-row frame; the accept coin is a pure doc_id hash, so the
+    * sampled subset is reproducible on any engine. Packing windows
+    * are (lang, shard)-bounded (p4), and the final stage reports
+    * p11's corpus-derived shard count without materializing the
+    * permutation. */
+  def p12CorpusFunnel(spark: SparkSession, dir: String): DataFrame =
+    p12CorpusFunnelPlan(spark, dir, checkpoint = true)
+
+  /** `checkpoint = false` keeps the full funnel plan inspectable for
+    * the text-never-rides-a-shuffle guard (q37Plan's pattern); the
+    * shipped query eagerly checkpoints the 8-row result so the finally
+    * can release the narrow caches. */
+  private[operators] def p12CorpusFunnelPlan(spark: SparkSession, dir: String,
+                                             checkpoint: Boolean): DataFrame = {
+    import spark.implicits._
+    graft.functions.NgramHash60.register(spark)
+    val BUDGET = 1000.0
+    val toks = tokens($"text")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, tk => tk.isInCollection(TextOps.stopwords)))
+    val feat = docs(spark, dir)
+      .filter($"source" =!= "src0")
+      .select($"doc_id", $"lang", $"n_chars",
+        nTok.as("n_tokens"), permille(nStop, nTok).as("stop_milli"),
+        md5($"text".cast("binary")).as("sig"),
+        md5(concat_ws(" ", array_sort(array_distinct(toks)))
+          .cast("binary")).as("nsig"))
+      .persist()   // narrow: the ONE text scan feeds every stage once
+    val sh = docs(spark, dir)
+      .select($"doc_id", $"source", explode(expr("ngram_hashes(text, 8)")).as("h"))
+    val benchSet = sh.filter($"source" === "src0").select($"h").distinct()
+    val contamIds = sh.filter($"source" =!= "src0")
+      .join(broadcast(benchSet), Seq("h"), "left_semi")
+      .select($"doc_id").distinct()
+    var s5Cache: DataFrame = null
+    var s6Cache: DataFrame = null
+    try {
+      val s2 = feat.filter(
+        $"n_tokens" >= 20 && $"stop_milli" <= 150 && $"stop_milli" >= 10)
+      val s3 = s2.groupBy($"sig")
+        .agg(min_by(struct($"doc_id", $"lang", $"n_chars", $"n_tokens", $"nsig"),
+          $"doc_id").as("r"))
+        .select($"r.*")
+      val s4 = s3.groupBy($"nsig")
+        .agg(max_by(struct($"doc_id", $"lang", $"n_chars", $"n_tokens"),
+          struct($"n_chars", $"doc_id" * -1)).as("r"))
+        .select($"r.*")
+      val s5 = s4.join(contamIds, Seq("doc_id"), "left_anti")
+        .persist()   // feeds the mixture counts AND the coin filter
+      s5Cache = s5
+      // p6's temperature mixture computed over the SURVIVORS (the set a
+      // sampler would actually draw from), realized by a doc_id coin
+      val all = Window.partitionBy(lit(1))
+      val mix = s5.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+        .withColumn("wm",
+          floor(lit(1000000.0) * sqrt($"n_l".cast("double"))).cast("long"))
+        .withColumn("wt", sum($"wm").over(all))
+        .withColumn("accept_micro",
+          least(lit(1000000L),
+            micro(lit(BUDGET) * ($"wm".cast("double") / $"wt".cast("double"))
+              / $"n_l")))
+        .select($"lang", $"accept_micro")
+      val s6 = s5.join(broadcast(mix), Seq("lang"))
+        .filter(pmod(md5Long(concat($"doc_id".cast("string"), lit(":p12mix"))),
+          lit(1000000L)) < $"accept_micro")
+        .persist()   // feeds packing, the shard row and its own count
+      s6Cache = s6
+      val wPack = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val packed = s6
+        .select($"lang", $"doc_id", $"n_tokens",
+          pmod(md5Long($"doc_id".cast("string")), lit(4L)).as("shard"))
+        .withColumn("cum_before", coalesce(sum($"n_tokens").over(wPack), lit(0)))
+        .withColumn("seq_id", floor($"cum_before".cast("double") / 1024).cast("long"))
+        .groupBy($"lang", $"shard", $"seq_id")
+        .agg(sum($"n_tokens".cast("long")).as("seq_tokens"))
+      def stage(no: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("t"))
+          .select(lit(no).as("stage_no"), lit(name).as("stage"),
+            $"n_docs", coalesce($"t", lit(0L)).as("n_tokens"))
+      val s7row = packed
+        .agg(count(lit(1)).as("n_docs"), sum($"seq_tokens").as("t"))
+        .select(lit(7).as("stage_no"), lit("packed").as("stage"),
+          $"n_docs", coalesce($"t", lit(0L)).as("n_tokens"))
+      // p11's integer shard formula, in-plan so no driver-side count
+      val s8row = s6
+        .agg(count(lit(1)).as("n"), sum($"n_tokens".cast("long")).as("t"))
+        .select(lit(8).as("stage_no"), lit("training_order").as("stage"),
+          greatest(lit(8L),
+            floor(($"n" + (P11TargetShardRows - 1)) / P11TargetShardRows)
+              .cast("long")).as("n_docs"),
+          coalesce($"t", lit(0L)).as("n_tokens"))
+      val out = stage(1, "input", feat)
+        .unionByName(stage(2, "quality", s2))
+        .unionByName(stage(3, "exact_dedup", s3))
+        .unionByName(stage(4, "near_dedup", s4))
+        .unionByName(stage(5, "decontaminated", s5))
+        .unionByName(stage(6, "mixture_sampled", s6))
+        .unionByName(s7row)
+        .unionByName(s8row)
+        .orderBy($"stage_no")
+      // 8 rows; the eager checkpoint lets the finally release the caches
+      if (checkpoint) out.localCheckpoint() else out
+    } finally {
+      feat.unpersist(blocking = false)
+      if (s5Cache != null) s5Cache.unpersist(blocking = false)
+      if (s6Cache != null) s6Cache.unpersist(blocking = false)
+    }
+  }
+
+  val p12CorpusFunnelSql: String = {
+    val shingle = (0 until 8).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT doc_id, lang, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |    ${sqlPermille(
+            s"len(list_filter(string_split(text, ' '), tk -> tk IN (${TextOps.stopwordsSql})))",
+            "len(string_split(text, ' '))")} AS stop_milli,
+       |    md5(text) AS sig,
+       |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS nsig
+       |  FROM documents WHERE source <> 'src0'),
+       |q AS MATERIALIZED (
+       |  SELECT * FROM f
+       |  WHERE n_tokens >= 20 AND stop_milli <= 150 AND stop_milli >= 10),
+       |k1 AS MATERIALIZED (
+       |  SELECT doc_id, lang, n_chars, n_tokens, nsig FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY sig ORDER BY doc_id) AS rn
+       |    FROM q)
+       |  WHERE rn = 1),
+       |k2 AS MATERIALIZED (
+       |  SELECT doc_id, lang, n_chars, n_tokens FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY nsig ORDER BY n_chars DESC, doc_id) AS rn2
+       |    FROM k1)
+       |  WHERE rn2 = 1),
+       |t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, source, ${sqlMd5Long("g")} AS h
+       |  FROM (SELECT doc_id, source,
+       |          unnest(list_distinct(list_transform(
+       |            generate_series(1, greatest(len(toks) - 7, 0)),
+       |            i -> $shingle))) AS g
+       |        FROM t)),
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM sh
+       |  WHERE source <> 'src0'
+       |    AND h IN (SELECT h FROM sh WHERE source = 'src0')),
+       |s5 AS MATERIALIZED (
+       |  SELECT * FROM k2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |mix AS (
+       |  SELECT lang,
+       |    LEAST(1000000, ${sqlMicro(
+            "1000.0 * (CAST(wm AS DOUBLE) / CAST(wt AS DOUBLE)) / n_l")}) AS accept_micro
+       |  FROM (
+       |    SELECT lang, n_l,
+       |      CAST(FLOOR(1000000.0 * sqrt(CAST(n_l AS DOUBLE))) AS BIGINT) AS wm,
+       |      SUM(CAST(FLOOR(1000000.0 * sqrt(CAST(n_l AS DOUBLE))) AS BIGINT))
+       |        OVER () AS wt
+       |    FROM (SELECT lang, COUNT(*) AS n_l FROM s5 GROUP BY lang))),
+       |s6 AS MATERIALIZED (
+       |  SELECT s5.* FROM s5 JOIN mix USING (lang)
+       |  WHERE ${sqlMd5Long("CAST(doc_id AS VARCHAR) || ':p12mix'")} % 1000000
+       |        < accept_micro),
+       |packed AS (
+       |  SELECT lang, shard,
+       |    CAST(FLOOR(cum_before / 1024.0) AS BIGINT) AS seq_id,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+       |  FROM (
+       |    SELECT lang, n_tokens,
+       |      ${sqlMd5Long("CAST(doc_id AS VARCHAR)")} % 4 AS shard,
+       |      COALESCE(SUM(n_tokens) OVER (
+       |        PARTITION BY lang, ${sqlMd5Long("CAST(doc_id AS VARCHAR)")} % 4
+       |        ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |    FROM s6)
+       |  GROUP BY 1, 2, 3)
+       |SELECT 1 AS stage_no, 'input' AS stage, COUNT(*) AS n_docs,
+       |  COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) AS n_tokens FROM f
+       |UNION ALL
+       |SELECT 2, 'quality', COUNT(*),
+       |  COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM q
+       |UNION ALL
+       |SELECT 3, 'exact_dedup', COUNT(*),
+       |  COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM k1
+       |UNION ALL
+       |SELECT 4, 'near_dedup', COUNT(*),
+       |  COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM k2
+       |UNION ALL
+       |SELECT 5, 'decontaminated', COUNT(*),
+       |  COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM s5
+       |UNION ALL
+       |SELECT 6, 'mixture_sampled', COUNT(*),
+       |  COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM s6
+       |UNION ALL
+       |SELECT 7, 'packed', COUNT(*),
+       |  COALESCE(CAST(SUM(seq_tokens) AS BIGINT), 0) FROM packed
+       |UNION ALL
+       |SELECT 8, 'training_order',
+       |  GREATEST(8, CAST(FLOOR((COUNT(*) + ${P11TargetShardRows - 1}.0)
+       |                         / $P11TargetShardRows.0) AS BIGINT)),
+       |  COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM s6
+       |ORDER BY stage_no""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_prep_pipeline" -> (p1PrepPipeline _),
     "p2_hash_sample"   -> (p2HashSample _),
@@ -750,6 +974,7 @@ object PipelineOps {
     "p9_epoch_schedule" -> (p9EpochSchedule _),
     "p10_refresh_day2" -> (p10RefreshDay2 _),
     "p11_training_order" -> (p11TrainingOrder _),
+    "p12_corpus_funnel" -> (p12CorpusFunnel _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -765,5 +990,6 @@ object PipelineOps {
     // day-2 form: result identical to p8 (corpus side materialized)
     "p10_refresh_day2" -> p8IncrementalRefreshSql,
     "p11_training_order" -> p11TrainingOrderSql,
+    "p12_corpus_funnel" -> p12CorpusFunnelSql,
   )
 }

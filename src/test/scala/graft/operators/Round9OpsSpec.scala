@@ -90,6 +90,36 @@ class Round9OpsSpec extends AnyFunSuite {
       s"expected one hash exchange on user_id, got ${hashEx.size}")
   }
 
+  test("p12: funnel is monotone, stages reconcile with standalone operators") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("p12_corpus_funnel")(spark, sf)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // doc counts shrink monotonically through the doc-level stages
+    val chain = Seq("input", "quality", "exact_dedup", "near_dedup",
+      "decontaminated", "mixture_sampled").map(rows(_)._1)
+    assert(chain.zip(chain.tail).forall { case (a, b) => b <= a },
+      s"funnel not monotone: $chain")
+    assert(chain.last > 0, "funnel emptied — vacuous")
+    // packed tokens conserve stage-6 tokens exactly (packing drops nothing)
+    assert(rows("packed")._2 == rows("mixture_sampled")._2)
+    // the shard count is p11's formula over the stage-6 survivors
+    assert(rows("training_order")._1 ==
+      PipelineOps.p11ShardCount(rows("mixture_sampled")._1))
+  }
+
+  test("p12: document text never rides a shuffle") {
+    val df = PipelineOps.p12CorpusFunnelPlan(spark, sf, checkpoint = false)
+    val exchanges = physical(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected shuffles in the funnel plan")
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"document text rides a shuffle: $cols")
+    }
+  }
+
   test("q39: loop reaches an exact integer fix-point within the cap") {
     import spark.implicits._
     val res = graft.SparkEntry.queries("q39_graph_converge")(spark, sf).collect()
