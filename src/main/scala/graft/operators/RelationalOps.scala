@@ -1421,6 +1421,53 @@ object RelationalOps {
       |GROUP BY seg
       |ORDER BY seg""".stripMargin
 
+  // --------------------------------------------------------------- q40
+  /** SCD2 lookup over a MAINTAINED dimension: q38 derives its
+    * versioned dimension inline; q40 keeps one as day-2 standing state
+    * via [[Scd2Ops]] — initial load of versions 0–1, then a MERGE
+    * batch (version 2: close current, insert new) — and prices every
+    * order against the maintained table. Output and oracle are
+    * exactly q38's: the maintenance path must be invisible in the
+    * result (Round9OpsSpec additionally proves the maintained table
+    * equals a from-scratch rebuild, bit for bit).
+    *
+    * Scale shape: the dimension persists BUCKETED on the entity key,
+    * so the fact lookup join plans no exchange on the dimension side —
+    * only orders shuffles (plan-guarded). Per-key fan-out is the
+    * version count (3) and collapses in the same stage's filter, so
+    * the join output never materializes the fan-out. The per-day
+    * maintenance cost is one CoW rewrite of the dimension — the small
+    * table by definition — never a fact-side job. */
+  private[operators] def q40DimVersions(spark: SparkSession, dir: String,
+                                        vers: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "customer")
+      .select($"c_custkey".as("k"), $"c_mktsegment",
+        explode(array(vers.map(lit(_)): _*)).as("ver"))
+      .select($"k",
+        concat($"c_mktsegment", lit("#"), $"ver").as("seg_v"),
+        date_add(lit("1994-01-01").cast("date"),
+          ($"ver" * 730 + pmod($"k", lit(365))).cast("int"))
+          .cast("timestamp").as("valid_from"))
+  }
+
+  def q40Scd2Day2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = graft.sources.LayoutOps.stateTable("graft_state_q40_dim", dir)
+    if (!spark.catalog.tableExists(table)) {
+      Scd2Ops.initDim(spark, table, q40DimVersions(spark, dir, Seq(0, 1)))
+      Scd2Ops.upsertDim(spark, table, q40DimVersions(spark, dir, Seq(2)))
+    }
+    t(spark, dir, "orders")
+      .select($"o_custkey".as("k"), $"o_orderdate".as("ts"), $"o_totalprice")
+      .join(spark.table(table).hint("shuffle_hash"), Seq("k"))
+      .filter($"ts" >= $"valid_from" && $"ts" < $"valid_to")
+      .select($"seg_v".as("seg"), $"o_totalprice")
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+      .orderBy($"seg")
+  }
+
   // --------------------------------------------------------------- q39
   /** Convergence-driven graph rank: q37's superstep iterated to the
     * EXACT integer fix-point instead of a pinned round count — the
@@ -1593,6 +1640,7 @@ object RelationalOps {
     "q37_graph_rank"     -> (q37GraphRank _),
     "q38_scd2_pit"       -> (q38Scd2PointInTime _),
     "q39_graph_converge" -> (q39GraphRankConverged _),
+    "q40_scd2_day2"      -> (q40Scd2Day2 _),
   )
 
   // --------------------------------------------------------------- q15
@@ -1654,5 +1702,7 @@ object RelationalOps {
     "q37_graph_rank"     -> q37GraphRankSql,
     "q38_scd2_pit"       -> q38Scd2PointInTimeSql,
     "q39_graph_converge" -> q39GraphRankConvergedSql,
+    // day-2 form: result identical to q38 (maintained dim == rebuilt dim)
+    "q40_scd2_day2"      -> q38Scd2PointInTimeSql,
   )
 }

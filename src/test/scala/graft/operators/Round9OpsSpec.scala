@@ -159,6 +159,40 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(clean, "edges probe side plans an exchange — bucketing lost")
   }
 
+  test("q40: day-2 maintained dimension equals a from-scratch rebuild") {
+    import spark.implicits._
+    // run the shipped path: init(v0,v1) + MERGE(v2)
+    graft.SparkEntry.queries("q40_scd2_day2")(spark, sf).collect()
+    val maintained = graft.sources.LayoutOps
+      .stateTable("graft_state_q40_dim", sf)
+    // rebuild from scratch with all three versions at once
+    val rebuilt = "q40_rebuild_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $rebuilt")
+    Scd2Ops.initDim(spark, rebuilt,
+      RelationalOps.q40DimVersions(spark, sf, Seq(0, 1, 2)))
+    def rows(t: String) = spark.table(t)
+      .collect().map(_.toSeq).toSet
+    assert(rows(maintained) == rows(rebuilt),
+      "MERGE path diverged from the from-scratch dimension")
+    spark.sql(s"DROP TABLE $rebuilt")
+    // and the lookup result is byte-identical to q38's inline form
+    val got = graft.SparkEntry.queries("q40_scd2_day2")(spark, sf)
+      .collect().map(_.toSeq)
+    val want = graft.SparkEntry.queries("q38_scd2_pit")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(got.sameElements(want))
+  }
+
+  test("q40: fact lookup probes the bucketed dimension exchange-free") {
+    val df = graft.SparkEntry.queries("q40_scd2_day2")(spark, sf)
+    val shjs = physical(df).collect { case j: ShuffledHashJoinExec => j }
+    assert(shjs.size == 1, s"expected one shuffle-hash join, got ${shjs.size}")
+    val clean = shjs.forall(j => Seq(j.left, j.right).exists(s =>
+      s.toString.contains("graft_state_q40_dim") &&
+        !s.toString.contains("Exchange")))
+    assert(clean, "dimension side plans an exchange — bucketing lost")
+  }
+
   test("q39: per-round checkpoints are released (no storage leak)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
