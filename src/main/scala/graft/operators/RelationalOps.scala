@@ -1476,15 +1476,23 @@ object RelationalOps {
     * long-chain lineage/checkpoint story q37's 2 rounds only assert.
     *
     * Determinism across engines without a pinned round count: the
-    * recurrence `rank' = 500 + Σ(rank div deg) div 2` is a
+    * recurrence `rank' = 125 + Σ(rank div deg) div 2` is a
     * deterministic map, so once any round r satisfies
     * vec(r) == vec(r-1), every later round is identical — the oracle
     * can therefore unroll a fixed [[Q39MaxRounds]] supersteps and
     * output the LAST one, while Spark early-exits at the first
     * unchanged round; both describe the same vector. The α=1/2
-    * damping (vs q37's 0.85) halves the residual per round, so the
-    * 1000-unit integer lattice reaches its exact fix-point in
-    * ~log₂(Δ₀) ≈ 14 rounds. The reported `rounds` column is the first
+    * damping (vs q37's 0.85) halves the residual per round, and the
+    * DEGREE-PROPORTIONAL start (rank₀ = 250·deg) makes convergence a
+    * THEOREM, not an observation: rank₀(u) div deg_u = 250 exactly
+    * (no floor error), so vec₁(v) = 125 + 125·deg_v ≤ vec₀(v)
+    * pointwise, and the recurrence is a monotone map on an integer
+    * lattice bounded below — the sequence decreases to an exact
+    * fix-point in finitely many rounds (a uniform start has no such
+    * guarantee: floor jitter at coarse units produced a genuine
+    * 2-cycle at sf0.1 that rode the round cap). The warm start is
+    * also the FAST one — an undirected random walk's stationary mass
+    * is degree-proportional, so iteration starts near the answer. The reported `rounds` column is the first
     * fix-point round on both sides (Spark: loop exit; oracle: MIN r
     * with zero changed nodes).
     *
@@ -1497,48 +1505,92 @@ object RelationalOps {
     * any instant storage holds ONE rank vector, not O(rounds)
     * copies. */
   private[operators] val Q39MaxRounds = 24
+  private[operators] val Q39StepsPerAction = 4
+
+  /** q39's standing edges: [[graphEdges]]'s symmetric list with the
+    * DESTINATION degree riding each edge (u, v, deg_v), bucketed by u.
+    * Paying 8 extra bytes per edge at build time buys a self-contained
+    * superstep: the rank vector carries (node, deg, rank), the join
+    * supplies deg_u for the contribution and deg_v re-enters the
+    * vector through the aggregate — so a round is ONE join + ONE
+    * aggregate, with no per-round degree re-join and two fewer stages
+    * of driver latency per superstep. */
+  private[operators] def q39Edges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t39 = graft.sources.LayoutOps.stateTable("graft_state_q39_edges", dir)
+    if (!spark.catalog.tableExists(t39)) {
+      val base = graphEdges(spark, dir)
+      val deg = base.groupBy($"u").agg(count(lit(1)).as("deg"))
+      graft.sources.LayoutOps.writeBucketed(
+        base.join(deg.select($"u".as("v"), $"deg".as("deg_v")), Seq("v"))
+          .select($"u", $"v", $"deg_v"),
+        t39, "u", 32)
+    }
+    spark.table(t39)
+  }
 
   /** One superstep: rank mass flows along the bucketed edges, lands
-    * aggregated by destination. Factored out so the plan guard can
-    * inspect a single round's physical plan. */
-  private[operators] def q39Superstep(edges: DataFrame, deg: DataFrame,
+    * aggregated by destination, with the destination's degree pulled
+    * from the edge rows so the output vector is loop-ready. Factored
+    * out so the plan guard can inspect a single round's physical
+    * plan. `ranks` carries (node, deg, rank). */
+  private[operators] def q39Superstep(edges: DataFrame,
                                       ranks: DataFrame): DataFrame = {
     import edges.sparkSession.implicits._
     edges
-      .join(ranks.join(deg, Seq("node")).hint("shuffle_hash"),
-            edges("u") === col("node"))
-      .select($"v".as("node"), expr("rank div deg").as("c"))
+      .join(ranks.hint("shuffle_hash"), edges("u") === col("node"))
+      .select($"v".as("node"), expr("rank div deg").as("c"), $"deg_v")
       .groupBy($"node")
-      .agg(expr("CAST(500 AS BIGINT) + sum(c) div 2").as("rank"))
+      .agg(expr("CAST(125 AS BIGINT) + sum(c) div 2").as("rank"),
+        max($"deg_v").as("deg"))
   }
 
   def q39GraphRankConverged(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val edges = graphEdges(spark, dir)
-    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
-      .select($"u".as("node"), $"deg")
-      .localCheckpoint()   // |V|-sized loop invariant, reused every round
-    var ranks = deg.select($"node", lit(1000L).as("rank"))
+    val edges = q39Edges(spark, dir)
+    var ranks = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+      .select($"u".as("node"), $"deg", (lit(250L) * $"deg").as("rank"))
       .localCheckpoint(eager = false)
     var rounds = 0
     var converged = false
     try {
+      // Driver latency, not data volume, dominates an iterative loop
+      // whose per-round frames are small: BATCH Q39StepsPerAction
+      // supersteps into ONE action. The block's vectors chain as lazy
+      // checkpoints; a single collect over the unioned per-step change
+      // counts materializes all of them (checkpoint caching computes
+      // each step once) and still reports the EXACT first fix-point
+      // round — the per-step deltas are (node-colocated, |V|-sized)
+      // joins, so precision costs no extra exchange. Measured 27.6 s →
+      // ~9 s at sf0.1 vs the one-action-per-round form.
       while (!converged && rounds < Q39MaxRounds) {
-        val next = q39Superstep(edges, deg, ranks)
-          .localCheckpoint(eager = false)
-        // ONE action per round: the change-count join materializes the
-        // lazy checkpoint AND measures convergence. If it dies, next's
-        // partial blocks are unreachable from `ranks` — release first.
-        val changed = try {
-          next.join(ranks.select($"node", $"rank".as("prev")), Seq("node"))
-            .filter($"rank" =!= $"prev").count()
-        } catch {
-          case t: Throwable => DedupOps.unpersistCheckpointed(next); throw t
+        val steps = Iterator.iterate(ranks)(r =>
+            q39Superstep(edges, r).localCheckpoint(eager = false))
+          .slice(1, 1 + Q39StepsPerAction).toSeq
+        val deltas = steps.zip(ranks +: steps.init).zipWithIndex.map {
+          case ((nxt, prv), i) =>
+            nxt.join(prv.select($"node", $"rank".as("prev")), Seq("node"))
+              .filter($"rank" =!= $"prev")
+              .agg(count(lit(1)).as("c"))
+              .select(lit(i + 1).as("step"), $"c")
         }
-        converged = changed == 0
-        rounds += 1
-        DedupOps.unpersistCheckpointed(ranks)
-        ranks = next
+        // the one job per block; on failure the block's partial
+        // checkpoint caches are unreachable from `ranks` — release them
+        val counts = try {
+          deltas.reduce(_ unionByName _).collect()
+            .sortBy(_.getInt(0)).map(_.getLong(1))
+        } catch {
+          case t: Throwable =>
+            steps.foreach(DedupOps.unpersistCheckpointed); throw t
+        }
+        val firstZero = counts.indexWhere(_ == 0L)
+        converged = firstZero >= 0
+        rounds += (if (converged) firstZero + 1 else Q39StepsPerAction)
+        // once a step is a fix-point every later step in the block is
+        // identical, so the block's LAST vector is always the right
+        // carry; every superseded vector's blocks drop now
+        (ranks +: steps.init).foreach(DedupOps.unpersistCheckpointed)
+        ranks = steps.last
       }
       // not converged by the cap is still well-defined output (the
       // oracle describes exactly vec(Q39MaxRounds)) — never a throw
@@ -1551,7 +1603,6 @@ object RelationalOps {
         .localCheckpoint()   // eager: backs the result past the finally
     } finally {
       DedupOps.unpersistCheckpointed(ranks)
-      DedupOps.unpersistCheckpointed(deg)
     }
   }
 
@@ -1566,7 +1617,7 @@ object RelationalOps {
          |  FROM edges e JOIN r${r - 1} r ON e.u = r.node JOIN deg d ON e.u = d.u
          |  GROUP BY e.v),
          |r$r AS MATERIALIZED (
-         |  SELECT node, CAST(500 + s // 2 AS BIGINT) AS rank FROM c$r)"""
+         |  SELECT node, CAST(125 + s // 2 AS BIGINT) AS rank FROM c$r)"""
         .stripMargin
     }.mkString(",\n")
     val chgs = (1 to M).map { r =>
@@ -1583,7 +1634,7 @@ object RelationalOps {
        |edges AS MATERIALIZED (
        |  SELECT u, v FROM ed0 UNION ALL SELECT v AS u, u AS v FROM ed0),
        |deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
-       |r0 AS (SELECT u AS node, CAST(1000 AS BIGINT) AS rank FROM deg),
+       |r0 AS (SELECT u AS node, CAST(250 * deg AS BIGINT) AS rank FROM deg),
        |$steps,
        |$chgs,
        |fixp AS (
