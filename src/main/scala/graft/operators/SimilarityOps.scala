@@ -1673,6 +1673,48 @@ object SimilarityOps {
       "eall")
   }
 
+  // ---------------------------------------------------------------- s13
+  /** ANN recall evaluation — the measurement loop every ANN deployment
+    * runs before trusting an index: per query, how much of the EXACT
+    * top-K (s1, brute force) the approximate index (s3, IVF nprobe=4)
+    * actually returned, as recall@K in exact permille. This is the
+    * operator that turns "the index is fast" into "the index is fast
+    * AND right", and the one that tells you when nprobe/cell counts
+    * need retuning after a corpus shift.
+    *
+    * Scale shape: ground truth is brute force, so production evaluates
+    * on a QUERY SAMPLE — exactly what the NQUERIES probe set is. The
+    * eval cost is the sample-sized brute pass plus the index's own
+    * serving cost; the comparison itself is a left-semi join of two
+    * K·|sample| frames followed by a count — metadata-sized at any
+    * corpus scale. */
+  def s13RecallEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = s1KnnBrute(spark, dir).select($"qid", $"nid")
+    val approx = s3KnnIvf(spark, dir).select($"qid", $"nid")
+    val hits = exact.join(approx, Seq("qid", "nid"), "left_semi")
+      .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy($"qid").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .select($"qid", $"n_true",
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        permille(coalesce($"n_hit", lit(0L)), $"n_true").as("recall_milli"))
+      .orderBy($"qid")
+  }
+
+  val s13RecallEvalSql: String =
+    s"""WITH exact_res AS ($s1KnnBruteSql),
+       |approx_res AS ($s3KnnIvfSql),
+       |hits AS (
+       |  SELECT e.qid, COUNT(*) AS n_hit
+       |  FROM exact_res e JOIN approx_res a ON e.qid = a.qid AND e.nid = a.nid
+       |  GROUP BY e.qid),
+       |truth AS (SELECT qid, COUNT(*) AS n_true FROM exact_res GROUP BY qid)
+       |SELECT t.qid, t.n_true, COALESCE(h.n_hit, 0) AS n_hit,
+       |  ${sqlPermille("COALESCE(h.n_hit, 0)", "t.n_true")} AS recall_milli
+       |FROM truth t LEFT JOIN hits h ON t.qid = h.qid
+       |ORDER BY t.qid""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
@@ -1687,6 +1729,7 @@ object SimilarityOps {
     "s10_knn_serve" -> (s10KnnServe _),
     "s11_index_update" -> (s11IndexUpdate _),
     "s12_knn_filtered" -> (s12KnnFiltered _),
+    "s13_recall_eval" -> (s13RecallEval _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1703,5 +1746,6 @@ object SimilarityOps {
     "s10_knn_serve" -> s7KnnIvfPqKmeansSql,
     "s11_index_update" -> s11IndexUpdateSql,
     "s12_knn_filtered" -> s12KnnFilteredSql,
+    "s13_recall_eval" -> s13RecallEvalSql,
   )
 }

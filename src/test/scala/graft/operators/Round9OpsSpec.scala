@@ -157,6 +157,30 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(clean, "edges probe side plans an exchange — bucketing lost")
   }
 
+  test("s13: recall@K reconciles with a direct set comparison of s1 vs s3") {
+    import spark.implicits._
+    val exact = graft.SparkEntry.queries("s1_knn_brute")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val approx = graft.SparkEntry.queries("s3_knn_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val rows = graft.SparkEntry.queries("s13_recall_eval")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (q, nTrue, nHit, milli) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nTrue == 10, "ground truth must be full K")
+      val want = (exact(q) intersect approx.getOrElse(q, Set.empty)).size
+      assert(nHit == want, s"query $q: recall hits $nHit != direct $want")
+      assert(milli == nHit * 1000 / nTrue)
+    }
+    // the eval is informative: the approximate index must be neither
+    // perfect (else the planted nprobe tradeoff vanished) nor useless
+    val total = rows.map(_.getLong(2)).sum
+    assert(total > 30 && total < 100, s"degenerate recall total $total")
+  }
+
   test("q40: day-2 maintained dimension equals a from-scratch rebuild") {
     import spark.implicits._
     // run the shipped path: init(v0,v1) + MERGE(v2)
