@@ -1013,6 +1013,85 @@ object TextOps {
        |SELECT rnk, pair, cnt FROM ranked WHERE rnk <= $T18Merges
        |ORDER BY rnk""".stripMargin
 
+  // --------------------------------------------------------------- t19
+  /** Character-LM surprise scoring — the perplexity-style quality
+    * filter (CCNet's KenLM gate) in EXACT integer arithmetic: a
+    * conditional char-trigram model over the corpus, and each doc
+    * scored by its total "surprise bits" Σ (bitlen(c₂+64) − bitlen(c₃)),
+    * where c₃ counts the trigram and c₂ its bigram prefix — the +64
+    * is Laplace-style mass (one pseudo-count per alphabet symbol)
+    * reserved for unseen continuations, without which a NOVEL prefix
+    * scores zero surprise (1/1 "certainty") and garble slips through
+    * — the planted spec case. bitlen
+    * computes as `length(bin(x))` — pure integer, so two engines agree
+    * bit for bit where a float log2 diverges in the last ulp (libm
+    * `log` is not correctly rounded; floor(log2(8)) via doubles can
+    * yield 2). The score is log2-perplexity quantized to whole bits:
+    * fluent text re-uses frequent transitions (small bit gap), garble
+    * hits rare continuations (large gap) — same ordering signal as
+    * the float filter, cross-engine-exact.
+    *
+    * Scale shape: the MODEL is alphabet-bounded — distinct char
+    * trigrams ≤ |Σ|³ regardless of corpus size — so both count tables
+    * broadcast and scoring is MAP-SIDE at any scale; the corpus
+    * contributes one hash-agg shuffle of fixed-width trigram keys to
+    * train and one per-doc agg to score. That boundedness is exactly
+    * why production perplexity filters are char/subword models. */
+  def t19LmSurprise(spark: SparkSession, dir: String): DataFrame =
+    t19LmSurpriseFrom(docs(spark, dir))
+
+  private[operators] def t19LmSurpriseFrom(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    val tris = d
+      .filter(length($"text") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("tri"))
+    val model = tris.groupBy($"tri").agg(count(lit(1)).as("c3"))
+    val pre = model.groupBy(substring($"tri", 1, 2).as("pre"))
+      .agg(sum($"c3").as("c2"))
+    val perDoc = tris
+      .join(broadcast(model), Seq("tri"))
+      .join(broadcast(pre), substring($"tri", 1, 2) === $"pre")
+      .withColumn("b", length(bin($"c2" + 64)) - length(bin($"c3")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum($"b".cast("long")).as("bits"))
+    d.select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tri", lit(0L)).as("n_tri"),
+        coalesce($"bits", lit(0L)).as("bits"),
+        when(coalesce($"n_tri", lit(0L)) === 0, 0L)
+          .otherwise(permille($"bits", $"n_tri")).as("milli_bits"))
+      .orderBy($"doc_id")
+  }
+
+  val t19LmSurpriseSql: String =
+    s"""WITH tris AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, length(text) - 2),
+       |                          i -> substr(text, i, 3))) AS tri
+       |  FROM documents WHERE length(text) >= 3),
+       |model AS MATERIALIZED (
+       |  SELECT tri, COUNT(*) AS c3 FROM tris GROUP BY tri),
+       |pre AS (
+       |  SELECT substr(tri, 1, 2) AS pre, CAST(SUM(c3) AS BIGINT) AS c2
+       |  FROM model GROUP BY 1),
+       |sc AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_tri,
+       |    CAST(SUM(len(bin(p.c2 + 64)) - len(bin(m.c3))) AS BIGINT) AS bits
+       |  FROM tris t
+       |  JOIN model m USING (tri)
+       |  JOIN pre p ON substr(t.tri, 1, 2) = p.pre
+       |  GROUP BY t.doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(sc.n_tri, 0) AS n_tri,
+       |  COALESCE(sc.bits, 0) AS bits,
+       |  CASE WHEN COALESCE(sc.n_tri, 0) = 0 THEN 0
+       |       ELSE ${sqlPermille("sc.bits", "sc.n_tri")} END AS milli_bits
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_profile" -> (t2LangProfile _),
@@ -1032,6 +1111,7 @@ object TextOps {
     "t16_source_profile" -> (t16SourceProfile _),
     "t17_hashed_classifier" -> (t17HashedClassifier _),
     "t18_bpe_merges"  -> (t18BpeMerges _),
+    "t19_lm_surprise" -> (t19LmSurprise _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1053,5 +1133,6 @@ object TextOps {
     "t16_source_profile" -> t16SourceProfileSql,
     "t17_hashed_classifier" -> t17HashedClassifierSql,
     "t18_bpe_merges"  -> t18BpeMergesSql,
+    "t19_lm_surprise" -> t19LmSurpriseSql,
   )
 }

@@ -181,6 +181,23 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(total > 30 && total < 100, s"degenerate recall total $total")
   }
 
+  test("t19: integer surprise bits separate fluent text from garble") {
+    import spark.implicits._
+    // 50 fluent docs reuse the same transitions; one garble doc hits
+    // only rare continuations — its bits-per-trigram must be higher
+    val fluent = spark.range(50).select(
+      $"id".as("doc_id"), lit("the cat sat on the mat and ran").as("text"))
+    val garble = spark.range(1).select(
+      lit(999L).as("doc_id"), lit("xq zvk wjf qpy hxz bnq").as("text"))
+    val res = TextOps.t19LmSurpriseFrom(fluent.unionByName(garble))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(res.values.forall(_._1 >= 0), "bit gaps are nonnegative by c2 >= c3")
+    val fluentMilli = res(0L)._2
+    val garbleMilli = res(999L)._2
+    assert(garbleMilli > fluentMilli,
+      s"garble ($garbleMilli) must out-surprise fluent text ($fluentMilli)")
+  }
+
   test("q40: day-2 maintained dimension equals a from-scratch rebuild") {
     import spark.implicits._
     // run the shipped path: init(v0,v1) + MERGE(v2)
