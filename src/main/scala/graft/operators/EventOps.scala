@@ -906,6 +906,78 @@ object EventOps {
       |FROM s
       |ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- e21
+  /** Last-touch attribution — the revenue question behind every funnel:
+    * each purchase is credited to the user's most recent preceding
+    * touch (click/view/signup) within a 1-hour lookback, else
+    * "organic"; output is per-channel purchase count and exact-decimal
+    * revenue. A touch at the purchase's own timestamp counts (the
+    * union's kind column sorts touches first at equal ts — q38's
+    * inclusive-boundary convention).
+    *
+    * Scale shape: the naive form is a per-purchase as-of join against
+    * the touch stream (a range probe); this is e5/q38's union trick
+    * instead — ONE shuffle on user_id, one running window pass
+    * carrying the last touch's (type, time) forward, and the hot-key
+    * story is q38's: the window rides a spillable sort, no collect
+    * buffer, no cap needed. Revenue sums decimal-exact, cast to
+    * double once at the end. */
+  def e21Attribution(spark: SparkSession, dir: String): DataFrame =
+    e21AttributionFrom(events(spark, dir))
+
+  private[operators] def e21AttributionFrom(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val touches = ev.filter($"event_type".isin("click", "view", "signup"))
+      .select($"user_id", $"ts", $"event_id", lit(0).as("kind"),
+        $"event_type".as("touch"), lit(null).cast("double").as("value"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", lit(1).as("kind"),
+        lit(null).cast("string").as("touch"), $"value")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    touches.unionByName(purchases)
+      .withColumn("last_touch", last($"touch", ignoreNulls = true).over(w))
+      .withColumn("last_us",
+        last(when($"kind" === 0, unix_micros($"ts")), ignoreNulls = true).over(w))
+      .filter($"kind" === 1)
+      .withColumn("channel",
+        when($"last_touch".isNull ||
+             unix_micros($"ts") - $"last_us" > 3600L * 1000000L, "organic")
+          .otherwise($"last_touch"))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"value".cast("decimal(28,8)")).cast("double").as("revenue"))
+      .orderBy($"channel")
+  }
+
+  val e21AttributionSql: String =
+    """WITH t AS (
+      |  SELECT user_id, ts, event_id, 0 AS kind,
+      |    event_type AS touch, CAST(NULL AS DOUBLE) AS value
+      |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+      |p AS (
+      |  SELECT user_id, ts, event_id, 1 AS kind,
+      |    CAST(NULL AS VARCHAR) AS touch, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |u AS (SELECT * FROM t UNION ALL SELECT * FROM p),
+      |c AS (
+      |  SELECT *,
+      |    last_value(touch IGNORE NULLS) OVER w AS last_touch,
+      |    last_value(CASE WHEN kind = 0 THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER w AS last_us
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT
+      |  CASE WHEN last_touch IS NULL OR epoch_us(ts) - last_us > 3600000000
+      |       THEN 'organic' ELSE last_touch END AS channel,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)
+      |    AS revenue
+      |FROM c WHERE kind = 1
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
@@ -928,6 +1000,7 @@ object EventOps {
     "e18_cms_heavy"  -> (e18CmsHeavy _),
     "e19_hopping_distinct" -> (e19HoppingDistinct _),
     "e20_pattern_match" -> (e20PatternMatch _),
+    "e21_attribution" -> (e21Attribution _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -951,5 +1024,6 @@ object EventOps {
     "e18_cms_heavy"  -> e18CmsHeavySql,
     "e19_hopping_distinct" -> e19HoppingDistinctSql,
     "e20_pattern_match" -> e20PatternMatchSql,
+    "e21_attribution" -> e21AttributionSql,
   )
 }

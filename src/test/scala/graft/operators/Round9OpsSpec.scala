@@ -198,6 +198,26 @@ class Round9OpsSpec extends AnyFunSuite {
       s"garble ($garbleMilli) must out-surprise fluent text ($fluentMilli)")
   }
 
+  test("e21: planted purchases attribute to last touch within the hour, else organic") {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    def ev(id: Long, user: String, tp: String, usOff: Long, v: Double) =
+      (id, user, tp, t0 + usOff, v)
+    val rows = Seq(
+      ev(1, "a", "click", 0L, 0.0),
+      ev(2, "a", "purchase", 30L * 60 * 1000000, 10.0),  // 30 min → click
+      ev(3, "a", "purchase", 3L * 3600 * 1000000, 20.0), // 3 h → organic
+      ev(4, "b", "view", 1000L, 0.0),
+      ev(5, "b", "purchase", 1000L, 40.0))               // same ts → view
+    val df = rows.toDF("event_id", "user_id", "event_type", "us", "value")
+      .select($"event_id", $"user_id", $"event_type",
+        timestamp_micros($"us").as("ts"), $"value")
+    val got = EventOps.e21AttributionFrom(df)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(
+      "click" -> (1L, 10.0), "organic" -> (1L, 20.0), "view" -> (1L, 40.0)))
+  }
+
   test("q40: day-2 maintained dimension equals a from-scratch rebuild") {
     import spark.implicits._
     // run the shipped path: init(v0,v1) + MERGE(v2)
