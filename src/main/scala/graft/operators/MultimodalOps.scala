@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Typed media payload: opaque bytes + structured metadata. */
@@ -329,6 +330,78 @@ object MultimodalOps {
        |ORDER BY i, j""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m7
+  /** Cross-modal retrieval: for each text query embedding, the top-K
+    * nearest IMAGE assets by cosine — the "find me the picture for
+    * this caption" serving query that joins the embedding space to the
+    * media catalog. The modality predicate applies BELOW the per-query
+    * top-K (s12's pre-filter discipline: post-filtering an unfiltered
+    * top-K under-returns whenever a neighbor is audio/video), and the
+    * asset's media identity comes from the m1 metadata surface, so the
+    * answer is directly consumable by an asset-serving tier.
+    *
+    * Scale shape: the query set is constant-size (the probe sample) so
+    * it broadcasts; the asset side is one scan with the modality
+    * filter and the metadata join pushed before the score; the only
+    * shuffle is the per-query top-K window. Swap the brute scorer for
+    * s10's persisted index probe when the asset corpus outgrows a
+    * scan — the modality filter rides the candidate stream
+    * unchanged. */
+  def m7CrossModalRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns._
+    registerAll(spark)
+    val media = Tables(spark, dir, "documents")
+      .select($"doc_id",
+        when($"n_chars" % 3 === 0, "image/fake")
+          .when($"n_chars" % 3 === 1, "audio/fake")
+          .otherwise("video/fake").as("mime"))
+    val e = Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val assets = e.join(media, $"vec_id" === $"doc_id")
+      .filter($"mime" === "image/fake")
+      .select($"doc_id".as("aid"), $"v".as("av"), $"nrm".as("anrm"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"aid".asc)
+    assets.join(broadcast(q), $"qid" =!= $"aid")
+      .withColumn("cos", dot($"qv", $"av") / ($"qnrm" * $"anrm"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"qid", $"aid", $"rnk", micro($"cos").as("cos_micro"))
+      .orderBy($"qid", $"rnk")
+  }
+
+  val m7CrossModalRetrievalSql: String = {
+    import graft.functions.EngineFns.{sqlDot, sqlMicro}
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+       |  FROM embeddings),
+       |m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_chars % 3 = 0 THEN 'image/fake'
+       |         WHEN n_chars % 3 = 1 THEN 'audio/fake'
+       |         ELSE 'video/fake' END AS mime
+       |  FROM documents),
+       |assets AS (
+       |  SELECT e.vec_id AS aid, e.v AS av, e.nrm AS anrm
+       |  FROM e JOIN m ON e.vec_id = m.doc_id
+       |  WHERE m.mime = 'image/fake'),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT qid, aid, ${sqlDot("qv", "av")} / (qnrm * anrm) AS cos
+       |  FROM q JOIN assets ON qid <> aid),
+       |ranked AS (
+       |  SELECT qid, aid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, aid ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, aid, rnk, ${sqlMicro("cos")} AS cos_micro
+       |FROM ranked WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> (m1MultimodalMeta _),
@@ -337,6 +410,7 @@ object MultimodalOps {
     "m4_frame_sample"    -> (m4FrameSample _),
     "m5_media_dedup"     -> (m5MediaDedup _),
     "m6_modal_mismatch"  -> (m6ModalMismatch _),
+    "m7_crossmodal_knn"  -> (m7CrossModalRetrieval _),
   )
 
   /** m2 intentionally has no oracle (stubbed decode → rows-only check);
@@ -347,5 +421,6 @@ object MultimodalOps {
     "m4_frame_sample"    -> m4FrameSampleSql,
     "m5_media_dedup"     -> m5MediaDedupSql,
     "m6_modal_mismatch"  -> m6ModalMismatchSql,
+    "m7_crossmodal_knn"  -> m7CrossModalRetrievalSql,
   )
 }

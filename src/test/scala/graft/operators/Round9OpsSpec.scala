@@ -218,6 +218,22 @@ class Round9OpsSpec extends AnyFunSuite {
       "click" -> (1L, 10.0), "organic" -> (1L, 20.0), "view" -> (1L, 40.0)))
   }
 
+  test("m7: modality pre-filter returns full K where post-filtering cannot") {
+    import spark.implicits._
+    val imgIds = graft.Tables(spark, sf, "documents")
+      .filter($"n_chars" % 3 === 0).select($"doc_id").as[Long].collect().toSet
+    val rows = graft.SparkEntry.queries("m7_crossmodal_knn")(spark, sf).collect()
+    assert(rows.length == 50, "every query must get full K=5")
+    assert(rows.forall(r => imgIds(r.getLong(1))),
+      "a non-image asset leaked through the modality filter")
+    // the naive composition (unfiltered top-5, then WHERE image)
+    // under-returns: most nearest neighbors are audio/video
+    val post = graft.SparkEntry.queries("s1_knn_brute")(spark, sf)
+      .filter($"rnk" <= 5).collect()
+      .count(r => imgIds(r.getLong(1)))
+    assert(post < 50, s"post-filter kept $post rows — planted case lost")
+  }
+
   test("q40: day-2 maintained dimension equals a from-scratch rebuild") {
     import spark.implicits._
     // run the shipped path: init(v0,v1) + MERGE(v2)
