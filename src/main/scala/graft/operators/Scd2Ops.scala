@@ -50,13 +50,21 @@ object Scd2Ops {
   /** Day-2 MERGE: for every key in `batch` (k, seg_v, valid_from),
     * close the dimension's current version at the new valid_from and
     * insert the new row as current; untouched keys pass through
-    * byte-identical. One batch row per key per call (the daily-digest
-    * contract; callers pre-collapse intra-day churn). */
+    * byte-identical. Intra-day churn is collapsed to the LATEST row
+    * per key (by valid_from, seg_v tiebreak) before merging — a
+    * daily-digest MERGE applies end-of-day state, and without the
+    * collapse a key with two batch rows would insert two "current"
+    * versions (the close-join pairs every dim row with every batch
+    * row for its key). */
   def upsertDim(spark: SparkSession, table: String, batch: DataFrame): Unit = {
     import batch.sparkSession.implicits._
     val dim = spark.table(table)
-    val b = batch.select($"k".as("bk"), $"seg_v".as("b_seg"),
-      $"valid_from".as("b_from"))
+    val b = batch
+      .groupBy($"k")
+      .agg(max_by(struct($"seg_v", $"valid_from"),
+        struct($"valid_from", $"seg_v")).as("r"))
+      .select($"k".as("bk"), $"r.seg_v".as("b_seg"),
+        $"r.valid_from".as("b_from"))
     val closed = dim.join(b, $"k" === $"bk", "left")
       .select($"k", $"seg_v", $"valid_from",
         when($"bk".isNotNull && $"is_current", $"b_from")

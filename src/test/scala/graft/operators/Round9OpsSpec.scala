@@ -258,6 +258,27 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("Scd2Ops: intra-day churn collapses to end-of-day state, one current row per key") {
+    import spark.implicits._
+    val tbl = "scd2_churn_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def ts(us: Long) = timestamp_micros(lit(us))
+    Scd2Ops.initDim(spark, tbl, Seq((1L, "A#0", 1000L), (2L, "B#0", 1000L))
+      .toDF("k", "seg_v", "us")
+      .select($"k", $"seg_v", timestamp_micros($"us").as("valid_from")))
+    // key 1 churns twice in one batch; only the LATEST version lands
+    Scd2Ops.upsertDim(spark, tbl,
+      Seq((1L, "A#1", 2000L), (1L, "A#2", 3000L))
+        .toDF("k", "seg_v", "us")
+        .select($"k", $"seg_v", timestamp_micros($"us").as("valid_from")))
+    val cur = spark.table(tbl).filter($"is_current")
+      .select($"k", $"seg_v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cur == Map(1L -> "A#2", 2L -> "B#0"),
+      s"end-of-day state wrong: $cur")
+    assert(spark.table(tbl).count() == 3, "exactly one new version per churned key")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("q40: fact lookup probes the bucketed dimension exchange-free") {
     val df = graft.SparkEntry.queries("q40_scd2_day2")(spark, sf)
     val shjs = physical(df).collect { case j: ShuffledHashJoinExec => j }
