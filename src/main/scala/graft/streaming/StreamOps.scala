@@ -14,6 +14,14 @@ final case class UserStats(user_id: Long, n_events: Long, total_value: Double,
 final case class DistinctEstimate(event_type: String, n_kept: Int,
                                   kth_hash: Long, est_distinct: Double)
 
+/** One attributed purchase (streaming last-touch, see
+  * [[StreamOps.streamingAttribution]]). */
+final case class Attributed(user_id: Long, event_id: Long, channel: String,
+                            value: Double)
+
+/** Per-user last-touch state carried across micro-batches. */
+final case class TouchState(touch: String, last_us: Long)
+
 /** Streaming transforms for the `events` shape (ts, user_id, event_type,
   * value). Each takes and returns a DataFrame so the SAME logic runs on a
   * batch frame or a `readStream` frame — the batch duals are oracle-checked
@@ -337,6 +345,56 @@ object StreamOps {
         graft.sources.LayoutOps.clearStaleLocation(sp, sinkTable)
         matches.write.mode("append").format("parquet").saveAsTable(sinkTable)
       }
+
+  /** Streaming last-touch attribution — e21's online dual: each
+    * arriving purchase is credited to the user's most recent preceding
+    * touch within `lookbackUs`, else "organic", with the last touch
+    * carried ACROSS micro-batches in keyed state (two longs + a string
+    * per user — bounded forever). Within a batch, a user's rows apply
+    * in (ts, touch-before-purchase, event_id) order, matching the
+    * batch operator's window ordering exactly.
+    *
+    * Semantics note (inherent to streaming attribution, documented
+    * rather than hidden): credit is FORWARD-ONLY — a touch that
+    * arrives in a later micro-batch than the purchase it preceded in
+    * event time cannot retro-attribute it; the batch dual re-reading
+    * the full log is the reconciliation path. As long as each user's
+    * events arrive in event-time order across batches, the streamed
+    * output equals batch e21 (spec-pinned on a time-split feed). */
+  def streamingAttribution(events: DataFrame,
+                           lookbackUs: Long = 3600L * 1000000L)
+      : Dataset[Attributed] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long =
+      (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    def update(user: Long,
+               rows: Iterator[(Long, Timestamp, Long, String, Double)],
+               state: GroupState[TouchState]): Iterator[Attributed] = {
+      val sorted = rows.toSeq.sortBy(r =>
+        (us(r._2), if (r._4 == "purchase") 1 else 0, r._3))
+      var st = state.getOption.getOrElse(TouchState("", Long.MinValue))
+      val out = Seq.newBuilder[Attributed]
+      sorted.foreach { r =>
+        val t = us(r._2)
+        r._4 match {
+          case "purchase" =>
+            val ch = if (st.last_us != Long.MinValue && t - st.last_us <= lookbackUs)
+              st.touch else "organic"
+            out += Attributed(user, r._3, ch, r._5)
+          case "click" | "view" | "signup" =>
+            st = TouchState(r._4, t)
+          case _ => ()
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+    events.select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+      .as[(Long, Timestamp, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout())(update)
+  }
 
   /** Streaming ANN SERVING — the online half of s10's build/serve
     * split: query vectors arrive as a stream, and every micro-batch is

@@ -355,6 +355,39 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("streaming attribution: cross-batch keyed state matches batch e21 on an ordered feed") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = SharedSpark.sf
+    // globally ts-ordered feed split in two => every user's events stay
+    // in event-time order across the batch boundary
+    val ev = graft.Tables(spark, sf, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .collect().sortBy(r => (r._2.getTime, r._3))
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val q = StreamOps.streamingAttribution(
+        input.toDF().toDF("user_id", "ts", "event_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("attr_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_sink")
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(28,8)")).cast("double").as("rev"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = graft.SparkEntry.queries("e21_attribution")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == want, s"streamed attribution $got != batch $want")
+  }
+
   test("streaming ANN serving: two micro-batches match batch s10 on the union") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
