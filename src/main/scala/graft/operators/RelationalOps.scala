@@ -1468,6 +1468,73 @@ object RelationalOps {
       .orderBy($"seg")
   }
 
+  // --------------------------------------------------------------- q41
+  /** Incremental aggregate maintenance (IVM): a per-(returnflag,
+    * linestatus) revenue summary kept as DAY-1 standing state, with
+    * today's arrivals folded in ADDITIVELY at read time — the
+    * materialized-view refresh every warehouse runs instead of
+    * re-aggregating the full fact table nightly. Completes the day-2
+    * standing-state story across the families (d16/d17 dedup, s11 ANN
+    * index, q40 SCD2 dimension, p10 corpus funnel — and now the plain
+    * relational summary).
+    *
+    * The corpus splits by the engine's standard md5 coin into standing
+    * (~80%, summarized on day 1) and today's batch (~20%); the coin
+    * stands in for the date-partition predicate a production fact
+    * table would give the day-2 scan for free (LayoutOps
+    * .writePartitioned + partition pruning). Counts and exact-decimal
+    * sums are ADDITIVE, so the merge is a union + re-aggregate of
+    * |groups| + |groups| rows — metadata-sized — and the result is
+    * bit-identical to a from-scratch aggregate (spec-pinned; the
+    * oracle IS the from-scratch form). The query is read-only and
+    * idempotent: the standing summary is written once, the delta
+    * folds in per read, so repeated calls never double-count. Derived
+    * ratios (avg price) come from the additive parts at the end —
+    * the IVM rule that only additive measures persist. */
+  def q41IvmDay2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val aggT = graft.sources.LayoutOps.stateTable("graft_state_q41_agg", dir)
+    val isNew = pmod(graft.functions.EngineFns.md5Long(
+      concat($"l_orderkey".cast("string"), lit(":"),
+        $"l_linenumber".cast("string"), lit(":q41"))), lit(5L)) === 0L
+    def aggOf(df: DataFrame): DataFrame = df
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(28,8)")).as("sum_qty"),
+        sum(money($"l_extendedprice").cast("decimal(28,8)")).as("sum_price"))
+    if (!spark.catalog.tableExists(aggT)) {
+      graft.sources.LayoutOps.clearStaleLocation(spark, aggT)
+      aggOf(t(spark, dir, "lineitem").filter(!isNew))
+        .write.mode("overwrite").format("parquet").saveAsTable(aggT)
+    }
+    val delta = aggOf(t(spark, dir, "lineitem").filter(isNew))
+    spark.table(aggT).unionByName(delta)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"n_rows").as("n_rows"),
+        sum($"sum_qty").as("q"), sum($"sum_price").as("p"))
+      .select($"l_returnflag", $"l_linestatus", $"n_rows",
+        $"q".cast("double").as("sum_qty"),
+        $"p".cast("double").as("sum_price"),
+        // one IEEE divide of the two exact doubles (q36's rule) — a
+        // decimal division would round differently across engines
+        ($"p".cast("double") / $"n_rows".cast("double")).as("avg_price"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q41IvmDay2Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)
+      |    AS sum_qty,
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                     AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)
+      |    AS sum_price,
+      |  (CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                      AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)
+      |   / CAST(COUNT(*) AS DOUBLE)) AS avg_price
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   // --------------------------------------------------------------- q39
   /** Convergence-driven graph rank: q37's superstep iterated to the
     * EXACT integer fix-point instead of a pinned round count — the
@@ -1692,6 +1759,7 @@ object RelationalOps {
     "q38_scd2_pit"       -> (q38Scd2PointInTime _),
     "q39_graph_converge" -> (q39GraphRankConverged _),
     "q40_scd2_day2"      -> (q40Scd2Day2 _),
+    "q41_ivm_day2"       -> (q41IvmDay2 _),
   )
 
   // --------------------------------------------------------------- q15
@@ -1755,5 +1823,7 @@ object RelationalOps {
     "q39_graph_converge" -> q39GraphRankConvergedSql,
     // day-2 form: result identical to q38 (maintained dim == rebuilt dim)
     "q40_scd2_day2"      -> q38Scd2PointInTimeSql,
+    // day-2 form: result identical to the from-scratch aggregate
+    "q41_ivm_day2"       -> q41IvmDay2Sql,
   )
 }

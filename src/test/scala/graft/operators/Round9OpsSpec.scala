@@ -234,6 +234,28 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(post < 50, s"post-filter kept $post rows — planted case lost")
   }
 
+  test("q41: additive IVM merge equals the from-scratch aggregate; calls are idempotent") {
+    import spark.implicits._
+    val first = graft.SparkEntry.queries("q41_ivm_day2")(spark, sf)
+      .collect().map(_.toSeq)
+    // the standing summary holds only the day-1 (standing) side: the
+    // delta fold-in is read-time, so repeated calls never double-count
+    val again = graft.SparkEntry.queries("q41_ivm_day2")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(first.sameElements(again), "IVM read must be idempotent")
+    val aggT = graft.sources.LayoutOps.stateTable("graft_state_q41_agg", sf)
+    val standingRows = spark.table(aggT).agg(sum($"n_rows")).as[Long].head()
+    val totalRows = graft.Tables(spark, sf, "lineitem").count()
+    assert(standingRows < totalRows,
+      "standing summary must exclude the day-2 batch")
+    // merged output reconciles with the full fact table, group by group
+    val counts = first.map(r => (r(0), r(1)) -> r(2).asInstanceOf[Long]).toMap
+    val direct = graft.Tables(spark, sf, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus").count()
+      .collect().map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
+    assert(counts == direct, "merged counts diverge from from-scratch")
+  }
+
   test("q40: day-2 maintained dimension equals a from-scratch rebuild") {
     import spark.implicits._
     // run the shipped path: init(v0,v1) + MERGE(v2)
