@@ -1092,6 +1092,115 @@ object TextOps {
        |FROM documents d LEFT JOIN sc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- t20
+  /** BM25 keyword retrieval — the lexical half of every retrieval /
+    * RAG-data pipeline: for each keyword query, the top-10 documents by
+    * summed BM25(k1=1.2, b=0.75) term scores. Queries are derived
+    * deterministically from the corpus (the distinct leading 3 tokens of
+    * docs 0–2) so both engines see the same query set.
+    *
+    * Engine-exact scoring: every per-(query,term,doc) score is floored
+    * to an integer micro-score FIRST, then summed — integer sums are
+    * order-independent, so the cross-engine hash can't be broken by
+    * float summation order (the same discipline as t19's integer bits).
+    * The per-row score itself is a fixed expression tree of IEEE double
+    * ops (each individually deterministic): the idf is the RATIONAL
+    * Robertson form (N − df + ½)/(df + ½) written as
+    * (2N − 2df + 1)/(2df + 1) — monotone in the usual log idf, so the
+    * ranking signal is preserved without a libm log whose last ulp
+    * differs across engines.
+    *
+    * Scale shape: one text scan feeds the (doc,term,tf) explode; df and
+    * per-doc length are narrow aggregates over it (in production these
+    * ARE the standing inverted index + doc-length table; a real posting
+    * list also carries dl so the scoring join below needs no dl side).
+    * The query side — terms × their df — is metadata-sized and
+    * BROADCAST, so candidate generation is a map-side semi join of the
+    * posting rows; only candidate (qid, doc) rows ever shuffle for the
+    * final sum + per-query top-K window. Document text never rides a
+    * shuffle. */
+  def t20Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val q = d.filter($"doc_id" < 3)
+      .select($"doc_id".as("qid"),
+        explode(slice(tokens($"text"), 1, 3)).as("term"))
+      .filter($"term" =!= "").distinct()
+    t20Bm25From(d, q)
+  }
+
+  private[graft] def t20Bm25From(d: DataFrame, qterms: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    val tf = d.select($"doc_id", explode(tokens($"text")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val dfx = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // (qid, term, df): query-sized — the broadcast probe side
+    val qdf = qterms.join(dfx, "term")
+    val nd = $"n_docs".cast("double")
+    val dfd = $"df".cast("double")
+    val tfd = $"tf".cast("double")
+    val dld = $"dl".cast("double")
+    val idfr = (lit(2.0) * nd - lit(2.0) * dfd + lit(1.0)) /
+      (lit(2.0) * dfd + lit(1.0))
+    // k1=1.2, b=0.75: k1+1=2.2, k1(1-b)=0.3, k1·b=0.9; dl/avgdl written
+    // as dl·N/sum_dl so only exact integers feed the divides
+    val tfc = (tfd * lit(2.2)) /
+      (tfd + lit(0.3) + lit(0.9) * dld * nd / $"sum_dl".cast("double"))
+    val w = Window.partitionBy($"qid")
+      .orderBy($"score_sum_micro".desc, $"doc_id".asc)
+    tf.join(broadcast(qdf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_micro", micro(idfr * tfc))
+      .groupBy($"qid", $"doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum($"score_micro").as("score_sum_micro"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter($"rank" <= 10)
+      .select($"qid", $"rank", $"doc_id", $"n_terms_hit", $"score_sum_micro")
+      .orderBy($"qid", $"rank")
+  }
+
+  val t20Bm25Sql: String = {
+    val idfr = "((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df AS DOUBLE) + 1.0) / (2.0 * CAST(df AS DOUBLE) + 1.0))"
+    val tfc = "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 0.3 + 0.9 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       |       WHERE term <> '' GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+       |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |qt AS (
+       |  SELECT DISTINCT qid, term FROM (
+       |    SELECT doc_id AS qid,
+       |      unnest(string_split(text, ' ')[1:3]) AS term
+       |    FROM documents WHERE doc_id < 3)
+       |  WHERE term <> ''),
+       |scored AS (
+       |  SELECT qt.qid, tf.doc_id,
+       |    ${sqlMicro(s"$idfr * $tfc")} AS score_micro
+       |  FROM tf
+       |  JOIN qt USING (term)
+       |  JOIN dfx USING (term)
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats),
+       |summed AS (
+       |  SELECT qid, doc_id, COUNT(*) AS n_terms_hit,
+       |    CAST(SUM(score_micro) AS BIGINT) AS score_sum_micro
+       |  FROM scored GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY score_sum_micro DESC, doc_id ASC) AS INT) AS rank
+       |  FROM summed)
+       |SELECT qid, rank, doc_id, n_terms_hit, score_sum_micro
+       |FROM ranked WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_profile" -> (t2LangProfile _),
@@ -1112,6 +1221,7 @@ object TextOps {
     "t17_hashed_classifier" -> (t17HashedClassifier _),
     "t18_bpe_merges"  -> (t18BpeMerges _),
     "t19_lm_surprise" -> (t19LmSurprise _),
+    "t20_bm25"        -> (t20Bm25 _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1134,5 +1244,6 @@ object TextOps {
     "t17_hashed_classifier" -> t17HashedClassifierSql,
     "t18_bpe_merges"  -> t18BpeMergesSql,
     "t19_lm_surprise" -> t19LmSurpriseSql,
+    "t20_bm25"        -> t20Bm25Sql,
   )
 }

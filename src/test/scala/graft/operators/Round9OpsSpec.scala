@@ -311,6 +311,41 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(clean, "dimension side plans an exchange — bucketing lost")
   }
 
+  test("t20: BM25 ranks rare terms and short docs first (planted corpus)") {
+    import spark.implicits._
+    // 'apple' is rare (df=2), 'banana' common (df=3). doc 10 matches both
+    // and is short; doc 12 matches apple with the same tf but 4x the
+    // length; docs 11/13 match only the common term.
+    val docs = Seq(
+      (10L, "apple banana"),
+      (11L, "banana banana banana banana banana banana banana banana"),
+      (12L, "apple cherry date egg fig grape kiwi lemon"),
+      (13L, "banana cherry")).toDF("doc_id", "text")
+    val q = Seq((0L, "apple"), (0L, "banana")).toDF("qid", "term")
+    val got = TextOps.t20Bm25From(docs, q)
+      .select($"rank", $"doc_id").as[(Int, Long)].collect().toSeq
+    assert(got.head == (1, 10L), s"rare+short doc must rank first: $got")
+    // length normalization: same tf('apple'), dl 2 vs 8
+    val byDoc = got.toMap.map(_.swap)
+    assert(byDoc(10L) < byDoc(12L), s"shorter doc must outrank longer: $got")
+    // idf: the apple-only long doc still beats banana-only docs
+    assert(byDoc(12L) < byDoc(11L) && byDoc(12L) < byDoc(13L),
+      s"rare-term match must outrank common-term matches: $got")
+  }
+
+  test("t20: query side broadcasts; no cartesian beyond the 1-row stats") {
+    val df = graft.SparkEntry.queries("t20_bm25")(spark, sf)
+    val plan = physical(df)
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "the (qid, term, df) probe side must broadcast")
+    val cart = plan.collect { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, "stats must join as a broadcast, never cartesian")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(0)).distinct.length == 3,
+      "all three derived queries must return results at sf0.001")
+  }
+
   test("q39: per-round checkpoints are released (no storage leak)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
