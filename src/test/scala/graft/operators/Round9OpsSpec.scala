@@ -346,6 +346,50 @@ class Round9OpsSpec extends AnyFunSuite {
       "all three derived queries must return results at sf0.001")
   }
 
+  test("s14: kNN graph is blocked (no cartesian), deduped, and well-ranked") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("s14_knn_graph")(spark, sf)
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    assert(physical(df).collect { case c: CartesianProductExec => c }.isEmpty,
+      "the self-join must block on the band bucket, never all-pairs")
+    val rows = df.select($"qid", $"rnk", $"nid", $"cos_micro")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // a dual-band hit must not produce a duplicate edge
+    assert(rows.map(r => (r._1, r._3)).distinct.size == rows.size,
+      "duplicate (qid, nid) edge survived the band union")
+    rows.groupBy(_._1).foreach { case (qid, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2) == (1 to g.size), s"ranks not contiguous for $qid")
+      assert(sorted.map(_._4).sliding(2).forall {
+        case Seq(a, b) => a >= b
+        case _ => true
+      }, s"cos_micro not non-increasing for $qid")
+    }
+    // true recall@5 vs the exact graph (the corpus is near-uniform —
+    // LSH's worst case — so the floor is deliberately modest; 4 bands
+    // measure ~0.44 here at ~23% of the all-pairs scoring cost)
+    import graft.functions.EngineFns.{dot, micro, registerAll}
+    registerAll(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    val exW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos_micro".desc, $"nid".asc)
+    val exact = e.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
+      .join(e.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm".as("nnrm")),
+        $"qid" =!= $"nid")
+      .select($"qid", $"nid",
+        micro(dot($"qv", $"nv") / ($"qnrm" * $"nnrm")).as("cos_micro"))
+      .withColumn("rnk", row_number().over(exW)).filter($"rnk" <= 5)
+      .select($"qid", $"nid")
+    val nExact = exact.count()
+    val hit = df.select($"qid", $"nid").join(exact, Seq("qid", "nid"),
+      "left_semi").count()
+    val recall = hit.toDouble / nExact
+    assert(recall > 0.35, s"recall@5 vs exact graph too low: $recall")
+  }
+
   test("q39: per-round checkpoints are released (no storage leak)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
