@@ -1809,6 +1809,98 @@ object SimilarityOps {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  // --------------------------------------------------------------- s15
+  /** Hybrid retrieval via reciprocal-rank fusion — the standard way a
+    * retrieval pipeline combines a lexical ranker (BM25, t20) with a
+    * vector ranker (cosine kNN, s1's shape) without comparing their
+    * incommensurable scores: each list contributes 1/(60 + rank) per
+    * hit and the fused score is the sum (Cormack & Clarke's RRF; 60 is
+    * the canonical damping constant). Both engines compute the
+    * contribution as the INTEGER floor(1e6/(60+rank)) so the fusion sum
+    * is order-independent — ranks are small integers, so the fused
+    * ordering is exactly RRF's.
+    *
+    * The query set is t20's (docs 0–2); the vector list ranks each
+    * query doc's own embedding against the corpus (vec_id aligns with
+    * doc_id in this schema). A doc found by only one ranker still
+    * scores — fusion is a FULL outer union of the two lists, which is
+    * RRF's point: lexical recall patches vector misses and vice versa.
+    *
+    * Scale shape: both input rankings end as top-10-per-query lists —
+    * query-set-sized frames — so the fusion itself (union + sum + one
+    * window) is metadata-sized regardless of corpus scale; the heavy
+    * lifting stays inside the two rankers, each already in its
+    * scale-correct form (t20: broadcast postings probe; s1: broadcast
+    * query set, one corpus scan). */
+  def s15HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    val lex = TextOps.t20Bm25(spark, dir)
+      .select($"qid", $"doc_id", $"rank")
+    val e = emb(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    val q = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_micro".desc, $"doc_id".asc)
+    val vec = e.select($"vec_id".as("doc_id"), $"v".as("nv"), $"nrm")
+      .join(broadcast(q), $"qid" =!= $"doc_id")
+      .select($"qid", $"doc_id",
+        micro(dot($"qv", $"nv") / ($"qnrm" * $"nrm")).as("cos_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"qid", $"doc_id", $"rank")
+    val contrib = floor(lit(1000000.0) / (lit(60.0) + $"rank".cast("double")))
+      .cast("long")
+    val wf = Window.partitionBy($"qid").orderBy($"rrf_micro".desc, $"doc_id".asc)
+    lex.withColumn("src", lit("lex"))
+      .unionByName(vec.withColumn("src", lit("vec")))
+      .select($"qid", $"doc_id", contrib.as("c"))
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"c").as("rrf_micro"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(wf).cast("int"))
+      .filter($"rank" <= 10)
+      .select($"qid", $"rank", $"doc_id", $"rrf_micro", $"n_lists")
+      .orderBy($"qid", $"rank")
+  }
+
+  val s15HybridRrfSql: String = {
+    val lexInner = TextOps.t20Bm25Sql
+      .replaceAll("ORDER BY qid, rank$", "")
+    s"""WITH lex AS (
+       |  SELECT qid, doc_id, rank FROM ($lexInner)),
+       |e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+       |  FROM embeddings),
+       |vscored AS (
+       |  SELECT q.vec_id AS qid, n.vec_id AS doc_id,
+       |    ${sqlMicro(s"${sqlDot("q.v", "n.v")} / (q.nrm * n.nrm)")} AS cos_micro
+       |  FROM e q JOIN e n ON q.vec_id < 3 AND q.vec_id <> n.vec_id),
+       |vec AS (
+       |  SELECT qid, doc_id, rank FROM (
+       |    SELECT qid, doc_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY cos_micro DESC, doc_id ASC) AS INT) AS rank
+       |    FROM vscored) WHERE rank <= 10),
+       |unioned AS (
+       |  SELECT qid, doc_id, rank, 1 AS is_lex FROM lex
+       |  UNION ALL
+       |  SELECT qid, doc_id, rank, 0 AS is_lex FROM vec),
+       |fused AS (
+       |  SELECT qid, doc_id,
+       |    CAST(SUM(CAST(FLOOR(1000000.0 / (60.0 + CAST(rank AS DOUBLE))) AS BIGINT)) AS BIGINT) AS rrf_micro,
+       |    COUNT(*) AS n_lists
+       |  FROM unioned GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY rrf_micro DESC, doc_id ASC) AS INT) AS rank
+       |  FROM fused)
+       |SELECT qid, rank, doc_id, rrf_micro, n_lists
+       |FROM ranked WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh"   -> (s2KnnLsh _),
@@ -1824,6 +1916,7 @@ object SimilarityOps {
     "s12_knn_filtered" -> (s12KnnFiltered _),
     "s13_recall_eval" -> (s13RecallEval _),
     "s14_knn_graph" -> (s14KnnGraph _),
+    "s15_hybrid_rrf" -> (s15HybridRrf _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1842,5 +1935,6 @@ object SimilarityOps {
     "s12_knn_filtered" -> s12KnnFilteredSql,
     "s13_recall_eval" -> s13RecallEvalSql,
     "s14_knn_graph" -> s14KnnGraphSql,
+    "s15_hybrid_rrf" -> s15HybridRrfSql,
   )
 }

