@@ -1718,6 +1718,67 @@ object RelationalOps {
   }
 
   // ------------------------------------------------------------ registry
+  // --------------------------------------------------------------- q42
+  /** Mergeable-sketch maintenance — the day-2 story for q33's KMV
+    * distinct-count sketch, and the reason sketches exist at scale:
+    * the standing state is each group's k=64 minimum distinct hashes
+    * (a ≤64-row-per-group table, metadata-sized however large the
+    * fact table grows), and today's arrivals fold in by UNION +
+    * re-take-64-minimum — never by rescanning history.
+    *
+    * The merge is EXACT by the KMV theorem: the k smallest of
+    * (k smallest of A) ∪ (k smallest of B) equal the k smallest of
+    * A ∪ B, so the merged sketch — and therefore the estimate — is
+    * bit-identical to the from-scratch sketch over all rows. The
+    * oracle IS q33's from-scratch SQL. If the merged sketch holds
+    * fewer than k hashes, both inputs were uncapped, the sketch is
+    * the entire distinct set, and the estimate is exact — the same
+    * exact/estimated split q33 documents.
+    *
+    * Scale shape: the daily increment hashes + dedups only today's
+    * partition (codegen'd hash-agg), takes its per-group minima
+    * map-side-combined (a top-k-by-min window over ≤ groups·k rows
+    * after the partial agg), and the union+re-rank runs over
+    * ≤ 2·64 rows per group. The read is idempotent: state is written
+    * once, the delta never persists (q41's discipline). */
+  def q42KmvDay2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    val k = 64
+    val stateT = graft.sources.LayoutOps.stateTable("graft_state_q42_kmv", dir)
+    val li = t(spark, dir, "lineitem")
+    val isNew = pmod(md5Long(concat($"l_orderkey".cast("string"), lit(":q42"))),
+      lit(5L)) === 0L
+    def sketchRows(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"l_returnflag").orderBy($"h".asc)
+      df.select($"l_returnflag",
+          md5Long($"l_orderkey".cast("string")).as("h")).distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k).select($"l_returnflag", $"h")
+    }
+    if (!spark.catalog.tableExists(stateT)) {
+      graft.sources.LayoutOps.clearStaleLocation(spark, stateT)
+      sketchRows(li.filter(!isNew))
+        .write.mode("overwrite").format("parquet").saveAsTable(stateT)
+    }
+    val merged = spark.table(stateT)
+      .unionByName(sketchRows(li.filter(isNew)))
+      .distinct()
+    val w = Window.partitionBy($"l_returnflag").orderBy($"h".asc)
+    merged
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+      .filter($"rn" === least($"cnt", lit(k)))
+      .select($"l_returnflag",
+        least($"cnt", lit(k)).cast("int").as("n_kept"),
+        $"h".as("kth_hash"))
+      .withColumn("est_distinct",
+        when($"n_kept" < k, $"n_kept".cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(graft.functions.KmvAgg.HashSpace) /
+            $"kth_hash".cast("double")))
+      .orderBy($"l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -1760,6 +1821,7 @@ object RelationalOps {
     "q39_graph_converge" -> (q39GraphRankConverged _),
     "q40_scd2_day2"      -> (q40Scd2Day2 _),
     "q41_ivm_day2"       -> (q41IvmDay2 _),
+    "q42_kmv_day2"       -> (q42KmvDay2 _),
   )
 
   // --------------------------------------------------------------- q15
@@ -1825,5 +1887,7 @@ object RelationalOps {
     "q40_scd2_day2"      -> q38Scd2PointInTimeSql,
     // day-2 form: result identical to the from-scratch aggregate
     "q41_ivm_day2"       -> q41IvmDay2Sql,
+    // merge == from-scratch by the KMV theorem: oracle is q33's SQL
+    "q42_kmv_day2"       -> q33KmvSketchSql,
   )
 }

@@ -413,6 +413,21 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(rows.exists(_._5 == 1), "all fused docs claim both lists — suspicious")
   }
 
+  test("q42: merged KMV sketch is bit-identical to from-scratch, and idempotent") {
+    val fromScratch = graft.SparkEntry.queries("q33_kmv_sketch")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val merged1 = graft.SparkEntry.queries("q42_kmv_day2")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // KMV theorem: min-k(min-k(A) ∪ min-k(B)) == min-k(A ∪ B)
+    assert(merged1 == fromScratch,
+      s"merge diverged from from-scratch:\n$merged1\nvs\n$fromScratch")
+    // the read is idempotent: the standing state was written once and
+    // the delta never persists, so a second call cannot drift
+    val merged2 = graft.SparkEntry.queries("q42_kmv_day2")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(merged2 == merged1, "second read drifted — state not idempotent")
+  }
+
   test("q39: per-round checkpoints are released (no storage leak)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
