@@ -34,7 +34,7 @@ object DedupOps {
     * `LogicalRDD` wrapping the persisted RDD. Only call this once nothing
     * downstream will read the frame again — localCheckpoint blocks are
     * unrecoverable once dropped. */
-  private[operators] def unpersistCheckpointed(df: DataFrame): Unit =
+  private[graft] def unpersistCheckpointed(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

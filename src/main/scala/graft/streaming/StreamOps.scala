@@ -424,4 +424,49 @@ object StreamOps {
           res.write.mode("append").format("parquet").saveAsTable(sinkTable)
         }
       }
+
+  /** Streaming incremental aggregate maintenance — q41's ONLINE dual:
+    * the per-(returnflag, linestatus) summary is a standing table and
+    * every micro-batch of lineitem arrivals folds in additively
+    * (batch-local partial aggregate → union with the standing summary →
+    * re-aggregate groups-sized rows → copy-on-write publish). Counts
+    * and exact-decimal sums are the additive parts, so after ANY batch
+    * split the summary is bit-identical to the from-scratch aggregate
+    * over everything that has arrived (spec-pinned) — no retraction
+    * handling needed because lineitem is append-only.
+    *
+    * Scale shape: the per-batch cost is one partial aggregate of the
+    * BATCH (map-side combine collapses to groups-sized before any
+    * shuffle) plus a rewrite of the groups-sized summary — never a
+    * rescan of history. The CoW publish materializes before
+    * overwriting the scanned location (Scd2Ops' discipline) and
+    * releases the staging blocks after. */
+  def streamingIvm(lineitemStream: DataFrame, summaryTable: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    lineitemStream.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        val delta = batch
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"l_quantity".cast("decimal(28,8)")).as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(12,2)").cast("decimal(28,8)"))
+              .as("sum_price"))
+        val merged =
+          if (sp.catalog.tableExists(summaryTable))
+            sp.table(summaryTable).unionByName(delta)
+              .groupBy($"l_returnflag", $"l_linestatus")
+              .agg(sum($"n_rows").as("n_rows"),
+                sum($"sum_qty").as("sum_qty"),
+                sum($"sum_price").as("sum_price"))
+          else {
+            graft.sources.LayoutOps.clearStaleLocation(sp, summaryTable)
+            delta
+          }
+        val next = merged.localCheckpoint()
+        try next.write.mode("overwrite").format("parquet")
+          .saveAsTable(summaryTable)
+        finally graft.operators.DedupOps.unpersistCheckpointed(next)
+      }
 }

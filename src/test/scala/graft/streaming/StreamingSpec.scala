@@ -616,4 +616,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(!rows.exists(_._2 == 3.0), "other user's click must not join")
     } finally q.stop()
   }
+
+  test("streaming IVM: summary after two micro-batches equals from-scratch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val sf = SharedSpark.sf
+    val rows = graft.Tables(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_linestatus", $"l_quantity",
+        $"l_extendedprice")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    spark.sql("DROP TABLE IF EXISTS stream_ivm_summary")
+    val input = MemoryStream[(String, String, Double, Double)]
+    val q = StreamOps.streamingIvm(
+      input.toDF().toDF("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice"),
+      "stream_ivm_summary").start()
+    try {
+      input.addData(half1: _*)
+      q.processAllAvailable()
+      input.addData(half2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_ivm_summary")
+      .orderBy($"l_returnflag", $"l_linestatus")
+      .collect().map(_.toSeq).toSeq
+    val want = graft.Tables(spark, sf, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(28,8)")).as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(12,2)").cast("decimal(28,8)"))
+          .as("sum_price"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"streamed summary diverged:\n$got\nvs\n$want")
+    spark.sql("DROP TABLE IF EXISTS stream_ivm_summary")
+  }
 }
