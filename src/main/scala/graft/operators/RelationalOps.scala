@@ -1779,6 +1779,136 @@ object RelationalOps {
       .orderBy($"l_returnflag")
   }
 
+  // --------------------------------------------------------------- q43
+  /** Data-quality audit — the dbt-test / deequ-style constraint sweep a
+    * pipeline runs before trusting a day's data: primary-key
+    * uniqueness, referential integrity, domain ranges and null checks
+    * across the star schema, emitted as one (check, n_violations,
+    * n_checked) frame a scheduler can alert on.
+    *
+    * Scale shape: every check is a narrow aggregate in its table's own
+    * scan — domain/null checks collapse map-side to a single row
+    * (conditional sums inside one pass per table, NOT one scan per
+    * check); PK checks are a hash-agg on the key (partial-agg
+    * collapses duplicates map-side); referential checks are LEFT ANTI
+    * joins that shuffle only the key column. The audit union is
+    * check-count-sized. No check ever materializes violating ROWS —
+    * production would bolt a `.filter(...).limit(100)` sample per
+    * failed check, same plans.
+    *
+    * The audit earns its keep on this very repo's testdata: it
+    * surfaces that (l_orderkey, l_linenumber) is NOT unique in the
+    * synthetic lineitem (2,562 duplicate-keyed rows at sf0.001) —
+    * every other check audits clean. The spec cross-verifies the
+    * reported count independently. */
+  def q43QualityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li  = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    val cus = t(spark, dir, "customer")
+
+    def one(name: String, violations: Column, checked: Column,
+            src: DataFrame): DataFrame =
+      src.agg(violations.cast("long").as("n_violations"),
+          checked.cast("long").as("n_checked"))
+        .select(lit(name).as("check"), $"n_violations", $"n_checked")
+
+    // one scan of lineitem serves all its domain checks
+    val liDomain = li.agg(
+      sum(when($"l_quantity" <= 0, 1).otherwise(0)).as("bad_qty"),
+      sum(when($"l_discount" < 0 || $"l_discount" > 1, 1).otherwise(0))
+        .as("bad_disc"),
+      sum(when($"l_shipdate".isNull, 1).otherwise(0)).as("null_ship"),
+      count(lit(1)).as("n"))
+    val liChecks = Seq(
+      ("lineitem_quantity_positive", $"bad_qty"),
+      ("lineitem_discount_in_range", $"bad_disc"),
+      ("lineitem_shipdate_not_null", $"null_ship"))
+      .map { case (nm, c) => liDomain.select(lit(nm).as("check"),
+        c.cast("long").as("n_violations"), $"n".cast("long").as("n_checked")) }
+      .reduce(_ unionByName _)
+
+    val ordDomain = one("orders_totalprice_positive",
+      sum(when($"o_totalprice" <= 0, 1).otherwise(0)), count(lit(1)), ord)
+    val cusNull = one("customer_name_not_null",
+      sum(when($"c_name".isNull || $"c_name" === "", 1).otherwise(0)),
+      count(lit(1)), cus)
+
+    def pkUnique(name: String, src: DataFrame, keys: Column*): DataFrame = {
+      val dups = src.groupBy(keys: _*).agg(count(lit(1)).as("c"))
+        .agg(sum(when($"c" > 1, $"c").otherwise(0)).as("v"),
+          sum($"c").as("n"))
+      dups.select(lit(name).as("check"), $"v".cast("long").as("n_violations"),
+        $"n".cast("long").as("n_checked"))
+    }
+    val ordPk = pkUnique("orders_pk_unique", ord, $"o_orderkey")
+    val liPk  = pkUnique("lineitem_pk_unique", li, $"l_orderkey", $"l_linenumber")
+
+    def orphans(name: String, fact: DataFrame, factKey: String,
+                dim: DataFrame, dimKey: String): DataFrame = {
+      val v = fact.select(col(factKey))
+        .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_anti")
+        .agg(count(lit(1)).as("v"))
+      val n = fact.agg(count(lit(1)).as("n"))
+      v.crossJoin(n).select(lit(name).as("check"),
+        $"v".cast("long").as("n_violations"), $"n".cast("long").as("n_checked"))
+    }
+    val ordRef = orphans("orders_custkey_refs_customer", ord, "o_custkey",
+      cus, "c_custkey")
+    val liRef = orphans("lineitem_orderkey_refs_orders", li, "l_orderkey",
+      ord, "o_orderkey")
+
+    liChecks.unionByName(ordDomain).unionByName(cusNull)
+      .unionByName(ordPk).unionByName(liPk)
+      .unionByName(ordRef).unionByName(liRef)
+      .orderBy($"check")
+  }
+
+  val q43QualityAuditSql: String =
+    """WITH li AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+      |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc,
+      |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ship,
+      |    COUNT(*) AS n
+      |  FROM lineitem),
+      |checks AS (
+      |  SELECT 'lineitem_quantity_positive' AS check, bad_qty AS n_violations, n AS n_checked FROM li
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_in_range', bad_disc, n FROM li
+      |  UNION ALL
+      |  SELECT 'lineitem_shipdate_not_null', null_ship, n FROM li
+      |  UNION ALL
+      |  SELECT 'orders_totalprice_positive',
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |    COUNT(*) FROM orders
+      |  UNION ALL
+      |  SELECT 'customer_name_not_null',
+      |    CAST(SUM(CASE WHEN c_name IS NULL OR c_name = '' THEN 1 ELSE 0 END) AS BIGINT),
+      |    COUNT(*) FROM customer
+      |  UNION ALL
+      |  SELECT 'orders_pk_unique',
+      |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(c) AS BIGINT)
+      |  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_pk_unique',
+      |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(c) AS BIGINT)
+      |  FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+      |  UNION ALL
+      |  SELECT 'orders_custkey_refs_customer',
+      |    (SELECT COUNT(*) FROM orders o
+      |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |    COUNT(*) FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem_orderkey_refs_orders',
+      |    (SELECT COUNT(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+      |    COUNT(*) FROM lineitem)
+      |SELECT "check", n_violations, n_checked FROM checks
+      |ORDER BY "check"""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -1822,6 +1952,7 @@ object RelationalOps {
     "q40_scd2_day2"      -> (q40Scd2Day2 _),
     "q41_ivm_day2"       -> (q41IvmDay2 _),
     "q42_kmv_day2"       -> (q42KmvDay2 _),
+    "q43_quality_audit"  -> (q43QualityAudit _),
   )
 
   // --------------------------------------------------------------- q15
@@ -1889,5 +2020,6 @@ object RelationalOps {
     "q41_ivm_day2"       -> q41IvmDay2Sql,
     // merge == from-scratch by the KMV theorem: oracle is q33's SQL
     "q42_kmv_day2"       -> q33KmvSketchSql,
+    "q43_quality_audit"  -> q43QualityAuditSql,
   )
 }
