@@ -38,6 +38,23 @@ object KmvAgg {
     if (n < k) n.toDouble else (k - 1).toDouble * HashSpace / kth.toDouble
 }
 
+/** [[KmvAgg]]'s sibling exposing the FULL k-minimum buffer instead of
+  * its (size, kth) summary — the mergeable sketch STATE, for consumers
+  * that persist sketches and fold new data in later (q42's day-2
+  * maintenance). Same bounded buffer, same map-side partials, same
+  * shuffle bound of ≤ k longs per group; the KMV union theorem makes
+  * the persisted set loss-free for later merges. */
+class KmvSetAgg(k: Int) extends Aggregator[Long, List[Long], List[Long]] {
+  private val inner = new KmvAgg(k)
+  override def zero: List[Long] = inner.zero
+  override def reduce(buf: List[Long], h: Long): List[Long] = inner.reduce(buf, h)
+  override def merge(a: List[Long], b: List[Long]): List[Long] = inner.merge(a, b)
+  override def finish(buf: List[Long]): List[Long] = buf
+  override def bufferEncoder: Encoder[List[Long]] = inner.bufferEncoder
+  override def outputEncoder: Encoder[List[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 class KmvAgg(k: Int) extends Aggregator[Long, List[Long], (Int, Long)] {
 
   override def zero: List[Long] = Nil

@@ -1749,29 +1749,38 @@ object RelationalOps {
     val li = t(spark, dir, "lineitem")
     val isNew = pmod(md5Long(concat($"l_orderkey".cast("string"), lit(":q42"))),
       lit(5L)) === 0L
+    // bottom-k via the BOUNDED mergeable aggregator, never a per-group
+    // window: a window sorts every distinct hash of a group in one task
+    // (a corpus-sized sort per group at 100 TB), while the Aggregator's
+    // buffer caps at k longs, partials combine map-side, and the shuffle
+    // carries ≤ k values per group — q33's discipline, kept for both the
+    // day-1 build and the daily delta.
     def sketchRows(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy($"l_returnflag").orderBy($"h".asc)
+      val kmvSet = new graft.functions.KmvSetAgg(k).toColumn
       df.select($"l_returnflag",
-          md5Long($"l_orderkey".cast("string")).as("h")).distinct()
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= k).select($"l_returnflag", $"h")
+          md5Long($"l_orderkey".cast("string")).as("h"))
+        .distinct() // dedup in codegen'd hash-agg land first (q33's note)
+        .as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(kmvSet.name("hs"))
+        .toDF("l_returnflag", "hs")
+        .select($"l_returnflag", explode($"hs").as("h"))
     }
     if (!spark.catalog.tableExists(stateT)) {
       graft.sources.LayoutOps.clearStaleLocation(spark, stateT)
       sketchRows(li.filter(!isNew))
         .write.mode("overwrite").format("parquet").saveAsTable(stateT)
     }
-    val merged = spark.table(stateT)
+    val kmvSet = new graft.functions.KmvSetAgg(k).toColumn
+    spark.table(stateT)
       .unionByName(sketchRows(li.filter(isNew)))
-      .distinct()
-    val w = Window.partitionBy($"l_returnflag").orderBy($"h".asc)
-    merged
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
-      .filter($"rn" === least($"cnt", lit(k)))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(kmvSet.name("hs"))
+      .toDF("l_returnflag", "hs")
       .select($"l_returnflag",
-        least($"cnt", lit(k)).cast("int").as("n_kept"),
-        $"h".as("kth_hash"))
+        size($"hs").cast("int").as("n_kept"),
+        array_max($"hs").as("kth_hash"))
       .withColumn("est_distinct",
         when($"n_kept" < k, $"n_kept".cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(graft.functions.KmvAgg.HashSpace) /

@@ -425,6 +425,41 @@ object StreamOps {
         }
       }
 
+  /** Streaming point-in-time enrichment — q38's SCD2 lookup as an
+    * ONLINE operator: each micro-batch of events joins the dimension
+    * version valid AT THE EVENT'S OWN event time (not the current
+    * version — [[enrichWithDim]] answers that simpler question), so a
+    * replayed or late event enriches identically to the batch PIT join.
+    * Events with no valid version (before the key's first version, or
+    * an unknown key) pass through with a null segment rather than being
+    * dropped — the reconciliation query decides their fate.
+    *
+    * Scale shape: the dimension is the q40-maintained standing table,
+    * BUCKETED on the entity key, so the per-batch join plans no
+    * exchange on the dimension side; the (small) event batch is the
+    * side that moves. The version predicate
+    * (valid_from ≤ ts < valid_to) rides the equi-join on the key as a
+    * codegen'd residual — never a range-only join. Versions per key are
+    * bounded by churn, not event volume, so the matched row count
+    * equals the batch size. */
+  def streamingPitEnrich(events: DataFrame, dimTable: String,
+                         sinkTable: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        val dim = sp.table(dimTable)
+        val enriched = batch.toDF().as("e")
+          .join(dim.as("d"),
+            $"e.user_id" === $"d.k" &&
+              $"e.ts" >= $"d.valid_from" && $"e.ts" < $"d.valid_to",
+            "left")
+          .select($"e.event_id", $"e.user_id", $"e.ts", $"d.seg_v")
+        graft.sources.LayoutOps.clearStaleLocation(sp, sinkTable)
+        enriched.write.mode("append").format("parquet").saveAsTable(sinkTable)
+      }
+
   /** Streaming incremental aggregate maintenance — q41's ONLINE dual:
     * the per-(returnflag, linestatus) summary is a standing table and
     * every micro-batch of lineitem arrivals folds in additively

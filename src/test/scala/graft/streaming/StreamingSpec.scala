@@ -617,6 +617,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PIT enrich: events pick the version valid at their own ts") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    spark.sql("DROP TABLE IF EXISTS stream_pit_dim")
+    spark.sql("DROP TABLE IF EXISTS stream_pit_sink")
+    graft.operators.Scd2Ops.initDim(spark, "stream_pit_dim",
+      Seq((1L, "A#0", ts("2024-01-01 00:00:00")),
+          (1L, "A#1", ts("2024-02-01 00:00:00")),
+          (2L, "B#0", ts("2024-01-15 00:00:00")))
+        .toDF("k", "seg_v", "valid_from"))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = StreamOps.streamingPitEnrich(
+      input.toDF().toDF("event_id", "ts", "user_id"),
+      "stream_pit_dim", "stream_pit_sink").start()
+    try {
+      // batch 1: v0-era and v1-era events for key 1
+      input.addData((100L, ts("2024-01-10 12:00:00"), 1L),
+                    (101L, ts("2024-02-10 12:00:00"), 1L))
+      q.processAllAvailable()
+      // batch 2: key 2, a pre-history event, and an unknown key
+      input.addData((102L, ts("2024-01-20 00:00:00"), 2L),
+                    (103L, ts("2023-12-01 00:00:00"), 1L),
+                    (104L, ts("2024-03-01 00:00:00"), 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_pit_sink")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(got == Map(
+      100L -> Some("A#0"), 101L -> Some("A#1"), 102L -> Some("B#0"),
+      103L -> None, 104L -> None),
+      s"PIT enrichment wrong: $got")
+    spark.sql("DROP TABLE IF EXISTS stream_pit_dim")
+    spark.sql("DROP TABLE IF EXISTS stream_pit_sink")
+  }
+
   test("streaming IVM: summary after two micro-batches equals from-scratch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
