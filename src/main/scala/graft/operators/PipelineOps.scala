@@ -962,6 +962,55 @@ object PipelineOps {
        |ORDER BY stage_no""".stripMargin
   }
 
+  // --------------------------------------------------------------- p13
+  /** Leakage-safe train/holdout split — the eval-integrity primitive a
+    * per-doc coin gets WRONG: if two near-duplicate documents land on
+    * opposite sides of the split, the holdout is contaminated and eval
+    * loss is a lie. The split coin is therefore flipped on the
+    * duplicate-GROUP representative (d8's connected-component cluster
+    * id; singletons are their own group), so an entire near-dup cluster
+    * moves as one unit — members of a cluster CANNOT straddle the
+    * split, by construction rather than by audit.
+    *
+    * Scale shape: group discovery is d8's pipeline (banded LSH
+    * candidates + label-propagation components — everything
+    * candidate-generated, nothing all-pairs); the per-doc group join
+    * shuffles only (doc_id, cluster_id) pairs, and the cluster frame is
+    * LEFT UNHINTED — it is usually tiny (only docs in dup clusters)
+    * but adversarially corpus-sized (q36's lesson: never force a
+    * broadcast on a side that can grow with the corpus; AQE broadcasts
+    * it when it measures small). The coin is the same deterministic
+    * md5-mod family every sampling op here uses, so the split is
+    * reproducible run to run and engine to engine. */
+  def p13LeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    val clusters = DedupOps.d8DupClusters(spark, dir)
+      .select($"doc_id", $"cluster_id")
+    docs(spark, dir).select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("group_id"))
+      .withColumn("split",
+        when(pmod(md5Long(concat($"group_id".cast("string"), lit(":p13"))),
+          lit(10L)) === 0L, "holdout").otherwise("train"))
+      .orderBy($"doc_id")
+  }
+
+  val p13LeakageSplitSql: String = {
+    import graft.functions.EngineFns.sqlMd5Long
+    s"""WITH clusters AS (
+       |  SELECT doc_id, cluster_id FROM (
+       |    ${DedupOps.d8DupClustersSql.replaceAll("ORDER BY doc_id$", "")})),
+       |grouped AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN clusters c USING (doc_id))
+       |SELECT doc_id, group_id,
+       |  CASE WHEN ${sqlMd5Long("CAST(group_id AS VARCHAR) || ':p13'")} % 10 = 0
+       |       THEN 'holdout' ELSE 'train' END AS split
+       |FROM grouped
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_prep_pipeline" -> (p1PrepPipeline _),
     "p2_hash_sample"   -> (p2HashSample _),
@@ -975,6 +1024,7 @@ object PipelineOps {
     "p10_refresh_day2" -> (p10RefreshDay2 _),
     "p11_training_order" -> (p11TrainingOrder _),
     "p12_corpus_funnel" -> (p12CorpusFunnel _),
+    "p13_leakage_split" -> (p13LeakageSplit _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -991,5 +1041,6 @@ object PipelineOps {
     "p10_refresh_day2" -> p8IncrementalRefreshSql,
     "p11_training_order" -> p11TrainingOrderSql,
     "p12_corpus_funnel" -> p12CorpusFunnelSql,
+    "p13_leakage_split" -> p13LeakageSplitSql,
   )
 }

@@ -474,6 +474,25 @@ class Round9OpsSpec extends AnyFunSuite {
       s"audit miscounted dup PK rows: ${real("lineitem_pk_unique")} vs $trueDups")
   }
 
+  test("p13: no near-dup pair straddles the train/holdout split") {
+    import spark.implicits._
+    val split = graft.SparkEntry.queries("p13_leakage_split")(spark, sf)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val nDocs = graft.Tables(spark, sf, "documents").count()
+    assert(split.size == nDocs, "every document must be assigned a split")
+    // the contamination check a per-doc coin fails: every LSH near-dup
+    // pair must land on the same side
+    val pairs = DedupOps.d4MinhashLsh(spark, sf)
+      .select($"i", $"j").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "corpus should contain near-dup pairs")
+    val straddling = pairs.filter { case (i, j) => split(i) != split(j) }
+    assert(straddling.isEmpty, s"leaking pairs: ${straddling.take(5).toSeq}")
+    // and the coin is honest: holdout is a real, minority slice
+    val holdout = split.values.count(_ == "holdout")
+    assert(holdout > 0 && holdout < nDocs / 4,
+      s"holdout fraction off: $holdout of $nDocs")
+  }
+
   test("q39: per-round checkpoints are released (no storage leak)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
