@@ -426,6 +426,14 @@ class Round9OpsSpec extends AnyFunSuite {
     val merged2 = graft.SparkEntry.queries("q42_kmv_day2")(spark, sf)
       .collect().map(_.toSeq).toSeq
     assert(merged2 == merged1, "second read drifted — state not idempotent")
+    // scale guard: bottom-k must come from the bounded aggregator, not a
+    // per-group window (a window sorts a group's every distinct hash in
+    // one task — corpus-sized at 100 TB; the aggregator's buffer caps at
+    // k longs and combines map-side)
+    val plan = physical(graft.SparkEntry.queries("q42_kmv_day2")(spark, sf))
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, s"q42 must not sort per-group via a window: $windows")
   }
 
   test("q43: planted violations are counted per check, clean tables audit zero") {
