@@ -978,6 +978,117 @@ object EventOps {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- e22
+  /** Per-user merged-interval coverage — each event opens a 5-minute
+    * activity interval and the question is "how much DISTINCT time was
+    * each user active, in how many separate stretches?". Interval
+    * union is the operator behind billable-seconds metering, SLA
+    * uptime, and machine-utilization reports, and the naive form
+    * (explode each interval into seconds, COUNT DISTINCT) is a
+    * 300×-row blowup that gets worse with interval length.
+    *
+    * The scalable form is the classic sweep: order each user's events
+    * by time and carry a running max of interval ENDS over the
+    * preceding rows; a row's novel contribution is
+    * `max(0, end − max(start, prior_max_end))`, and it opens a new
+    * stretch iff `prior_max_end < start`. One window pass, O(1) state
+    * per row, exact BIGINT microsecond arithmetic throughout.
+    *
+    * Scale shape: ONE shuffle on user_id shared by the window and the
+    * final groupBy (e20's plan-guarded pattern); a hot user rides a
+    * SPILLABLE window sort, never a collect buffer (q38's note) —
+    * running-max-over-preceding needs no per-user materialization. */
+  def e22IntervalCoverage(spark: SparkSession, dir: String): DataFrame =
+    e22IntervalCoverageFrom(events(spark, dir))
+
+  /** [[e22IntervalCoverage]] over an arbitrary (user_id, event_id, ts)
+    * frame — planted-interval specs enter here. */
+  private[operators] def e22IntervalCoverageFrom(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val iv = ev.select($"user_id", $"event_id",
+        unix_micros($"ts").as("s"))
+      .withColumn("e", $"s" + lit(300000000L))
+    val w = Window.partitionBy($"user_id").orderBy($"s", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv.withColumn("pmax", max($"e").over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"pmax".isNull || $"pmax" < $"s", 1L).otherwise(0L))
+          .as("n_stretches"),
+        sum(greatest($"e" - greatest($"s", coalesce($"pmax", $"s")), lit(0L)))
+          .as("cov_us"))
+      .select($"user_id", $"n_events", $"n_stretches",
+        expr("cov_us div 1000000").as("covered_sec"))
+      .orderBy($"user_id")
+  }
+
+  val e22IntervalCoverageSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + 300000000 AS e
+      |  FROM events),
+      |sw AS (
+      |  SELECT user_id, s, e,
+      |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN pmax IS NULL OR pmax < s THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_stretches,
+      |  CAST(CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pmax, s)), 0)) AS BIGINT)
+      |    // 1000000 AS BIGINT) AS covered_sec
+      |FROM sw
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- e23
+  /** Top event PATHS — the most common 3-step behavioral sequences
+    * (consecutive event-type trigrams per user), the product-analytics
+    * "what do users actually do" query and the n-gram dual of e14's
+    * single-step transition matrix.
+    *
+    * Scale shape: two `lead()`s over the per-user time order turn each
+    * event row into its own trigram — no self-joins, no per-user
+    * collect (e20 needs the whole sequence for regex matching; a
+    * fixed-length path does not, so the window form is strictly
+    * better here and a bot user rides a spillable sort). The path
+    * alphabet is |event_types|³ (≤125 here), so the count aggregates
+    * collapse map-side and the top-20 is a TakeOrdered over a
+    * metadata-sized frame — no full sort at any corpus size. */
+  def e23TopPaths(spark: SparkSession, dir: String): DataFrame =
+    e23TopPathsFrom(events(spark, dir))
+
+  /** [[e23TopPaths]] over an arbitrary event frame — planted-sequence
+    * specs enter here. */
+  private[operators] def e23TopPathsFrom(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    ev.select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .filter($"e2".isNotNull && $"e3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"e2", $"e3").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_paths"))
+      .orderBy($"n_paths".desc, $"path").limit(20)
+  }
+
+  val e23TopPathsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    LEAD(event_type, 1) OVER w AS e2,
+      |    LEAD(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+      |  COUNT(*) AS n_paths
+      |FROM seq
+      |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY n_paths DESC, path
+      |LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
@@ -1001,6 +1112,8 @@ object EventOps {
     "e19_hopping_distinct" -> (e19HoppingDistinct _),
     "e20_pattern_match" -> (e20PatternMatch _),
     "e21_attribution" -> (e21Attribution _),
+    "e22_interval_coverage" -> (e22IntervalCoverage _),
+    "e23_top_paths"  -> (e23TopPaths _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1025,5 +1138,7 @@ object EventOps {
     "e19_hopping_distinct" -> e19HoppingDistinctSql,
     "e20_pattern_match" -> e20PatternMatchSql,
     "e21_attribution" -> e21AttributionSql,
+    "e22_interval_coverage" -> e22IntervalCoverageSql,
+    "e23_top_paths"  -> e23TopPathsSql,
   )
 }

@@ -1517,7 +1517,8 @@ object SimilarityOps {
     * collecting a micro-batch of them to the driver is the
     * metadata-sized move, not a data-sized one. */
   private[graft] def s10ServeFrom(spark: SparkSession, dir: String,
-      qs: Seq[(Long, Array[Double])]): DataFrame = {
+      qs: Seq[(Long, Array[Double])],
+      codesTable: Option[String] = None): DataFrame = {
     import spark.implicits._
     val NPROBE = 4
     val SUBS = S7Subs
@@ -1525,7 +1526,8 @@ object SimilarityOps {
     def microL(x: Double): Long = math.floor(x * 1000000.0).toLong
     val centT = graft.sources.LayoutOps.stateTable("graft_state_s7_cent", dir)
     val pqT = graft.sources.LayoutOps.stateTable("graft_state_s7_pq", dir)
-    val codesT = graft.sources.LayoutOps.stateTable("graft_state_s7_codes", dir)
+    val codesT = codesTable.getOrElse(
+      graft.sources.LayoutOps.stateTable("graft_state_s7_codes", dir))
     if (qs.isEmpty)
       return spark.range(0).select($"id".as("qid"), $"id".as("nid"),
         $"id".cast("int").as("rnk"), $"id".as("adc_micro"))
@@ -1901,6 +1903,114 @@ object SimilarityOps {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s16
+  /** ANN index DELETION + cell-local compaction — the third and last
+    * leg of the index lifecycle (s10 build → s11 insert → s16 delete):
+    * a tombstone set of vectors (GDPR erasure, retracted documents)
+    * must stop appearing in results, WITHOUT retraining and WITHOUT
+    * rewriting the whole index. Codebooks are untouched — deletion
+    * never shifts centroids, exactly as in FAISS's `remove_ids` /
+    * every IVF deployment (drift is the scheduled-rebuild's job,
+    * s11's note).
+    *
+    * The compaction is PARTITION-SURGICAL: tombstoned rows name their
+    * cells (a semi-join of the code rows against the tombstone ids —
+    * code rows are fixed-width, the scan is the index not the
+    * corpus), and only THOSE cell directories are rewritten via
+    * dynamic-partition-overwrite (anti-join of the affected cells'
+    * rows against the tombstones). An unaffected inverted list's
+    * files are bit-for-bit untouched (spec-pinned) — at 100 TB with
+    * 100k cells, deleting a day's tombstones rewrites the few lists
+    * they live in, not the index. Serving afterwards is s10's
+    * partition-pruned scan, now physically free of the deleted rows —
+    * no serve-time tombstone filter to pay forever (the
+    * filter-at-read alternative leaks cost into every query and never
+    * reclaims storage).
+    *
+    * The oracle rebuilds the truth from scratch: train on the FULL
+    * corpus (day-1 codebooks), encode only surviving vectors, serve
+    * the surviving query sample — deletion-by-compaction must be
+    * indistinguishable from never having indexed the rows. */
+  def s16IndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    s10EnsureIndex(spark, dir)
+    val codesT = s16EnsureCopy(spark, dir)
+    s16CompactDeletes(spark, dir)
+    val qs: Seq[(Long, Array[Double])] = emb(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter($"vec_id" < NQUERIES && !s16IsDeleted($"vec_id"))
+      .collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    s10ServeFrom(spark, dir, qs, codesTable = Some(codesT))
+  }
+
+  /** The ~10% tombstone coin (engine-standard md5 split). */
+  private[graft] def s16IsDeleted(vecId: Column): Column =
+    pmod(md5Long(concat(vecId.cast("string"), lit(":s16"))), lit(10L)) === 3L
+
+  /** Day-1 of the deletion story: materialize s16's own copy of s10's
+    * code table (same cell-partitioned layout) so compaction never
+    * mutates the index other queries serve from. */
+  private[graft] def s16EnsureCopy(spark: SparkSession, dir: String): String = {
+    val s7codesT = graft.sources.LayoutOps.stateTable("graft_state_s7_codes", dir)
+    val codesT = graft.sources.LayoutOps.stateTable("graft_state_s16_codes", dir)
+    if (!spark.catalog.tableExists(codesT)) {
+      graft.sources.LayoutOps.clearStaleLocation(spark, codesT)
+      spark.table(s7codesT)
+        .write.mode("overwrite").format("parquet").partitionBy("cell")
+        .saveAsTable(codesT)
+    }
+    codesT
+  }
+
+  /** Apply the tombstones: locate affected cells (semi-join over the
+    * fixed-width code rows), rewrite ONLY those cell partitions with
+    * the tombstoned rows anti-joined out. Idempotent — a second call
+    * finds no affected cells. Returns the rewritten cell ids. */
+  private[graft] def s16CompactDeletes(spark: SparkSession, dir: String): Seq[Long] = {
+    import spark.implicits._
+    s16CompactWith(spark, dir, emb(spark, dir).select($"vec_id".as("del_id"))
+      .filter(s16IsDeleted($"del_id")))
+  }
+
+  /** [[s16CompactDeletes]] with an explicit tombstone frame
+    * (`del_id: bigint`) — planted-tombstone specs enter here. */
+  private[graft] def s16CompactWith(spark: SparkSession, dir: String,
+      del: DataFrame): Seq[Long] = {
+    import spark.implicits._
+    val codesT = graft.sources.LayoutOps.stateTable("graft_state_s16_codes", dir)
+    val affected = spark.table(codesT)
+      .join(del, $"nid" === $"del_id", "left_semi")
+      .select($"cell").distinct().as[Long].collect().toSeq.sorted
+    if (affected.nonEmpty) {
+      val kept = spark.table(codesT)
+        .filter($"cell".isin(affected: _*))
+        .join(del, $"nid" === $"del_id", "left_anti")
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(modeKey)
+      spark.conf.set(modeKey, "dynamic")
+      try kept.write.mode("overwrite").insertInto(codesT)
+      finally prev match {
+        case Some(v) => spark.conf.set(modeKey, v)
+        case None => spark.conf.unset(modeKey)
+      }
+    }
+    affected
+  }
+
+  val s16IndexDeleteSql: String = {
+    val coin = sqlMd5Long("CAST(vec_id AS VARCHAR) || ':s16'")
+    s7SqlFrom(
+      s"""eall AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+         |  FROM embeddings),
+         |e AS (SELECT * FROM eall),
+         |ekeep AS (SELECT * FROM eall WHERE NOT ($coin % 10 = 3))""".stripMargin,
+      "ekeep")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh"   -> (s2KnnLsh _),
@@ -1917,6 +2027,7 @@ object SimilarityOps {
     "s13_recall_eval" -> (s13RecallEval _),
     "s14_knn_graph" -> (s14KnnGraph _),
     "s15_hybrid_rrf" -> (s15HybridRrf _),
+    "s16_index_delete" -> (s16IndexDelete _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1936,5 +2047,6 @@ object SimilarityOps {
     "s13_recall_eval" -> s13RecallEvalSql,
     "s14_knn_graph" -> s14KnnGraphSql,
     "s15_hybrid_rrf" -> s15HybridRrfSql,
+    "s16_index_delete" -> s16IndexDeleteSql,
   )
 }

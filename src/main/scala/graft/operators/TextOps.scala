@@ -1201,6 +1201,66 @@ object TextOps {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t21
+  /** Pairwise SOURCE vocabulary similarity — the exact Jaccard overlap
+    * of every two sources' token vocabularies, the corpus-curation
+    * matrix that answers "which sources are near-rebrands of each
+    * other / which add genuinely new language?" before mixture weights
+    * (p6) are assigned. This is the EXACT counterpart of q45's
+    * sketched overlap: sources are few, so the full matrix is
+    * affordable and the sketch is unnecessary.
+    *
+    * Scale shape: one pass over the text explodes tokens and dedups
+    * (source, token) in a codegen'd hash-agg — map-side partial dedup
+    * means repeated tokens never ride the shuffle, and after it NO
+    * document text moves (the vocabulary frame is (source, token)
+    * pairs). The pair join fans each token out to at most
+    * |sources|²/2 rows — the source list is a catalog-sized constant,
+    * so unlike document-level gram joins (d3/d11) there is no hot-key
+    * risk and no df-cap needed; per-pair counts collapse map-side into
+    * a |sources|²-sized frame. */
+  def t21SourceSimilarity(spark: SparkSession, dir: String): DataFrame =
+    t21SourceSimilarityFrom(docs(spark, dir))
+
+  /** [[t21SourceSimilarity]] over an arbitrary (source, text) frame —
+    * planted-vocabulary specs enter here. */
+  private[operators] def t21SourceSimilarityFrom(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val voc = d
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .distinct()
+    val sizes = voc.groupBy($"source").agg(count(lit(1)).as("n"))
+    val pairs = voc.as("a").join(voc.as("b"),
+        $"a.tok" === $"b.tok" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select($"source".as("src_a"), $"n".as("n_a")), "src_a")
+      .join(sizes.select($"source".as("src_b"), $"n".as("n_b")), "src_b")
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_common")
+      .withColumn("jaccard_permille",
+        expr("(1000 * n_common) div (n_a + n_b - n_common)"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val t21SourceSimilaritySql: String =
+    """WITH voc AS (
+      |  SELECT DISTINCT source, tok FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents)),
+      |sizes AS (SELECT source, COUNT(*) AS n FROM voc GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      |  FROM voc a JOIN voc b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+      |  (1000 * n_common) // (sa.n + sb.n - n_common) AS jaccard_permille
+      |FROM pairs
+      |JOIN sizes sa ON sa.source = src_a
+      |JOIN sizes sb ON sb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_profile" -> (t2LangProfile _),
@@ -1222,6 +1282,7 @@ object TextOps {
     "t18_bpe_merges"  -> (t18BpeMerges _),
     "t19_lm_surprise" -> (t19LmSurprise _),
     "t20_bm25"        -> (t20Bm25 _),
+    "t21_source_similarity" -> (t21SourceSimilarity _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1245,5 +1306,6 @@ object TextOps {
     "t18_bpe_merges"  -> t18BpeMergesSql,
     "t19_lm_surprise" -> t19LmSurpriseSql,
     "t20_bm25"        -> t20Bm25Sql,
+    "t21_source_similarity" -> t21SourceSimilaritySql,
   )
 }

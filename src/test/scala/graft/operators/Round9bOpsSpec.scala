@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 continuation specs (second block): triangle counting (q44),
+  * KMV pairwise Jaccard (q45), interval coverage (e22), top paths
+  * (e23), source vocabulary similarity (t21), ANN index deletion
+  * (s16). */
+class Round9bOpsSpec extends AnyFunSuite {
+  import graft.SharedSpark._
+
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  test("q44: planted triangle graph counts per-corner with exact cc") {
+    import spark.implicits._
+    // orders o1:{1,2} o2:{2,3} o3:{1,3} o4:{1,4} → edges (1,2)(2,3)(1,3)(1,4)
+    // → one triangle {1,2,3}; node 4 (no triangle) must NOT appear
+    val pl = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 1L), (3L, 3L),
+      (4L, 1L), (4L, 4L)).toDF("o", "p")
+    val rows = RelationalOps.q44TrianglesFrom(pl)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 3L, 1L, 333L),   // deg 3 → cc = 2000*1 div (3·2) = 333
+      (2L, 2L, 1L, 1000L),  // deg 2 → closed wedge, cc exactly 1
+      (3L, 2L, 1L, 1000L)))
+  }
+
+  test("q44: oriented join plan has no cartesian / nested-loop join") {
+    val df = graft.SparkEntry.queries("q44_triangles")(spark, sf)
+    val bad = physical(df).collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, s"non-equi join in triangle plan: $bad")
+  }
+
+  test("q45: planted sets give the exact sketch arithmetic") {
+    import spark.implicits._
+    val gh = (1L to 5L).map(("A", _)) ++ (3L to 7L).map(("B", _))
+    // uncapped (k=64): union kept = 7, common = {3,4,5} → 3 → 428‰
+    val full = RelationalOps.q45KmvJaccardFrom(gh.toDF("g", "h"), k = 64)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(full.toSeq == Seq((7, 3, 428L)))
+    // capped (k=4): hu = bottom-4 of union = {1,2,3,4}; of those, {3,4}
+    // are in both sketches → 2/4 = 500‰ (true J = 3/7 ≈ 429 — the
+    // estimator's error shrinks with k, the spec pins determinism)
+    val capped = RelationalOps.q45KmvJaccardFrom(gh.toDF("g", "h"), k = 4)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(capped.toSeq == Seq((4, 2, 500L)))
+  }
+
+  test("q45: sketches come from the bounded aggregator, never a window") {
+    val df = graft.SparkEntry.queries("q45_kmv_jaccard")(spark, sf)
+    val wins = physical(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.isEmpty, "per-group window in the KMV path (q42's anti-pattern)")
+    val obj = physical(df).collect {
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+    }
+    assert(obj.nonEmpty, "expected the typed KMV aggregator in the plan")
+  }
+
+  test("e22: planted intervals merge, count stretches, and sum coverage") {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    val ev = Seq(
+      (7L, 0L, t0),                  // [0, 300)
+      (7L, 1L, t0 + 100000000L),     // [100, 400) — overlaps
+      (7L, 2L, t0 + 1000000000L),    // [1000, 1300) — gap
+      (8L, 3L, t0), (8L, 4L, t0))    // duplicate ts: second adds nothing
+      .toDF("user_id", "event_id", "us")
+      .select($"user_id", $"event_id", timestamp_micros($"us").as("ts"))
+    val rows = EventOps.e22IntervalCoverageFrom(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (7L, 3L, 2L, 700L),  // 400s merged + 300s isolated
+      (8L, 2L, 1L, 300L)))
+  }
+
+  test("e22: window and final groupBy share ONE hash exchange") {
+    val df = graft.SparkEntry.queries("e22_interval_coverage")(spark, sf)
+    val hashEx = physical(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(hashEx.size == 1,
+      s"expected one hash exchange on user_id, got ${hashEx.size}")
+  }
+
+  test("e23: planted sequence yields its consecutive trigrams only") {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    val ev = Seq((1L, 0L, "a"), (1L, 1L, "b"), (1L, 2L, "c"), (1L, 3L, "d"))
+      .map { case (u, i, et) => (u, i, t0 + i * 1000000L, et) }
+      .toDF("user_id", "event_id", "us", "event_type")
+      .select($"user_id", $"event_id", timestamp_micros($"us").as("ts"),
+        $"event_type")
+    val rows = EventOps.e23TopPathsFrom(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("a>b>c", 1L), ("b>c>d", 1L)))
+  }
+
+  test("t21: identical vocabularies score 1000‰; disjoint pairs drop out") {
+    import spark.implicits._
+    val d = Seq(("s1", "x y z"), ("s2", "z x y"), ("s3", "p q"))
+      .toDF("source", "text")
+    val rows = TextOps.t21SourceSimilarityFrom(d)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // only the (s1, s2) pair shares tokens; s3 pairs have no common
+    // token and are absent by construction
+    assert(rows.toSeq == Seq(("s1", "s2", 3L, 3L, 3L, 1000L)))
+  }
+
+  test("s16: compaction rewrites ONLY the tombstoned cells and is surgical") {
+    import spark.implicits._
+    val codesT = graft.sources.LayoutOps.stateTable("graft_state_s16_codes", sf)
+    spark.sql(s"DROP TABLE IF EXISTS $codesT")
+    SimilarityOps.s10EnsureIndex(spark, sf) // day-1 build (no-op if present)
+    SimilarityOps.s16EnsureCopy(spark, sf)
+
+    def filesPerCell(): Map[Long, Set[String]] =
+      spark.table(codesT).select($"cell", input_file_name().as("f"))
+        .distinct().collect()
+        .groupBy(_.getLong(0)).map { case (c, rs) =>
+          c -> rs.map(_.getString(1)).toSet
+        }
+
+    val before = filesPerCell()
+    val total = spark.table(codesT).count()
+    // a SINGLE planted tombstone: the smallest indexed nid
+    val victim = spark.table(codesT).agg(min($"nid")).head().getLong(0)
+    val affected = SimilarityOps.s16CompactWith(spark, sf,
+      Seq(victim).toDF("del_id"))
+    assert(affected.size == 1, s"one tombstone must affect one cell: $affected")
+    val after = filesPerCell()
+    assert(spark.table(codesT).count() == total - 1)
+    assert(spark.table(codesT).filter($"nid" === victim).count() == 0)
+    // surgical: untouched cells keep their exact files; the affected
+    // cell was rewritten
+    before.foreach { case (cell, fs) =>
+      if (cell == affected.head)
+        assert(after(cell) != fs, s"affected cell $cell was not rewritten")
+      else
+        assert(after(cell) == fs, s"unaffected cell $cell was rewritten")
+    }
+    // idempotent: the same tombstone again finds nothing to do
+    assert(SimilarityOps.s16CompactWith(spark, sf,
+      Seq(victim).toDF("del_id")).isEmpty)
+  }
+
+  test("s16: serve output never contains a coin-tombstoned vector") {
+    import spark.implicits._
+    val codesT = graft.sources.LayoutOps.stateTable("graft_state_s16_codes", sf)
+    spark.sql(s"DROP TABLE IF EXISTS $codesT") // reset after the planted test
+    val res = graft.SparkEntry.queries("s16_index_delete")(spark, sf)
+    val out = res.collect()
+    assert(out.nonEmpty)
+    def deleted(c: org.apache.spark.sql.Column) = SimilarityOps.s16IsDeleted(c)
+    val offending = res
+      .filter(deleted(col("nid")) || deleted(col("qid"))).count()
+    assert(offending == 0, "tombstoned vector served after deletion")
+    // the index physically dropped the tombstoned rows
+    assert(spark.table(codesT).filter(deleted(col("nid"))).count() == 0)
+  }
+}
