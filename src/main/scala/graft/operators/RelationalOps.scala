@@ -1939,11 +1939,12 @@ object RelationalOps {
     * Scale shape: co-purchase pair generation is a self-join on the
     * order key with per-order fan-out bounded by the order's line count
     * (≤ 12² here — order size is the workload unit, not a skew risk);
-    * the wedge join and the closing join are shuffle-hash joins on
-    * narrow integer keys (u, then (v,w)) — wedge rows are 3 longs, so
-    * the one unavoidable O(wedges) shuffle moves ~24 bytes/row. Output
-    * is per-node counts (each triangle explodes to its 3 corners) with
-    * the exact integer clustering coefficient in permille. */
+    * the close is adjacency-intersection (in-body note): every shuffle
+    * carries |E| rows, the O(wedges) work runs in-core inside a
+    * codegen'd array_intersect, and no wedge ever rides an exchange.
+    * Output is per-node counts (each triangle explodes to its 3
+    * corners) with the exact integer clustering coefficient in
+    * permille. */
   def q44Triangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     q44TrianglesFrom(t(spark, dir, "lineitem")
@@ -1967,13 +1968,27 @@ object RelationalOps {
         when(lower, $"a").otherwise($"b").as("u"),
         when(lower, $"b").otherwise($"a").as("v"),
         when(lower, $"db").otherwise($"da").as("dv"))
-    val wedges = orient.as("e1").join(orient.as("e2").hint("shuffle_hash"),
-        $"e1.u" === $"e2.u" &&
-          ($"e1.dv" < $"e2.dv" || ($"e1.dv" === $"e2.dv" && $"e1.v" < $"e2.v")))
-      .select($"e1.u".as("tu"), $"e1.v".as("tv"), $"e2.v".as("tw"))
-    val tri = wedges.join(
-      orient.select($"u".as("tv"), $"v".as("tw")).hint("shuffle_hash"),
-      Seq("tv", "tw"))
+    // Adjacency-intersection close (GraphX's strategy): ship each
+    // endpoint's OUT-neighbor list to the edge and intersect in a
+    // codegen'd array op. An explicit wedge enumeration would push
+    // O(Σ out-deg²) rows (83M at sf0.1) through a shuffle only to
+    // discard 98% at the closing join; here the shuffles carry |E|
+    // rows (two adjacency joins) and the wedge work happens in-core
+    // inside array_intersect. Out-lists are the ones bounded by the
+    // orientation theorem (≤ O(√|E|) per node — in-lists have no such
+    // bound, so the intersection MUST run on out-neighbors). The
+    // shuffle_hash hints matter: sort-merge would sort 1.2M rows
+    // DRAGGING ~500-byte adjacency arrays through the sorter
+    // (measured 10.5 s SMJ vs 7.6 s SHJ vs 8.9 s for the wedge-join
+    // form, sf0.1 same host).
+    val adj = orient.groupBy($"u").agg(collect_list($"v").as("nbrs"))
+    val tri = orient.as("e")
+      .join(adj.select($"u".as("ju"), $"nbrs".as("nu")).hint("shuffle_hash"),
+        $"e.u" === $"ju")
+      .join(adj.select($"u".as("jv"), $"nbrs".as("nv")).hint("shuffle_hash"),
+        $"e.v" === $"jv")
+      .select($"e.u".as("tu"), $"e.v".as("tv"),
+        explode(array_intersect($"nu", $"nv")).as("tw"))
     val perNode = tri.select(explode(array($"tu", $"tv", $"tw")).as("n"))
       .groupBy($"n").agg(count(lit(1)).as("n_triangles"))
     perNode.join(deg, Seq("n"))

@@ -22,6 +22,13 @@ final case class Attributed(user_id: Long, event_id: Long, channel: String,
 /** Per-user last-touch state carried across micro-batches. */
 final case class TouchState(touch: String, last_us: Long)
 
+/** Per-user interval-coverage state (streaming dual of batch e22, see
+  * [[StreamOps.streamingIntervalCoverage]]): the running-max interval
+  * end plus the accumulated totals — four longs per user, forever. */
+final case class CoverageState(user_id: Long, n_events: Long,
+                               n_stretches: Long, covered_us: Long,
+                               pmax_us: Long)
+
 /** Streaming transforms for the `events` shape (ts, user_id, event_type,
   * value). Each takes and returns a DataFrame so the SAME logic runs on a
   * batch frame or a `readStream` frame — the batch duals are oracle-checked
@@ -119,6 +126,50 @@ object StreamOps {
       .as[(Long, Timestamp, Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState(timeoutConf)(update)
+  }
+
+  /** Streaming dual of batch e22's merged-interval coverage: each event
+    * opens a 5-minute activity interval, and per user the state carries
+    * the running max of interval ENDS plus the accumulated coverage —
+    * the ONLINE form of the batch sweep, updating billable-seconds /
+    * uptime metering as events arrive instead of rescanning history.
+    *
+    * The state is exactly the sweep's loop variable: FOUR LONGS per
+    * user, bounded forever, where a naive online form would buffer the
+    * user's intervals. Within a batch rows fold in (ts, event_id)
+    * order; across batches correctness needs per-user event-time order
+    * (the interval sweep is order-sensitive, unlike KMV's commutative
+    * merge) — ingest through a watermark-sorted stage or accept the
+    * batch boundary as the ordering unit, the same contract as
+    * [[streamingAttribution]]. Key cardinality is unbounded; for an
+    * open-ended user universe bolt on [[runningUserStats]]'s
+    * event-time-TTL eviction pattern. */
+  def streamingIntervalCoverage(events: DataFrame): Dataset[CoverageState] = {
+    import events.sparkSession.implicits._
+    val IntervalUs = 300000000L
+    def update(userId: Long, rows: Iterator[(Long, Long, Long)],
+               state: GroupState[CoverageState]): CoverageState = {
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      val prev = state.getOption.getOrElse(
+        CoverageState(userId, 0L, 0L, 0L, Long.MinValue))
+      val next = sorted.foldLeft(prev) { (acc, r) =>
+        val s = r._2
+        val e = s + IntervalUs
+        val fresh = acc.pmax_us == Long.MinValue || acc.pmax_us < s
+        val floor = if (acc.pmax_us == Long.MinValue) s else math.max(s, acc.pmax_us)
+        CoverageState(userId, acc.n_events + 1,
+          acc.n_stretches + (if (fresh) 1L else 0L),
+          acc.covered_us + math.max(0L, e - floor),
+          math.max(acc.pmax_us, e))
+      }
+      state.update(next)
+      next
+    }
+    events
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
   }
 
   /** Running distinct-user estimate per event type: a KMV bottom-k sketch

@@ -690,4 +690,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"streamed summary diverged:\n$got\nvs\n$want")
     spark.sql("DROP TABLE IF EXISTS stream_ivm_summary")
   }
+
+  test("streaming interval coverage: cross-batch sweep state matches batch e22") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = SharedSpark.sf
+    // globally ts-ordered feed split in two => every user's events stay
+    // in event-time order across the batch boundary (the sweep is
+    // order-sensitive, per the operator's contract)
+    val ev = graft.Tables(spark, sf, "events")
+      .select($"user_id", $"ts", $"event_id")
+      .as[(Long, java.sql.Timestamp, Long)]
+      .collect().sortBy(r => (r._2.getTime, r._3))
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = StreamOps.streamingIntervalCoverage(
+        input.toDF().toDF("user_id", "ts", "event_id"))
+      .writeStream.format("memory").queryName("cov_sink")
+      .outputMode("update").start()
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // update-mode memory sink appends updated rows; last (max n_events)
+    // row per user is the final state
+    val got = spark.table("cov_sink").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3) / 1000000L)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+    val want = graft.SparkEntry.queries("e22_interval_coverage")(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want,
+      s"streamed coverage diverged from batch e22:\n$got\nvs\n$want")
+  }
 }
