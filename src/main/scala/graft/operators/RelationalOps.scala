@@ -2107,6 +2107,81 @@ object RelationalOps {
        |ORDER BY prio_a, prio_b""".stripMargin
   }
 
+  // --------------------------------------------------------------- q46
+  /** Association-rule mining over market baskets — directional rules
+    * `ant → cons` scored by support / confidence / lift, the Apriori
+    * output every recommender and assortment planner starts from
+    * (here at pair length, the level that dominates real basket
+    * workloads). All three metrics are exact integer arithmetic:
+    * support and confidence in ppm, lift in micro (1e6 =
+    * independence), with lift computed as
+    * `(conf_ppm · N) div n_cons` — the nested-floor order matters
+    * because it keeps every intermediate ≤ N·10⁶ and therefore inside
+    * BIGINT at ANY corpus size, where the textbook
+    * `n_ab·N·10⁶ / (n_a·n_b)` overflows 64 bits past ~10¹³ baskets.
+    *
+    * Scale shape: q44's per-order pair generation (fan-out bounded by
+    * basket size, order-sized not corpus-sized); pair counts collapse
+    * map-side in the (a,b) hash-agg; the min-support filter (≥2
+    * baskets) prunes the singleton tail BEFORE the metric joins, which
+    * shuffle only (pair, count) rows against the |parts|-sized
+    * per-item counts; N rides in as a broadcast 1-row frame. Top-25 is
+    * a TakeOrdered, no global sort. */
+  def q46AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    q46AssocRulesFrom(t(spark, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct())
+  }
+
+  /** [[q46AssocRules]] over an arbitrary (o, p) basket frame —
+    * planted-basket specs enter here. */
+  private[operators] def q46AssocRulesFrom(pl: DataFrame): DataFrame = {
+    val spark = pl.sparkSession
+    import spark.implicits._
+    val nOrders = pl.agg(count_distinct($"o").as("n_orders"))
+    val cnt = pl.groupBy($"p").agg(count(lit(1)).as("n_p"))
+    val pairs = pl.as("x").join(pl.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
+      .groupBy($"x.p".as("a"), $"y.p".as("b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter($"n_both" >= 2)
+    val rules = pairs.select($"a".as("ant"), $"b".as("cons"), $"n_both")
+      .unionByName(pairs.select($"b".as("ant"), $"a".as("cons"), $"n_both"))
+    rules
+      .join(cnt.select($"p".as("ant"), $"n_p".as("n_ant")), "ant")
+      .join(cnt.select($"p".as("cons"), $"n_p".as("n_cons")), "cons")
+      .crossJoin(broadcast(nOrders))
+      .select($"ant", $"cons", $"n_ant", $"n_cons", $"n_both",
+        expr("(n_both * 1000000) div n_orders").as("support_ppm"),
+        expr("(n_both * 1000000) div n_ant").as("conf_ppm"),
+        expr("((n_both * 1000000) div n_ant) * n_orders div n_cons")
+          .as("lift_micro"))
+      .orderBy($"lift_micro".desc, $"ant", $"cons").limit(25)
+  }
+
+  val q46AssocRulesSql: String =
+    """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM pl),
+      |cnt AS (SELECT p, COUNT(*) AS n_p FROM pl GROUP BY p),
+      |pairs AS (
+      |  SELECT x.p AS a, y.p AS b, COUNT(*) AS n_both
+      |  FROM pl x JOIN pl y ON x.o = y.o AND x.p < y.p
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2),
+      |rules AS (
+      |  SELECT a AS ant, b AS cons, n_both FROM pairs
+      |  UNION ALL
+      |  SELECT b AS ant, a AS cons, n_both FROM pairs)
+      |SELECT r.ant, r.cons, ca.n_p AS n_ant, cc.n_p AS n_cons, r.n_both,
+      |  (r.n_both * 1000000) // n.n_orders AS support_ppm,
+      |  (r.n_both * 1000000) // ca.n_p AS conf_ppm,
+      |  ((r.n_both * 1000000) // ca.n_p) * n.n_orders // cc.n_p AS lift_micro
+      |FROM rules r
+      |JOIN cnt ca ON ca.p = r.ant
+      |JOIN cnt cc ON cc.p = r.cons
+      |CROSS JOIN n
+      |ORDER BY lift_micro DESC, ant, cons
+      |LIMIT 25""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -2153,6 +2228,7 @@ object RelationalOps {
     "q43_quality_audit"  -> (q43QualityAudit _),
     "q44_triangles"      -> (q44Triangles _),
     "q45_kmv_jaccard"    -> (q45KmvJaccard _),
+    "q46_assoc_rules"    -> (q46AssocRules _),
   )
 
   // --------------------------------------------------------------- q15
@@ -2223,5 +2299,6 @@ object RelationalOps {
     "q43_quality_audit"  -> q43QualityAuditSql,
     "q44_triangles"      -> q44TrianglesSql,
     "q45_kmv_jaccard"    -> q45KmvJaccardSql,
+    "q46_assoc_rules"    -> q46AssocRulesSql,
   )
 }

@@ -80,6 +80,25 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(obj.nonEmpty, "expected the typed KMV aggregator in the plan")
   }
 
+  test("q46: planted baskets give exact rule metrics, nested-floor order pinned") {
+    import spark.implicits._
+    // baskets o1{1,2} o2{1,2} o3{1,3} o4{4}: only pair (1,2) reaches
+    // min-support 2. N=4, n_1=3, n_2=2.
+    val pl = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L),
+      (4L, 4L)).toDF("o", "p")
+    val rows = RelationalOps.q46AssocRulesFrom(pl)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    // 2→1 first (higher lift under the nested floor): conf = 10⁶,
+    // lift = 10⁶·4 div 3 = 1333333; 1→2: conf = 2·10⁶ div 3 = 666666,
+    // lift = 666666·4 div 2 = 1333332 — the one-ulp asymmetry is the
+    // scale-safe floor order's fingerprint, identical in both engines
+    assert(rows.toSeq == Seq(
+      (2L, 1L, 500000L, 1000000L, 1333333L),
+      (1L, 2L, 500000L, 666666L, 1333332L)))
+  }
+
   test("e22: planted intervals merge, count stretches, and sum coverage") {
     import spark.implicits._
     val t0 = 1700000000000000L
