@@ -1089,6 +1089,66 @@ object EventOps {
       |ORDER BY n_paths DESC, path
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- e24
+  /** Cohort LTV triangle — users grouped by first-seen day, purchase
+    * revenue laid out by day-offset since the cohort's start, with
+    * the running (cumulative) revenue per cohort: the
+    * lifetime-value curve every growth team reads, and the revenue
+    * dual of e11's retention counts.
+    *
+    * Scale shape: the cohort assignment is a `min(ts)` WINDOW over
+    * user_id (one shuffle, spillable sort) rather than a
+    * groupBy-then-join-back — the same frame then collapses into the
+    * (cohort, offset) aggregate, which is |weeks|²-bounded however
+    * large the event log grows; the cumulative window runs over that
+    * metadata-sized triangle. Day arithmetic is exact BIGINT
+    * microseconds between midnight-truncated stamps, and revenue is
+    * the exact decimal sum surfaced as double. */
+  def e24CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wu = Window.partitionBy($"user_id")
+    val cohorted = events(spark, dir)
+      .withColumn("cohort_day", date_trunc("day", min($"ts").over(wu)))
+      .filter($"event_type" === "purchase")
+      .withColumn("day_offset",
+        expr("(unix_micros(date_trunc('day', ts)) - unix_micros(cohort_day)) div 86400000000"))
+    val tri = cohorted.groupBy($"cohort_day", $"day_offset")
+      .agg(count_distinct($"user_id").as("n_users"),
+        sum($"value".cast("decimal(28,8)")).as("rev"))
+    val wc = Window.partitionBy($"cohort_day").orderBy($"day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tri
+      .withColumn("cum_rev", sum($"rev").over(wc))
+      .select($"cohort_day", $"day_offset", $"n_users",
+        $"rev".cast("double").as("revenue"),
+        $"cum_rev".cast("double").as("cum_revenue"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val e24CohortLtvSql: String =
+    """WITH cohorted AS (
+      |  SELECT user_id, ts, event_type, value,
+      |    date_trunc('day', MIN(ts) OVER (PARTITION BY user_id)) AS cohort_day
+      |  FROM events),
+      |p AS (
+      |  SELECT cohort_day,
+      |    (epoch_us(date_trunc('day', ts)) - epoch_us(cohort_day))
+      |      // 86400000000 AS day_offset,
+      |    user_id, value
+      |  FROM cohorted WHERE event_type = 'purchase'),
+      |tri AS (
+      |  SELECT cohort_day, day_offset,
+      |    COUNT(DISTINCT user_id) AS n_users,
+      |    SUM(CAST(value AS DECIMAL(28,8))) AS rev
+      |  FROM p GROUP BY 1, 2)
+      |SELECT cohort_day, day_offset, n_users,
+      |  CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(rev) OVER (PARTITION BY cohort_day ORDER BY day_offset
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+      |    AS cum_revenue
+      |FROM tri
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
@@ -1114,6 +1174,7 @@ object EventOps {
     "e21_attribution" -> (e21Attribution _),
     "e22_interval_coverage" -> (e22IntervalCoverage _),
     "e23_top_paths"  -> (e23TopPaths _),
+    "e24_cohort_ltv" -> (e24CohortLtv _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1140,5 +1201,6 @@ object EventOps {
     "e21_attribution" -> e21AttributionSql,
     "e22_interval_coverage" -> e22IntervalCoverageSql,
     "e23_top_paths"  -> e23TopPathsSql,
+    "e24_cohort_ltv" -> e24CohortLtvSql,
   )
 }

@@ -1011,6 +1011,95 @@ object PipelineOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- p14
+  /** Curriculum-ordered training layout — the easy→hard document
+    * schedule curriculum-learning pipelines feed the trainer: per doc
+    * an integer difficulty score, docs cut into three difficulty TIERS
+    * at exact tertiles, and within each tier p11's sharded
+    * deterministic shuffle (phase p of training consumes tiers ≤ p, in
+    * (shard, pos) order). The score here is the type-token ratio in
+    * permille — repetitive text reads easier — but any integer per-doc
+    * score plugs into the same layout.
+    *
+    * The scale trick is the TERTILE computation: exact quantiles
+    * normally need a global sort, but a permille score lives on a
+    * BOUNDED integer domain (0..1000), so its exact CDF is a ≤1001-row
+    * histogram — the cumulative window runs over a metadata-sized
+    * frame at ANY corpus size, and the thresholds
+    * `min{q : 3·cdf(q) ≥ k·N}` are exact integer statements (the same
+    * bounded-domain argument behind t19's alphabet-bounded model and
+    * e12's histogram). Everything downstream is p11's machinery: hash
+    * coin, corpus-derived shard count, per-(tier, shard) window whose
+    * input stays ~[[P11TargetShardRows]] rows.
+    *
+    * Scale shape: one text scan computes scores map-side; the
+    * histogram agg collapses to ≤1001 rows; thresholds broadcast back
+    * as a 1-row frame; the only data-sized shuffle is the (tier,
+    * shard) window — sorted per shard, spillable, bounded. */
+  def p14Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = docs(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id",
+        expr("(CAST(1000 AS BIGINT) * size(array_distinct(toks))) div size(toks)")
+          .as("ttr_permille"))
+    val n = scored.count()
+    val shards = p11ShardCount(n)
+    val cumW = Window.orderBy($"ttr_permille")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = scored.groupBy($"ttr_permille").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(cumW))
+      .agg(
+        min(when($"cum" * 3 >= n, $"ttr_permille")).as("t1"),
+        min(when($"cum" * 3 >= 2 * n, $"ttr_permille")).as("t2"))
+    val keyed = scored.crossJoin(broadcast(thr))
+      .withColumn("tier",
+        when($"ttr_permille" <= $"t1", 0)
+          .when($"ttr_permille" <= $"t2", 1).otherwise(2))
+      .withColumn("h", md5Long(concat($"doc_id".cast("string"), lit(":p14"))))
+      .withColumn("shard", pmod($"h", lit(shards)))
+    val w = Window.partitionBy($"tier", $"shard").orderBy($"h", $"doc_id")
+    keyed
+      .withColumn("pos", row_number().over(w))
+      .select($"doc_id", $"ttr_permille", $"tier", $"shard", $"pos")
+      .orderBy($"tier", $"shard", $"pos")
+  }
+
+  val p14CurriculumSql: String = {
+    val h = sqlMd5Long("CAST(doc_id AS VARCHAR) || ':p14'")
+    val t = P11TargetShardRows
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    (CAST(1000 AS BIGINT) * len(list_distinct(string_split(text, ' '))))
+       |      // len(string_split(text, ' ')) AS ttr_permille
+       |  FROM documents),
+       |nn AS (SELECT COUNT(*) AS n FROM scored),
+       |hist AS (SELECT ttr_permille, COUNT(*) AS c FROM scored GROUP BY 1),
+       |cum AS (
+       |  SELECT ttr_permille, SUM(c) OVER (ORDER BY ttr_permille) AS cum
+       |  FROM hist),
+       |thr AS (SELECT
+       |  (SELECT MIN(ttr_permille) FROM cum WHERE 3 * cum >= (SELECT n FROM nn)) AS t1,
+       |  (SELECT MIN(ttr_permille) FROM cum WHERE 3 * cum >= 2 * (SELECT n FROM nn)) AS t2),
+       |sh AS (
+       |  SELECT GREATEST(8, CAST(FLOOR((COUNT(*) + ${t - 1}.0) / $t.0) AS BIGINT))
+       |    AS shards
+       |  FROM scored),
+       |keyed AS (
+       |  SELECT doc_id, ttr_permille,
+       |    CASE WHEN ttr_permille <= (SELECT t1 FROM thr) THEN 0
+       |         WHEN ttr_permille <= (SELECT t2 FROM thr) THEN 1
+       |         ELSE 2 END AS tier,
+       |    $h AS h,
+       |    $h % (SELECT shards FROM sh) AS shard
+       |  FROM scored)
+       |SELECT doc_id, ttr_permille, tier, shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY tier, shard ORDER BY h, doc_id)
+       |    AS INT) AS pos
+       |FROM keyed
+       |ORDER BY tier, shard, pos""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_prep_pipeline" -> (p1PrepPipeline _),
     "p2_hash_sample"   -> (p2HashSample _),
@@ -1025,6 +1114,7 @@ object PipelineOps {
     "p11_training_order" -> (p11TrainingOrder _),
     "p12_corpus_funnel" -> (p12CorpusFunnel _),
     "p13_leakage_split" -> (p13LeakageSplit _),
+    "p14_curriculum" -> (p14Curriculum _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1042,5 +1132,6 @@ object PipelineOps {
     "p11_training_order" -> p11TrainingOrderSql,
     "p12_corpus_funnel" -> p12CorpusFunnelSql,
     "p13_leakage_split" -> p13LeakageSplitSql,
+    "p14_curriculum" -> p14CurriculumSql,
   )
 }

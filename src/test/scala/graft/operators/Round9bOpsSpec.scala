@@ -152,6 +152,48 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("s1", "s2", 3L, 3L, 3L, 1000L)))
   }
 
+  test("p14: tiers are ordered by difficulty and positions are dense") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("p14_curriculum")(spark, sf).collect()
+    val byTier = rows.groupBy(_.getInt(2))
+    assert(byTier.keySet == Set(0, 1, 2), "all three tiers must be populated")
+    // the tier cut is a proper threshold: every tier-0 score <= every
+    // tier-1 score <= every tier-2 score
+    def scores(t: Int) = byTier(t).map(_.getLong(1))
+    assert(scores(0).max <= scores(1).min)
+    assert(scores(1).max <= scores(2).min)
+    // exact tertiles up to score ties: the cumulative cut means tier 0
+    // holds at least a third and stops at the first score that crosses it
+    val n = rows.length
+    assert(byTier(0).size * 3 >= n)
+    assert((byTier(0).size + byTier(1).size) * 3 >= 2 * n)
+    // per-(tier, shard) positions are dense 1..k (a trainer can stream
+    // each shard by pos with no gaps)
+    rows.groupBy(r => (r.getInt(2), r.getLong(3))).foreach { case (k, rs) =>
+      val ps = rs.map(_.getInt(4)).sorted
+      assert(ps.toSeq == (1 to rs.length).toSeq, s"gap in positions of $k")
+    }
+  }
+
+  test("e24: triangle reconciles with total purchase revenue per cohort") {
+    import spark.implicits._
+    val tri = graft.SparkEntry.queries("e24_cohort_ltv")(spark, sf).collect()
+    assert(tri.nonEmpty)
+    // cumulative column: last offset's cum equals the cohort's sum
+    tri.groupBy(_.getTimestamp(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val total = sorted.map(r => BigDecimal(r.getDouble(3))).sum
+      assert(BigDecimal(sorted.last.getDouble(4)) == total)
+    }
+    // the whole triangle's revenue equals the log's purchase revenue
+    val triTotal = tri.map(r => BigDecimal(r.getDouble(3))).sum
+    val want = graft.Tables(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .agg(sum($"value".cast("decimal(28,8)")).cast("double"))
+      .head().getDouble(0)
+    assert(triTotal == BigDecimal(want), s"$triTotal != $want")
+  }
+
   test("s16: compaction rewrites ONLY the tombstoned cells and is surgical") {
     import spark.implicits._
     val codesT = graft.sources.LayoutOps.stateTable("graft_state_s16_codes", sf)
