@@ -1254,6 +1254,102 @@ object DedupOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d20
+  /** The dedup LADDER — one frame comparing how much corpus each
+    * escalating dedup policy keeps: exact bytes (d1's sig), normalized
+    * token-set (d2's), trigram-Jaccard ≥ 0.6 (d3's pairs), and
+    * MinHash-LSH candidates (d4's buckets), each reported as
+    * (docs_kept, tokens_kept, kept_permille). This is the decision
+    * table a curation team reads before picking an aggressiveness
+    * level — the per-method operators tell you WHO is duplicated, the
+    * ladder tells you WHAT IT COSTS.
+    *
+    * Keep rules are the deterministic ones the per-method operators
+    * already define: signature groups keep their min doc_id; pair
+    * methods keep every doc with no smaller-id partner (d14's
+    * min-neighbor rule applied to text pairs — a doc is dropped iff
+    * some smaller doc pairs with it).
+    *
+    * Scale shape: strictly the union of its parts — the sig methods
+    * are 32-byte hash-aggs, the pair methods reuse d3/d4's
+    * gram/band-bucket joins (never all-pairs), and the ladder itself
+    * is four tiny aggregates unioned with the one-row totals frame
+    * broadcast in. Token counts ride the one text scan map-side. */
+  def d20DedupLadder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = docs(spark, dir)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_toks"))
+    val totals = tok.agg(count(lit(1)).as("n_docs"),
+      sum($"n_toks").as("n_tokens"))
+    val exactKept = docs(spark, dir)
+      .select($"doc_id", md5($"text".cast("binary")).as("sig"))
+      .groupBy($"sig").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val normKept = docs(spark, dir)
+      .select($"doc_id",
+        md5(concat_ws(" ", array_sort(array_distinct(tokens($"text"))))
+          .cast("binary")).as("sig"))
+      .groupBy($"sig").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val d3Kept = tok.select($"doc_id")
+      .join(d3NgramJaccard(spark, dir).select($"j".as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    val d4Kept = tok.select($"doc_id")
+      .join(d4MinhashLsh(spark, dir).select($"j".as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    def rung(name: String, kept: DataFrame): DataFrame =
+      kept.join(tok, Seq("doc_id"))
+        .agg(count(lit(1)).as("docs_kept"), sum($"n_toks").as("tokens_kept"))
+        .select(lit(name).as("method"), $"docs_kept", $"tokens_kept")
+    rung("exact", exactKept)
+      .unionByName(rung("normset", normKept))
+      .unionByName(rung("jaccard_06", d3Kept))
+      .unionByName(rung("minhash_lsh", d4Kept))
+      .crossJoin(broadcast(totals))
+      .select($"method", $"docs_kept", $"tokens_kept", $"n_docs", $"n_tokens",
+        expr("(1000 * docs_kept) div n_docs").as("kept_permille"))
+      .orderBy($"method")
+  }
+
+  val d20DedupLadderSql: String =
+    s"""WITH d3p AS (
+       |  SELECT i, j FROM (${d3NgramJaccardSql.replace("ORDER BY i, j", "")})),
+       |$d4PairsCte,
+       |tok AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |tot AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |  FROM tok),
+       |exact_kept AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |norm_kept AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))),
+       |d3_kept AS (
+       |  SELECT doc_id FROM tok
+       |  WHERE doc_id NOT IN (SELECT DISTINCT j FROM d3p)),
+       |d4_kept AS (
+       |  SELECT doc_id FROM tok
+       |  WHERE doc_id NOT IN (SELECT DISTINCT j FROM pairs)),
+       |rungs AS (
+       |  SELECT 'exact' AS method, COUNT(*) AS docs_kept,
+       |    CAST(SUM(n_toks) AS BIGINT) AS tokens_kept
+       |  FROM exact_kept JOIN tok USING (doc_id)
+       |  UNION ALL
+       |  SELECT 'normset', COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+       |  FROM norm_kept JOIN tok USING (doc_id)
+       |  UNION ALL
+       |  SELECT 'jaccard_06', COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+       |  FROM d3_kept JOIN tok USING (doc_id)
+       |  UNION ALL
+       |  SELECT 'minhash_lsh', COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+       |  FROM d4_kept JOIN tok USING (doc_id))
+       |SELECT method, docs_kept, tokens_kept, n_docs, n_tokens,
+       |  (1000 * docs_kept) // n_docs AS kept_permille
+       |FROM rungs CROSS JOIN tot
+       |ORDER BY method""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact"   -> (d1DedupExact _),
     "d2_dedup_normset" -> (d2DedupNormSet _),
@@ -1274,6 +1370,7 @@ object DedupOps {
     "d17_neardup_day2" -> (d17NeardupDay2 _),
     "d18_cosine_dup_hotsplit" -> (d18CosineDupHotsplit _),
     "d19_dupspan_coverage" -> (d19DupspanCoverage _),
+    "d20_dedup_ladder" -> (d20DedupLadder _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1298,5 +1395,6 @@ object DedupOps {
     "d17_neardup_day2" -> d15IncrementalNeardupSql,
     "d18_cosine_dup_hotsplit" -> d18CosineDupHotsplitSql,
     "d19_dupspan_coverage" -> d19DupspanCoverageSql,
+    "d20_dedup_ladder" -> d20DedupLadderSql,
   )
 }

@@ -1261,6 +1261,41 @@ object TextOps {
       |JOIN sizes sb ON sb.source = src_b
       |ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------- t22
+  /** Language-ID confusion matrix — t5's classifier audited against the
+    * declared `lang` labels: per (declared, predicted) cell the doc
+    * count and the within-declared share in permille. This is the
+    * evaluation artifact a langid gate ships with (s13's
+    * measure-the-index discipline applied to the text classifier):
+    * off-diagonal mass tells you which languages leak into which
+    * before the filter runs at corpus scale.
+    *
+    * Scale shape: t5's per-row codegen'd feature extraction followed
+    * by a |langs|²-bounded hash-agg — the matrix and its per-row
+    * normalizing window are metadata-sized at any corpus size. */
+  def t22LangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = t5LangId(spark, dir)
+      .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"lang")
+    cells
+      .withColumn("lang_total", sum($"n_docs").over(w))
+      .select($"lang", $"predicted", $"n_docs",
+        expr("(1000 * n_docs) div lang_total").as("share_permille"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  val t22LangConfusionSql: String =
+    s"""WITH t5 AS (${t5LangIdSql.replace("ORDER BY doc_id", "")}),
+       |cells AS (
+       |  SELECT lang, predicted, COUNT(*) AS n_docs
+       |  FROM t5 GROUP BY 1, 2)
+       |SELECT lang, predicted, n_docs,
+       |  CAST((1000 * n_docs) // SUM(n_docs) OVER (PARTITION BY lang)
+       |    AS BIGINT) AS share_permille
+       |FROM cells
+       |ORDER BY lang, predicted""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_profile" -> (t2LangProfile _),
@@ -1283,6 +1318,7 @@ object TextOps {
     "t19_lm_surprise" -> (t19LmSurprise _),
     "t20_bm25"        -> (t20Bm25 _),
     "t21_source_similarity" -> (t21SourceSimilarity _),
+    "t22_lang_confusion" -> (t22LangConfusion _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1307,5 +1343,6 @@ object TextOps {
     "t19_lm_surprise" -> t19LmSurpriseSql,
     "t20_bm25"        -> t20Bm25Sql,
     "t21_source_similarity" -> t21SourceSimilaritySql,
+    "t22_lang_confusion" -> t22LangConfusionSql,
   )
 }

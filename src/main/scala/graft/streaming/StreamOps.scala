@@ -29,6 +29,13 @@ final case class CoverageState(user_id: Long, n_events: Long,
                                n_stretches: Long, covered_us: Long,
                                pmax_us: Long)
 
+/** The last two event types per user (streaming dual of batch e23, see
+  * [[StreamOps.streamingTopPaths]]) — the whole n-gram window. */
+final case class PathState(a: String, b: String)
+
+/** One completed 3-step path emitted by [[StreamOps.streamingTopPaths]]. */
+final case class PathHit(user_id: Long, path: String)
+
 /** Streaming transforms for the `events` shape (ts, user_id, event_type,
   * value). Each takes and returns a DataFrame so the SAME logic runs on a
   * batch frame or a `readStream` frame — the batch duals are oracle-checked
@@ -170,6 +177,40 @@ object StreamOps {
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** Streaming dual of batch e23's path mining: emit each completed
+    * 3-step event-type sequence as it happens. The per-user state is
+    * the ENTIRE n-gram window — the last two event types, two short
+    * strings, bounded forever — which is why sequence n-gram mining is
+    * one of the cheapest stateful streaming operators there is (the
+    * batch form's `lead()` window becomes two fields). Downstream the
+    * emitted paths feed any streaming count (the alphabet is
+    * |event_types|³, so a windowed count on top stays metadata-sized).
+    * Cross-batch correctness needs per-user event-time order, the same
+    * contract as [[streamingIntervalCoverage]]. */
+  def streamingTopPaths(events: DataFrame): Dataset[PathHit] = {
+    import events.sparkSession.implicits._
+    def update(uid: Long, rows: Iterator[(Long, Long, Long, String)],
+               state: GroupState[PathState]): Iterator[PathHit] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      var st = state.getOption.getOrElse(PathState(null, null))
+      val out = Seq.newBuilder[PathHit]
+      for (r <- sorted) {
+        val c = r._4
+        if (st.a != null && st.b != null) out += PathHit(uid, s"${st.a}>${st.b}>$c")
+        st = PathState(st.b, c)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+    events
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout())(update)
   }
 
   /** Running distinct-user estimate per event type: a KMV bottom-k sketch

@@ -194,6 +194,47 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(triTotal == BigDecimal(want), s"$triTotal != $want")
   }
 
+  test("d20: ladder rungs reconcile with their per-method operators") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("d20_dedup_ladder")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    val (nDocs, _) = (rows("exact")._3, ())
+    // every rung keeps something and no rung keeps more than the corpus
+    rows.values.foreach { case (kept, toks, n, pm) =>
+      assert(kept > 0 && kept <= n && toks > 0)
+      assert(pm == 1000 * kept / n, "permille must derive from the counts")
+    }
+    // normalized dedup is strictly at-least-as-aggressive as exact
+    // (its signature groups are coarser)
+    assert(rows("normset")._1 <= rows("exact")._1)
+    // exact rung == d1's distinct-signature count
+    val d1 = graft.SparkEntry.queries("d1_dedup_exact")(spark, sf).count()
+    assert(rows("exact")._1 == d1)
+    // pair rungs: kept = docs minus distinct dropped partners
+    val d3Dropped = graft.SparkEntry.queries("d3_ngram_jaccard")(spark, sf)
+      .select($"j").distinct().count()
+    assert(rows("jaccard_06")._1 == nDocs - d3Dropped)
+  }
+
+  test("t22: confusion rows reconcile with t5's labels and hits") {
+    import spark.implicits._
+    val m = graft.SparkEntry.queries("t22_lang_confusion")(spark, sf).collect()
+    val t5 = graft.SparkEntry.queries("t5_langid")(spark, sf)
+    // per-declared-language mass equals the label counts
+    val langTotals = m.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val want = t5.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langTotals == want)
+    // diagonal mass equals t5's hit count
+    val diag = m.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getLong(2)).sum
+    val hits = t5.agg(sum($"hit")).head().getLong(0)
+    assert(diag == hits)
+    assert(m.forall(_.getLong(3) <= 1000L))
+  }
+
   test("s16: compaction rewrites ONLY the tombstoned cells and is surgical") {
     import spark.implicits._
     val codesT = graft.sources.LayoutOps.stateTable("graft_state_s16_codes", sf)

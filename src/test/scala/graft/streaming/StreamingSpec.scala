@@ -726,4 +726,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want,
       s"streamed coverage diverged from batch e22:\n$got\nvs\n$want")
   }
+
+  test("streaming top paths: two-event state emits batch e23's trigrams") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = SharedSpark.sf
+    val ev = graft.Tables(spark, sf, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .collect().sortBy(r => (r._2.getTime, r._3))
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamOps.streamingTopPaths(
+        input.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+      .writeStream.format("memory").queryName("paths_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("paths_sink")
+      .groupBy($"path").agg(count(lit(1)).as("n_paths"))
+      .orderBy($"n_paths".desc, $"path").limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = graft.SparkEntry.queries("e23_top_paths")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, s"streamed paths diverged:\n$got\nvs\n$want")
+  }
 }
