@@ -2182,6 +2182,162 @@ object RelationalOps {
       |ORDER BY lift_micro DESC, ant, cons
       |LIMIT 25""".stripMargin
 
+  // --------------------------------------------------------------- q47
+  /** k-core decomposition (iterative peel) of the part co-purchase
+    * graph — repeatedly remove nodes whose degree in the SURVIVING
+    * subgraph falls below k until the set is stable. The k-core is the
+    * standard "dense backbone" primitive (community seeding, spam-ring
+    * detection, graph sparsification), and the third iterative graph
+    * workload here after q37/q39's rank supersteps — different in that
+    * the STATE is a shrinking vertex set, not a value vector.
+    *
+    * k is corpus-derived (⌊0.7·average-degree⌋, p11's
+    * derive-from-the-data discipline — a fixed k is trivially empty or
+    * trivially full as the corpus grows; the oracle computes the same
+    * integer formula).
+    *
+    * The peel is DECREMENTAL, the production form: instead of
+    * recomputing induced degrees each round (two corpus-sized
+    * semi-joins per round), each round joins the edges against the
+    * JUST-DIED node set and subtracts the lost degree — per-round cost
+    * is proportional to edges incident to newly-dead nodes, a frame
+    * that shrinks to nothing as the peel converges. The symmetric edge
+    * list is a BUCKETED standing table (q37's lesson), so the
+    * dead-side semi-join plans zero exchange on the edges; only the
+    * (v, lost) loss counts — bounded by the dying fringe — shuffle.
+    * Supersteps run [[Q47StepsPerAction]]-per-action with lazily
+    * checkpointed vertex frames and ONE change-count collect per block
+    * (q39's loop discipline, d8's storage release). */
+  private[operators] val Q47MaxRounds = 16
+  private[operators] val Q47StepsPerAction = 4
+
+  /** q47's standing symmetric co-purchase edges, bucketed by u. */
+  private[operators] def q47Edges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t47 = graft.sources.LayoutOps.stateTable("graft_state_q47_pedges", dir)
+    if (!spark.catalog.tableExists(t47)) {
+      val pl = t(spark, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val ed = pl.as("x").join(pl.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
+        .select($"x.p".as("u"), $"y.p".as("v")).distinct()
+      graft.sources.LayoutOps.writeBucketed(
+        ed.unionByName(ed.select($"v".as("u"), $"u".as("v"))), t47, "u", 32)
+    }
+    spark.table(t47)
+  }
+
+  /** One decremental peel round: drop `alive` rows below k, subtract
+    * the degree they take with them from their surviving neighbors.
+    * `alive` carries (n, d). Idempotent once no row is below k. */
+  private[operators] def q47Peel(edges: DataFrame, alive: DataFrame,
+                                 k: Long): DataFrame = {
+    import edges.sparkSession.implicits._
+    val dead = alive.filter($"d" < k).select($"n".as("du"))
+    val loss = edges
+      .join(dead.hint("shuffle_hash"), edges("u") === $"du", "left_semi")
+      .groupBy($"v").agg(count(lit(1)).as("lost"))
+    alive.filter($"d" >= k)
+      .join(loss, $"n" === $"v", "left")
+      .select($"n", ($"d" - coalesce($"lost", lit(0L))).as("d"))
+  }
+
+  def q47KCore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = q47Edges(spark, dir)
+    val (e2, nv) = {
+      val r = edges.agg(count(lit(1)).as("e2"),
+        count_distinct($"u").as("v")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val k = (7L * e2) / (10L * nv)
+    var alive = edges.groupBy($"u").agg(count(lit(1)).as("d"))
+      .select($"u".as("n"), $"d")
+      .localCheckpoint(eager = false)
+    var rounds = 0
+    var converged = false
+    try {
+      while (!converged && rounds < Q47MaxRounds) {
+        val steps = Iterator.iterate(alive)(a =>
+            q47Peel(edges, a, k).localCheckpoint(eager = false))
+          .slice(1, 1 + Q47StepsPerAction).toSeq
+        // per-step change = |prev| - |next| = nodes that step killed;
+        // zero = fix-point. Touching BOTH frames matters: it is what
+        // materializes every lazy checkpoint in the block — including
+        // the carried last step — before the init frames are released
+        // (a prv-only count left steps.last unmaterialized and its
+        // released parent's blocks unreachable: CHECKPOINT_RDD_BLOCK_
+        // ID_NOT_FOUND, caught by the sf0.001 gate).
+        val deltas = steps.zip(alive +: steps.init).zipWithIndex.map {
+          case ((nxt, prv), i) =>
+            prv.agg(count(lit(1)).as("a"))
+              .crossJoin(nxt.agg(count(lit(1)).as("b")))
+              .select(lit(i + 1).as("step"), ($"a" - $"b").as("c"))
+        }
+        val counts = try {
+          deltas.reduce(_ unionByName _).collect()
+            .sortBy(_.getInt(0)).map(_.getLong(1))
+        } catch {
+          case t: Throwable =>
+            steps.foreach(DedupOps.unpersistCheckpointed); throw t
+        }
+        val firstZero = counts.indexWhere(_ == 0L)
+        converged = firstZero >= 0
+        rounds += (if (converged) firstZero + 1 else Q47StepsPerAction)
+        (alive +: steps.init).foreach(DedupOps.unpersistCheckpointed)
+        alive = steps.last
+      }
+      alive
+        .select($"n".as("p_partkey"), $"d".as("core_deg"),
+          lit(k).as("k"), lit(rounds).cast("int").as("rounds"))
+        .orderBy($"p_partkey")
+        .localCheckpoint() // eager: backs the result past the finally
+    } finally {
+      DedupOps.unpersistCheckpointed(alive)
+    }
+  }
+
+  val q47KCoreSql: String = {
+    val M = Q47MaxRounds
+    val steps = (1 to M).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT e.u AS n, COUNT(*) AS d
+         |  FROM edges e
+         |  JOIN s${r - 1} x ON e.u = x.n
+         |  JOIN s${r - 1} y ON e.v = y.n
+         |  GROUP BY e.u
+         |  HAVING COUNT(*) >= (SELECT k FROM kk))""".stripMargin
+    }.mkString(",\n")
+    val chgs = (1 to M).map { r =>
+      s"""chg$r AS (
+         |  SELECT $r AS r,
+         |    (SELECT COUNT(*) FROM s${r - 1}) - (SELECT COUNT(*) FROM s$r) AS c)"""
+        .stripMargin
+    }.mkString(",\n")
+    val chgUnion = (1 to M).map(r => s"SELECT r, c FROM chg$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |ed AS (
+       |  SELECT DISTINCT x.p AS u, y.p AS v
+       |  FROM pl x JOIN pl y ON x.o = y.o AND x.p < y.p),
+       |edges AS MATERIALIZED (
+       |  SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
+       |kk AS (
+       |  SELECT (7 * (SELECT COUNT(*) FROM edges))
+       |         // (10 * (SELECT COUNT(DISTINCT u) FROM edges)) AS k),
+       |s0 AS MATERIALIZED (
+       |  SELECT u AS n, COUNT(*) AS d FROM edges GROUP BY u),
+       |$steps,
+       |$chgs,
+       |fixp AS (
+       |  SELECT COALESCE(MIN(r), $M) AS rounds
+       |  FROM ($chgUnion) q WHERE c = 0)
+       |SELECT n AS p_partkey, d AS core_deg,
+       |  CAST((SELECT k FROM kk) AS BIGINT) AS k,
+       |  CAST((SELECT rounds FROM fixp) AS INT) AS rounds
+       |FROM s$M
+       |ORDER BY p_partkey""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -2229,6 +2385,7 @@ object RelationalOps {
     "q44_triangles"      -> (q44Triangles _),
     "q45_kmv_jaccard"    -> (q45KmvJaccard _),
     "q46_assoc_rules"    -> (q46AssocRules _),
+    "q47_kcore"          -> (q47KCore _),
   )
 
   // --------------------------------------------------------------- q15
@@ -2300,5 +2457,6 @@ object RelationalOps {
     "q44_triangles"      -> q44TrianglesSql,
     "q45_kmv_jaccard"    -> q45KmvJaccardSql,
     "q46_assoc_rules"    -> q46AssocRulesSql,
+    "q47_kcore"          -> q47KCoreSql,
   )
 }

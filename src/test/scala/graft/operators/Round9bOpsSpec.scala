@@ -194,6 +194,43 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(triTotal == BigDecimal(want), s"$triTotal != $want")
   }
 
+  test("q47: the k-core is internally consistent and the peel terminated") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q47_kcore")(spark, sf).collect()
+    assert(rows.nonEmpty, "core emptied — k formula degenerated")
+    val k = rows.head.getLong(2)
+    val rounds = rows.head.getInt(3)
+    // fix-point invariant: every survivor's induced degree clears k
+    assert(rows.forall(_.getLong(1) >= k))
+    assert(rounds >= 1 && rounds < RelationalOps.Q47MaxRounds,
+      s"peel did not converge below the cap: $rounds")
+    // k is the corpus-derived floor(0.7 * average degree)
+    val e = RelationalOps.q47Edges(spark, sf)
+    val r = e.agg(count(lit(1)).as("e2"),
+      count_distinct($"u").as("v")).head()
+    assert(k == (7L * r.getLong(0)) / (10L * r.getLong(1)))
+  }
+
+  test("q47: peel round plans zero exchange on the bucketed edges side") {
+    import spark.implicits._
+    val edges = RelationalOps.q47Edges(spark, sf)
+    val alive = edges.groupBy($"u").agg(count(lit(1)).as("d"))
+      .select($"u".as("n"), $"d")
+    val df = RelationalOps.q47Peel(edges, alive, 10L)
+    val shjs = physical(df).collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shjs.nonEmpty, "expected the dead-side semi-join to hash-join")
+    val semi = shjs.filter(_.joinType.toString.contains("LeftSemi"))
+    assert(semi.nonEmpty)
+    semi.foreach { j =>
+      val clean = Seq(j.left, j.right).exists(s =>
+        s.toString.contains("graft_state_q47_pedges") &&
+          !s.toString.contains("Exchange"))
+      assert(clean, s"edges side of the peel semi-join exchanges:\n$j")
+    }
+  }
+
   test("d20: ladder rungs reconcile with their per-method operators") {
     import spark.implicits._
     val rows = graft.SparkEntry.queries("d20_dedup_ladder")(spark, sf)
