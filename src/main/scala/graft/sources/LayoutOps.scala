@@ -142,6 +142,44 @@ object LayoutOps {
   def readCurrent(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/v${currentVersion(spark, path)}")
 
+  /** Time-travel reader over a specific published version (versions
+    * stay on disk until [[vacuum]], so any un-vacuumed v is readable —
+    * the same contract a lake format's VERSION AS OF gives). */
+  def readVersion(spark: SparkSession, path: String, v: Int): DataFrame =
+    spark.read.parquet(s"$path/v$v")
+
+  /** Change feed between two snapshot versions of a keyed table:
+    * (key, change_type ∈ insert | delete | update), unchanged rows
+    * dropped — "what did the nightly rebuild actually change", the
+    * question downstream incremental consumers ask before reprocessing.
+    *
+    * Scale shape: rows are compared by an md5 over the sorted non-key
+    * columns computed MAP-SIDE in each version's own scan, so the one
+    * key-shuffle (full-outer join) carries (key, 32-byte sig) — never
+    * the payload. This is the honest cost of diffing a format that
+    * does not track row-level changes per commit: two snapshot scans
+    * plus a key-width shuffle; a real CDF sidesteps the scans by
+    * logging changes at write time, which [[graft.streaming.StreamOps
+    * .streamingIvm]]'s delta-folding is the write-side half of. */
+  def snapshotDiff(spark: SparkSession, path: String, vOld: Int, vNew: Int,
+                   keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val old = readVersion(spark, path, vOld)
+    val neu = readVersion(spark, path, vNew)
+    val cols = old.columns.filterNot(_ == keyCol).sorted
+    def sigged(df: DataFrame, sig: String) =
+      df.select(col(keyCol),
+        md5(to_json(struct(cols.map(col): _*))).as(sig))
+    sigged(old, "sig_old").join(sigged(neu, "sig_new"), Seq(keyCol), "full_outer")
+      .withColumn("change_type",
+        when(col("sig_old").isNull, "insert")
+          .when(col("sig_new").isNull, "delete")
+          .when(col("sig_old") =!= col("sig_new"), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(col(keyCol), col("change_type"))
+      .orderBy(col(keyCol))
+  }
+
   /** Compact the current snapshot into ceil(count/targetRows)
     * range-disjoint files AS A NEW VERSION, then atomically republish
     * the pointer. The rewrite is count-validated before the swap, so

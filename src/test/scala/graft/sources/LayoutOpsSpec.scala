@@ -344,4 +344,28 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(!fs.exists(loc), "schema-less empty dir should be cleared")
     assert(!spark.catalog.tableExists(tbl))
   }
+
+  test("snapshot diff: change feed reports exactly the planted changes") {
+    import spark.implicits._
+    val out = tmpDir() + "/diffdocs"
+    val v1 = (1L to 10L).map(i => (i, s"val$i", i * 100L))
+      .toDF("id", "name", "score")
+    LayoutOps.writeVersioned(v1, out)
+    // v2: update id 3, delete id 5, insert id 11; everything else as-is
+    val v2 = v1.filter($"id" =!= 5L)
+      .withColumn("score", when($"id" === 3L, lit(999L)).otherwise($"score"))
+      .unionByName(Seq((11L, "val11", 1100L)).toDF("id", "name", "score"))
+    LayoutOps.writeVersioned(v2, out)
+    assert(LayoutOps.currentVersion(spark, out) == 2)
+    val diff = LayoutOps.snapshotDiff(spark, out, 1, 2, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(diff == Seq(3L -> "update", 5L -> "delete", 11L -> "insert"),
+      s"unexpected change feed: $diff")
+    // unchanged rows never appear — the feed is exactly the delta
+    assert(diff.size == 3)
+    // column order must not affect the row signature: a reordered-but-
+    // equal v3 diffs empty against v2
+    LayoutOps.writeVersioned(v2.select($"score", $"id", $"name"), out)
+    assert(LayoutOps.snapshotDiff(spark, out, 2, 3, "id").count() == 0)
+  }
 }
