@@ -1977,6 +1977,21 @@ object RelationalOps {
                                                deg: DataFrame): DataFrame = {
     val spark = ed.sparkSession
     import spark.implicits._
+    val perNode = q44TrianglesCorners(ed, deg)
+      .groupBy($"n").agg(count(lit(1)).as("n_triangles"))
+    perNode.join(deg, Seq("n"))
+      .select($"n".as("p_partkey"), $"d".as("deg"), $"n_triangles")
+      .withColumn("cc_permille",
+        expr("CASE WHEN deg >= 2 THEN (2000 * n_triangles) div (deg * (deg - 1)) ELSE CAST(0 AS BIGINT) END"))
+      .orderBy($"n_triangles".desc, $"p_partkey").limit(25)
+  }
+
+  /** One row per (triangle, corner) — the enumeration q44 aggregates
+    * and q48's day-1 build persists. */
+  private[operators] def q44TrianglesCorners(ed: DataFrame,
+                                             deg: DataFrame): DataFrame = {
+    val spark = ed.sparkSession
+    import spark.implicits._
     val lower = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
     val orient = ed
       .join(deg.select($"n".as("a"), $"d".as("da")), "a")
@@ -2006,13 +2021,7 @@ object RelationalOps {
         $"e.v" === $"jv")
       .select($"e.u".as("tu"), $"e.v".as("tv"),
         explode(array_intersect($"nu", $"nv")).as("tw"))
-    val perNode = tri.select(explode(array($"tu", $"tv", $"tw")).as("n"))
-      .groupBy($"n").agg(count(lit(1)).as("n_triangles"))
-    perNode.join(deg, Seq("n"))
-      .select($"n".as("p_partkey"), $"d".as("deg"), $"n_triangles")
-      .withColumn("cc_permille",
-        expr("CASE WHEN deg >= 2 THEN (2000 * n_triangles) div (deg * (deg - 1)) ELSE CAST(0 AS BIGINT) END"))
-      .orderBy($"n_triangles".desc, $"p_partkey").limit(25)
+    tri.select(explode(array($"tu", $"tv", $"tw")).as("n"))
   }
 
   val q44TrianglesSql: String =
@@ -2355,6 +2364,113 @@ object RelationalOps {
        |ORDER BY p_partkey""".stripMargin
   }
 
+  // --------------------------------------------------------------- q48
+  /** Day-2 TRIANGLE maintenance — the graph member of the day-2 family
+    * (q40 dimensions, q41 aggregates, q42 sketches, s11 indexes,
+    * d16/d17 dedup state): per-node triangle counts persist as
+    * standing state, and today's orders fold in by counting ONLY the
+    * triangles that touch a new edge — never re-enumerating the graph.
+    * Output is q44's exact top-25 frame over the full corpus, so the
+    * oracle IS q44's from-scratch SQL (q40's maintained-equals-rebuilt
+    * discipline).
+    *
+    * Correctness rests on two facts: (1) triangle counts are
+    * orientation-independent (orientation is an enumeration trick, so
+    * day-1 counts and day-2 deltas may each pick their own), and
+    * (2) a triangle of the new graph either has all-old edges (already
+    * in the standing counts — old edges between old nodes are
+    * unchanged by edge ARRIVALS) or touches ≥1 new edge (found by the
+    * delta pass). The delta pass enumerates per NEW edge, so a
+    * triangle with 2–3 new edges is found multiple times — the
+    * sorted-triple `distinct` collapses it before corners explode
+    * (the delta triangle set is |ΔE|-proportional, so the distinct is
+    * a small shuffle).
+    *
+    * Scale shape: the delta probe fans out from each new edge's
+    * SMALLER-degree endpoint (min-deg probing, the standard trick —
+    * a hub's new edge probes its cheap end, so per-edge work is
+    * bounded by min-degree, not hub degree; and unlike an
+    * array-intersection close, the row form never ships a hub's full
+    * adjacency anywhere); the close check is an equi-join against the
+    * canonical (low, high) edge set. Day-2 cost is O(|ΔE| · min-deg)
+    * + one |V|-sized count merge — the from-scratch q44 is
+    * O(|E|^1.5) every day.
+    *
+    * Honesty note on the measured numbers: the synthetic coin makes
+    * the "daily" batch 20% of orders → ΔE ≈ 12% of E on an unusually
+    * dense graph (avg degree 120), and there day-2 measures 6.6 s vs
+    * 3.1 s from-scratch at sf0.1 — maintenance LOSES when the batch
+    * is that large a slice. The operator's regime is the production
+    * one (daily arrivals ≪ the standing graph, probe work
+    * ∝ |ΔE|·min-deg vs |E|^1.5 rebuilds); the oracle equality is
+    * what this query certifies, the crossover is the user's dial. */
+  def q48TrianglesDay2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    val triT = graft.sources.LayoutOps.stateTable("graft_state_q48_tri", dir)
+    val edT = graft.sources.LayoutOps.stateTable("graft_state_q48_edges", dir)
+    val pl = t(spark, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val isNew = pmod(md5Long(concat($"o".cast("string"), lit(":q48"))),
+      lit(5L)) === 0L
+    def edgesOf(m: DataFrame): DataFrame =
+      m.as("x").join(m.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
+        .select($"x.p".as("a"), $"y.p".as("b")).distinct()
+    // ---- day 1 (first call only): full count over the OLD graph,
+    // persisted with the old edge set
+    if (!spark.catalog.tableExists(triT)) {
+      Seq(triT, edT)
+        .foreach(graft.sources.LayoutOps.clearStaleLocation(spark, _))
+      val edOld = edgesOf(pl.filter(!isNew))
+      graft.sources.LayoutOps.writeBucketed(edOld, edT, "a", 32)
+      val und = edOld.unionByName(edOld.select($"b".as("a"), $"a".as("b")))
+      q44TrianglesCorners(edOld,
+          und.groupBy($"a".as("n")).agg(count(lit(1)).as("d")))
+        .groupBy($"n").agg(count(lit(1)).as("tri"))
+        .write.mode("overwrite").format("parquet").saveAsTable(triT)
+    }
+    // ---- day 2 (every call): delta triangles touching new edges.
+    // Every co-purchase pair lives inside ONE order, so pairs from old
+    // orders are already in the standing edge set and
+    // ΔE = pairs(new orders) \ E_old — the day-2 pass generates pairs
+    // for the BATCH only and never re-derives the corpus pair set
+    // (first cut did; 11.4 → 6.7 s at sf0.1). State stays day-1
+    // (q42's idempotent-read discipline: the delta never persists).
+    val edOld = spark.table(edT)
+    val delta = edgesOf(pl.filter(isNew))
+      .join(edOld, Seq("a", "b"), "left_anti")
+    val edNew = edOld.unionByName(delta)
+    val und = edNew.unionByName(edNew.select($"b".as("a"), $"a".as("b")))
+    val deg = und.groupBy($"a".as("n")).agg(count(lit(1)).as("d"))
+    // probe from the smaller-degree endpoint of each delta edge
+    val probed = delta
+      .join(deg.select($"n".as("a"), $"d".as("da")), "a")
+      .join(deg.select($"n".as("b"), $"d".as("db")), "b")
+      .select(
+        when($"da" <= $"db", $"a").otherwise($"b").as("lo"),
+        when($"da" <= $"db", $"b").otherwise($"a").as("hi"))
+    val cand = probed
+      .join(und.select($"a".as("lo"), $"b".as("w")).hint("shuffle_hash"), "lo")
+      .filter($"w" =!= $"hi")
+    val closed = cand.join(
+      edNew.select($"a".as("ca"), $"b".as("cb")).hint("shuffle_hash"),
+      least($"hi", $"w") === $"ca" && greatest($"hi", $"w") === $"cb")
+    val deltaTri = closed
+      .select(array_sort(array($"lo", $"hi", $"w")).as("t")).distinct()
+      .select(explode($"t").as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("dtri"))
+    spark.table(triT)
+      .join(deltaTri, Seq("n"), "full_outer")
+      .select($"n",
+        (coalesce($"tri", lit(0L)) + coalesce($"dtri", lit(0L))).as("n_triangles"))
+      .filter($"n_triangles" > 0)
+      .join(deg, Seq("n"))
+      .select($"n".as("p_partkey"), $"d".as("deg"), $"n_triangles")
+      .withColumn("cc_permille",
+        expr("CASE WHEN deg >= 2 THEN (2000 * n_triangles) div (deg * (deg - 1)) ELSE CAST(0 AS BIGINT) END"))
+      .orderBy($"n_triangles".desc, $"p_partkey").limit(25)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -2403,6 +2519,7 @@ object RelationalOps {
     "q45_kmv_jaccard"    -> (q45KmvJaccard _),
     "q46_assoc_rules"    -> (q46AssocRules _),
     "q47_kcore"          -> (q47KCore _),
+    "q48_triangles_day2" -> (q48TrianglesDay2 _),
   )
 
   // --------------------------------------------------------------- q15
@@ -2475,5 +2592,7 @@ object RelationalOps {
     "q45_kmv_jaccard"    -> q45KmvJaccardSql,
     "q46_assoc_rules"    -> q46AssocRulesSql,
     "q47_kcore"          -> q47KCoreSql,
+    // maintained counts == from-scratch counts: oracle is q44's SQL
+    "q48_triangles_day2" -> q44TrianglesSql,
   )
 }

@@ -231,6 +231,23 @@ class Round9bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q48: maintained triangle counts equal from-scratch q44, idempotently") {
+    val triT = graft.sources.LayoutOps.stateTable("graft_state_q48_tri", sf)
+    val edT = graft.sources.LayoutOps.stateTable("graft_state_q48_edges", sf)
+    spark.sql(s"DROP TABLE IF EXISTS $triT")
+    spark.sql(s"DROP TABLE IF EXISTS $edT")
+    val first = graft.SparkEntry.queries("q48_triangles_day2")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val direct = graft.SparkEntry.queries("q44_triangles")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(first == direct, "day-2 fold diverged from the rebuilt counts")
+    // second call in the same warehouse: day-1 state is reused, the
+    // delta is recomputed from the coin — byte-identical output
+    val second = graft.SparkEntry.queries("q48_triangles_day2")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(second == first, "day-2 read is not idempotent")
+  }
+
   test("d20: ladder rungs reconcile with their per-method operators") {
     import spark.implicits._
     val rows = graft.SparkEntry.queries("d20_dedup_ladder")(spark, sf)
