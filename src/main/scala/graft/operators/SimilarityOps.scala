@@ -167,21 +167,11 @@ object SimilarityOps {
     val e = emb(spark, dir)
       .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot($"v", $"v")))
-    // codebook: per-label per-dimension exact median, reassembled into an
-    // array column ordered by dimension
-    val flat = e.select($"label", posexplode($"v").as(Seq("d0", "dv")))
-      .select($"label", ($"d0" + 1).as("d"), $"dv")
     // The codebook is tiny (one row per label) but its build subtree is
     // the expensive ranked-median pass; persist so the two consumers
     // below (assignment + probing) don't each recompute it — released in
     // the finally after the small result is checkpointed (d9's pattern).
-    val centroids = PercentileOps
-      .exactPercentiles(flat, Seq("label", "d"), "dv", Seq(0.5))
-      .groupBy($"label")
-      .agg(expr("transform(array_sort(collect_list(struct(d, pct))), x -> x.pct)")
-        .as("cv"))
-      .withColumn("cnrm", sqrt(dot($"cv", $"cv")))
-      .persist()
+    val centroids = ivfCentroids(e).persist()
     // assign: nearest cell per vector; probe: `keep` nearest cells per query
     def cellRank(src: DataFrame, id: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy($"csim".desc, $"label".asc)
@@ -212,6 +202,22 @@ object SimilarityOps {
     } finally {
       centroids.unpersist(blocking = false)
     }
+  }
+
+  /** s3's codebook: per-label per-dimension exact median, reassembled
+    * into an array column ordered by dimension — shared by [[ivfSearch]]
+    * and the s17 tuning sweep. */
+  private def ivfCentroids(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val flat = e.select($"label", posexplode($"v").as(Seq("d0", "dv")))
+      .select($"label", ($"d0" + 1).as("d"), $"dv")
+    PercentileOps
+      .exactPercentiles(flat, Seq("label", "d"), "dv", Seq(0.5))
+      .groupBy($"label")
+      .agg(expr("transform(array_sort(collect_list(struct(d, pct))), x -> x.pct)")
+        .as("cv"))
+      .withColumn("cnrm", sqrt(dot($"cv", $"cv")))
   }
 
   val s3KnnIvfSql: String =
@@ -2011,6 +2017,128 @@ object SimilarityOps {
       "ekeep")
   }
 
+  // ---------------------------------------------------------------- s17
+  /** The nprobe TUNING CURVE — s13 measures recall at ONE operating
+    * point; s17 sweeps nprobe ∈ {1, 2, 4, 8} in a single pass and
+    * reports recall@K per level, which is the artifact an ANN
+    * deployment actually tunes from (pick the knee: the cheapest
+    * nprobe that clears the recall SLO).
+    *
+    * The sweep costs ONE index pass, not four: cells are ranked once
+    * per query up to the MAXIMUM nprobe, every candidate carries the
+    * probe rank of the cell that produced it, and each level's top-K
+    * ranks the candidates with `crnk ≤ level` — a candidate generated
+    * once serves every level at or above its probe rank (each database
+    * vector lives in exactly one cell, so no per-level dedup is
+    * needed). Ground truth is s1's brute force over the query SAMPLE
+    * (s13's discipline).
+    *
+    * Scale shape: s3's cell-blocked candidate join at nprobe=8 plus a
+    * ≤4× level explode of the candidate stream (bounded by the level
+    * count, applied AFTER the cell join so the join itself is paid
+    * once); per-(level, query) top-K windows ride one (level, qid)
+    * shuffle; the recall aggregate is level-count-sized. */
+  def s17TuningCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    val e = emb(spark, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    val centroids = ivfCentroids(e).persist()
+    try {
+      def cellRank(src: DataFrame, id: String, keep: Int): DataFrame = {
+        val w = Window.partitionBy(col(id)).orderBy($"csim".desc, $"label".asc)
+        src.crossJoin(broadcast(centroids))
+          .withColumn("csim", dot($"v", $"cv") / ($"nrm" * $"cnrm"))
+          .withColumn("crnk", row_number().over(w))
+          .filter($"crnk" <= keep)
+      }
+      val assigned = cellRank(
+        e.select($"vec_id".as("nid"), $"v", $"nrm"), "nid", 1)
+        .select($"nid", $"label".as("cell"), $"v".as("nv"), $"nrm".as("nnrm"))
+      val probed = cellRank(
+        e.filter($"vec_id" < NQUERIES)
+          .select($"vec_id".as("qid"), $"v", $"nrm"), "qid", 8)
+        .select($"qid", $"label".as("cell"), $"v".as("qv"),
+          $"nrm".as("qnrm"), $"crnk")
+      val cand = assigned.join(probed, Seq("cell"))
+        .filter($"qid" =!= $"nid")
+        .withColumn("cos", dot($"qv", $"nv") / ($"qnrm" * $"nnrm"))
+        .withColumn("nprobe",
+          explode(expr("filter(array(1, 2, 4, 8), x -> x >= crnk)")))
+      val w = Window.partitionBy($"nprobe", $"qid")
+        .orderBy($"cos".desc, $"nid".asc)
+      val topk = cand.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= K)
+        .select($"nprobe", $"qid", $"nid")
+      val exact = s1KnnBrute(spark, dir).select($"qid", $"nid")
+      val truth = exact.agg(count(lit(1)).as("n_true"))
+      topk.join(exact, Seq("qid", "nid"), "left_semi")
+        .groupBy($"nprobe").agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(truth))
+        .select($"nprobe", $"n_hits", $"n_true",
+          permille($"n_hits", $"n_true").as("recall_milli"))
+        .orderBy($"nprobe")
+        .localCheckpoint() // eager: materialized before the unpersist
+    } finally {
+      centroids.unpersist(blocking = false)
+    }
+  }
+
+  val s17TuningCurveSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+       |med AS (
+       |  SELECT label, d, quantile_cont(v[d], 0.5) AS c
+       |  FROM e CROSS JOIN dims
+       |  GROUP BY label, d),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY d) AS cv FROM med GROUP BY label),
+       |cent2 AS (
+       |  SELECT label, cv, sqrt(${sqlDot("cv", "cv")}) AS cnrm FROM cent),
+       |scored AS (
+       |  SELECT e.vec_id, e.v, e.nrm, c.label,
+       |    ${sqlDot("e.v", "c.cv")} / (e.nrm * c.cnrm) AS csim
+       |  FROM e CROSS JOIN cent2 c),
+       |cellranked AS (
+       |  SELECT vec_id, v, nrm, label, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id ORDER BY csim DESC, label ASC) AS crnk
+       |  FROM scored),
+       |assigned AS (
+       |  SELECT vec_id AS nid, v AS nv, nrm AS nnrm, label AS cell
+       |  FROM cellranked WHERE crnk = 1),
+       |probed AS (
+       |  SELECT vec_id AS qid, v AS qv, nrm AS qnrm, label AS cell, crnk
+       |  FROM cellranked WHERE vec_id < $NQUERIES AND crnk <= 8),
+       |cand AS (
+       |  SELECT u.lv AS nprobe, p.qid, a.nid,
+       |    ${sqlDot("p.qv", "a.nv")} / (p.qnrm * a.nnrm) AS cos
+       |  FROM probed p
+       |  JOIN assigned a USING (cell)
+       |  CROSS JOIN UNNEST([1, 2, 4, 8]) AS u(lv)
+       |  WHERE p.qid <> a.nid AND u.lv >= p.crnk),
+       |topk AS (
+       |  SELECT nprobe, qid, nid FROM (
+       |    SELECT nprobe, qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY nprobe, qid
+       |        ORDER BY cos DESC, nid ASC) AS rnk
+       |    FROM cand)
+       |  WHERE rnk <= $K),
+       |exact_res AS ($s1KnnBruteSql),
+       |truth AS (SELECT COUNT(*) AS n_true FROM exact_res),
+       |hits AS (
+       |  SELECT t.nprobe, COUNT(*) AS n_hits
+       |  FROM topk t
+       |  JOIN exact_res x ON t.qid = x.qid AND t.nid = x.nid
+       |  GROUP BY t.nprobe)
+       |SELECT h.nprobe, h.n_hits, tr.n_true,
+       |  ${sqlPermille("h.n_hits", "tr.n_true")} AS recall_milli
+       |FROM hits h CROSS JOIN truth tr
+       |ORDER BY h.nprobe""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh"   -> (s2KnnLsh _),
@@ -2028,6 +2156,7 @@ object SimilarityOps {
     "s14_knn_graph" -> (s14KnnGraph _),
     "s15_hybrid_rrf" -> (s15HybridRrf _),
     "s16_index_delete" -> (s16IndexDelete _),
+    "s17_tuning_curve" -> (s17TuningCurve _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2048,5 +2177,6 @@ object SimilarityOps {
     "s14_knn_graph" -> s14KnnGraphSql,
     "s15_hybrid_rrf" -> s15HybridRrfSql,
     "s16_index_delete" -> s16IndexDeleteSql,
+    "s17_tuning_curve" -> s17TuningCurveSql,
   )
 }

@@ -289,6 +289,24 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(m.forall(_.getLong(3) <= 1000L))
   }
 
+  test("s17: the tuning curve is monotone and its nprobe=4 point is s13's") {
+    import spark.implicits._
+    val curve = graft.SparkEntry.queries("s17_tuning_curve")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(curve.keySet == Set(1, 2, 4, 8))
+    // more probes can only add candidates → recall is non-decreasing
+    assert(curve(1) <= curve(2) && curve(2) <= curve(4) && curve(4) <= curve(8))
+    assert(curve(8) > curve(1), "a flat curve means the sweep is vacuous")
+    // the nprobe=4 point must agree with s13's single-point measurement
+    val s13 = graft.SparkEntry.queries("s13_recall_eval")(spark, sf)
+      .agg(sum($"n_hit"), sum($"n_true")).head()
+    val expected = 1000L * s13.getLong(0) / s13.getLong(1)
+    val got = graft.SparkEntry.queries("s17_tuning_curve")(spark, sf)
+      .filter($"nprobe" === 4).head()
+    assert(1000L * got.getLong(1) / got.getLong(2) == expected,
+      "s17@4 and s13 disagree on the same operating point")
+  }
+
   test("s16: compaction rewrites ONLY the tombstoned cells and is surgical") {
     import spark.implicits._
     val codesT = graft.sources.LayoutOps.stateTable("graft_state_s16_codes", sf)
