@@ -512,7 +512,23 @@ object DedupOps {
     * labels (wrong clusters must never look like a clean result). */
   def d8DupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = d4MinhashLsh(spark, dir).select($"i", $"j")
+    val labels = componentsFrom(d4MinhashLsh(spark, dir).select($"i", $"j"))
+    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "lbl")
+      .select($"id".as("doc_id"), $"lbl".as("cluster_id"), $"n_members")
+      .orderBy($"doc_id")
+      .localCheckpoint()
+  }
+
+  /** Connected components over an undirected pair list `(i, j)` by
+    * min-label propagation with pointer doubling — d8's loop, factored
+    * so every pair-producing operator (d4's text LSH, m5's media
+    * fingerprints) shares one component engine. Returns an eagerly
+    * checkpointed `(id, lbl)` frame covering every node that appears
+    * in a pair; loop state is fully released on every exit path. */
+  private[operators] def componentsFrom(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     // Undirected graph → both directions, so one join per round
     // propagates labels both ways.
     val edges = pairs
@@ -568,14 +584,10 @@ object DedupOps {
       }
       if (!converged)
         throw new IllegalStateException(
-          s"d8DupClusters: label propagation did not converge in $maxRounds rounds")
-      val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
+          s"componentsFrom: label propagation did not converge in $maxRounds rounds")
       // Materialize the (small) final result eagerly; the finally then
-      // releases the label table without un-backing the returned frame.
-      labels.join(sizes, "lbl")
-        .select($"id".as("doc_id"), $"lbl".as("cluster_id"), $"n_members")
-        .orderBy($"doc_id")
-        .localCheckpoint()
+      // releases the loop state without un-backing the returned frame.
+      labels.select($"id", $"lbl").localCheckpoint()
     } finally {
       unpersistCheckpointed(labels)
       edges.unpersist(blocking = false)

@@ -402,6 +402,86 @@ object MultimodalOps {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m8
+  /** Asset CANONICALIZATION — m5 finds which media near-duplicate
+    * which; m8 turns those pairs into the serving artifact: connected
+    * components over the pair graph, one canonical asset per cluster
+    * (keep-best: largest payload, id as tie-break — the
+    * highest-fidelity copy survives, d7's keep-best rule applied to
+    * media), and a doc→canonical redirect map covering EVERY asset
+    * (singletons map to themselves). This is the table a CDN or
+    * training-manifest builder actually consumes — dedup is not done
+    * until every reference points at one surviving copy.
+    *
+    * Scale shape: the pair graph is m5's capped candidate join; the
+    * components run on [[DedupOps.componentsFrom]] (min-label
+    * propagation + pointer doubling, everything candidate-generated);
+    * the keep-best choice is a per-cluster window over the
+    * cluster-membership frame (clusters are pair-connected, so the
+    * frame is collision-sized, not corpus-sized — the corpus only
+    * joins back for the final redirect map, shuffling ids and one
+    * byte-count column). */
+  def m8MediaCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = m5Plan(spark, dir).select($"i", $"j")
+    val comps = graft.operators.DedupOps.componentsFrom(pairs)
+      .select($"id".as("doc_id"), $"lbl")
+    val assets = Tables(spark, dir, "documents")
+      .select($"doc_id", octet_length($"text").cast("long").as("n_bytes"))
+    val clustered = assets.join(comps, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_bytes",
+        coalesce($"lbl", $"doc_id").as("cluster_id"))
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"n_bytes".desc, $"doc_id".asc)
+    clustered
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(
+        Window.partitionBy($"cluster_id")))
+      .withColumn("canonical_id",
+        min(when($"rn" === 1, $"doc_id")).over(
+          Window.partitionBy($"cluster_id")))
+      .select($"doc_id", $"cluster_id", $"cluster_size", $"canonical_id",
+        ($"doc_id" === $"canonical_id").as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
+  val m8MediaCanonicalSql: String = {
+    val m5Pairs = m5MediaDedupSql.replace("ORDER BY i, j", "")
+    s"""WITH RECURSIVE p0 AS ($m5Pairs),
+       |edges AS (
+       |  SELECT i AS src, j AS dst FROM p0
+       |  UNION ALL
+       |  SELECT j AS src, i AS dst FROM p0),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, r.lbl FROM reach r
+       |  JOIN edges e ON e.src = r.id),
+       |labels AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+       |assets AS (
+       |  SELECT doc_id,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+       |  FROM documents),
+       |clustered AS (
+       |  SELECT a.doc_id, a.n_bytes,
+       |    COALESCE(l.lbl, a.doc_id) AS cluster_id
+       |  FROM assets a LEFT JOIN labels l ON l.id = a.doc_id),
+       |ranked AS (
+       |  SELECT doc_id, cluster_id,
+       |    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |      ORDER BY n_bytes DESC, doc_id ASC) AS rn
+       |  FROM clustered),
+       |canon AS (
+       |  SELECT cluster_id, doc_id AS canonical_id FROM ranked WHERE rn = 1)
+       |SELECT r.doc_id, r.cluster_id,
+       |  CAST(r.cluster_size AS BIGINT) AS cluster_size,
+       |  c.canonical_id,
+       |  r.doc_id = c.canonical_id AS is_canonical
+       |FROM ranked r JOIN canon c USING (cluster_id)
+       |ORDER BY r.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> (m1MultimodalMeta _),
@@ -411,6 +491,7 @@ object MultimodalOps {
     "m5_media_dedup"     -> (m5MediaDedup _),
     "m6_modal_mismatch"  -> (m6ModalMismatch _),
     "m7_crossmodal_knn"  -> (m7CrossModalRetrieval _),
+    "m8_media_canonical" -> (m8MediaCanonical _),
   )
 
   /** m2 intentionally has no oracle (stubbed decode → rows-only check);
@@ -422,5 +503,6 @@ object MultimodalOps {
     "m5_media_dedup"     -> m5MediaDedupSql,
     "m6_modal_mismatch"  -> m6ModalMismatchSql,
     "m7_crossmodal_knn"  -> m7CrossModalRetrievalSql,
+    "m8_media_canonical" -> m8MediaCanonicalSql,
   )
 }

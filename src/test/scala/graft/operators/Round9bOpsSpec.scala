@@ -307,6 +307,30 @@ class Round9bOpsSpec extends AnyFunSuite {
       "s17@4 and s13 disagree on the same operating point")
   }
 
+  test("m8: one canonical per cluster, paired assets share a cluster") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("m8_media_canonical")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    // total coverage: every asset redirects somewhere, exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // exactly one canonical per cluster, and it is its own redirect
+    rows.groupBy(_._2).foreach { case (c, rs) =>
+      val canon = rs.filter(_._5)
+      assert(canon.length == 1, s"cluster $c has ${canon.length} canonicals")
+      assert(canon.head._1 == canon.head._4)
+      assert(rs.forall(_._4 == canon.head._1))
+      assert(rs.forall(_._3 == rs.length), s"cluster_size wrong in $c")
+    }
+    // every m5 near-dup pair ended up in ONE cluster
+    val cl = rows.map(r => r._1 -> r._2).toMap
+    graft.SparkEntry.queries("m5_media_dedup")(spark, sf)
+      .select($"i", $"j").collect().foreach { p =>
+        assert(cl(p.getLong(0)) == cl(p.getLong(1)),
+          s"pair ${p.getLong(0)}-${p.getLong(1)} straddles clusters")
+      }
+  }
+
   test("s16: compaction rewrites ONLY the tombstoned cells and is surgical") {
     import spark.implicits._
     val codesT = graft.sources.LayoutOps.stateTable("graft_state_s16_codes", sf)
