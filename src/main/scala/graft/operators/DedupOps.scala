@@ -513,11 +513,16 @@ object DedupOps {
   def d8DupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val labels = componentsFrom(d4MinhashLsh(spark, dir).select($"i", $"j"))
-    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
-    labels.join(sizes, "lbl")
-      .select($"id".as("doc_id"), $"lbl".as("cluster_id"), $"n_members")
-      .orderBy($"doc_id")
-      .localCheckpoint()
+    // the eager checkpoint below backs the returned frame, so the
+    // component labels' own checkpoint releases here — exactly one
+    // retained block per call (ScaleSpec's no-leak budget)
+    try {
+      val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
+      labels.join(sizes, "lbl")
+        .select($"id".as("doc_id"), $"lbl".as("cluster_id"), $"n_members")
+        .orderBy($"doc_id")
+        .localCheckpoint()
+    } finally unpersistCheckpointed(labels)
   }
 
   /** Connected components over an undirected pair list `(i, j)` by

@@ -425,24 +425,29 @@ object MultimodalOps {
     import spark.implicits._
     val pairs = m5Plan(spark, dir).select($"i", $"j")
     val comps = graft.operators.DedupOps.componentsFrom(pairs)
-      .select($"id".as("doc_id"), $"lbl")
-    val assets = Tables(spark, dir, "documents")
-      .select($"doc_id", octet_length($"text").cast("long").as("n_bytes"))
-    val clustered = assets.join(comps, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_bytes",
-        coalesce($"lbl", $"doc_id").as("cluster_id"))
-    val w = Window.partitionBy($"cluster_id")
-      .orderBy($"n_bytes".desc, $"doc_id".asc)
-    clustered
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cluster_size", count(lit(1)).over(
-        Window.partitionBy($"cluster_id")))
-      .withColumn("canonical_id",
-        min(when($"rn" === 1, $"doc_id")).over(
+    // eager final checkpoint + release of the component labels: one
+    // retained block per call (d8's ScaleSpec no-leak budget)
+    try {
+      val assets = Tables(spark, dir, "documents")
+        .select($"doc_id", octet_length($"text").cast("long").as("n_bytes"))
+      val clustered = assets
+        .join(comps.select($"id".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+        .select($"doc_id", $"n_bytes",
+          coalesce($"lbl", $"doc_id").as("cluster_id"))
+      val w = Window.partitionBy($"cluster_id")
+        .orderBy($"n_bytes".desc, $"doc_id".asc)
+      clustered
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cluster_size", count(lit(1)).over(
           Window.partitionBy($"cluster_id")))
-      .select($"doc_id", $"cluster_id", $"cluster_size", $"canonical_id",
-        ($"doc_id" === $"canonical_id").as("is_canonical"))
-      .orderBy($"doc_id")
+        .withColumn("canonical_id",
+          min(when($"rn" === 1, $"doc_id")).over(
+            Window.partitionBy($"cluster_id")))
+        .select($"doc_id", $"cluster_id", $"cluster_size", $"canonical_id",
+          ($"doc_id" === $"canonical_id").as("is_canonical"))
+        .orderBy($"doc_id")
+        .localCheckpoint()
+    } finally graft.operators.DedupOps.unpersistCheckpointed(comps)
   }
 
   val m8MediaCanonicalSql: String = {
