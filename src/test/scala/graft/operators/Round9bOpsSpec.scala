@@ -248,6 +248,18 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(second == first, "day-2 read is not idempotent")
   }
 
+  test("t23: document text never rides a shuffle") {
+    val df = graft.SparkEntry.queries("t23_overlap_risk")(spark, sf)
+    val exchanges = physical(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected shuffles in the overlap plan")
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.contains("text"), s"document text rides a shuffle: $cols")
+    }
+  }
+
   test("d20: ladder rungs reconcile with their per-method operators") {
     import spark.implicits._
     val rows = graft.SparkEntry.queries("d20_dedup_ladder")(spark, sf)
