@@ -1149,6 +1149,68 @@ object EventOps {
       |FROM tri
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ---------------------------------------------------------------- e25
+  /** Conversion-latency histogram — for every user who signed up, the
+    * hours from FIRST signup to FIRST subsequent purchase, bucketed by
+    * hour with the cumulative convert share in permille: the
+    * time-to-value curve growth teams read next to e10's step counts
+    * (the funnel says HOW MANY convert; this says HOW FAST, and the
+    * cumulative tail says how long a conversion window the attribution
+    * model needs).
+    *
+    * Scale shape: two per-user aggregates (first signup; first
+    * qualifying purchase — the candidate purchases ride the same
+    * user-keyed shuffle as the signup frame) and then a bounded-domain
+    * histogram: latency lives on integer hour buckets, so the
+    * cumulative window runs over a ≤ |hours-in-log| frame at any
+    * corpus size (p14's bounded-domain discipline). Exact BIGINT
+    * microsecond arithmetic throughout. */
+  def e25ConversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val signup = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min(unix_micros($"ts")).as("s_us"))
+    val converts = ev.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("p_us"))
+      .join(signup, Seq("user_id"))
+      .filter($"p_us" >= $"s_us")
+      .groupBy($"user_id", $"s_us").agg(min($"p_us").as("p_us"))
+      .select($"user_id", expr("(p_us - s_us) div 3600000000").as("latency_hours"))
+    val nSignup = signup.agg(count(lit(1)).as("n_signup"))
+    val w = Window.orderBy($"latency_hours")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    converts.groupBy($"latency_hours").agg(count(lit(1)).as("n_users"))
+      .withColumn("cum_users", sum($"n_users").over(w))
+      .crossJoin(broadcast(nSignup))
+      .select($"latency_hours", $"n_users", $"cum_users",
+        expr("(1000 * cum_users) div n_signup").as("cum_permille"))
+      .orderBy($"latency_hours")
+  }
+
+  val e25ConversionLatencySql: String =
+    """WITH signup AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS s_us
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |converts AS (
+      |  SELECT e.user_id,
+      |    (MIN(epoch_us(e.ts)) - s.s_us) // 3600000000 AS latency_hours
+      |  FROM events e JOIN signup s USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_us
+      |  GROUP BY e.user_id, s.s_us),
+      |n AS (SELECT COUNT(*) AS n_signup FROM signup),
+      |hist AS (
+      |  SELECT latency_hours, COUNT(*) AS n_users
+      |  FROM converts GROUP BY latency_hours)
+      |SELECT latency_hours, n_users,
+      |  CAST(SUM(n_users) OVER (ORDER BY latency_hours
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users,
+      |  CAST((1000 * CAST(SUM(n_users) OVER (ORDER BY latency_hours
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+      |    // (SELECT n_signup FROM n) AS BIGINT) AS cum_permille
+      |FROM hist
+      |ORDER BY latency_hours""".stripMargin
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
@@ -1175,6 +1237,7 @@ object EventOps {
     "e22_interval_coverage" -> (e22IntervalCoverage _),
     "e23_top_paths"  -> (e23TopPaths _),
     "e24_cohort_ltv" -> (e24CohortLtv _),
+    "e25_conversion_latency" -> (e25ConversionLatency _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1202,5 +1265,6 @@ object EventOps {
     "e22_interval_coverage" -> e22IntervalCoverageSql,
     "e23_top_paths"  -> e23TopPathsSql,
     "e24_cohort_ltv" -> e24CohortLtvSql,
+    "e25_conversion_latency" -> e25ConversionLatencySql,
   )
 }
