@@ -2139,6 +2139,67 @@ object SimilarityOps {
        |FROM hits h CROSS JOIN truth tr
        |ORDER BY h.nprobe""".stripMargin
 
+  // ---------------------------------------------------------------- s18
+  /** IVF index HEALTH report — per inverted list its size, corpus
+    * share, and load factor vs the balanced ideal (1000 = perfectly
+    * even): the monitoring artifact that schedules maintenance. A list
+    * drifting hot is exactly d18's hot-cell condition (split it) and
+    * the trigger for s11's scheduled codebook rebuild; serving cost on
+    * a probed cell is proportional to its size, so the max load factor
+    * IS the serve-latency tail. s13/s17 measure recall; s18 measures
+    * the other axis an ANN deployment watches.
+    *
+    * Scale shape: reads ONLY the persisted code table's fixed-width
+    * rows (never a vector) — one partial-aggregated count per cell
+    * riding a codebook-sized shuffle; the totals ride in as a
+    * broadcast 1-row frame. The oracle re-derives the same cell
+    * assignment from scratch through the deterministic k-means CTEs,
+    * so the report certifies the index layout itself. */
+  def s18IndexHealth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    s10EnsureIndex(spark, dir)
+    val codesT = graft.sources.LayoutOps.stateTable("graft_state_s7_codes", dir)
+    val sz = spark.table(codesT).groupBy($"cell")
+      .agg(count(lit(1)).as("n_vectors"))
+    val tot = sz.agg(sum($"n_vectors").as("n_total"),
+      count(lit(1)).as("n_cells"))
+    sz.crossJoin(broadcast(tot))
+      .select($"cell", $"n_vectors",
+        expr("(1000 * n_vectors) div n_total").as("share_permille"),
+        expr("(1000 * n_vectors * n_cells) div n_total").as("load_permille"))
+      .orderBy($"cell")
+  }
+
+  val s18IndexHealthSql: String = {
+    val dist = sqlSqd _
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+       |$sqlCoarseKmeansCtes,
+       |cells AS (
+       |  SELECT vec_id AS nid, cid AS cell FROM (
+       |    SELECT x.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${dist("x.v", "c.cv")}, c.cid) AS rn
+       |    FROM e x CROSS JOIN c2 c)
+       |  WHERE rn = 1),
+       |sz AS (SELECT cell, COUNT(*) AS n_vectors FROM cells GROUP BY cell),
+       |tot AS (
+       |  SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total,
+       |         COUNT(*) AS n_cells
+       |  FROM sz)
+       |SELECT cell, n_vectors,
+       |  CAST((1000 * n_vectors) // (SELECT n_total FROM tot) AS BIGINT)
+       |    AS share_permille,
+       |  CAST((1000 * n_vectors * (SELECT n_cells FROM tot))
+       |    // (SELECT n_total FROM tot) AS BIGINT) AS load_permille
+       |FROM sz
+       |ORDER BY cell""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh"   -> (s2KnnLsh _),
@@ -2157,6 +2218,7 @@ object SimilarityOps {
     "s15_hybrid_rrf" -> (s15HybridRrf _),
     "s16_index_delete" -> (s16IndexDelete _),
     "s17_tuning_curve" -> (s17TuningCurve _),
+    "s18_index_health" -> (s18IndexHealth _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2178,5 +2240,6 @@ object SimilarityOps {
     "s15_hybrid_rrf" -> s15HybridRrfSql,
     "s16_index_delete" -> s16IndexDeleteSql,
     "s17_tuning_curve" -> s17TuningCurveSql,
+    "s18_index_health" -> s18IndexHealthSql,
   )
 }
