@@ -1371,6 +1371,90 @@ object TextOps {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t24
+  /** Per-source quality DRIFT — the longitudinal member of the audit
+    * family: q43 checks a snapshot's constraints, t16 profiles sources
+    * once; t24 compares today's slice against a FROZEN baseline
+    * profile per source and flags the ones whose good-document share
+    * moved more than 100 permille points. This is the alarm that
+    * catches a source going bad (format change, spam flood, scraper
+    * breakage) between scheduled full re-profiles — the day-2 family
+    * (q41/q42/q48) applied to data-quality monitoring.
+    *
+    * Scale shape: the baseline is standing state (one |sources|-row
+    * table, built from the standing slice on first call — q42's
+    * idempotent-read discipline: the delta never persists); the daily
+    * side profiles ONLY today's arrivals with t16's map-side good
+    * flag, so daily cost tracks the batch. The comparison is a
+    * |sources|-sized full-outer join — a source absent from either
+    * side surfaces with null shares rather than silently dropping
+    * (new sources and dead sources are exactly what monitoring must
+    * show). */
+  def t24QualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stateT = graft.sources.LayoutOps.stateTable("graft_state_t24_profile", dir)
+    val isNew = pmod(md5Long(concat($"doc_id".cast("string"), lit(":t24"))),
+      lit(5L)) === 0L
+    def profileOf(d: DataFrame): DataFrame = {
+      val toks = tokens($"text")
+      val nTok = size(toks)
+      val nStop = size(filter(toks, tk => tk.isInCollection(stopwords)))
+      val good = (nTok >= 20 && permille(nStop, nTok).between(10, 150))
+      d.select($"source", good.cast("long").as("is_good"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"is_good").as("good_docs"))
+        .select($"source", $"n_docs",
+          permille($"good_docs", $"n_docs").as("good_permille"))
+    }
+    if (!spark.catalog.tableExists(stateT)) {
+      graft.sources.LayoutOps.clearStaleLocation(spark, stateT)
+      profileOf(docs(spark, dir).filter(!isNew))
+        .write.mode("overwrite").format("parquet").saveAsTable(stateT)
+    }
+    val base = spark.table(stateT).select($"source",
+      $"n_docs".as("base_n_docs"), $"good_permille".as("base_good_permille"))
+    val today = profileOf(docs(spark, dir).filter(isNew)).select($"source",
+      $"n_docs".as("today_n_docs"), $"good_permille".as("today_good_permille"))
+    base.join(today, Seq("source"), "full_outer")
+      .withColumn("drift_permille",
+        $"today_good_permille" - $"base_good_permille")
+      .withColumn("drifted",
+        coalesce(abs($"drift_permille") > 100, lit(false)))
+      .select($"source", $"base_n_docs", $"base_good_permille",
+        $"today_n_docs", $"today_good_permille", $"drift_permille", $"drifted")
+      .orderBy($"source")
+  }
+
+  val t24QualityDriftSql: String = {
+    val coin = sqlMd5Long("CAST(doc_id AS VARCHAR) || ':t24'")
+    def prof(name: String, pred: String): String =
+      s"""$name AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    ${sqlPermille("SUM(is_good)", "COUNT(*)")} AS good_permille
+         |  FROM (
+         |    SELECT source,
+         |      CASE WHEN len(string_split(text, ' ')) >= 20
+         |            AND ${sqlPermille(
+               s"len(list_filter(string_split(text, ' '), tk -> tk IN ($stopwordsSql)))",
+               "len(string_split(text, ' '))")} BETWEEN 10 AND 150
+         |           THEN 1 ELSE 0 END AS is_good
+         |    FROM documents WHERE $pred)
+         |  GROUP BY source)""".stripMargin
+    s"""WITH ${prof("base", s"NOT ($coin % 5 = 0)")},
+       |${prof("today", s"$coin % 5 = 0")}
+       |SELECT
+       |  COALESCE(b.source, t.source) AS source,
+       |  b.n_docs AS base_n_docs,
+       |  b.good_permille AS base_good_permille,
+       |  t.n_docs AS today_n_docs,
+       |  t.good_permille AS today_good_permille,
+       |  t.good_permille - b.good_permille AS drift_permille,
+       |  COALESCE(abs(t.good_permille - b.good_permille) > 100, FALSE)
+       |    AS drifted
+       |FROM base b FULL OUTER JOIN today t ON b.source = t.source
+       |ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_profile" -> (t2LangProfile _),
@@ -1395,6 +1479,7 @@ object TextOps {
     "t21_source_similarity" -> (t21SourceSimilarity _),
     "t22_lang_confusion" -> (t22LangConfusion _),
     "t23_overlap_risk" -> (t23OverlapRisk _),
+    "t24_quality_drift" -> (t24QualityDrift _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1421,5 +1506,6 @@ object TextOps {
     "t21_source_similarity" -> t21SourceSimilaritySql,
     "t22_lang_confusion" -> t22LangConfusionSql,
     "t23_overlap_risk" -> t23OverlapRiskSql,
+    "t24_quality_drift" -> t24QualityDriftSql,
   )
 }
