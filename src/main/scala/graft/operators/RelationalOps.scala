@@ -2276,6 +2276,19 @@ object RelationalOps {
       (r.getLong(0), r.getLong(1))
     }
     val k = (7L * e2) / (10L * nv)
+    q47KCoreFrom(edges, k)
+  }
+
+  /** [[q47KCore]]'s peel loop over an arbitrary symmetric edge frame
+    * `(u, v)` and explicit k — planted-graph specs enter here. Throws
+    * (componentsFrom's non-convergence discipline) if the peel does not
+    * reach its fix-point within [[Q47MaxRounds]]: silently returning
+    * the partially-peeled set labeled as a k-core would be a semantic
+    * miss the SQL oracle — which mirrors the same round cap — could
+    * never catch. */
+  private[operators] def q47KCoreFrom(edges: DataFrame, k: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     var alive = edges.groupBy($"u").agg(count(lit(1)).as("d"))
       .select($"u".as("n"), $"d")
       .localCheckpoint(eager = false)
@@ -2312,6 +2325,9 @@ object RelationalOps {
         (alive +: steps.init).foreach(DedupOps.unpersistCheckpointed)
         alive = steps.last
       }
+      if (!converged)
+        throw new IllegalStateException(
+          s"q47KCore: decremental peel did not converge in $Q47MaxRounds rounds")
       alive
         .select($"n".as("p_partkey"), $"d".as("core_deg"),
           lit(k).as("k"), lit(rounds).cast("int").as("rounds"))

@@ -1993,13 +1993,27 @@ object SimilarityOps {
       val kept = spark.table(codesT)
         .filter($"cell".isin(affected: _*))
         .join(del, $"nid" === $"del_id", "left_anti")
+        .localCheckpoint() // pin survivors BEFORE the overwrite mutates their source
+      // Dynamic partition overwrite only rewrites partitions PRESENT in
+      // the written data — a cell whose every row is tombstoned would
+      // keep its old files on disk and its deleted vectors would keep
+      // being served. Compute the emptied cells up front and drop their
+      // partitions explicitly after the rewrite.
+      val survivors = kept.select($"cell").distinct().as[Long].collect().toSet
+      val emptied = affected.filterNot(survivors)
       val modeKey = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(modeKey)
       spark.conf.set(modeKey, "dynamic")
-      try kept.write.mode("overwrite").insertInto(codesT)
-      finally prev match {
-        case Some(v) => spark.conf.set(modeKey, v)
-        case None => spark.conf.unset(modeKey)
+      try {
+        kept.write.mode("overwrite").insertInto(codesT)
+        emptied.foreach(c =>
+          spark.sql(s"ALTER TABLE $codesT DROP IF EXISTS PARTITION (cell = $c)"))
+      } finally {
+        DedupOps.unpersistCheckpointed(kept)
+        prev match {
+          case Some(v) => spark.conf.set(modeKey, v)
+          case None => spark.conf.unset(modeKey)
+        }
       }
     }
     affected

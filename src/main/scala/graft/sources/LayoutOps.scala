@@ -166,6 +166,19 @@ object LayoutOps {
     import org.apache.spark.sql.functions._
     val old = readVersion(spark, path, vOld)
     val neu = readVersion(spark, path, vNew)
+    // Signatures are only comparable over a COMMON schema: a column
+    // added in vNew would be silently excluded (rows changing only in
+    // it diff as unchanged) and a column dropped in vNew would fail
+    // with an unresolved-column error deep in the plan. Schema drift
+    // is a real change-feed event — surface it explicitly and make the
+    // caller reconcile schemas first.
+    val oldCols = old.columns.toSet
+    val newCols = neu.columns.toSet
+    require(oldCols == newCols,
+      s"snapshotDiff: schema drift between v$vOld and v$vNew — " +
+        s"only in v$vOld: [${(oldCols -- newCols).toSeq.sorted.mkString(", ")}], " +
+        s"only in v$vNew: [${(newCols -- oldCols).toSeq.sorted.mkString(", ")}]; " +
+        "project both versions to a common schema before diffing")
     val cols = old.columns.filterNot(_ == keyCol).sorted
     def sigged(df: DataFrame, sig: String) =
       df.select(col(keyCol),

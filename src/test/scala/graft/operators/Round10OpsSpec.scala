@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 specs: the round-9 ADVICE fixes (s16 emptied-cell drop,
+  * snapshotDiff schema-drift guard, q47 non-convergence throw) and the
+  * round's new operators. */
+class Round10OpsSpec extends AnyFunSuite {
+  import graft.SharedSpark._
+
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  test("s16: tombstoning an ENTIRE cell drops its partition, not just rows") {
+    import spark.implicits._
+    val codesT = graft.sources.LayoutOps.stateTable("graft_state_s16_codes", sf)
+    spark.sql(s"DROP TABLE IF EXISTS $codesT")
+    SimilarityOps.s10EnsureIndex(spark, sf)
+    SimilarityOps.s16EnsureCopy(spark, sf)
+    // victim: the smallest cell (cheapest full wipe); tombstone EVERY row
+    val victim = spark.table(codesT).groupBy($"cell").count()
+      .orderBy($"count".asc, $"cell".asc).head().getLong(0)
+    val delIds = spark.table(codesT).filter($"cell" === victim)
+      .select($"nid".as("del_id"))
+    val nVictim = delIds.count()
+    val total = spark.table(codesT).count()
+    val affected = SimilarityOps.s16CompactWith(spark, sf, delIds)
+    assert(affected == Seq(victim))
+    // the emptied cell is gone from reads AND from the partition catalog
+    assert(spark.table(codesT).filter($"cell" === victim).count() == 0)
+    assert(spark.table(codesT).count() == total - nVictim)
+    val parts = spark.sql(s"SHOW PARTITIONS $codesT")
+      .collect().map(_.getString(0)).toSet
+    assert(!parts.contains(s"cell=$victim"),
+      s"emptied cell $victim still present in partition catalog")
+    // and its files are physically deleted (GDPR-erasure contract)
+    val loc = new java.net.URI(spark.sql(s"DESCRIBE EXTENDED $codesT")
+      .filter(col("col_name") === "Location").head().getString(1)).getPath
+    assert(!new java.io.File(s"$loc/cell=$victim").exists(),
+      s"emptied cell $victim left files on disk")
+    spark.sql(s"DROP TABLE IF EXISTS $codesT") // reset for other s16 specs
+  }
+
+  test("snapshotDiff: schema drift between versions fails loudly") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_diff_drift").toString
+    graft.sources.LayoutOps.writeVersioned(
+      Seq((1L, "a")).toDF("id", "x"), out)
+    graft.sources.LayoutOps.writeVersioned(
+      Seq((1L, "a", "b")).toDF("id", "x", "y"), out)
+    val eAdd = intercept[IllegalArgumentException] {
+      graft.sources.LayoutOps.snapshotDiff(spark, out, 1, 2, "id")
+    }
+    assert(eAdd.getMessage.contains("schema drift"))
+    assert(eAdd.getMessage.contains("y"))
+    // dropped column: same guard, other direction
+    val eDrop = intercept[IllegalArgumentException] {
+      graft.sources.LayoutOps.snapshotDiff(spark, out, 2, 1, "id")
+    }
+    assert(eDrop.getMessage.contains("schema drift"))
+  }
+
+  test("q47: a peel that cannot converge within the cap throws") {
+    import spark.implicits._
+    // path graph 0-1-2-...-43 with k=2: endpoints die one layer per
+    // round, needing ~21 rounds > Q47MaxRounds=16 — the capped loop
+    // must throw, never return the partial peel labeled as a k-core
+    val ed = (0L until 43L).map(i => (i, i + 1))
+    val sym = (ed ++ ed.map(_.swap)).toDF("u", "v")
+    val e = intercept[IllegalStateException] {
+      RelationalOps.q47KCoreFrom(sym, 2L).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("q47: planted graph with a clean 2-core converges and returns it") {
+    import spark.implicits._
+    // triangle {0,1,2} + pendant chain 2-3-4: k=2 core = the triangle
+    val ed = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L))
+    val sym = (ed ++ ed.map(_.swap)).toDF("u", "v")
+    val rows = RelationalOps.q47KCoreFrom(sym, 2L)
+      .select($"p_partkey", $"core_deg").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((0L, 2L), (1L, 2L), (2L, 2L)))
+  }
+}
