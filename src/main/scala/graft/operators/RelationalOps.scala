@@ -1918,6 +1918,59 @@ object RelationalOps {
       |SELECT "check", n_violations, n_checked FROM checks
       |ORDER BY "check"""".stripMargin
 
+  // ------------------------------------------------- basket pair builder
+  /** Items-per-basket cap applied before ANY co-occurrence pair
+    * generation (q44/q46/q47/q48 all derive their part graph from
+    * per-order pair explosion). Per-basket fan-out is O(b²): the
+    * declared testdata's baskets are schema-bounded (≤ ~12 lines per
+    * order, and a TPC-H scale-up adds orders, not lines per order), but
+    * these operators are general basket miners, and ONE pathological
+    * basket — a bot session, a malformed feed — with 10⁵ items means
+    * 10¹⁰ pairs inside a single task. d11's cap + honest-flag
+    * discipline, applied to baskets: keep the first [[BasketItemCap]]
+    * items by item id (deterministic — the basket frame is distinct
+    * (o, p)), surface the truncation as a per-basket flag. 256²/2 = 32k
+    * pairs is the post-cap worst case per basket; at the declared data
+    * the cap is a no-op (every oracle applies the identical rule, so
+    * the queries stay hash-green by construction, not by luck). */
+  private[operators] val BasketItemCap = 256
+
+  /** A basket stream `(o, p)` → the capped item stream with a
+    * per-basket `overflow` flag reporting truncation. The window's
+    * hash partitioning on `o` is exactly what the downstream pair
+    * self-join needs, so the cap adds a sort but no extra exchange. */
+  private[operators] def cappedBasketItems(pl: DataFrame,
+      cap: Int = BasketItemCap): DataFrame = {
+    import pl.sparkSession.implicits._
+    pl.select($"o", $"p",
+        row_number().over(Window.partitionBy($"o").orderBy($"p")).as("__rn"),
+        count(lit(1)).over(Window.partitionBy($"o")).as("__n"))
+      .filter($"__rn" <= cap)
+      .select($"o", $"p", ($"__n" > cap).as("overflow"))
+  }
+
+  /** Co-occurrence pairs `(a < b)` from a capped basket stream — the
+    * ONE pair generator every basket-graph operator goes through. Not
+    * distinct: each call site owns its dedup/count semantics. */
+  private[operators] def basketPairs(pl: DataFrame,
+      cap: Int = BasketItemCap): DataFrame = {
+    val spark = pl.sparkSession
+    import spark.implicits._
+    val c = cappedBasketItems(pl, cap).select($"o", $"p")
+    c.as("x").join(c.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
+      .select($"x.p".as("a"), $"y.p".as("b"))
+  }
+
+  /** The capped `pl` CTE both engines share: DISTINCT (o, p) then the
+    * first [[BasketItemCap]] items per basket by item id. */
+  private val basketPlSql: String =
+    s"""pl0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pl AS (
+       |  SELECT o, p FROM (
+       |    SELECT o, p, ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) AS rn
+       |    FROM pl0)
+       |  WHERE rn <= $BasketItemCap)""".stripMargin
+
   // --------------------------------------------------------------- q44
   /** Local triangle counting + clustering coefficient on the part
     * co-purchase graph (parts are adjacent when some order contains
@@ -1937,8 +1990,9 @@ object RelationalOps {
     * orientation IS the hot-node cap, no df-cap heuristic needed).
     *
     * Scale shape: co-purchase pair generation is a self-join on the
-    * order key with per-order fan-out bounded by the order's line count
-    * (≤ 12² here — order size is the workload unit, not a skew risk);
+    * order key with per-order fan-out hard-bounded by [[BasketItemCap]]
+    * (≤ 12 lines per order at the declared data, so the cap is a no-op
+    * there; see [[cappedBasketItems]] for why it exists anyway);
     * the close is adjacency-intersection (in-body note): every shuffle
     * carries |E| rows, the O(wedges) work runs in-core inside a
     * codegen'd array_intersect, and no wedge ever rides an exchange.
@@ -1961,12 +2015,13 @@ object RelationalOps {
   }
 
   /** [[q44Triangles]] over an arbitrary (o, p) membership frame —
-    * planted-graph specs enter here. */
-  private[operators] def q44TrianglesFrom(pl: DataFrame): DataFrame = {
+    * planted-graph specs enter here (with an explicit `cap` to exercise
+    * the mega-basket truncation). */
+  private[operators] def q44TrianglesFrom(pl: DataFrame,
+      cap: Int = BasketItemCap): DataFrame = {
     val spark = pl.sparkSession
     import spark.implicits._
-    val ed = pl.as("x").join(pl.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
-      .select($"x.p".as("a"), $"y.p".as("b")).distinct()
+    val ed = basketPairs(pl, cap).distinct()
     val und = ed.unionByName(ed.select($"b".as("a"), $"a".as("b")))
     q44TrianglesFromEdges(ed, und.groupBy($"a".as("n")).agg(count(lit(1)).as("d")))
   }
@@ -2025,7 +2080,7 @@ object RelationalOps {
   }
 
   val q44TrianglesSql: String =
-    """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s"""WITH $basketPlSql,
       |ed AS (
       |  SELECT DISTINCT x.p AS a, y.p AS b
       |  FROM pl x JOIN pl y ON x.o = y.o AND x.p < y.p),
@@ -2160,13 +2215,18 @@ object RelationalOps {
   }
 
   /** [[q46AssocRules]] over an arbitrary (o, p) basket frame —
-    * planted-basket specs enter here. */
-  private[operators] def q46AssocRulesFrom(pl: DataFrame): DataFrame = {
+    * planted-basket specs enter here. The cap applies to the ITEM
+    * stream (not just the pairs) so support/confidence/lift stay
+    * mutually consistent: n_ant/n_cons count exactly the items that
+    * were allowed to form pairs. */
+  private[operators] def q46AssocRulesFrom(pl: DataFrame,
+      cap: Int = BasketItemCap): DataFrame = {
     val spark = pl.sparkSession
     import spark.implicits._
-    val nOrders = pl.agg(count_distinct($"o").as("n_orders"))
-    val cnt = pl.groupBy($"p").agg(count(lit(1)).as("n_p"))
-    val pairs = pl.as("x").join(pl.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
+    val cpl = cappedBasketItems(pl, cap).select($"o", $"p")
+    val nOrders = cpl.agg(count_distinct($"o").as("n_orders"))
+    val cnt = cpl.groupBy($"p").agg(count(lit(1)).as("n_p"))
+    val pairs = cpl.as("x").join(cpl.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
       .groupBy($"x.p".as("a"), $"y.p".as("b"))
       .agg(count(lit(1)).as("n_both"))
       .filter($"n_both" >= 2)
@@ -2185,7 +2245,7 @@ object RelationalOps {
   }
 
   val q46AssocRulesSql: String =
-    """WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s"""WITH $basketPlSql,
       |n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM pl),
       |cnt AS (SELECT p, COUNT(*) AS n_p FROM pl GROUP BY p),
       |pairs AS (
@@ -2244,8 +2304,8 @@ object RelationalOps {
     if (!spark.catalog.tableExists(t47)) {
       val pl = t(spark, dir, "lineitem")
         .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-      val ed = pl.as("x").join(pl.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
-        .select($"x.p".as("u"), $"y.p".as("v")).distinct()
+      val ed = basketPairs(pl)
+        .select($"a".as("u"), $"b".as("v")).distinct()
       graft.sources.LayoutOps.writeBucketed(
         ed.unionByName(ed.select($"v".as("u"), $"u".as("v"))), t47, "u", 32)
     }
@@ -2357,7 +2417,7 @@ object RelationalOps {
     }.mkString(",\n")
     val chgUnion = (1 to M).map(r => s"SELECT r, c FROM chg$r")
       .mkString("\n  UNION ALL ")
-    s"""WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s"""WITH $basketPlSql,
        |ed AS (
        |  SELECT DISTINCT x.p AS u, y.p AS v
        |  FROM pl x JOIN pl y ON x.o = y.o AND x.p < y.p),
@@ -2429,9 +2489,7 @@ object RelationalOps {
       .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
     val isNew = pmod(md5Long(concat($"o".cast("string"), lit(":q48"))),
       lit(5L)) === 0L
-    def edgesOf(m: DataFrame): DataFrame =
-      m.as("x").join(m.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
-        .select($"x.p".as("a"), $"y.p".as("b")).distinct()
+    def edgesOf(m: DataFrame): DataFrame = basketPairs(m).distinct()
     // ---- day 1 (first call only): full count over the OLD graph,
     // persisted with the old edge set
     if (!spark.catalog.tableExists(triT)) {

@@ -81,6 +81,36 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("basket cap: a planted mega-basket truncates to O(cap²) pairs, flagged") {
+    import spark.implicits._
+    // one bot basket with 40 items + two honest baskets of 3 and 2
+    val mega = (0L until 40L).map(p => (100L, p))
+    val small = Seq((200L, 1L), (200L, 2L), (200L, 3L), (300L, 4L), (300L, 5L))
+    val pl = (mega ++ small).toDF("o", "p")
+    val capped = RelationalOps.cappedBasketItems(pl, cap = 10)
+    val byBasket = capped.groupBy($"o")
+      .agg(count(lit(1)).as("n"), max($"overflow").as("of"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // the mega-basket kept exactly cap items and reports the truncation
+    assert(byBasket(100L) == (10L, true))
+    // honest baskets are untouched and unflagged
+    assert(byBasket(200L) == (3L, false))
+    assert(byBasket(300L) == (2L, false))
+    // candidate pairs stay O(cap²·baskets): 45 + 3 + 1, never 40·39/2
+    val pairs = RelationalOps.basketPairs(pl, cap = 10)
+    assert(pairs.count() == 45L + 3L + 1L)
+    // determinism: the kept items are the cap SMALLEST item ids
+    val keptMega = capped.filter($"o" === 100L).select($"p")
+      .as[Long].collect().sorted.toSeq
+    assert(keptMega == (0L until 10L))
+    // and the capped operators run end-to-end on the capped graph:
+    // q44 over the mega-basket sees a 10-clique, not a 40-clique
+    val tri = RelationalOps.q44TrianglesFrom(mega.toDF("o", "p"), cap = 10)
+      .collect()
+    assert(tri.length == 10)
+    assert(tri.forall(_.getLong(2) == 9L * 8L / 2L)) // C(9,2) per corner
+  }
+
   test("q47: planted graph with a clean 2-core converges and returns it") {
     import spark.implicits._
     // triangle {0,1,2} + pendant chain 2-3-4: k=2 core = the triangle
