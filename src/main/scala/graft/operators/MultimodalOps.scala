@@ -125,9 +125,18 @@ object MultimodalOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- m2
-  /** The full decode pipeline as a query (rows-only check: the stubbed
-    * decoder is not SQL-expressible). Features are deterministic, so row
-    * counts and spot values are stable for the specs. */
+  /** The full decode pipeline as a query, DuckDB-oracle-checked: the
+    * synthetic payload is a trivially decodable format (an identity
+    * codec — the decoded samples ARE the payload bytes), so every
+    * feature the decoder emits is re-derivable by SQL byte arithmetic:
+    * the oracle expands each payload to its byte histogram via
+    * hex-string slicing (two hex chars = one decoded sample) and
+    * recomputes the integer-exact entropy proxy and the every-4th-byte
+    * thumbnail length. The Spark side still runs the REAL plumbing — a
+    * batched `mapPartitions` decode over typed Datasets, exactly where
+    * libjpeg/ffmpeg would sit; what changed vs the earlier rows-only
+    * check is only that the stub format is now simple enough for a
+    * second engine to decode independently. */
   def m2MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     extractFeatures(buildMedia(spark, dir))
@@ -135,6 +144,31 @@ object MultimodalOps {
       .select($"doc_id", $"n_bytes", $"entropy_milli", $"thumb_n_bytes")
       .orderBy($"doc_id")
   }
+
+  /** Oracle: decode = identity, so the byte histogram comes from
+    * hex(blob) sliced two chars at a time, and the entropy proxy is the
+    * same integer formula the codec computes
+    * (Σ c·(n−c) · 1000 div n²). */
+  val m2MediaFeaturesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    hex(CAST(text AS BLOB)) AS hx,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+      |  FROM documents),
+      |hist AS (
+      |  SELECT doc_id, n, byte, COUNT(*) AS c FROM (
+      |    SELECT doc_id, n,
+      |      substr(hx, CAST(2 * i + 1 AS INT), 2) AS byte
+      |    FROM b, UNNEST(generate_series(0, CAST(n - 1 AS BIGINT))) AS u(i))
+      |  GROUP BY doc_id, n, byte),
+      |ent AS (
+      |  SELECT doc_id, SUM(c * (n - c)) * 1000 // (n * n) AS entropy_milli
+      |  FROM hist GROUP BY doc_id, n)
+      |SELECT b.doc_id, b.n AS n_bytes,
+      |  CAST(COALESCE(e.entropy_milli, 0) AS BIGINT) AS entropy_milli,
+      |  CAST(CEIL(b.n / 4.0) AS BIGINT) AS thumb_n_bytes
+      |FROM b LEFT JOIN ent e USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- m3
   /** The SQL-expressible slice of the decode pipeline, oracle-checked:
@@ -503,6 +537,7 @@ object MultimodalOps {
     * its SQL-expressible columns are oracle-checked via m3. */
   def oracles: Map[String, String] = Map(
     "m1_multimodal_meta" -> m1MultimodalMetaSql,
+    "m2_media_features"  -> m2MediaFeaturesSql,
     "m3_media_bytes"     -> m3MediaBytesSql,
     "m4_frame_sample"    -> m4FrameSampleSql,
     "m5_media_dedup"     -> m5MediaDedupSql,
