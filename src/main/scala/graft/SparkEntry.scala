@@ -19,12 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ TextOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ EventOps.queries ++ MultimodalOps.queries ++
-      PipelineOps.queries
+      PipelineOps.queries ++ TpchSql.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
       SimilarityOps.oracles ++ EventOps.oracles ++ MultimodalOps.oracles ++
-      PipelineOps.oracles
+      PipelineOps.oracles ++ TpchSql.oracles
 }

@@ -111,6 +111,30 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(tri.forall(_.getLong(2) == 9L * 8L / 2L)) // C(9,2) per corner
   }
 
+  test("tpch frontend: 22 entries, every oracle IS the Spark text") {
+    assert(TpchSql.texts.size == 22)
+    assert(TpchSql.oracles == TpchSql.texts)
+    TpchSql.texts.keys.foreach { k =>
+      assert(graft.SparkEntry.queries.contains(k), s"$k missing from queries")
+      assert(graft.SparkEntry.oracleSql.contains(k), s"$k missing from oracles")
+    }
+  }
+
+  test("tpch frontend: subqueries decorrelate; no cartesian products") {
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, CartesianProductExec}
+    // h21's EXISTS + NOT EXISTS must become semi/anti joins
+    val p21 = physical(graft.SparkEntry.queries("h21_waiting_suppliers")(spark, sf))
+    val joinTypes = p21.collect { case j: BaseJoinExec => j.joinType.toString }
+    assert(joinTypes.exists(_.contains("Semi")), s"no semi join in h21: $joinTypes")
+    assert(joinTypes.exists(_.contains("Anti")), s"no anti join in h21: $joinTypes")
+    // no h-query may plan a cartesian product
+    TpchSql.texts.keys.foreach { k =>
+      val cart = physical(graft.SparkEntry.queries(k)(spark, sf))
+        .collect { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"$k plans a CartesianProduct")
+    }
+  }
+
   test("q47: planted graph with a clean 2-core converges and returns it") {
     import spark.implicits._
     // triangle {0,1,2} + pendant chain 2-3-4: k=2 core = the triangle
