@@ -1092,6 +1092,88 @@ object TextOps {
        |FROM documents d LEFT JOIN sc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- t25
+  /** [[t19LmSurprise]] with a HASHED-FEATURE model — the variant that
+    * stays bounded on ANY alphabet. t19's model table is capped at |Σ|³
+    * distinct trigrams, a safe broadcast for ASCII (≤ 857k rows) but
+    * billions for a CJK corpus (|Σ| ~ 10⁴); t17's hashed-feature
+    * discipline applies directly: key the model by a hash BUCKET of the
+    * trigram (and the prefix model by a bucket of its bigram), so both
+    * count tables are ≤ [[T25Buckets]] rows — broadcastable at any
+    * alphabet and any corpus size — while scoring stays the same exact
+    * integer bit arithmetic.
+    *
+    * The tradeoff, recorded: bucket collisions MERGE counts, so a rare
+    * trigram colliding with a frequent one inherits its count and
+    * scores too few surprise bits (the bias is one-directional —
+    * hashing can only under-report surprise, never inflate it, since
+    * merged c3 only grows). At 2¹⁶ buckets and this corpus's ~20k
+    * distinct trigrams the expected collision load is ~14% of buckets
+    * shared — the planted spec pins both the collision-free agreement
+    * with t19 and the fully-degenerate buckets=1 case. */
+  private[operators] val T25Buckets = 1 << 16
+
+  def t25LmSurpriseHashed(spark: SparkSession, dir: String): DataFrame =
+    t25LmSurpriseHashedFrom(docs(spark, dir), T25Buckets)
+
+  private[operators] def t25LmSurpriseHashedFrom(d: DataFrame,
+      buckets: Int): DataFrame = {
+    import d.sparkSession.implicits._
+    val tris = d
+      .filter(length($"text") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("tri"))
+      .select($"doc_id",
+        pmod(md5Long($"tri"), lit(buckets.toLong)).as("hb"),
+        pmod(md5Long(substring($"tri", 1, 2)), lit(buckets.toLong)).as("pb"))
+    val model = tris.groupBy($"hb").agg(count(lit(1)).as("c3"))
+    val pre = tris.groupBy($"pb").agg(count(lit(1)).as("c2"))
+    val perDoc = tris
+      .join(broadcast(model), Seq("hb"))
+      .join(broadcast(pre), Seq("pb"))
+      .withColumn("b", length(bin($"c2" + 64)) - length(bin($"c3")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum($"b".cast("long")).as("bits"))
+    d.select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tri", lit(0L)).as("n_tri"),
+        coalesce($"bits", lit(0L)).as("bits"),
+        when(coalesce($"n_tri", lit(0L)) === 0, 0L)
+          .otherwise(permille($"bits", $"n_tri")).as("milli_bits"))
+      .orderBy($"doc_id")
+  }
+
+  val t25LmSurpriseHashedSql: String =
+    s"""WITH tris AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ${sqlMd5Long("tri")} % $T25Buckets AS hb,
+       |    ${sqlMd5Long("substr(tri, 1, 2)")} % $T25Buckets AS pb
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(1, length(text) - 2),
+       |                            i -> substr(text, i, 3))) AS tri
+       |    FROM documents WHERE length(text) >= 3)),
+       |model AS MATERIALIZED (
+       |  SELECT hb, COUNT(*) AS c3 FROM tris GROUP BY hb),
+       |pre AS MATERIALIZED (
+       |  SELECT pb, COUNT(*) AS c2 FROM tris GROUP BY pb),
+       |sc AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_tri,
+       |    CAST(SUM(len(bin(p.c2 + 64)) - len(bin(m.c3))) AS BIGINT) AS bits
+       |  FROM tris t
+       |  JOIN model m USING (hb)
+       |  JOIN pre p USING (pb)
+       |  GROUP BY t.doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(sc.n_tri, 0) AS n_tri,
+       |  COALESCE(sc.bits, 0) AS bits,
+       |  CASE WHEN COALESCE(sc.n_tri, 0) = 0 THEN 0
+       |       ELSE ${sqlPermille("sc.bits", "sc.n_tri")} END AS milli_bits
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // --------------------------------------------------------------- t20
   /** BM25 keyword retrieval — the lexical half of every retrieval /
     * RAG-data pipeline: for each keyword query, the top-10 documents by
@@ -1480,6 +1562,7 @@ object TextOps {
     "t22_lang_confusion" -> (t22LangConfusion _),
     "t23_overlap_risk" -> (t23OverlapRisk _),
     "t24_quality_drift" -> (t24QualityDrift _),
+    "t25_lm_surprise_hashed" -> (t25LmSurpriseHashed _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1507,5 +1590,6 @@ object TextOps {
     "t22_lang_confusion" -> t22LangConfusionSql,
     "t23_overlap_risk" -> t23OverlapRiskSql,
     "t24_quality_drift" -> t24QualityDriftSql,
+    "t25_lm_surprise_hashed" -> t25LmSurpriseHashedSql,
   )
 }

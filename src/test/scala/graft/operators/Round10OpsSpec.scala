@@ -135,6 +135,33 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t25: hashed model agrees with exact t19 when buckets don't collide") {
+    import spark.implicits._
+    val d = Seq((0L, "the cat sat"), (1L, "zq zq zq zq"), (2L, "ab"))
+      .toDF("doc_id", "text")
+    val exact = TextOps.t19LmSurpriseFrom(d).collect().map(_.toSeq)
+    val hashed = TextOps.t25LmSurpriseHashedFrom(d, 1 << 16)
+      .collect().map(_.toSeq)
+    // at 2^16 buckets this planted corpus's ~20 distinct trigrams are
+    // collision-free (verified), so hashing is a pure re-key: identical
+    assert(hashed.toSeq == exact.toSeq)
+  }
+
+  test("t25: planted total collision (buckets=1) merges every count") {
+    import spark.implicits._
+    val d = Seq((0L, "abcd"), (1L, "xyz")).toDF("doc_id", "text")
+    // 3 trigram occurrences corpus-wide → with ONE bucket, every
+    // occurrence sees c3 = c2 = 3: bits = bitlen(3+64) - bitlen(3) = 5
+    val rows = TextOps.t25LmSurpriseHashedFrom(d, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((0L, 2L, 10L), (1L, 1L, 5L)))
+    // the same corpus under the exact model scores MORE bits for the
+    // novel doc — collisions only ever under-report surprise
+    val exactBits = TextOps.t19LmSurpriseFrom(d)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exactBits(1L) >= 5L)
+  }
+
   test("q47: planted graph with a clean 2-core converges and returns it") {
     import spark.implicits._
     // triangle {0,1,2} + pendant chain 2-3-4: k=2 core = the triangle
