@@ -1,4 +1,38 @@
 package graft
+
+/** Benchmark harness.
+  *
+  * Two modes:
+  *
+  *  - `graft.Bench <names...>` — time the named queries IN THIS JVM
+  *    (warmup at sf0.001, min-of-N with blocking cache reset + GC
+  *    between timers) and print one JSON line. This is the measuring
+  *    arm, used directly when iterating on a single query.
+  *  - `graft.Bench` (no args) — ORCHESTRATE: fork one child JVM per
+  *    query FAMILY (q/h/e/d/s/t/p/m), each timing only its family, and
+  *    merge the children's JSON into the single driver-facing line.
+  *
+  * Why fork (round 11): two consecutive rounds recorded phantom 1.6–2.4×
+  * "regressions" on iterative-driver queries (q48 r9, q44 r10 — 4.69 s
+  * in-suite vs 1.74 s solo on the same host, judge-measured) that were
+  * suite CONTEXT, not plan changes: 181 codegen-heavy plans in one JVM
+  * accumulate generated classes, JIT churn, and old-gen garbage that
+  * in-JVM resets (clearCache + System.gc + 1g code cache) provably did
+  * not fully cancel. A fresh JVM per family is the only reset that
+  * removes all three at once; families keep the fork count at ~10
+  * (startup ≈ 15 s each) instead of 181. Child JVMs are launched with
+  * THIS JVM's exact flags (RuntimeMXBean.getInputArguments) and
+  * classpath, so --add-opens / heap / code-cache settings stay in sync
+  * with build.sbt automatically.
+  *
+  * Anchor protocol (round 11): a tiny fixed anchor set (q1, q4, s1, t1)
+  * is measured in its own child JVM BEFORE and AFTER the family runs
+  * and recorded as `anchors_pre`/`anchors_post`. Cross-round
+  * comparisons can then be normalized against the anchors instead of
+  * hand-waving host drift: if anchors moved 1.3×, the host moved, not
+  * the plans; if anchors_post ≫ anchors_pre, the host degraded DURING
+  * the run and mid-suite numbers are suspect.
+  */
 object Bench {
   /** Drop every cached/persisted block between queries so one query can
     * never inflate the next's measurement: the recorded r3 bench showed
@@ -18,19 +52,34 @@ object Bench {
     System.gc()
   }
 
+  private val anchors =
+    Seq("q1_agg", "q4_topk", "s1_knn_brute", "t1_token_stats")
+
+  /** Family key: the alpha prefix of the query name (q1_agg → "q",
+    * h01 → "h"). One child JVM per family. */
+  private def family(name: String): String = name.takeWhile(!_.isDigit)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // optional args: bench only the named queries (builder-side
-    // iteration aid; the driver's no-arg form times everything)
     val unknown = args.toSet -- SparkEntry.queries.keySet
     if (unknown.nonEmpty) {
       System.err.println(
         s"[bench] unknown query names: ${unknown.toSeq.sorted.mkString(", ")}")
       sys.exit(2)
     }
-    val bench =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    if (args.isEmpty && !sys.env.get("GRAFT_BENCH_NOFORK").contains("1"))
+      orchestrate(sfDir)
+    else
+      measureInJvm(
+        if (args.isEmpty) SparkEntry.queries.keySet.toSeq.sorted
+        else args.toSeq,
+        sfDir)
+  }
+
+  // ------------------------------------------------------------ child
+
+  private def measureInJvm(names: Seq[String], sfDir: String): Unit = {
+    val bench = names.sorted.map(n => n -> SparkEntry.queries(n))
     val spark = GraftSession.get()
     // Untimed warmup: run EVERY query once at the smallest SF so each
     // plan's generated code is compiled and JIT'd before timing. A cold
@@ -47,7 +96,7 @@ object Bench {
       resetCachedState(spark)
     }
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
-    val results = bench.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = bench.map { case (name, fn) =>
       // best-of-N: single runs are GC/JIT-noisy (one outlier measured 20×;
       // N=2 still let ~4s one-off spikes through when both repeats landed
       // in the same noisy window — N=3 keeps the recorded number stable)
@@ -70,6 +119,14 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    println(resultLine(results, sfDir))
+    Console.out.flush()
+    spark.stop()
+    if (results.exists(_._2 < 0)) sys.exit(1)
+  }
+
+  private def resultLine(results: Seq[(String, Double)], sfDir: String,
+                         extra: String = ""): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // A failed query (-1 marker) must not shrink the total and make the
@@ -77,12 +134,68 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedJson,"sf":"$sfDir"}"""
-    println(line)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":$failedJson,"sf":"$sfDir"$extra}"""
+  }
+
+  // ------------------------------------------------------- orchestrator
+
+  /** Run `graft.Bench <names...>` in a fresh JVM with this JVM's flags
+    * and classpath; return the parsed per-query seconds (−1 = failed).
+    * A child that produces no JSON line marks all its queries failed. */
+  private def runChild(names: Seq[String]): Seq[(String, Double)] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench") ++ names
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT) // logs stay visible
+    val p = pb.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8")
+      .getLines().toVector
+    p.waitFor()
+    out.reverse.find(_.startsWith("{\"metric\"")) match {
+      case Some(line) => parseQueries(line, names)
+      case None =>
+        System.err.println(
+          s"[bench] child for ${names.head}.. produced no result line")
+        names.map(_ -> -1.0)
+    }
+  }
+
+  /** Minimal extraction of the flat {"name":sec,...} `queries` object
+    * from a child's result line — names are known, values are bare
+    * numbers, so a regex per name is exact (no JSON lib on the
+    * classpath by design). */
+  private def parseQueries(line: String,
+                           names: Seq[String]): Seq[(String, Double)] = {
+    names.map { n =>
+      val m = ("\"" + java.util.regex.Pattern.quote(n) +
+        "\":(-?[0-9.Ee+-]+)").r.findFirstMatchIn(line)
+      n -> m.map(_.group(1).toDouble).getOrElse(-1.0)
+    }
+  }
+
+  private def orchestrate(sfDir: String): Unit = {
+    val fams = SparkEntry.queries.keySet.toSeq.sorted.groupBy(family)
+    val t0 = System.nanoTime()
+    val pre = runChild(anchors)
+    val results = fams.toSeq.sortBy(_._1).flatMap { case (f, names) =>
+      System.err.println(s"[bench] family $f: ${names.size} queries")
+      runChild(names)
+    }
+    val post = runChild(anchors)
+    val wall = (System.nanoTime() - t0) / 1e9
+    def obj(rs: Seq[(String, Double)]) = rs
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val extra = s""","anchors_pre":${obj(pre)},"anchors_post":${obj(post)}""" +
+      s""","wall_sec":$wall,"isolation":"jvm-per-family""""
+    println(resultLine(results, sfDir, extra))
     Console.out.flush()
-    spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (results.exists(_._2 < 0)) sys.exit(1)
   }
 }

@@ -1971,6 +1971,36 @@ object RelationalOps {
        |    FROM pl0)
        |  WHERE rn <= $BasketItemCap)""".stripMargin
 
+  /** 1-row honest-truncation frame: how many baskets [[cappedBasketItems]]
+    * truncated. Round 10 capped the builder but dropped the overflow
+    * flag before the query surface, so a consumer of q44/q46/q47/q48
+    * could not tell a complete graph from a truncated one (r10 verdict
+    * "What's wrong #3") — every basket-graph query now carries this
+    * count as a constant output column, mirrored in its oracle. */
+  private[operators] def truncatedBaskets(pl: DataFrame,
+      cap: Int = BasketItemCap): DataFrame = {
+    import pl.sparkSession.implicits._
+    pl.groupBy($"o").agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(when($"__n" > cap, 1L)), lit(0L))
+        .as("truncated_baskets"))
+  }
+
+  /** Append a 1-row frame's columns to every row of `df`: a broadcast
+    * nested-loop join whose build side is ONE row — a constant append,
+    * not a join in any cost sense (a constant-key equi-join was tried
+    * and Catalyst folds the key away, planning the same BNLJ). The
+    * equi-join-only plan guard (Round9bOpsSpec) exempts BNLJ nodes
+    * that carry `truncated_baskets` for exactly this reason. */
+  private def withOneRow(df: DataFrame, one: DataFrame): DataFrame =
+    df.crossJoin(broadcast(one))
+
+  /** [[truncatedBaskets]] as a `trunc` CTE over the shared `pl0`. */
+  private val basketTruncSql: String =
+    s"""trunc AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS truncated_baskets
+       |  FROM (SELECT o FROM pl0 GROUP BY o
+       |        HAVING COUNT(*) > $BasketItemCap) tq)""".stripMargin
+
   // --------------------------------------------------------------- q44
   /** Local triangle counting + clustering coefficient on the part
     * co-purchase graph (parts are adjacent when some order contains
@@ -2012,6 +2042,8 @@ object RelationalOps {
       sym.filter($"u" < $"v").select($"u".as("a"), $"v".as("b")),
       sym.groupBy($"u").agg(count(lit(1)).as("d"))
         .select($"u".as("n"), $"d"))
+      .transform(withOneRow(_, q47TruncCount(spark, dir)))
+      .orderBy($"n_triangles".desc, $"p_partkey")
   }
 
   /** [[q44Triangles]] over an arbitrary (o, p) membership frame —
@@ -2024,6 +2056,8 @@ object RelationalOps {
     val ed = basketPairs(pl, cap).distinct()
     val und = ed.unionByName(ed.select($"b".as("a"), $"a".as("b")))
     q44TrianglesFromEdges(ed, und.groupBy($"a".as("n")).agg(count(lit(1)).as("d")))
+      .transform(withOneRow(_, truncatedBaskets(pl, cap)))
+      .orderBy($"n_triangles".desc, $"p_partkey")
   }
 
   /** The triangle core over an undirected edge list `ed(a, b), a<b`
@@ -2081,6 +2115,7 @@ object RelationalOps {
 
   val q44TrianglesSql: String =
     s"""WITH $basketPlSql,
+      |$basketTruncSql,
       |ed AS (
       |  SELECT DISTINCT x.p AS a, y.p AS b
       |  FROM pl x JOIN pl y ON x.o = y.o AND x.p < y.p),
@@ -2105,8 +2140,10 @@ object RelationalOps {
       |SELECT pn.n AS p_partkey, deg.d AS deg, pn.n_triangles,
       |  CASE WHEN deg.d >= 2
       |       THEN (2000 * pn.n_triangles) // (deg.d * (deg.d - 1))
-      |       ELSE CAST(0 AS BIGINT) END AS cc_permille
+      |       ELSE CAST(0 AS BIGINT) END AS cc_permille,
+      |  trunc.truncated_baskets
       |FROM pn JOIN deg ON deg.n = pn.n
+      |CROSS JOIN trunc
       |ORDER BY n_triangles DESC, p_partkey
       |LIMIT 25""".stripMargin
 
@@ -2242,10 +2279,13 @@ object RelationalOps {
         expr("((n_both * 1000000) div n_ant) * n_orders div n_cons")
           .as("lift_micro"))
       .orderBy($"lift_micro".desc, $"ant", $"cons").limit(25)
+      .transform(withOneRow(_, truncatedBaskets(pl, cap)))
+      .orderBy($"lift_micro".desc, $"ant", $"cons")
   }
 
   val q46AssocRulesSql: String =
     s"""WITH $basketPlSql,
+      |$basketTruncSql,
       |n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM pl),
       |cnt AS (SELECT p, COUNT(*) AS n_p FROM pl GROUP BY p),
       |pairs AS (
@@ -2260,11 +2300,13 @@ object RelationalOps {
       |SELECT r.ant, r.cons, ca.n_p AS n_ant, cc.n_p AS n_cons, r.n_both,
       |  (r.n_both * 1000000) // n.n_orders AS support_ppm,
       |  (r.n_both * 1000000) // ca.n_p AS conf_ppm,
-      |  ((r.n_both * 1000000) // ca.n_p) * n.n_orders // cc.n_p AS lift_micro
+      |  ((r.n_both * 1000000) // ca.n_p) * n.n_orders // cc.n_p AS lift_micro,
+      |  trunc.truncated_baskets
       |FROM rules r
       |JOIN cnt ca ON ca.p = r.ant
       |JOIN cnt cc ON cc.p = r.cons
       |CROSS JOIN n
+      |CROSS JOIN trunc
       |ORDER BY lift_micro DESC, ant, cons
       |LIMIT 25""".stripMargin
 
@@ -2297,20 +2339,35 @@ object RelationalOps {
   private[operators] val Q47MaxRounds = 16
   private[operators] val Q47StepsPerAction = 4
 
-  /** q47's standing symmetric co-purchase edges, bucketed by u. */
+  /** q47's standing symmetric co-purchase edges, bucketed by u. The
+    * basket-cap truncation count is persisted ALONGSIDE the edges
+    * (same build, same corpus scan) so queries that start from the
+    * standing graph can surface it without re-scanning lineitem —
+    * see [[q47TruncCount]]. */
   private[operators] def q47Edges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val t47 = graft.sources.LayoutOps.stateTable("graft_state_q47_pedges", dir)
-    if (!spark.catalog.tableExists(t47)) {
+    val t47 = graft.sources.LayoutOps.stateTable("graft_state_q47_pedges_v2", dir)
+    val tTr = graft.sources.LayoutOps.stateTable("graft_state_q47_trunc_v2", dir)
+    if (!spark.catalog.tableExists(t47) || !spark.catalog.tableExists(tTr)) {
+      graft.sources.LayoutOps.clearStaleLocation(spark, tTr)
       val pl = t(spark, dir, "lineitem")
         .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
       val ed = basketPairs(pl)
         .select($"a".as("u"), $"b".as("v")).distinct()
       graft.sources.LayoutOps.writeBucketed(
         ed.unionByName(ed.select($"v".as("u"), $"u".as("v"))), t47, "u", 32)
+      truncatedBaskets(pl)
+        .write.mode("overwrite").format("parquet").saveAsTable(tTr)
     }
     spark.table(t47)
   }
+
+  /** The persisted 1-row truncation count paired with [[q47Edges]]
+    * (which guarantees it exists). */
+  private[operators] def q47TruncCount(spark: SparkSession,
+                                       dir: String): DataFrame =
+    spark.table(graft.sources.LayoutOps.stateTable(
+      "graft_state_q47_trunc_v2", dir))
 
   /** One decremental peel round: drop `alive` rows below k, subtract
     * the degree they take with them from their surviving neighbors.
@@ -2337,6 +2394,8 @@ object RelationalOps {
     }
     val k = (7L * e2) / (10L * nv)
     q47KCoreFrom(edges, k)
+      .transform(withOneRow(_, q47TruncCount(spark, dir)))
+      .orderBy($"p_partkey")
   }
 
   /** [[q47KCore]]'s peel loop over an arbitrary symmetric edge frame
@@ -2418,6 +2477,7 @@ object RelationalOps {
     val chgUnion = (1 to M).map(r => s"SELECT r, c FROM chg$r")
       .mkString("\n  UNION ALL ")
     s"""WITH $basketPlSql,
+       |$basketTruncSql,
        |ed AS (
        |  SELECT DISTINCT x.p AS u, y.p AS v
        |  FROM pl x JOIN pl y ON x.o = y.o AND x.p < y.p),
@@ -2435,8 +2495,10 @@ object RelationalOps {
        |  FROM ($chgUnion) q WHERE c = 0)
        |SELECT n AS p_partkey, d AS core_deg,
        |  CAST((SELECT k FROM kk) AS BIGINT) AS k,
-       |  CAST((SELECT rounds FROM fixp) AS INT) AS rounds
+       |  CAST((SELECT rounds FROM fixp) AS INT) AS rounds,
+       |  trunc.truncated_baskets
        |FROM s$M
+       |CROSS JOIN trunc
        |ORDER BY p_partkey""".stripMargin
   }
 
@@ -2483,17 +2545,21 @@ object RelationalOps {
   def q48TrianglesDay2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.EngineFns.md5Long
-    val triT = graft.sources.LayoutOps.stateTable("graft_state_q48_tri", dir)
-    val edT = graft.sources.LayoutOps.stateTable("graft_state_q48_edges", dir)
+    val triT = graft.sources.LayoutOps.stateTable("graft_state_q48_tri_v2", dir)
+    val edT = graft.sources.LayoutOps.stateTable("graft_state_q48_edges_v2", dir)
+    val trT = graft.sources.LayoutOps.stateTable("graft_state_q48_trunc_v2", dir)
     val pl = t(spark, dir, "lineitem")
       .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
     val isNew = pmod(md5Long(concat($"o".cast("string"), lit(":q48"))),
       lit(5L)) === 0L
     def edgesOf(m: DataFrame): DataFrame = basketPairs(m).distinct()
     // ---- day 1 (first call only): full count over the OLD graph,
-    // persisted with the old edge set
-    if (!spark.catalog.tableExists(triT)) {
-      Seq(triT, edT)
+    // persisted with the old edge set — including the old baskets'
+    // truncation count, so day 2 surfaces the corpus-wide count by
+    // adding a BATCH-sized aggregate instead of re-counting the corpus
+    // (baskets are disjoint across the old/new split).
+    if (!spark.catalog.tableExists(triT) || !spark.catalog.tableExists(trT)) {
+      Seq(triT, edT, trT)
         .foreach(graft.sources.LayoutOps.clearStaleLocation(spark, _))
       val edOld = edgesOf(pl.filter(!isNew))
       graft.sources.LayoutOps.writeBucketed(edOld, edT, "a", 32)
@@ -2502,6 +2568,8 @@ object RelationalOps {
           und.groupBy($"a".as("n")).agg(count(lit(1)).as("d")))
         .groupBy($"n").agg(count(lit(1)).as("tri"))
         .write.mode("overwrite").format("parquet").saveAsTable(triT)
+      truncatedBaskets(pl.filter(!isNew))
+        .write.mode("overwrite").format("parquet").saveAsTable(trT)
     }
     // ---- day 2 (every call): delta triangles touching new edges.
     // Every co-purchase pair lives inside ONE order, so pairs from old
@@ -2543,6 +2611,13 @@ object RelationalOps {
       .withColumn("cc_permille",
         expr("CASE WHEN deg >= 2 THEN (2000 * n_triangles) div (deg * (deg - 1)) ELSE CAST(0 AS BIGINT) END"))
       .orderBy($"n_triangles".desc, $"p_partkey").limit(25)
+      .transform(withOneRow(_,
+        withOneRow(
+          spark.table(trT).select($"truncated_baskets".as("__told")),
+          truncatedBaskets(pl.filter(isNew))
+            .select($"truncated_baskets".as("__tnew")))
+          .select(($"__told" + $"__tnew").as("truncated_baskets"))))
+      .orderBy($"n_triangles".desc, $"p_partkey")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

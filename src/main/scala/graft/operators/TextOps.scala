@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -1103,18 +1103,47 @@ object TextOps {
     * alphabet and any corpus size — while scoring stays the same exact
     * integer bit arithmetic.
     *
-    * The tradeoff, recorded: bucket collisions MERGE counts, so a rare
-    * trigram colliding with a frequent one inherits its count and
-    * scores too few surprise bits (the bias is one-directional —
-    * hashing can only under-report surprise, never inflate it, since
-    * merged c3 only grows). At 2¹⁶ buckets and this corpus's ~20k
+    * The tradeoff, recorded: bucket collisions MERGE counts, and the
+    * bias is TWO-directional — a trigram-bucket (hb) collision grows
+    * c3, so a rare trigram inheriting a frequent one's count scores
+    * too FEW surprise bits (under-report), while a prefix-bucket (pb)
+    * collision grows c2, inflating bitlen(c2+64) and scoring too MANY
+    * bits (over-report). At 2¹⁶ buckets and this corpus's ~20k
     * distinct trigrams the expected collision load is ~14% of buckets
     * shared — the planted spec pins both the collision-free agreement
-    * with t19 and the fully-degenerate buckets=1 case. */
+    * with t19 and the fully-degenerate buckets=1 case.
+    *
+    * Plan shape (round 11 reshape): training is ONE corpus pass — a
+    * grouping-sets aggregation over ((hb),(pb)) emits both margin
+    * tables from a single explode (t19 derives `pre` from `model`;
+    * that trick is unavailable here because pb is not a function of
+    * hb, and the first cut paid three corpus explodes for it:
+    * 11.6 s → 6.0 s at sf0.1, A/B recorded; remaining gap to t19's 4.5 s is the Expand duplication grouping sets pays in pass 1). The ≤2·buckets-row
+    * margins frame is localCheckpointed so the model/pre branches read
+    * it instead of re-running the corpus subtree; only the ≤2¹⁶-row
+    * model and pre tables broadcast. Two corpus explodes total (train
+    * + score), matching t19. The hash itself is [[polyBucket]] —
+    * integer polynomial in codegen; the original double-md5-per-
+    * trigram hashing was the other half of the 2.7× gap. */
   private[operators] val T25Buckets = 1 << 16
 
   def t25LmSurpriseHashed(spark: SparkSession, dir: String): DataFrame =
     t25LmSurpriseHashedFrom(docs(spark, dir), T25Buckets)
+
+  /** Base-65599 codepoint polynomial over the first `n` chars of `s`,
+    * mod `buckets` — the feature hash. Pure integer arithmetic inside
+    * whole-stage codegen; the earlier md5-based variant (hex digest +
+    * string `conv` per trigram, twice) measured 1.9× slower end-to-end
+    * (11.6 s vs 6.0 s at sf0.1, recorded A/B, jointly with the
+    * one-pass-training reshape). Magnitude-safe for any
+    * Unicode input: max codepoint 0x10FFFF → h₃ < 2⁶³ with room, so
+    * Spark and an oracle with checked BIGINT arithmetic compute the
+    * same value (no wraparound on either side). */
+  private def polyBucket(s: Column, n: Int, buckets: Int): Column = {
+    val h = (1 to n).map(i => ascii(substring(s, i, 1)).cast("long"))
+      .reduceLeft((acc, c) => acc * 65599L + c)
+    pmod(h, lit(buckets.toLong))
+  }
 
   private[operators] def t25LmSurpriseHashedFrom(d: DataFrame,
       buckets: Int): DataFrame = {
@@ -1125,10 +1154,22 @@ object TextOps {
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
         .as("tri"))
       .select($"doc_id",
-        pmod(md5Long($"tri"), lit(buckets.toLong)).as("hb"),
-        pmod(md5Long(substring($"tri", 1, 2)), lit(buckets.toLong)).as("pb"))
-    val model = tris.groupBy($"hb").agg(count(lit(1)).as("c3"))
-    val pre = tris.groupBy($"pb").agg(count(lit(1)).as("c2"))
+        polyBucket($"tri", 3, buckets).as("hb"),
+        polyBucket($"tri", 2, buckets).as("pb"))
+    // ONE training pass: grouping sets computes both margins — (hb)
+    // totals and (pb) totals — from a single corpus aggregation whose
+    // output is ≤ 2·buckets rows AT ANY ALPHABET (margins only; the
+    // intermediate (hb,pb) pair frame of the first cut was bounded only
+    // by buckets², and deriving model/pre from it re-ran the corpus
+    // explode per branch — no exchange reuse fired). The margins frame
+    // is localCheckpointed: bounded-tiny, and it cuts the corpus passes
+    // to exactly two (train + score), t19's shape.
+    val margins = tris
+      .groupingSets(Seq(Seq($"hb"), Seq($"pb")), $"hb", $"pb")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val model = margins.filter($"hb".isNotNull).select($"hb", $"c".as("c3"))
+    val pre = margins.filter($"pb".isNotNull).select($"pb", $"c".as("c2"))
     val perDoc = tris
       .join(broadcast(model), Seq("hb"))
       .join(broadcast(pre), Seq("pb"))
@@ -1145,11 +1186,21 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** DuckDB text of [[polyBucket]] — the explicit BIGINT cast keeps the
+    * polynomial in checked 64-bit arithmetic (DuckDB would error on an
+    * INT32 overflow otherwise), matching Spark's long math exactly. */
+  private def sqlPolyBucket(expr: String, n: Int, buckets: Int): String = {
+    val terms = (1 to n).map(i => s"ascii(substr($expr, $i, 1))")
+    val h = terms.tail.foldLeft(s"CAST(${terms.head} AS BIGINT)")(
+      (acc, c) => s"($acc * 65599 + $c)")
+    s"$h % $buckets"
+  }
+
   val t25LmSurpriseHashedSql: String =
     s"""WITH tris AS MATERIALIZED (
        |  SELECT doc_id,
-       |    ${sqlMd5Long("tri")} % $T25Buckets AS hb,
-       |    ${sqlMd5Long("substr(tri, 1, 2)")} % $T25Buckets AS pb
+       |    ${sqlPolyBucket("tri", 3, T25Buckets)} AS hb,
+       |    ${sqlPolyBucket("tri", 2, T25Buckets)} AS pb
        |  FROM (
        |    SELECT doc_id,
        |      unnest(list_transform(generate_series(1, length(text) - 2),

@@ -269,7 +269,17 @@ object LayoutOps {
     * the same session never collides. Incremental operators build the
     * table once ([[writeBucketed]] for join state, so the daily probe
     * join is exchange-free on the corpus side) and every later run
-    * probes it — build once, serve many. */
+    * probes it — build once, serve many.
+    *
+    * VERSIONING RULE (round 11): when an operator's SEMANTICS change in
+    * a way that alters what its standing state contains (e.g. round
+    * 10's basket cap changed which edges q47/q48 persist), the prefix
+    * MUST carry a bumped `_vN` suffix. Content-hash keying only guards
+    * against cross-dataset collisions, not cross-semantics ones: a
+    * pre-cap run's table would otherwise silently mix uncapped day-1
+    * edges with capped day-2 deltas, because tables rebuild only on
+    * tableExists=false. A version bump makes stale state invisible
+    * (new name → rebuilt), which is the correct failure mode. */
   def stateTable(prefix: String, dir: String): String =
     prefix + "_" + java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString

@@ -22,7 +22,7 @@ class OperatorSmokeSpec extends AnyFunSuite {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
     // rows-only queries are allowed but must be deliberate:
-    assert((qs -- os) == Set("m2_media_features", "q15_approx_sketch"),
+    assert((qs -- os) == Set("q15_approx_sketch"),
       s"unexpected rows-only: ${qs -- os}")
   }
 

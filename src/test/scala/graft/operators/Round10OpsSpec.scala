@@ -109,6 +109,17 @@ class Round10OpsSpec extends AnyFunSuite {
       .collect()
     assert(tri.length == 10)
     assert(tri.forall(_.getLong(2) == 9L * 8L / 2L)) // C(9,2) per corner
+    // round 11: the truncation is VISIBLE at the query surface — every
+    // output row reports how many baskets the cap cut (here: the one
+    // mega-basket), and an uncapped corpus reports zero
+    assert(tri.forall(_.getAs[Long]("truncated_baskets") == 1L))
+    val honest = RelationalOps.q44TrianglesFrom(
+      (0L until 4L).map(p => (1L, p)).toDF("o", "p"), cap = 10).collect()
+    assert(honest.forall(_.getAs[Long]("truncated_baskets") == 0L))
+    // q46 surfaces the same count
+    val rules = RelationalOps.q46AssocRulesFrom(pl, cap = 10).collect()
+    assert(rules.nonEmpty &&
+      rules.forall(_.getAs[Long]("truncated_baskets") == 1L))
   }
 
   test("tpch frontend: 22 entries, every oracle IS the Spark text") {

@@ -38,7 +38,11 @@ class Round9bOpsSpec extends AnyFunSuite {
     val plan = physical(df)
     val bad = plan.collect {
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      // exempt the 1-row truncation-count append (round 11): a BNLJ
+      // over a single broadcast row is a constant projection, not a
+      // join — any OTHER nested-loop join is still a plan bug
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+        if !b.output.exists(_.name == "truncated_baskets") => b
     }
     assert(bad.isEmpty, s"non-equi join in triangle plan: $bad")
     // the adjacency-intersection close must hash-join, not sort-merge:
@@ -225,15 +229,15 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(semi.nonEmpty)
     semi.foreach { j =>
       val clean = Seq(j.left, j.right).exists(s =>
-        s.toString.contains("graft_state_q47_pedges") &&
+        s.toString.contains("graft_state_q47_pedges_v2") &&
           !s.toString.contains("Exchange"))
       assert(clean, s"edges side of the peel semi-join exchanges:\n$j")
     }
   }
 
   test("q48: maintained triangle counts equal from-scratch q44, idempotently") {
-    val triT = graft.sources.LayoutOps.stateTable("graft_state_q48_tri", sf)
-    val edT = graft.sources.LayoutOps.stateTable("graft_state_q48_edges", sf)
+    val triT = graft.sources.LayoutOps.stateTable("graft_state_q48_tri_v2", sf)
+    val edT = graft.sources.LayoutOps.stateTable("graft_state_q48_edges_v2", sf)
     spark.sql(s"DROP TABLE IF EXISTS $triT")
     spark.sql(s"DROP TABLE IF EXISTS $edT")
     val first = graft.SparkEntry.queries("q48_triangles_day2")(spark, sf)
