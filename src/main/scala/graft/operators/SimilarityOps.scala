@@ -2328,6 +2328,325 @@ object SimilarityOps {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  // --------------------------------------------------------------- s20
+  /** IVF index REBALANCE — the ACTION s18's health report schedules,
+    * closing the monitoring→maintenance loop (r9/r10 verdicts' open
+    * item): every inverted list whose load factor exceeds
+    * [[S20LoadMax]] (>1.2× the balanced ideal, the exact integer test
+    * `5·n·n_cells > 6·n_total`) is SPLIT in two by a deterministic
+    * sub-k-means over ITS members only (d18's grouped hot-cell
+    * training, salted `:s20`), and ONLY those cells' partition
+    * directories are rewritten — s16's partition-surgical pattern,
+    * including its explicit-drop handling for the now-empty parent
+    * directories. The codebook table is updated to match (parents out,
+    * two children in), so serving against the rebalanced index needs
+    * no knowledge that a rebalance ever happened.
+    *
+    * Child cell ids cannot reuse d18's radix path codes: standing cells
+    * are raw centroid vec_ids (arbitrary longs), so `parent·base+child`
+    * could collide with another centroid's id. Instead children are
+    * allocated ABOVE the id space in split order —
+    * `max(cell)+1 + hotIndex·2 + childIndex` — collision-free by
+    * construction and derivable by both engines.
+    *
+    * First call rebalances and commits; the codebook table is written
+    * LAST as the commit marker, and a missing marker re-copies the
+    * pristine s7 codes before rebalancing, so a crashed attempt heals
+    * instead of compounding. Later calls only read. Output is s18's
+    * health frame over the rebalanced layout; the oracle re-derives
+    * the ENTIRE post-split layout from the raw corpus (coarse k-means
+    * → load test → grouped sub-k-means → reassignment → health), so
+    * the hash gate certifies the rebalance end-to-end.
+    *
+    * Scale shape: the hot-member frame is read via partition-pruned
+    * scan of exactly the over-full lists (never the corpus); training
+    * is the grouped few-hot-cells pattern (metadata-sized collects);
+    * the rewrite touches only split partitions — at 100 TB with 100k
+    * lists, a nightly rebalance rewrites the handful that drifted hot,
+    * and untouched list files stay bit-identical (spec-pinned). */
+  private[operators] val S20SubK = 2
+
+  def s20IndexRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    val codesT = s20EnsureRebalanced(spark, dir)
+    val sz = spark.table(codesT).groupBy($"cell")
+      .agg(count(lit(1)).as("n_vectors"))
+    val tot = sz.agg(sum($"n_vectors").as("n_total"),
+      count(lit(1)).as("n_cells"))
+    sz.crossJoin(broadcast(tot))
+      .select($"cell", $"n_vectors",
+        expr("(1000 * n_vectors) div n_total").as("share_permille"),
+        expr("(1000 * n_vectors * n_cells) div n_total").as("load_permille"))
+      .orderBy($"cell")
+  }
+
+  /** Build s20's rebalanced copy of the s7/s10 index if this warehouse
+    * has none yet; returns the codes table name. */
+  private[graft] def s20EnsureRebalanced(spark: SparkSession,
+                                         dir: String): String = {
+    import spark.implicits._
+    val s7codesT = graft.sources.LayoutOps.stateTable("graft_state_s7_codes", dir)
+    val centT = graft.sources.LayoutOps.stateTable("graft_state_s7_cent", dir)
+    val cent20T = graft.sources.LayoutOps.stateTable("graft_state_s20_cent", dir)
+    val codes20T = graft.sources.LayoutOps.stateTable("graft_state_s20_codes", dir)
+    if (spark.catalog.tableExists(cent20T)) return codes20T
+    s10EnsureIndex(spark, dir)
+    // pristine copy; also heals a half-applied earlier attempt (the
+    // commit marker cent20T is absent, so we start over from s7)
+    spark.sql(s"DROP TABLE IF EXISTS $codes20T")
+    graft.sources.LayoutOps.clearStaleLocation(spark, codes20T)
+    spark.table(s7codesT)
+      .write.mode("overwrite").format("parquet").partitionBy("cell")
+      .saveAsTable(codes20T)
+    val cents: Seq[(Long, Seq[Double])] = spark.table(centT).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val newCents = s20RebalanceOn(spark, dir, codes20T, cents)
+    // commit marker: the updated codebook lands last
+    newCents.sortBy(_._1).toDF("cid", "cv")
+      .write.mode("overwrite").format("parquet").saveAsTable(cent20T)
+    codes20T
+  }
+
+  /** Rebalance a GIVEN cell-partitioned codes table IN PLACE (the
+    * partition-surgical arm, separated so specs can snapshot the
+    * table's files around it); returns the updated codebook. */
+  private[graft] def s20RebalanceOn(spark: SparkSession, dir: String,
+      codesT: String, cents: Seq[(Long, Seq[Double])])
+      : Seq[(Long, Seq[Double])] = {
+    import spark.implicits._
+    val szs: Seq[(Long, Long)] = spark.table(codesT).groupBy($"cell")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val nTotal = szs.map(_._2).sum
+    val nCells = szs.size.toLong
+    val hot: Seq[Long] =
+      szs.filter { case (_, n) => 5L * n * nCells > 6L * nTotal }.map(_._1)
+    if (hot.isEmpty) return cents
+    // base comes from the CODEBOOK, not the member cells: a memberless
+    // centroid (possible after Lloyd moves) has no codes partition but
+    // still owns its id — a child allocated there would collide
+    val base = cents.map(_._1).max + 1L
+    val hotIdx: Map[Long, Long] =
+      hot.zipWithIndex.map { case (c, i) => c -> i.toLong }.toMap
+    val hm = spark.table(codesT).filter($"cell".isin(hot: _*))
+      .join(emb(spark, dir).select($"vec_id".as("nid"),
+        $"embedding".cast("array<double>").as("v")), Seq("nid"))
+      .persist()
+    try {
+      val subs = s20SubCodebooks(hm.select($"cell", $"nid".as("vec_id"), $"v"))
+      val split = hot.filter(c => subs.getOrElse(c, Nil).size >= 2)
+      if (split.isEmpty) return cents
+      val dataCols = spark.table(codesT).columns.toSeq
+      def perCell(f: Long => Column): Column =
+        coalesce(split.map(c => when($"cell" === c, f(c))): _*)
+      val newIdOf: Map[Long, Map[Long, Long]] = split.map { c =>
+        c -> subs(c).map(_._1).zipWithIndex.map { case (id, i) =>
+          id -> (base + hotIdx(c) * S20SubK + i)
+        }.toMap
+      }.toMap
+      val reassigned = hm.filter($"cell".isin(split: _*))
+        .withColumn("__newcell", perCell(c =>
+          element_at(typedLit(newIdOf(c)), argminOver($"v", subs(c)))))
+        .drop("cell").withColumnRenamed("__newcell", "cell")
+        .select(dataCols.map(col): _*)
+        .localCheckpoint() // pin BEFORE the overwrite mutates the source
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(modeKey)
+      spark.conf.set(modeKey, "dynamic")
+      try {
+        reassigned.write.mode("overwrite").insertInto(codesT)
+        split.foreach(c => spark.sql(
+          s"ALTER TABLE $codesT DROP IF EXISTS PARTITION (cell = $c)"))
+      } finally {
+        DedupOps.unpersistCheckpointed(reassigned)
+        prev match {
+          case Some(v) => spark.conf.set(modeKey, v)
+          case None => spark.conf.unset(modeKey)
+        }
+      }
+      cents.filterNot { case (id, _) => split.contains(id) } ++
+        split.flatMap(c => subs(c).zipWithIndex.map { case ((_, cv), i) =>
+          (base + hotIdx(c) * S20SubK + i, cv.toSeq)
+        })
+    } finally hm.unpersist(blocking = false)
+  }
+
+  /** Grouped per-cell sub-k-means over `hm(cell, vec_id, v)` —
+    * refineHotCells' six-action training with [[S20SubK]] children,
+    * one Lloyd round, and the `:s20`/`:s20c` salts. Returns each
+    * cell's sub-codebook sorted by centroid id (the oracle's sidx
+    * order); a degenerate cell (all mass on one centroid) comes back
+    * with fewer than two entries and the caller keeps it unsplit. */
+  private def s20SubCodebooks(hm: DataFrame)
+      : Map[Long, Seq[(Long, Array[Double])]] = {
+    import hm.sparkSession.implicits._
+    val coin = 2.0 * S20SubK * math.pow(2.0, 60)
+    val hSeed = md5Long(concat($"vec_id".cast("string"), lit(":s20"),
+      $"cell".cast("string")))
+    val hCoin = md5Long(concat($"vec_id".cast("string"), lit(":s20c"),
+      $"cell".cast("string")))
+    val seeds: Map[Long, (Long, Array[Double])] = hm
+      .withColumn("h", hSeed)
+      .groupBy($"cell")
+      .agg(min_by(struct($"vec_id", $"v"), struct($"h", $"vec_id")).as("s"))
+      .select($"cell", $"s.vec_id", $"s.v").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2).toArray))
+      .toMap
+    def perCell(cs: Iterable[Long])(f: Long => Column): Column =
+      coalesce(cs.toSeq.map(c => when($"cell" === c, f(c))): _*)
+    val cs = seeds.keys.toSeq.sorted
+    val d2m = floor(lit(1000000.0) *
+      perCell(cs)(c => sqdToCol($"v", seeds(c)._2))).cast("long")
+    val phis: Map[Long, Long] = hm.withColumn("d2m", d2m)
+      .groupBy($"cell").agg(sum($"d2m").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cands: Map[Long, Seq[(Long, Array[Double])]] = hm
+      .withColumn("d2m", d2m)
+      .filter(hCoin.cast("double") * perCell(cs)(c => lit(phis(c).toDouble))
+          < lit(coin) * $"d2m".cast("double")
+        || $"vec_id" === perCell(cs)(c => lit(seeds(c)._1)))
+      .select($"cell", $"vec_id", $"v").collect()
+      .groupBy(_.getLong(0)).map { case (c, rs) =>
+        c -> rs.map(r => r.getLong(1) -> r.getSeq[Double](2).toArray)
+          .toSeq.sortBy(_._1)
+      }
+    val wts: Map[Long, Map[Long, Long]] = hm
+      .withColumn("cid", perCell(cs)(c => argminOver($"v", cands(c))))
+      .groupBy($"cell", $"cid").agg(count(lit(1)).as("n"))
+      .collect().groupBy(_.getLong(0)).map { case (c, rs) =>
+        c -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      }
+    val inits: Map[Long, Seq[(Long, Array[Double])]] = cands.map {
+      case (c, cand) =>
+        c -> cand.flatMap { case (id, cv) =>
+            wts.getOrElse(c, Map.empty).get(id).map(n => (id, cv, n)) }
+          .sortBy { case (id, _, n) => (-n, id) }
+          .take(S20SubK).map { case (id, cv, _) => (id, cv) }.sortBy(_._1)
+    }
+    hm.withColumn("cid", perCell(cs)(c => argminOver($"v", inits(c))))
+      .select($"cell", $"cid", posexplode($"v").as(Seq("d0", "dv")))
+      .groupBy($"cell", $"cid", ($"d0" + 1).as("d"))
+      .agg(sum(floor(lit(1000000.0) * $"dv").cast("long")).as("s"),
+           count(lit(1)).as("n"))
+      .collect().groupBy(_.getLong(0)).map { case (c, rs) =>
+        c -> rs.groupBy(_.getLong(1)).map { case (cid, rs2) =>
+          cid -> rs2.sortBy(_.getInt(2))
+            .map(r => r.getLong(3).toDouble /
+              (r.getLong(4).toDouble * 1000000.0)).toArray
+        }.toSeq.sortBy(_._1)
+      }
+  }
+
+  val s20IndexRebalanceSql: String = {
+    val dist = sqlSqd _
+    val coin2 = (2.0 * S20SubK * math.pow(2.0, 60)).toString
+    val hSeed =
+      sqlMd5Long("CAST(m.vec_id AS VARCHAR) || ':s20' || CAST(m.cell AS VARCHAR)")
+    val hCoin =
+      sqlMd5Long("CAST(d.vec_id AS VARCHAR) || ':s20c' || CAST(d.cell AS VARCHAR)")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+       |$sqlCoarseKmeansCtes,
+       |cells AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT x.vec_id, x.v, c.cid AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${dist("x.v", "c.cv")}, c.cid) AS rn
+       |    FROM e x CROSS JOIN c2 c)
+       |  WHERE rn = 1),
+       |siz AS (SELECT cell, COUNT(*) AS n FROM cells GROUP BY cell),
+       |tot0 AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS n_total, COUNT(*) AS n_cells
+       |  FROM siz),
+       |hotc AS (
+       |  SELECT cell FROM siz CROSS JOIN tot0
+       |  WHERE 5 * n * n_cells > 6 * n_total),
+       |hidx AS (
+       |  SELECT cell, ROW_NUMBER() OVER (ORDER BY cell) - 1 AS hi FROM hotc),
+       |basec AS (SELECT MAX(cid) + 1 AS base FROM c2),
+       |hm AS (SELECT a.vec_id, a.v, a.cell FROM cells a JOIN hotc USING (cell)),
+       |hseed AS (
+       |  SELECT cell, vec_id AS sid, v AS sv FROM (
+       |    SELECT m.cell, m.vec_id, m.v,
+       |      ROW_NUMBER() OVER (PARTITION BY m.cell ORDER BY $hSeed, m.vec_id) AS rn
+       |    FROM hm m) WHERE rn = 1),
+       |hd0 AS (
+       |  SELECT m.cell, m.vec_id, m.v, s.sid,
+       |    CAST(FLOOR(1000000.0 * ${dist("m.v", "s.sv")}) AS BIGINT) AS d2m
+       |  FROM hm m JOIN hseed s USING (cell)),
+       |hphi AS (SELECT cell, CAST(SUM(d2m) AS BIGINT) AS p FROM hd0 GROUP BY cell),
+       |hcand AS (
+       |  SELECT d.cell, d.vec_id, d.v FROM hd0 d JOIN hphi ph USING (cell)
+       |  WHERE CAST($hCoin AS DOUBLE) * CAST(ph.p AS DOUBLE)
+       |          < $coin2 * CAST(d.d2m AS DOUBLE)
+       |     OR d.vec_id = d.sid),
+       |hw0 AS (
+       |  SELECT m.cell, m.vec_id AS xid, c.vec_id AS cid,
+       |    ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id
+       |      ORDER BY ${dist("m.v", "c.v")}, c.vec_id) AS rn
+       |  FROM hm m JOIN hcand c USING (cell)),
+       |hwt AS (SELECT cell, cid, COUNT(*) AS n FROM hw0 WHERE rn = 1 GROUP BY 1, 2),
+       |hinit AS (
+       |  SELECT cell, cid, cv FROM (
+       |    SELECT c.cell, c.vec_id AS cid, c.v AS cv,
+       |      ROW_NUMBER() OVER (PARTITION BY c.cell
+       |        ORDER BY w.n DESC, c.vec_id) AS rk
+       |    FROM hcand c JOIN hwt w ON w.cell = c.cell AND w.cid = c.vec_id)
+       |  WHERE rk <= $S20SubK),
+       |ha1 AS (
+       |  SELECT m.cell, m.vec_id, m.v, i.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id
+       |      ORDER BY ${dist("m.v", "i.cv")}, i.cid) AS rn
+       |  FROM hm m JOIN hinit i USING (cell)),
+       |hs1 AS (
+       |  SELECT cell, cid, d,
+       |    CAST(SUM(CAST(FLOOR(1000000.0 * v[d]) AS BIGINT)) AS BIGINT) AS s,
+       |    COUNT(*) AS n
+       |  FROM ha1 CROSS JOIN dims WHERE rn = 1 GROUP BY 1, 2, 3),
+       |hc1 AS (
+       |  SELECT cell, cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+       |                         ORDER BY d) AS cv
+       |  FROM hs1 GROUP BY 1, 2),
+       |hcnt AS (SELECT cell, COUNT(*) AS nc FROM hc1 GROUP BY cell),
+       |sidx AS (
+       |  SELECT cell, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cid) - 1 AS si
+       |  FROM hc1),
+       |rasg AS (
+       |  SELECT r.cell, r.vec_id, s.si FROM (
+       |    SELECT m.cell, m.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id
+       |        ORDER BY ${dist("m.v", "c.cv")}, c.cid) AS rn
+       |    FROM hm m JOIN hc1 c USING (cell)) r
+       |  JOIN sidx s ON s.cell = r.cell AND s.cid = r.cid
+       |  WHERE r.rn = 1),
+       |refined AS (
+       |  SELECT a.vec_id,
+       |    CASE WHEN h.cell IS NULL THEN a.cell
+       |         WHEN hc.nc < 2 THEN a.cell
+       |         ELSE (SELECT base FROM basec) + i.hi * $S20SubK + r.si
+       |    END AS cell
+       |  FROM cells a
+       |  LEFT JOIN hotc h ON h.cell = a.cell
+       |  LEFT JOIN hcnt hc ON hc.cell = a.cell
+       |  LEFT JOIN hidx i ON i.cell = a.cell
+       |  LEFT JOIN rasg r ON r.cell = a.cell AND r.vec_id = a.vec_id),
+       |sz2 AS (SELECT cell, COUNT(*) AS n_vectors FROM refined GROUP BY cell),
+       |tot2 AS (
+       |  SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total, COUNT(*) AS n_cells
+       |  FROM sz2)
+       |SELECT cell, n_vectors,
+       |  CAST((1000 * n_vectors) // (SELECT n_total FROM tot2) AS BIGINT)
+       |    AS share_permille,
+       |  CAST((1000 * n_vectors * (SELECT n_cells FROM tot2))
+       |    // (SELECT n_total FROM tot2) AS BIGINT) AS load_permille
+       |FROM sz2
+       |ORDER BY cell""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh"   -> (s2KnnLsh _),
@@ -2348,6 +2667,7 @@ object SimilarityOps {
     "s17_tuning_curve" -> (s17TuningCurve _),
     "s18_index_health" -> (s18IndexHealth _),
     "s19_knn_graph_hybrid" -> (s19KnnGraphHybrid _),
+    "s20_index_rebalance" -> (s20IndexRebalance _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2371,5 +2691,6 @@ object SimilarityOps {
     "s17_tuning_curve" -> s17TuningCurveSql,
     "s18_index_health" -> s18IndexHealthSql,
     "s19_knn_graph_hybrid" -> s19KnnGraphHybridSql,
+    "s20_index_rebalance" -> s20IndexRebalanceSql,
   )
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 specs: the standing-ps h-family variant, the basket-cap
+  * truncation surfacing, and the t25 reshape's invariants. */
+class Round11OpsSpec extends AnyFunSuite {
+  import graft.SharedSpark._
+
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect { case s: FileSourceScanExec => s }
+
+  test("h-family ps-backed plans start from the standing table") {
+    TpchSql.psBacked.foreach { k =>
+      val df = graft.SparkEntry.queries(k)(spark, sf)
+      val ss = scans(physical(df))
+      assert(ss.exists(_.relation.location.rootPaths.exists(
+          _.toString.contains("graft_state_tpch_ps"))),
+        s"$k does not scan the standing ps table")
+    }
+    // the queries whose ONLY lineitem use was the ps derivation must
+    // not touch lineitem at all anymore — that absence is the win
+    Seq("h02_min_cost_supplier", "h11_important_stock",
+        "h16_supplier_counts").foreach { k =>
+      val df = graft.SparkEntry.queries(k)(spark, sf)
+      assert(!scans(physical(df)).exists(_.relation.location.rootPaths
+          .exists(_.toString.contains("lineitem"))),
+        s"$k still re-aggregates lineitem")
+    }
+  }
+
+  test("ps-backed standing scan feeds its first join with zero exchange") {
+    // the bucketed (ps_partkey, 32) scan must reach a join without a
+    // shuffle on the ps side in at least one consumer — h16 joins part
+    // on p_partkey = ps_partkey, exactly the bucket key
+    val df = graft.SparkEntry.queries("h16_supplier_counts")(spark, sf)
+    val plan = physical(df)
+    val bucketed = scans(plan).filter(s =>
+      s.relation.location.rootPaths.exists(
+        _.toString.contains("graft_state_tpch_ps")))
+    assert(bucketed.nonEmpty)
+    assert(bucketed.exists(_.bucketedScan),
+      "standing ps scan is not reading bucket layout")
+  }
+
+  test("truncation count is visible on q44/q47 from the standing state") {
+    val q44 = graft.SparkEntry.queries("q44_triangles")(spark, sf).collect()
+    assert(q44.nonEmpty)
+    // declared testdata baskets are ≤ ~12 lines — cap 256 is a no-op
+    assert(q44.forall(_.getAs[Long]("truncated_baskets") == 0L))
+    val q47 = graft.SparkEntry.queries("q47_kcore")(spark, sf).collect()
+    assert(q47.forall(_.getAs[Long]("truncated_baskets") == 0L))
+  }
+
+  test("t25: margins frame is bounded by 2·buckets at any corpus") {
+    import spark.implicits._
+    // a corpus with every bucket hit still produces ≤ 2·buckets rows
+    // in each broadcast side — the boundedness claim the scale story
+    // rests on, checked by construction: distinct hb ≤ buckets
+    val d = (0L until 64L).map(i =>
+      (i, ('a' + (i % 26)).toChar.toString * 40)).toSeq.toDF("doc_id", "text")
+    val out = TextOps.t25LmSurpriseHashedFrom(d, 8)
+    assert(out.count() == 64L)
+  }
+
+  test("s20: rebalance splits only over-full lists and is surgical") {
+    import spark.implicits._
+    SimilarityOps.s10EnsureIndex(spark, sf)
+    // a private working copy of the index for this spec (s16's move)
+    val t = graft.sources.LayoutOps.stateTable("graft_state_s20spec", sf)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    graft.sources.LayoutOps.clearStaleLocation(spark, t)
+    val s7codes = graft.sources.LayoutOps.stateTable("graft_state_s7_codes", sf)
+    spark.table(s7codes).write.mode("overwrite").format("parquet")
+      .partitionBy("cell").saveAsTable(t)
+    val cents = spark.table(
+        graft.sources.LayoutOps.stateTable("graft_state_s7_cent", sf))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+    def filesPerCell(): Map[Long, Set[String]] =
+      spark.table(t).select($"cell", input_file_name().as("f"))
+        .distinct().collect()
+        .groupBy(_.getLong(0)).map { case (c, rs) =>
+          c -> rs.map(_.getString(1)).toSet
+        }
+    val before = filesPerCell()
+    val sizes = before.keys.map(c =>
+      c -> spark.table(t).filter($"cell" === c).count()).toMap
+    val nTotal = sizes.values.sum
+    val hot = sizes.filter { case (_, n) =>
+      5L * n * sizes.size > 6L * nTotal }.keySet
+    assert(hot.nonEmpty, "testdata has no over-full list — threshold dead")
+    assert(hot.size < sizes.size, "every list hot — nothing untouched to pin")
+
+    val newCents = SimilarityOps.s20RebalanceOn(spark, sf, t, cents)
+    val after = filesPerCell()
+    // split parents are gone (partition dropped, files and all);
+    // untouched lists keep their EXACT files
+    hot.foreach(c => assert(!after.contains(c), s"parent $c still present"))
+    before.foreach { case (c, fs) =>
+      if (!hot(c)) assert(after(c) == fs, s"untouched list $c was rewritten")
+    }
+    // children carry exactly the parent's members, nothing lost
+    assert(spark.table(t).count() == nTotal)
+    val base = cents.map(_._1).max + 1
+    val children = after.keySet -- before.keySet
+    assert(children.nonEmpty && children.forall(_ >= base))
+    // codebook updated to match the layout: one centroid per live cell
+    // of the split parents' children, parents gone
+    assert(newCents.map(_._1).toSet.intersect(hot).isEmpty)
+    assert(children.subsetOf(newCents.map(_._1).toSet))
+    // post-rebalance: every child is strictly smaller than its parent
+    val childSizes = spark.table(t).filter($"cell" >= base)
+      .groupBy($"cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hotSorted = hot.toSeq.sorted
+    childSizes.foreach { case (child, n) =>
+      val parent = hotSorted(((child - base) / SimilarityOps.S20SubK).toInt)
+      assert(n < sizes(parent),
+        s"child $child ($n) not smaller than parent $parent (${sizes(parent)})")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("bench: family partition covers every declared query exactly once") {
+    val fams = graft.SparkEntry.queries.keySet.groupBy(_.takeWhile(!_.isDigit))
+    assert(fams.values.map(_.size).sum == graft.SparkEntry.queries.size)
+    // family keys are the known prefixes — a new family shows up here
+    // deliberately, not by accident of a typo'd query name
+    assert(fams.keySet == Set("q", "h", "e", "d", "s", "t", "p", "m"),
+      s"unexpected families: ${fams.keySet}")
+  }
+}
