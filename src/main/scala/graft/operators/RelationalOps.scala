@@ -1952,7 +1952,7 @@ object RelationalOps {
   /** Co-occurrence pairs `(a < b)` from a capped basket stream — the
     * ONE pair generator every basket-graph operator goes through. Not
     * distinct: each call site owns its dedup/count semantics. */
-  private[operators] def basketPairs(pl: DataFrame,
+  private[graft] def basketPairs(pl: DataFrame,
       cap: Int = BasketItemCap): DataFrame = {
     val spark = pl.sparkSession
     import spark.implicits._
@@ -2077,7 +2077,7 @@ object RelationalOps {
 
   /** One row per (triangle, corner) — the enumeration q44 aggregates
     * and q48's day-1 build persists. */
-  private[operators] def q44TrianglesCorners(ed: DataFrame,
+  private[graft] def q44TrianglesCorners(ed: DataFrame,
                                              deg: DataFrame): DataFrame = {
     val spark = ed.sparkSession
     import spark.implicits._
@@ -2561,13 +2561,7 @@ object RelationalOps {
     if (!spark.catalog.tableExists(triT) || !spark.catalog.tableExists(trT)) {
       Seq(triT, edT, trT)
         .foreach(graft.sources.LayoutOps.clearStaleLocation(spark, _))
-      val edOld = edgesOf(pl.filter(!isNew))
-      graft.sources.LayoutOps.writeBucketed(edOld, edT, "a", 32)
-      val und = edOld.unionByName(edOld.select($"b".as("a"), $"a".as("b")))
-      q44TrianglesCorners(edOld,
-          und.groupBy($"a".as("n")).agg(count(lit(1)).as("d")))
-        .groupBy($"n").agg(count(lit(1)).as("tri"))
-        .write.mode("overwrite").format("parquet").saveAsTable(triT)
+      q48InitState(edgesOf(pl.filter(!isNew)), edT, triT)
       truncatedBaskets(pl.filter(!isNew))
         .write.mode("overwrite").format("parquet").saveAsTable(trT)
     }
@@ -2584,23 +2578,7 @@ object RelationalOps {
     val edNew = edOld.unionByName(delta)
     val und = edNew.unionByName(edNew.select($"b".as("a"), $"a".as("b")))
     val deg = und.groupBy($"a".as("n")).agg(count(lit(1)).as("d"))
-    // probe from the smaller-degree endpoint of each delta edge
-    val probed = delta
-      .join(deg.select($"n".as("a"), $"d".as("da")), "a")
-      .join(deg.select($"n".as("b"), $"d".as("db")), "b")
-      .select(
-        when($"da" <= $"db", $"a").otherwise($"b").as("lo"),
-        when($"da" <= $"db", $"b").otherwise($"a").as("hi"))
-    val cand = probed
-      .join(und.select($"a".as("lo"), $"b".as("w")).hint("shuffle_hash"), "lo")
-      .filter($"w" =!= $"hi")
-    val closed = cand.join(
-      edNew.select($"a".as("ca"), $"b".as("cb")).hint("shuffle_hash"),
-      least($"hi", $"w") === $"ca" && greatest($"hi", $"w") === $"cb")
-    val deltaTri = closed
-      .select(array_sort(array($"lo", $"hi", $"w")).as("t")).distinct()
-      .select(explode($"t").as("n"))
-      .groupBy($"n").agg(count(lit(1)).as("dtri"))
+    val deltaTri = q48DeltaTriangles(edOld, delta)
     spark.table(triT)
       .join(deltaTri, Seq("n"), "full_outer")
       .select($"n",
@@ -2618,6 +2596,54 @@ object RelationalOps {
             .select($"truncated_baskets".as("__tnew")))
           .select(($"__told" + $"__tnew").as("truncated_baskets"))))
       .orderBy($"n_triangles".desc, $"p_partkey")
+  }
+
+  /** Day-1 of the triangle standing state: persist the bucketed edge
+    * set and the per-node triangle counts (shared by batch q48 and the
+    * streaming dual [[graft.streaming.StreamOps.streamingTriangles]]). */
+  private[graft] def q48InitState(ed: DataFrame, edT: String,
+                                  triT: String): Unit = {
+    val spark = ed.sparkSession
+    import spark.implicits._
+    graft.sources.LayoutOps.writeBucketed(ed, edT, "a", 32)
+    val und = ed.unionByName(ed.select($"b".as("a"), $"a".as("b")))
+    q44TrianglesCorners(ed,
+        und.groupBy($"a".as("n")).agg(count(lit(1)).as("d")))
+      .groupBy($"n").agg(count(lit(1)).as("tri"))
+      .write.mode("overwrite").format("parquet").saveAsTable(triT)
+  }
+
+  /** Per-node counts of the triangles of E_old ∪ delta that touch at
+    * least one delta edge — q48's maintenance core, shared by the
+    * batch day-2 query and the streaming dual. `delta` must be
+    * canonical (a < b), deduplicated, and disjoint from `edOld`;
+    * probing fans out from each delta edge's smaller-degree endpoint
+    * so per-edge work is bounded by min-degree, and a triangle with
+    * 2-3 delta edges collapses in the sorted-triple distinct. */
+  private[graft] def q48DeltaTriangles(edOld: DataFrame,
+                                       delta: DataFrame): DataFrame = {
+    val spark = edOld.sparkSession
+    import spark.implicits._
+    val edNew = edOld.unionByName(delta)
+    val und = edNew.unionByName(edNew.select($"b".as("a"), $"a".as("b")))
+    val deg = und.groupBy($"a".as("n")).agg(count(lit(1)).as("d"))
+    // probe from the smaller-degree endpoint of each delta edge
+    val probed = delta
+      .join(deg.select($"n".as("a"), $"d".as("da")), "a")
+      .join(deg.select($"n".as("b"), $"d".as("db")), "b")
+      .select(
+        when($"da" <= $"db", $"a").otherwise($"b").as("lo"),
+        when($"da" <= $"db", $"b").otherwise($"a").as("hi"))
+    val cand = probed
+      .join(und.select($"a".as("lo"), $"b".as("w")).hint("shuffle_hash"), "lo")
+      .filter($"w" =!= $"hi")
+    val closed = cand.join(
+      edNew.select($"a".as("ca"), $"b".as("cb")).hint("shuffle_hash"),
+      least($"hi", $"w") === $"ca" && greatest($"hi", $"w") === $"cb")
+    closed
+      .select(array_sort(array($"lo", $"hi", $"w")).as("t")).distinct()
+      .select(explode($"t").as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("dtri"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

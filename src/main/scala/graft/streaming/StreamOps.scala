@@ -568,6 +568,72 @@ object StreamOps {
     * rescan of history. The CoW publish materializes before
     * overwriting the scanned location (Scd2Ops' discipline) and
     * releases the staging blocks after. */
+  /** Streaming day-2 GRAPH maintenance — q48's online dual (r9/r10
+    * verdicts' open item): a stream of basket items `(o, p)` folds
+    * into the standing triangle state per micro-batch. First batch is
+    * day-1 (persist bucketed canonical edges + per-node triangle
+    * counts); every later batch computes ΔE = batch pairs \ E_standing,
+    * counts ONLY the triangles touching ΔE
+    * ([[graft.operators.RelationalOps.q48DeltaTriangles]], the exact
+    * probe batch q48 runs), merges them into the count table, and
+    * appends ΔE to the bucketed edge table — per-batch work is
+    * O(|ΔE|·min-deg), never a graph re-enumeration.
+    *
+    * Contract (documented, corpusIngestFilter's discipline): each
+    * micro-batch carries COMPLETE baskets — the ingest unit is an
+    * order, so an order's lines never straddle a batch boundary (a
+    * splitting feed would need per-order reassembly state upstream).
+    * Under that contract the fold is exactly batch q48's: edges are
+    * canonical/deduped, the delta anti-join makes re-delivery of a
+    * whole batch a no-op (ΔE = ∅ → counts unchanged), so a replayed
+    * micro-batch after a restart is idempotent — spec-pinned.
+    *
+    * State write order matters: the delta counts are materialized
+    * (localCheckpoint) BEFORE the count table is overwritten and
+    * before the edge append mutates the standing set the probe reads. */
+  def streamingTriangles(basketStream: DataFrame, edgesTable: String,
+                         triTable: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    basketStream.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        val pairs = graft.operators.RelationalOps
+          .basketPairs(batch.select($"o", $"p").distinct()).distinct()
+        if (!sp.catalog.tableExists(edgesTable) ||
+            !sp.catalog.tableExists(triTable)) {
+          Seq(edgesTable, triTable)
+            .foreach(graft.sources.LayoutOps.clearStaleLocation(sp, _))
+          graft.operators.RelationalOps.q48InitState(
+            pairs, edgesTable, triTable)
+        } else {
+          // the previous batch rewrote these tables behind the relation
+          // cache — re-list or the read plans reference deleted files
+          Seq(edgesTable, triTable).foreach(sp.catalog.refreshTable)
+          val edOld = sp.table(edgesTable)
+          val delta = pairs.join(edOld, Seq("a", "b"), "left_anti")
+            .localCheckpoint() // pin: the append below mutates edOld
+          try {
+            // a replayed batch (restart re-delivery) has ΔE = ∅: make
+            // it a TRUE no-op — no state rewrite, no file churn
+            if (!delta.isEmpty) {
+              val deltaTri = graft.operators.RelationalOps
+                .q48DeltaTriangles(edOld, delta)
+              val merged = sp.table(triTable)
+                .unionByName(deltaTri.select($"n", $"dtri".as("tri")))
+                .groupBy($"n").agg(sum($"tri").as("tri"))
+              val next = merged.localCheckpoint()
+              try next.write.mode("overwrite").format("parquet")
+                .saveAsTable(triTable)
+              finally graft.operators.DedupOps.unpersistCheckpointed(next)
+              delta.repartition(32, $"a")
+                .write.mode("append").format("parquet")
+                .bucketBy(32, "a").sortBy("a").saveAsTable(edgesTable)
+            }
+          } finally graft.operators.DedupOps.unpersistCheckpointed(delta)
+        }
+      }
+
   def streamingIvm(lineitemStream: DataFrame, summaryTable: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     lineitemStream.writeStream.outputMode(OutputMode.Append)

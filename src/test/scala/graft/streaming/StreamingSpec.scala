@@ -756,4 +756,63 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == want, s"streamed paths diverged:\n$got\nvs\n$want")
   }
+
+  test("streaming triangles: two micro-batches equal batch rebuild; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val sf = SharedSpark.sf
+    val edT = "stream_tri_edges"
+    val triT = "stream_tri_counts"
+    Seq(edT, triT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // whole baskets per batch (the operator's documented contract):
+    // split ORDERS, not rows
+    val pl = graft.Tables(spark, sf, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      .as[(Long, Long)].collect().toSeq
+    val orders = pl.map(_._1).distinct.sorted
+    val day1Orders = orders.take(orders.length / 2).toSet
+    val (b1, b2) = pl.partition { case (o, _) => day1Orders(o) }
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamOps.streamingTriangles(
+      input.toDF().toDF("o", "p"), edT, triT).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // replay batch 2 verbatim (a restart re-delivering the last
+      // batch): ΔE = ∅, state must not move
+      // (foreachBatch runs in a cloned session whose writes invalidate
+      // only ITS relation cache — refresh before direct reads here)
+      Seq(edT, triT).foreach(spark.catalog.refreshTable)
+      val triAfter = spark.table(triT).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val edgesAfter = spark.table(edT).count()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      Seq(edT, triT).foreach(spark.catalog.refreshTable)
+      assert(spark.table(edT).count() == edgesAfter,
+        "replayed batch grew the edge state")
+      assert(spark.table(triT).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap == triAfter,
+        "replayed batch moved the triangle counts")
+    } finally q.stop()
+    // ground truth: from-scratch triangle counts over the full corpus
+    val ed = graft.operators.RelationalOps.basketPairs(
+        graft.Tables(spark, sf, "lineitem")
+          .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct())
+      .distinct()
+    val und = ed.unionByName(ed.select($"b".as("a"), $"a".as("b")))
+    val want = graft.operators.RelationalOps.q44TrianglesCorners(ed,
+        und.groupBy($"a".as("n")).agg(count(lit(1)).as("d")))
+      .groupBy($"n").agg(count(lit(1)).as("tri"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(edT, triT).foreach(spark.catalog.refreshTable)
+    val got = spark.table(triT).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"streamed triangle counts diverged from rebuild")
+    // the standing edge set equals the corpus pair set
+    assert(spark.table(edT).count() == ed.count())
+    Seq(edT, triT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
