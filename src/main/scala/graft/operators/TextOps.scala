@@ -1270,6 +1270,17 @@ object TextOps {
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
     val dfx = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    t20Bm25Score(tf, dl, dfx, stats, qterms)
+  }
+
+  /** The BM25 scoring core over explicit index frames — `tf(doc_id,
+    * term, tf)`, `dl(doc_id, dl)`, `dfx(term, df)`, 1-row
+    * `stats(n_docs, sum_dl)` — shared by from-scratch t20 (frames
+    * derived from the text scan) and day-2 t26 (frames read from the
+    * standing index plus a batch-sized fold). */
+  private def t20Bm25Score(tf: DataFrame, dl: DataFrame, dfx: DataFrame,
+      stats: DataFrame, qterms: DataFrame): DataFrame = {
+    import tf.sparkSession.implicits._
     // (qid, term, df): query-sized — the broadcast probe side
     val qdf = qterms.join(dfx, "term")
     val nd = $"n_docs".cast("double")
@@ -1588,6 +1599,71 @@ object TextOps {
        |ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- t26
+  /** Incremental BM25 — day-2 maintenance of t20's retrieval index,
+    * extending the day-2 family (q40 dims, q41 aggregates, q42
+    * sketches, q48 graphs, s11/s20 ANN, d16 dedup) to the retrieval
+    * index every RAG corpus keeps warm. The standing state IS what
+    * t20's scaladoc says production maintains: the posting list
+    * `(term, doc_id, tf)` BUCKETED BY TERM (the probe join's key),
+    * the doc-length table, the per-term df table, and the 1-row
+    * corpus stats. Day 1 (first call) builds all four from the old
+    * docs (80% md5 coin); every later call explodes ONLY the new-doc
+    * batch and scores against standing ∪ batch — the corpus text is
+    * never re-read, and because old/new docs are disjoint every
+    * global statistic merges by ADDITION (df per term, n_docs,
+    * sum_dl): no read-modify-write races, the q42 idempotent-read
+    * discipline (state stays day-1; the delta never persists, so the
+    * call is idempotent and the oracle is t20's from-scratch SQL —
+    * maintained-equals-rebuilt, q40's contract).
+    *
+    * Scale shape: the batch explode is batch-sized; the standing
+    * posting scan is bucketed on `term` so the broadcast-query probe
+    * join plans zero exchange on the postings side; df/dl merges are
+    * index-metadata-sized aggregates (term- and doc-counts), never a
+    * text scan. At 100 TB the daily cost is the new slice's explode
+    * plus metadata folds — the from-scratch build is a one-time day-1
+    * event. */
+  def t26Bm25Day2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val isNew = pmod(md5Long(concat($"doc_id".cast("string"), lit(":t26"))),
+      lit(5L)) === 0L
+    val postT = graft.sources.LayoutOps.stateTable("graft_state_t26_post", dir)
+    val dlT = graft.sources.LayoutOps.stateTable("graft_state_t26_dl", dir)
+    val dfT = graft.sources.LayoutOps.stateTable("graft_state_t26_df", dir)
+    def tfOf(m: DataFrame): DataFrame = m
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    if (!spark.catalog.tableExists(postT) ||
+        !spark.catalog.tableExists(dlT) ||
+        !spark.catalog.tableExists(dfT)) {
+      Seq(postT, dlT, dfT)
+        .foreach(graft.sources.LayoutOps.clearStaleLocation(spark, _))
+      val tfOld = tfOf(d.filter(!isNew))
+      graft.sources.LayoutOps.writeBucketed(tfOld, postT, "term", 32)
+      tfOld.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+        .write.mode("overwrite").format("parquet").saveAsTable(dlT)
+      tfOld.groupBy($"term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").format("parquet").saveAsTable(dfT)
+    }
+    val tfNew = tfOf(d.filter(isNew))
+    val dlNew = tfNew.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val tf = spark.table(postT).unionByName(tfNew)
+    val dl = spark.table(dlT).unionByName(dlNew)
+    // disjoint doc sets → every statistic folds by addition
+    val dfx = spark.table(dfT)
+      .unionByName(tfNew.groupBy($"term").agg(count(lit(1)).as("df")))
+      .groupBy($"term").agg(sum($"df").as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val q = d.filter($"doc_id" < 3)
+      .select($"doc_id".as("qid"),
+        explode(slice(tokens($"text"), 1, 3)).as("term"))
+      .filter($"term" =!= "").distinct()
+    t20Bm25Score(tf, dl, dfx, stats, q)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_profile" -> (t2LangProfile _),
@@ -1614,6 +1690,7 @@ object TextOps {
     "t23_overlap_risk" -> (t23OverlapRisk _),
     "t24_quality_drift" -> (t24QualityDrift _),
     "t25_lm_surprise_hashed" -> (t25LmSurpriseHashed _),
+    "t26_bm25_day2" -> (t26Bm25Day2 _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1642,5 +1719,8 @@ object TextOps {
     "t23_overlap_risk" -> t23OverlapRiskSql,
     "t24_quality_drift" -> t24QualityDriftSql,
     "t25_lm_surprise_hashed" -> t25LmSurpriseHashedSql,
+    // maintained index must equal the from-scratch build (q40's
+    // contract): the oracle IS t20's SQL
+    "t26_bm25_day2" -> t20Bm25Sql,
   )
 }

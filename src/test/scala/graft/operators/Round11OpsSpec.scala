@@ -132,6 +132,25 @@ class Round11OpsSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("t26: maintained BM25 index equals from-scratch t20, idempotently") {
+    Seq("graft_state_t26_post", "graft_state_t26_dl", "graft_state_t26_df")
+      .map(graft.sources.LayoutOps.stateTable(_, sf))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val first = graft.SparkEntry.queries("t26_bm25_day2")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val direct = graft.SparkEntry.queries("t20_bm25")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(first == direct, "day-2 fold diverged from the rebuilt index")
+    val second = graft.SparkEntry.queries("t26_bm25_day2")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(second == first, "day-2 read is not idempotent")
+    // day-2 read path starts from the bucketed standing postings
+    val plan = physical(graft.SparkEntry.queries("t26_bm25_day2")(spark, sf))
+    assert(scans(plan).exists(_.relation.location.rootPaths.exists(
+      _.toString.contains("graft_state_t26_post"))),
+      "t26 does not scan the standing posting table")
+  }
+
   test("bench: family partition covers every declared query exactly once") {
     val fams = graft.SparkEntry.queries.keySet.groupBy(_.takeWhile(!_.isDigit))
     assert(fams.values.map(_.size).sum == graft.SparkEntry.queries.size)
