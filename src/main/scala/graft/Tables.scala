@@ -21,8 +21,61 @@ object Tables {
   /** Dimension tables small enough to broadcast at any realistic scale. */
   val broadcastable: Set[String] = Set("region", "nation")
 
+  /** Scan-parallelism RESTORE for small, unsplittable inputs. The
+    * driver testdata ships each table as ONE parquet row group, and a
+    * row group is Spark's minimum scan split — so every scan plans a
+    * single task and the whole fused scan→project→explode→partial-agg
+    * phase runs on one core while the other 31 idle (measured: t19's
+    * corpus explode 1.7 s single-task at sf0.1; the same work 32-way
+    * is trivially parallel). At production scale the input arrives as
+    * many row groups/files and the scan is natively parallel — this
+    * conditional exists only to give the testbed the parallelism real
+    * inputs have, and it provably cannot fire at scale: it triggers
+    * only below [[SmallInputBytes]] (64 MB), where the round-robin
+    * redistribution it inserts costs at most one small-file shuffle.
+    * Tiny dimension tables (< 100 KB: region/nation/supplier) are left
+    * alone — they broadcast anyway and a 32-way spray of 5 rows is
+    * pure stage overhead. `embeddings` and `documents` are ALSO left
+    * alone at the accessor level, measured: the k-means training paths
+    * run many small driver actions over the 500-row embeddings frame,
+    * and each action re-pays the extra shuffle stage (s7 4.9 → 6.1 s,
+    * d18 4.8 → 8.3 s with a blanket restore); the same goes for
+    * multi-branch document plans whose per-branch work is light (t20
+    * 1.35 → 2.05 s). Operators whose corpus pass IS the cost — a heavy
+    * per-row explode pipeline — opt in explicitly via [[parallel]]
+    * (t19 4.5 → 2.2 s, t25 6.0 → 1.6 s at sf0.1, measured).
+    * RoundRobinPartitioning is used (not a hash) so the plan guards
+    * that forbid corpus columns in HASH/RANGE exchanges still mean
+    * what they say: data may be redistributed RAW off the scan, but
+    * never keyed on content it shouldn't shuffle on. */
+  private val SmallInputBytes = 64L << 20
+  private val TinyInputBytes = 100L << 10
+  private val leaveAlone = Set("embeddings", "documents")
+
+  private def restoreParallelism(spark: SparkSession, df: DataFrame,
+                                 path: String): DataFrame = {
+    val bytes = new java.io.File(path).length
+    if (bytes > TinyInputBytes && bytes < SmallInputBytes)
+      df.repartition(GraftSession.defaultCpus)
+    else df
+  }
+
+  /** Explicit opt-in scan-parallelism restore (see above) for operators
+    * whose single corpus pass carries heavy per-row work. Idempotent
+    * with [[apply]]'s own restore: tables outside [[leaveAlone]] come
+    * back unchanged (already restored). */
+  def parallel(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = apply(spark, sfDir, name)
+    if (leaveAlone(name))
+      restoreParallelism(spark, df, s"$sfDir/$name.parquet")
+    else df
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df =
+      if (leaveAlone(name)) raw
+      else restoreParallelism(spark, raw, s"$sfDir/$name.parquet")
     // Normalize events.ts across driver testdata generations: older data
     // is TIMESTAMP(NANOS) parquet, which Spark reads as raw nanos
     // (spark.sql.legacy.parquet.nanosAsLong, set in GraftSession) —

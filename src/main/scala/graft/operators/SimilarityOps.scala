@@ -2395,7 +2395,8 @@ object SimilarityOps {
     // pristine copy; also heals a half-applied earlier attempt (the
     // commit marker cent20T is absent, so we start over from s7)
     spark.sql(s"DROP TABLE IF EXISTS $codes20T")
-    graft.sources.LayoutOps.clearStaleLocation(spark, codes20T)
+    Seq(codes20T, cent20T)
+      .foreach(graft.sources.LayoutOps.clearStaleLocation(spark, _))
     spark.table(s7codesT)
       .write.mode("overwrite").format("parquet").partitionBy("cell")
       .saveAsTable(codes20T)

@@ -132,6 +132,26 @@ class Round11OpsSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("s20: rebuild survives a stale cent directory with no catalog entry") {
+    SimilarityOps.s10EnsureIndex(spark, sf)
+    val centT = graft.sources.LayoutOps.stateTable("graft_state_s20_cent", sf)
+    val codesT = graft.sources.LayoutOps.stateTable("graft_state_s20_codes", sf)
+    Seq(centT, codesT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // simulate a run killed between the codes write and the cent write,
+    // then a fresh JVM: the cent DIRECTORY survives in the warehouse but
+    // the (per-process) catalog has no entry — saveAsTable would refuse
+    // with LOCATION_ALREADY_EXISTS unless the stale location is cleared
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(centT)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(loc, "leftover"))
+    val codes = SimilarityOps.s20EnsureRebalanced(spark, sf)
+    assert(spark.catalog.tableExists(centT))
+    assert(spark.catalog.tableExists(codes))
+    assert(spark.table(codes).count() > 0)
+  }
+
   test("t26: maintained BM25 index equals from-scratch t20, idempotently") {
     Seq("graft_state_t26_post", "graft_state_t26_dl", "graft_state_t26_df")
       .map(graft.sources.LayoutOps.stateTable(_, sf))
