@@ -1629,6 +1629,16 @@ object TextOps {
     * text scan. At 100 TB the daily cost is the new slice's explode
     * plus metadata folds — the from-scratch build is a one-time day-1
     * event. */
+  /** The posting-list explode shared by t26's batch maintenance and
+    * [[graft.streaming.StreamOps.streamingBm25Index]]'s online dual:
+    * `(doc_id, term, tf)` term frequencies of a document frame. */
+  private[graft] def bm25TfOf(m: DataFrame): DataFrame = {
+    import m.sparkSession.implicits._
+    m.select($"doc_id", explode(tokens($"text")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+  }
+
   def t26Bm25Day2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = docs(spark, dir)
@@ -1637,10 +1647,7 @@ object TextOps {
     val postT = graft.sources.LayoutOps.stateTable("graft_state_t26_post", dir)
     val dlT = graft.sources.LayoutOps.stateTable("graft_state_t26_dl", dir)
     val dfT = graft.sources.LayoutOps.stateTable("graft_state_t26_df", dir)
-    def tfOf(m: DataFrame): DataFrame = m
-      .select($"doc_id", explode(tokens($"text")).as("term"))
-      .filter($"term" =!= "")
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    def tfOf(m: DataFrame): DataFrame = bm25TfOf(m)
     if (!spark.catalog.tableExists(postT) ||
         !spark.catalog.tableExists(dlT) ||
         !spark.catalog.tableExists(dfT)) {

@@ -757,6 +757,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"streamed paths diverged:\n$got\nvs\n$want")
   }
 
+  test("streaming bm25: two micro-batches equal from-scratch index; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = SharedSpark.sf
+    val postT = "stream_bm25_post"
+    val dlT = "stream_bm25_dl"
+    val dfT = "stream_bm25_df"
+    Seq(postT, dlT, dfT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val all = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingBm25Index(
+      input.toDF().toDF("doc_id", "text"), postT, dlT, dfT).start()
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      // replay batch 2 verbatim (a restart re-delivering the last
+      // batch): Δdocs = ∅, no state table may move
+      Seq(postT, dlT, dfT).foreach(spark.catalog.refreshTable)
+      val postN = spark.table(postT).count()
+      val dlN = spark.table(dlT).count()
+      val dfBefore = spark.table(dfT).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      Seq(postT, dlT, dfT).foreach(spark.catalog.refreshTable)
+      assert(spark.table(postT).count() == postN,
+        "replayed batch grew the posting list")
+      assert(spark.table(dlT).count() == dlN,
+        "replayed batch grew the doc-length table")
+      assert(spark.table(dfT).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap == dfBefore,
+        "replayed batch moved the df table")
+    } finally q.stop()
+    // ground truth: the from-scratch index over the full corpus
+    val tfAll = graft.operators.TextOps.bm25TfOf(
+      graft.Tables(spark, sf, "documents").select($"doc_id", $"text"))
+    val wantPost = tfAll.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val wantDl = tfAll.groupBy($"doc_id").agg(sum($"tf").as("dl")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantDf = tfAll.groupBy($"term").agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq(postT, dlT, dfT).foreach(spark.catalog.refreshTable)
+    assert(spark.table(postT).select($"doc_id", $"term", $"tf").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      == wantPost,
+      "maintained posting list diverged from from-scratch rebuild")
+    assert(spark.table(dlT).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == wantDl,
+      "maintained doc-length table diverged")
+    assert(spark.table(dfT).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == wantDf,
+      "maintained df table diverged")
+    Seq(postT, dlT, dfT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming triangles: two micro-batches equal batch rebuild; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
