@@ -171,6 +171,31 @@ class Round11OpsSpec extends AnyFunSuite {
       "t26 does not scan the standing posting table")
   }
 
+  test("scan-parallelism restore: round-robin only, and only where gated") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    def exchanges(df: DataFrame) =
+      physical(df).collect { case e: ShuffleExchangeLike => e }
+    // lineitem at sf0.001 sits in the (100 KB, 64 MB) restore window:
+    // the accessor inserts exactly one round-robin redistribution —
+    // raw, never keyed on content
+    val li = exchanges(graft.Tables(spark, sf, "lineitem"))
+    assert(li.nonEmpty, "restore did not fire for an in-window table")
+    assert(li.forall(_.outputPartitioning.isInstanceOf[RoundRobinPartitioning]),
+      "restore used a keyed partitioning, not round-robin")
+    // embeddings is in-window by size but excluded at the accessor
+    // (k-means driver loops re-pay the extra stage per action) — the
+    // bare read must stay exchange-free, the opt-in must restore
+    assert(exchanges(graft.Tables(spark, sf, "embeddings")).isEmpty,
+      "accessor restored an excluded table")
+    assert(exchanges(graft.Tables.parallel(spark, sf, "embeddings"))
+        .exists(_.outputPartitioning.isInstanceOf[RoundRobinPartitioning]),
+      "opt-in did not restore an excluded in-window table")
+    // tiny dimension tables stay untouched — they broadcast anyway
+    assert(exchanges(graft.Tables(spark, sf, "region")).isEmpty,
+      "restore fired for a tiny table")
+  }
+
   test("bench: family partition covers every declared query exactly once") {
     val fams = graft.SparkEntry.queries.keySet.groupBy(_.takeWhile(!_.isDigit))
     assert(fams.values.map(_.size).sum == graft.SparkEntry.queries.size)

@@ -818,6 +818,50 @@ class StreamingSpec extends AnyFunSuite {
     Seq(postT, dlT, dfT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming bm25: day-1 build heals orphan state directories") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = SharedSpark.sf
+    val postT = "stream_bm25_orph_post"
+    val dlT = "stream_bm25_orph_dl"
+    val dfT = "stream_bm25_orph_df"
+    Seq(postT, dlT, dfT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // a run killed mid-day-1 (before any data file landed) leaves empty
+    // table DIRECTORIES in the warehouse with no catalog entries (the
+    // catalog is per-process) — the next day-1 must clear them instead
+    // of dying with LOCATION_ALREADY_EXISTS. (An orphan WITH data files
+    // is deliberately different for these non-graft_state_ names: the
+    // clearStaleLocation contract ADOPTS it as an append sink.)
+    Seq(postT, dlT, dfT).foreach { t =>
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(loc)
+    }
+    val all = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingBm25Index(
+      input.toDF().toDF("doc_id", "text"), postT, dlT, dfT).start()
+    try {
+      input.addData(all: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    Seq(postT, dlT, dfT).foreach(spark.catalog.refreshTable)
+    assert(Seq(postT, dlT, dfT).forall(spark.catalog.tableExists),
+      "day-1 build did not recreate all state tables")
+    // every doc with at least one token must be present (docs whose
+    // text yields no tokens never enter the index, batch or stream)
+    val wantDocs = graft.operators.TextOps.bm25TfOf(
+        graft.Tables(spark, sf, "documents").select($"doc_id", $"text"))
+      .select($"doc_id").distinct().count()
+    assert(spark.table(dlT).count() == wantDocs,
+      "healed day-1 build lost documents")
+    Seq(postT, dlT, dfT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming triangles: two micro-batches equal batch rebuild; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
