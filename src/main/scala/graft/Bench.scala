@@ -25,6 +25,14 @@ package graft
   * classpath, so --add-opens / heap / code-cache settings stay in sync
   * with build.sbt automatically.
   *
+  * Each forked child runs against its OWN temp warehouse
+  * (-Dspark.sql.warehouse.dir), deleted when the child exits: a fresh
+  * JVM's empty catalog makes day-2 queries clear-and-rebuild any shared
+  * graft_state_* directory, which corrupts a concurrently running graft
+  * process (Verify, tests) reading the same warehouse. Hermetic
+  * children cost nothing (state was rebuilt per child anyway) and make
+  * the bench safe to run alongside anything.
+  *
   * Anchor protocol (round 11): a tiny fixed anchor set (q1, q4, s1, t1)
   * is measured in its own child JVM BEFORE and AFTER the family runs
   * and recorded as `anchors_pre`/`anchors_post`. Cross-round
@@ -149,8 +157,20 @@ object Bench {
       new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    // HERMETIC child warehouse (round 11): every fresh JVM's catalog is
+    // empty, so its first day-2 query treats any shared graft_state_*
+    // directory as an orphan, DELETES it, and rebuilds — which yanks
+    // files out from under a concurrently running graft process reading
+    // the same warehouse (observed: a bench child's sf0.001 warmup
+    // rebuilt the standing ps table mid-Verify; h11/h16 died with
+    // FILE_NOT_EXIST/awaitResult). A private warehouse per child makes
+    // the suite side-effect-free on the shared warehouse; timing is
+    // unchanged (a fresh child rebuilt its state from scratch either
+    // way). SparkConf reads spark.* system properties, so -D suffices.
+    val wh = java.nio.file.Files.createTempDirectory("graft-bench-wh")
     val cmd = Seq(javaBin) ++ jvmArgs ++
-      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench") ++ names
+      Seq(s"-Dspark.sql.warehouse.dir=${wh.toAbsolutePath}",
+        "-cp", System.getProperty("java.class.path"), "graft.Bench") ++ names
     val pb = new ProcessBuilder(cmd.asJava)
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT) // logs stay visible
@@ -158,6 +178,13 @@ object Bench {
     val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8")
       .getLines().toVector
     p.waitFor()
+    // bound /tmp: a child's sf-scale standing state dies with the child
+    try {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(wh).sorted(Comparator.reverseOrder[Path]())
+        .forEach(Files.deleteIfExists(_))
+    } catch { case _: Throwable => () }
     out.reverse.find(_.startsWith("{\"metric\"")) match {
       case Some(line) => parseQueries(line, names)
       case None =>

@@ -634,6 +634,55 @@ object StreamOps {
         }
       }
 
+  /** Streaming SCD2 dimension maintenance — q40's online dual, the
+    * CDC shape every warehouse runs: a stream of dimension-change
+    * records `(k, seg_v, valid_from)` folds into the standing
+    * versioned dimension per micro-batch. The first batch is the
+    * initial load ([[graft.operators.Scd2Ops.initDim]] — full history,
+    * multiple versions per key close each other in order); every later
+    * batch is [[graft.operators.Scd2Ops.upsertDim]]'s MERGE, inheriting
+    * its daily-digest contract (intra-batch churn collapses to the
+    * latest row per key) and its bucketed-dimension scale shape (the
+    * close-join plans no exchange on the dimension side; only the
+    * batch shuffles).
+    *
+    * Re-delivery discipline: the digest is computed BEFORE the replay
+    * guard — a re-delivered batch collapses to exactly the rows its
+    * first delivery landed, and the anti-join on `(k, valid_from)`
+    * against the standing dimension then drops them all, so a replayed
+    * micro-batch after a restart is a TRUE no-op (no CoW rewrite, no
+    * file churn — spec-pinned). Without the digest-first order, a
+    * replayed two-version key would re-apply its SUPERSEDED earlier
+    * version on top of the landed latest one. */
+  def streamingScd2(changeStream: DataFrame, dimTable: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changeStream.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        val changes = batch.select($"k", $"seg_v", $"valid_from").distinct()
+        if (!sp.catalog.tableExists(dimTable)) {
+          graft.sources.LayoutOps.clearStaleLocation(sp, dimTable)
+          graft.operators.Scd2Ops.initDim(sp, dimTable, changes)
+        } else {
+          sp.catalog.refreshTable(dimTable)
+          // upsertDim's digest, replicated ahead of the replay guard
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"k").orderBy($"valid_from".desc, $"seg_v".desc)
+          val digest = changes
+            .withColumn("rn", row_number().over(w))
+            .filter($"rn" === 1).drop("rn")
+          val delta = digest.join(
+              sp.table(dimTable).select($"k", $"valid_from"),
+              Seq("k", "valid_from"), "left_anti")
+            .localCheckpoint() // pin: the MERGE rewrites the probe table
+          try {
+            if (!delta.isEmpty)
+              graft.operators.Scd2Ops.upsertDim(sp, dimTable, delta)
+          } finally graft.operators.DedupOps.unpersistCheckpointed(delta)
+        }
+      }
+
   /** Streaming day-2 RETRIEVAL-INDEX maintenance — t26's online dual,
     * completing the pattern pairing every day-2 batch maintainer with
     * a foreachBatch stream (q41↔streamingIvm, q48↔streamingTriangles,
