@@ -63,6 +63,16 @@ object Bench {
   private val anchors =
     Seq("q1_agg", "q4_topk", "s1_knn_brute", "t1_token_stats")
 
+  /** Iterative-driver queries run SOLO, each in its own child JVM:
+    * family-level isolation removed the cross-family inflation but the
+    * q-family child still showed q48 at 1.4× its solo time (9.3 vs
+    * ~6.5 s at sf0.1) after 47 earlier q-plans' codegen/JIT/old-gen
+    * context — these queries' many tiny driver jobs are hypersensitive
+    * to exactly that. Four extra forks (~15 s startup each) buy
+    * in-suite ≈ solo for the queries the r9/r10 verdicts flagged. */
+  private val soloQueries = Set("q39_graph_converge", "q44_triangles",
+    "q47_kcore", "q48_triangles_day2")
+
   /** Family key: the alpha prefix of the query name (q1_agg → "q",
     * h01 → "h"). One child JVM per family. */
   private def family(name: String): String = name.takeWhile(!_.isDigit)
@@ -212,8 +222,11 @@ object Bench {
     val t0 = System.nanoTime()
     val pre = runChild(anchors)
     val results = fams.toSeq.sortBy(_._1).flatMap { case (f, names) =>
-      System.err.println(s"[bench] family $f: ${names.size} queries")
-      runChild(names)
+      val (solo, grouped) = names.partition(soloQueries)
+      System.err.println(
+        s"[bench] family $f: ${grouped.size} queries + ${solo.size} solo")
+      (if (grouped.nonEmpty) runChild(grouped) else Nil) ++
+        solo.flatMap(n => runChild(Seq(n)))
     }
     val post = runChild(anchors)
     val wall = (System.nanoTime() - t0) / 1e9
