@@ -2648,6 +2648,131 @@ object SimilarityOps {
        |ORDER BY cell""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s21
+  /** INDEX COMPACTION — the file-layout member of the index lifecycle
+    * (build s10, insert s11, delete s16, monitor s18, rebalance s20):
+    * every s11-style daily insert appends ONE small file per touched
+    * cell partition, so after N days a hot inverted list is N small
+    * files and serving pays N file opens + footer reads per probe —
+    * read amplification with ZERO logical change. s21 is the nightly
+    * OPTIMIZE: count data files per cell directory (a filesystem
+    * listing, no data read), rewrite ONLY the cells over
+    * [[S21MaxFiles]] via dynamic partition overwrite (one file per
+    * cell after), and leave every other cell's files untouched —
+    * bit-identical, spec-pinned, s16's partition-surgical pattern with
+    * a LAYOUT trigger instead of a content one.
+    *
+    * The index CONTENT is unchanged by construction (the rewrite is
+    * read-repartition-write of the same rows), so the query's output
+    * is the serving result over the compacted index and the oracle is
+    * exactly s7/s10's from-scratch SQL — compacted-equals-uncompacted
+    * is the contract the gate certifies, the file-count bound is the
+    * spec's.
+    *
+    * Day-2 fragmentation is planted deterministically on s21's own
+    * copy of the index: EVEN cells' rows arrive as [[S21Slices]]
+    * md5-hash-sliced appends (N days of inserts), ODD cells' rows in
+    * one slice — so compaction has both over-full cells to rewrite
+    * and untouched cells to prove bit-identical.
+    *
+    * Scale shape: the trigger is a partition-directory listing
+    * (metadata-sized, exactly what a lake table format's manifest
+    * gives for free); the rewrite reads/writes only the over-full
+    * cells via partition-pruned scan. At 100 TB the nightly compact
+    * touches the handful of hot lists the day's inserts fragmented,
+    * never the index body. */
+  private[operators] val S21Slices = 6
+  private[operators] val S21MaxFiles = 2
+
+  /** Build s21's fragmented copy of the s7/s10 codes if this warehouse
+    * has none yet; returns the codes table name. */
+  private[graft] def s21EnsureFragmented(spark: SparkSession,
+                                         dir: String): String = {
+    import spark.implicits._
+    val codesT = graft.sources.LayoutOps.stateTable("graft_state_s21_codes", dir)
+    if (spark.catalog.tableExists(codesT)) return codesT
+    s10EnsureIndex(spark, dir)
+    val s7codesT = graft.sources.LayoutOps.stateTable("graft_state_s7_codes", dir)
+    graft.sources.LayoutOps.clearStaleLocation(spark, codesT)
+    val base = spark.table(s7codesT)
+    // odd cells land whole in slice 0 (one file — the untouched
+    // control); even cells spread across all slices (the planted
+    // N-day fragmentation)
+    val slice = when(pmod($"cell", lit(2L)) === 1L, lit(0L))
+      .otherwise(pmod(md5Long(concat($"nid".cast("string"), lit(":s21"))),
+        lit(S21Slices.toLong)))
+    (0 until S21Slices).foreach { f =>
+      base.filter(slice === f.toLong)
+        .repartition(col("cell"))
+        .write.mode(if (f == 0) "overwrite" else "append")
+        .format("parquet").partitionBy("cell").saveAsTable(codesT)
+    }
+    codesT
+  }
+
+  /** Per-cell data-file counts of a cell-partitioned catalog table —
+    * the compaction trigger (and the spec's measuring stick). Pure
+    * filesystem metadata; no data is read. */
+  private[graft] def s21FileCounts(spark: SparkSession,
+                                   table: String): Map[Long, Int] = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(loc).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map { st =>
+        val cell = st.getPath.getName.stripPrefix("cell=").toLong
+        val n = fs.listStatus(st.getPath).count { f =>
+          val nm = f.getPath.getName
+          !nm.startsWith("_") && !nm.startsWith(".")
+        }
+        cell -> n
+      }.toMap
+  }
+
+  /** Rewrite every cell whose partition holds more than [[S21MaxFiles]]
+    * data files; returns the compacted cell ids. Idempotent — a second
+    * call finds nothing over the bound. */
+  private[graft] def s21CompactCells(spark: SparkSession,
+                                     dir: String): Seq[Long] = {
+    import spark.implicits._
+    val codesT = s21EnsureFragmented(spark, dir)
+    val over = s21FileCounts(spark, codesT)
+      .collect { case (c, n) if n > S21MaxFiles => c }.toSeq.sorted
+    if (over.nonEmpty) {
+      val kept = spark.table(codesT)
+        .filter($"cell".isin(over: _*))
+        .repartition(col("cell"))
+        .localCheckpoint() // pin survivors BEFORE the overwrite mutates their source
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(modeKey)
+      spark.conf.set(modeKey, "dynamic")
+      try kept.write.mode("overwrite").insertInto(codesT)
+      finally {
+        DedupOps.unpersistCheckpointed(kept)
+        prev match {
+          case Some(v) => spark.conf.set(modeKey, v)
+          case None => spark.conf.unset(modeKey)
+        }
+      }
+    }
+    over
+  }
+
+  def s21IndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    val codesT = s21EnsureFragmented(spark, dir)
+    s21CompactCells(spark, dir)
+    val qs: Seq[(Long, Array[Double])] = emb(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter($"vec_id" < NQUERIES)
+      .collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    s10ServeFrom(spark, dir, qs, Some(codesT))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh"   -> (s2KnnLsh _),
@@ -2669,6 +2794,7 @@ object SimilarityOps {
     "s18_index_health" -> (s18IndexHealth _),
     "s19_knn_graph_hybrid" -> (s19KnnGraphHybrid _),
     "s20_index_rebalance" -> (s20IndexRebalance _),
+    "s21_index_compact" -> (s21IndexCompact _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2693,5 +2819,9 @@ object SimilarityOps {
     "s18_index_health" -> s18IndexHealthSql,
     "s19_knn_graph_hybrid" -> s19KnnGraphHybridSql,
     "s20_index_rebalance" -> s20IndexRebalanceSql,
+    // content is unchanged by construction, so compacted serving must
+    // equal the from-scratch index walk — s7/s10's SQL IS the oracle
+    // (compacted-equals-uncompacted, the file-count bound is spec-pinned)
+    "s21_index_compact" -> s7KnnIvfPqKmeansSql,
   )
 }

@@ -236,6 +236,52 @@ class Round11OpsSpec extends AnyFunSuite {
     Seq(dimT, rebuilt).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("s21: compaction bounds file counts, cold cells bit-identical, serving unchanged") {
+    import spark.implicits._
+    val codesT = graft.sources.LayoutOps.stateTable("graft_state_s21_codes", sf)
+    spark.sql(s"DROP TABLE IF EXISTS $codesT")
+    SimilarityOps.s10EnsureIndex(spark, sf)
+    val t = SimilarityOps.s21EnsureFragmented(spark, sf)
+    val before = SimilarityOps.s21FileCounts(spark, t)
+    assert(before.values.max > SimilarityOps.S21MaxFiles,
+      "fragmentation not planted")
+    val cold = before.collect {
+      case (c, n) if n <= SimilarityOps.S21MaxFiles => c
+    }.toSet
+    assert(cold.nonEmpty, "no untouched control cells")
+    def fprint(cells: Set[Long]): Map[Long, Set[(String, Long, Long)]] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      cells.map { c =>
+        val d = new org.apache.hadoop.fs.Path(loc, s"cell=$c")
+        c -> fs.listStatus(d).toSet[org.apache.hadoop.fs.FileStatus]
+          .filter(f => !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+      }.toMap
+    }
+    val fpBefore = fprint(cold)
+    val rowsBefore = spark.table(t).count()
+    val over = SimilarityOps.s21CompactCells(spark, sf)
+    assert(over.nonEmpty, "nothing compacted despite planted fragmentation")
+    spark.catalog.refreshTable(t)
+    val after = SimilarityOps.s21FileCounts(spark, t)
+    assert(after.values.max <= SimilarityOps.S21MaxFiles,
+      s"file counts still over the bound: $after")
+    assert(fprint(cold) == fpBefore, "cold cell files moved")
+    assert(spark.table(t).count() == rowsBefore, "compaction lost rows")
+    // content contract: compacted serving ≡ the pristine index's serving
+    val got = graft.SparkEntry.queries("s21_index_compact")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.SparkEntry.queries("s10_knn_serve")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "compaction changed serving results")
+    // idempotent: a second pass finds nothing over the bound
+    assert(SimilarityOps.s21CompactCells(spark, sf).isEmpty)
+  }
+
   test("bench: family partition covers every declared query exactly once") {
     val fams = graft.SparkEntry.queries.keySet.groupBy(_.takeWhile(!_.isDigit))
     assert(fams.values.map(_.size).sum == graft.SparkEntry.queries.size)
