@@ -71,7 +71,8 @@ object Bench {
     * to exactly that. Four extra forks (~15 s startup each) buy
     * in-suite ≈ solo for the queries the r9/r10 verdicts flagged. */
   private val soloQueries = Set("q39_graph_converge", "q44_triangles",
-    "q47_kcore", "q48_triangles_day2")
+    "q47_kcore", "q48_triangles_day2", "q49_components",
+    "q50_components_day2")
 
   /** Family key: the alpha prefix of the query name (q1_agg → "q",
     * h01 → "h"). One child JVM per family. */

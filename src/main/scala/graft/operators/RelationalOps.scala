@@ -2682,6 +2682,305 @@ object RelationalOps {
       .groupBy($"n").agg(count(lit(1)).as("dtri"))
   }
 
+  // --------------------------------------------------------------- q49
+  /** Connected components of the co-purchase AFFINITY graph — parts
+    * are adjacent when ≥ 2 distinct orders contain both (q46's
+    * min-support rule, which prunes the one-off co-occurrence noise
+    * that would fuse the catalog into a single giant blob). Components
+    * are the "product family" primitive behind catalog clustering,
+    * substitution groups and recommendation candidate pools, and the
+    * fourth iterative graph workload here (q37/q39 rank, q47 peel,
+    * q44/q48 triangles) — its state is a LABEL vector converging by
+    * min-propagation, not a numeric vector or a shrinking set.
+    *
+    * The engine is [[DedupOps.componentsFrom]] — min-label propagation
+    * with pointer doubling, shared with d8's duplicate clusters — so
+    * convergence takes O(log diameter) rounds, each ONE join + ONE
+    * aggregate over the |E|-sized pruned edge frame, never an
+    * all-pairs anything. Output is per component: id (the component's
+    * minimum part key — the exact label the propagation converges to
+    * on both engines), member count, internal edge count; top-50 by
+    * size with a total tiebreak.
+    *
+    * Scale shape: pair support counting collapses map-side in the
+    * (a, b) hash-agg (pair fan-out basket-bounded by
+    * [[BasketItemCap]]); the ≥2 filter prunes BEFORE the propagation
+    * loop, so per-round shuffles carry only the pruned |E|; label
+    * state is |V|-sized. At 100× rounds grow with log(diameter) —
+    * pointer doubling is what keeps a deep chain from costing
+    * diameter-many supersteps. */
+  def q49Components(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    q49ComponentsFrom(t(spark, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct())
+  }
+
+  /** Support threshold shared by q49/q50 and their oracles: an edge
+    * exists when ≥ [[Q49MinSupport]] distinct baskets contain the pair. */
+  private[graft] val Q49MinSupport = 2
+
+  /** [[q49Components]] over an arbitrary (o, p) basket frame —
+    * planted-graph specs enter here. */
+  private[operators] def q49ComponentsFrom(pl: DataFrame,
+      cap: Int = BasketItemCap): DataFrame = {
+    val spark = pl.sparkSession
+    import spark.implicits._
+    val ed = basketPairs(pl, cap)
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n"))
+      .filter($"n" >= Q49MinSupport)
+      .select($"a", $"b")
+    val labels = q50Labels(ed.select($"a".as("i"), $"b".as("j")))
+    try
+      q49Summary(ed, labels)
+        .transform(withOneRow(_, truncatedBaskets(pl, cap)))
+        .orderBy($"n_members".desc, $"component_id")
+        .localCheckpoint() // eager: backs the result past the finally
+    finally DedupOps.unpersistCheckpointed(labels)
+  }
+
+  /** Per-component summary over a canonical (a < b) edge frame and its
+    * (id, lbl) component labels — shared by q49 and q50's maintained
+    * path, so both describe the same shape and the oracle can certify
+    * maintained-equals-derived. */
+  private def q49Summary(ed: DataFrame, labels: DataFrame): DataFrame = {
+    val spark = ed.sparkSession
+    import spark.implicits._
+    val mem = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
+    val ne = ed.join(labels.select($"id".as("a"), $"lbl"), "a")
+      .groupBy($"lbl").agg(count(lit(1)).as("n_edges"))
+    mem.join(ne, "lbl")
+      .select($"lbl".as("component_id"), $"n_members", $"n_edges")
+      .orderBy($"n_members".desc, $"component_id").limit(50)
+  }
+
+  val q49ComponentsSql: String =
+    s"""WITH RECURSIVE $basketPlSql,
+      |$basketTruncSql,
+      |ed AS MATERIALIZED (
+      |  SELECT x.p AS a, y.p AS b
+      |  FROM pl x JOIN pl y ON x.o = y.o AND x.p < y.p
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= $Q49MinSupport),
+      |edges AS (SELECT a AS src, b AS dst FROM ed
+      |          UNION ALL SELECT b, a FROM ed),
+      |reach AS (
+      |  SELECT DISTINCT src AS id, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |labels AS MATERIALIZED (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+      |mem AS (SELECT lbl, COUNT(*) AS n_members FROM labels GROUP BY 1),
+      |ne AS (SELECT l.lbl, COUNT(*) AS n_edges
+      |       FROM ed JOIN labels l ON l.id = ed.a GROUP BY 1)
+      |SELECT mem.lbl AS component_id, mem.n_members, ne.n_edges,
+      |  trunc.truncated_baskets
+      |FROM mem JOIN ne ON ne.lbl = mem.lbl
+      |CROSS JOIN trunc
+      |ORDER BY n_members DESC, component_id
+      |LIMIT 50""".stripMargin
+
+  // --------------------------------------------------------------- q50
+  /** Incremental connected-component maintenance — q49's affinity
+    * components kept fresh as new baskets arrive WITHOUT re-running
+    * label propagation over the standing graph. Day 1 persists the
+    * pair SUPPORT COUNTS (bucketed on the full (a, b) fold key — see
+    * [[graft.sources.LayoutOps.writeBucketed]]'s multi-column note)
+    * and the converged label vector; every read derives the day's
+    * delta counts from the new baskets only, folds them into the
+    * standing counts by ADDITION (support only grows, so components
+    * only MERGE — the monotonicity that makes incremental CC sound),
+    * and repairs labels through the CONTRACTED graph: each edge whose
+    * support crossed ≥ [[Q49MinSupport]] in this fold maps to its
+    * endpoints' standing labels (an unlabeled endpoint is its own
+    * proxy), self-loops drop, and [[DedupOps.componentsFrom]] runs on
+    * that delta-sized graph of component ids. Min over a merged group
+    * of old labels — each already its component's min part key — IS
+    * the merged component's global min, so relabeling through the
+    * contraction map reproduces the from-scratch labels exactly; the
+    * oracle certifies it (maintained-equals-rebuilt). q41's read-only
+    * IVM discipline: the delta never persists, so a replayed read is
+    * structurally incapable of double-counting.
+    *
+    * Output is q49's summary over the folded graph plus
+    * `n_new_edges` — how many edges crossed the support threshold in
+    * this fold — so a consumer can see the incremental path working
+    * (and the spec can pin it).
+    *
+    * Scale shape: daily cost is the batch's pair explosion
+    * (basket-bounded), a delta-sized shuffle into the (a, b)-bucketed
+    * standing counts (the fold join co-partitions on ALL keys, so the
+    * standing side plans zero exchange — spec-guarded), and a CC run
+    * over a contracted graph whose nodes are the labels TOUCHED by
+    * crossing edges — delta-sized, never |V|. The from-scratch
+    * alternative re-propagates labels over |E| every day. */
+  def q50ComponentsDay2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    val pl = t(spark, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val isNew = pmod(md5Long(concat($"o".cast("string"), lit(":q50"))),
+      lit(5L)) === 0L
+    q50From(
+      graft.sources.LayoutOps.stateTable("graft_state_q50_cnt", dir),
+      graft.sources.LayoutOps.stateTable("graft_state_q50_lbl", dir),
+      pl.filter(!isNew), pl.filter(isNew))
+  }
+
+  /** [[q50ComponentsDay2]]'s maintained core over explicit old/new
+    * basket frames and state table names — planted-graph specs enter
+    * here. Builds day-1 state on first call; every call folds the new
+    * frame's counts in at read time. */
+  private[operators] def q50From(cntT: String, lblT: String,
+      plOld: DataFrame, plNew: DataFrame,
+      cap: Int = BasketItemCap): DataFrame = {
+    val spark = plOld.sparkSession
+    import spark.implicits._
+    // ---- day 1 (first call only): standing counts + converged labels
+    if (!spark.catalog.tableExists(cntT) || !spark.catalog.tableExists(lblT))
+      q50InitState(plOld, cntT, lblT, cap)
+    val qual = q50Fold(cntT, plNew, cap).filter($"n" >= Q49MinSupport)
+      .select($"a", $"b", ($"n_old" < Q49MinSupport).as("is_new"))
+      .localCheckpoint() // consumed 3× below — fold runs once
+    try {
+      val finalLbl = q50Relabel(spark.table(lblT), qual)
+      try
+        q49Summary(qual.select($"a", $"b"), finalLbl)
+          .transform(withOneRow(_, qual.filter($"is_new")
+            .agg(count(lit(1)).as("n_new_edges"))))
+          .transform(withOneRow(_,
+            truncatedBaskets(plOld.unionByName(plNew), cap)))
+          .orderBy($"n_members".desc, $"component_id")
+          .localCheckpoint() // eager: backs the result past the finally
+      finally DedupOps.unpersistCheckpointed(finalLbl)
+    } finally DedupOps.unpersistCheckpointed(qual)
+  }
+
+  /** Day-1 of the component standing state: support counts bucketed on
+    * the (a, b) fold key, plus the converged label vector over the
+    * edges at/above [[Q49MinSupport]] — shared by batch [[q50From]]
+    * and the streaming dual
+    * [[graft.streaming.StreamOps.streamingComponents]]. */
+  private[graft] def q50InitState(plOld: DataFrame, cntT: String,
+      lblT: String, cap: Int = BasketItemCap): Unit = {
+    val spark = plOld.sparkSession
+    import spark.implicits._
+    graft.sources.LayoutOps.clearStaleLocation(spark, lblT)
+    graft.sources.LayoutOps.writeBucketed(
+      basketPairs(plOld, cap).groupBy($"a", $"b").agg(count(lit(1)).as("n")),
+      cntT, Seq("a", "b"), 32)
+    val lbl = q50Labels(spark.table(cntT).filter($"n" >= Q49MinSupport)
+      .select($"a".as("i"), $"b".as("j")))
+    try lbl.write.mode("overwrite").format("parquet").saveAsTable(lblT)
+    finally DedupOps.unpersistCheckpointed(lbl)
+  }
+
+  /** The contracted-graph label repair — q50's maintenance core,
+    * shared by the batch day-2 query and the streaming dual. `qual`
+    * carries the folded graph's qualifying edges `(a, b, is_new)`;
+    * crossing edges map to their endpoints' standing labels (an
+    * unlabeled endpoint is its own proxy), self-loops drop, and the
+    * component engine runs on that delta-sized graph of component
+    * ids. Returns the repaired (id, lbl) vector, EAGERLY checkpointed
+    * (caller releases via [[DedupOps.unpersistCheckpointed]]). */
+  private[graft] def q50Relabel(standing: DataFrame,
+                                qual: DataFrame): DataFrame = {
+    val spark = standing.sparkSession
+    import spark.implicits._
+    val newEdges = qual.filter($"is_new").select($"a", $"b")
+    val contracted = newEdges
+      .join(standing.select($"id".as("a"), $"lbl".as("la")), Seq("a"), "left")
+      .join(standing.select($"id".as("b"), $"lbl".as("lb")), Seq("b"), "left")
+      .select(coalesce($"la", $"a").as("i"), coalesce($"lb", $"b").as("j"))
+      .filter($"i" =!= $"j")
+    val relabel = q50Labels(contracted)
+    try {
+      // nodes first seen in a crossing edge label themselves
+      val newNodes = newEdges
+        .select(explode(array($"a", $"b")).as("id")).distinct()
+        .join(standing, Seq("id"), "left_anti")
+        .select($"id", $"id".as("lbl"))
+      standing.unionByName(newNodes)
+        .join(relabel.select($"id".as("old"), $"lbl".as("newl")),
+          $"lbl" === $"old", "left")
+        .select($"id", coalesce($"newl", $"lbl").as("lbl"))
+        .localCheckpoint() // eager: backs the result past the finally
+    } finally DedupOps.unpersistCheckpointed(relabel)
+  }
+
+  /** The read-time fold: delta-sized shuffle into the bucketed
+    * standing counts. The delta is explicitly repartitioned to the
+    * standing table's exact (a, b, 32) layout so the full-outer fold
+    * co-partitions under ANY session shuffle-partition setting — the
+    * standing side plans zero exchange (spec-guarded), the delta pays
+    * one delta-sized shuffle. Factored out of [[q50From]] so the plan
+    * guard can inspect the fold BEFORE the result checkpoint hides it. */
+  private[graft] def q50Fold(cntT: String, plNew: DataFrame,
+      cap: Int = BasketItemCap): DataFrame = {
+    val spark = plNew.sparkSession
+    import spark.implicits._
+    spark.table(cntT)
+      .select($"a", $"b", $"n".as("n_old"))
+      .join(basketPairs(plNew, cap)
+          .groupBy($"a", $"b").agg(count(lit(1)).as("n_new"))
+          .repartition(32, $"a", $"b"),
+        Seq("a", "b"), "full_outer")
+      .select($"a", $"b",
+        (coalesce($"n_old", lit(0L)) + coalesce($"n_new", lit(0L))).as("n"),
+        coalesce($"n_old", lit(0L)).as("n_old"))
+  }
+
+  /** [[DedupOps.componentsFrom]] tolerant of an EMPTY pair frame (a
+    * fold with no crossing edges — the common day-2 case on a quiet
+    * corpus): the propagation loop's convergence sum is null on zero
+    * rows, so short-circuit to an empty (id, lbl) frame instead. */
+  private def q50Labels(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    if (pairs.isEmpty)
+      // checkpointed like componentsFrom's result so the caller's
+      // release discipline is uniform (unpersistCheckpointed warns on
+      // non-checkpointed frames by design)
+      pairs.sparkSession.range(0).select($"id", $"id".as("lbl"))
+        .localCheckpoint()
+    else DedupOps.componentsFrom(pairs)
+  }
+
+  val q50ComponentsDay2Sql: String = {
+    import graft.functions.EngineFns.sqlMd5Long
+    val coin = sqlMd5Long("CAST(o AS VARCHAR) || ':q50'") + " % 5 = 0"
+    s"""WITH RECURSIVE $basketPlSql,
+      |$basketTruncSql,
+      |oc AS MATERIALIZED (
+      |  SELECT o, $coin AS isnew FROM (SELECT DISTINCT o FROM pl0)),
+      |pc AS MATERIALIZED (
+      |  SELECT x.p AS a, y.p AS b, oc.isnew, COUNT(*) AS n
+      |  FROM pl x JOIN pl y ON x.o = y.o AND x.p < y.p
+      |  JOIN oc ON oc.o = x.o
+      |  GROUP BY 1, 2, 3),
+      |cntA AS MATERIALIZED (SELECT a, b, SUM(n) AS n FROM pc GROUP BY 1, 2),
+      |cnt1 AS (SELECT a, b, n FROM pc WHERE NOT isnew),
+      |ed AS MATERIALIZED (SELECT a, b FROM cntA WHERE n >= $Q49MinSupport),
+      |newe AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_new_edges
+      |  FROM cntA LEFT JOIN cnt1 USING (a, b)
+      |  WHERE cntA.n >= $Q49MinSupport
+      |    AND COALESCE(cnt1.n, 0) < $Q49MinSupport),
+      |edges AS (SELECT a AS src, b AS dst FROM ed
+      |          UNION ALL SELECT b, a FROM ed),
+      |reach AS (
+      |  SELECT DISTINCT src AS id, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |labels AS MATERIALIZED (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+      |mem AS (SELECT lbl, COUNT(*) AS n_members FROM labels GROUP BY 1),
+      |ne AS (SELECT l.lbl, COUNT(*) AS n_edges
+      |       FROM ed JOIN labels l ON l.id = ed.a GROUP BY 1)
+      |SELECT mem.lbl AS component_id, mem.n_members, ne.n_edges,
+      |  newe.n_new_edges, trunc.truncated_baskets
+      |FROM mem JOIN ne ON ne.lbl = mem.lbl
+      |CROSS JOIN newe CROSS JOIN trunc
+      |ORDER BY n_members DESC, component_id
+      |LIMIT 50""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -2731,6 +3030,8 @@ object RelationalOps {
     "q46_assoc_rules"    -> (q46AssocRules _),
     "q47_kcore"          -> (q47KCore _),
     "q48_triangles_day2" -> (q48TrianglesDay2 _),
+    "q49_components"     -> (q49Components _),
+    "q50_components_day2" -> (q50ComponentsDay2 _),
   )
 
   // --------------------------------------------------------------- q15
@@ -2805,5 +3106,7 @@ object RelationalOps {
     "q47_kcore"          -> q47KCoreSql,
     // maintained counts == from-scratch counts: oracle is q44's SQL
     "q48_triangles_day2" -> q44TrianglesSql,
+    "q49_components"     -> q49ComponentsSql,
+    "q50_components_day2" -> q50ComponentsDay2Sql,
   )
 }

@@ -322,13 +322,24 @@ object LayoutOps {
     }
 
   def writeBucketed(df: DataFrame, table: String,
-                    bucketCol: String, buckets: Int): Unit = {
+                    bucketCol: String, buckets: Int): Unit =
+    writeBucketed(df, table, Seq(bucketCol), buckets)
+
+  /** Multi-column variant: bucketing on ALL of a downstream join's
+    * equi-keys is what lets that join co-partition without any conf
+    * games — Spark's default `requireAllClusterKeysForCoPartition`
+    * only reuses children partitionings that cover every join key, so
+    * a standing table probed on a composite key (e.g. q50's (a, b)
+    * pair counts) must be bucketed on the full composite to make the
+    * daily fold shuffle nothing but the delta. */
+  def writeBucketed(df: DataFrame, table: String,
+                    bucketCols: Seq[String], buckets: Int): Unit = {
     val spark = df.sparkSession
     clearStaleLocation(spark, table)
-    df.repartition(buckets, col(bucketCol))
+    df.repartition(buckets, bucketCols.map(col): _*)
       .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
   }
 

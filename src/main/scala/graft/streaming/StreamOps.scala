@@ -789,4 +789,97 @@ object StreamOps {
           .saveAsTable(summaryTable)
         finally graft.operators.DedupOps.unpersistCheckpointed(next)
       }
+
+  /** Streaming connected-component maintenance — q50's online dual: a
+    * stream of basket rows `(o, p)` folds into the standing support
+    * counts and component labels per micro-batch. First batch is day 1
+    * ([[graft.operators.RelationalOps.q50InitState]]: counts bucketed
+    * on the (a, b) fold key, labels = converged propagation over the
+    * edges at/above the support threshold); every later batch folds
+    * ONLY its new baskets' pair counts in by addition
+    * ([[graft.operators.RelationalOps.q50Fold]] — co-partitioned with
+    * the bucketed counts, delta-sized shuffle) and repairs labels
+    * through the contracted graph
+    * ([[graft.operators.RelationalOps.q50Relabel]] — CC over the
+    * labels actually touched, never |V|). Counts only grow, so
+    * components only MERGE — the monotonicity that makes the
+    * incremental fold sound under any batch slicing.
+    *
+    * Re-delivery discipline: support counts are READ-MODIFY-WRITE, so
+    * (unlike streamingTriangles' set-semantics edge state) a replayed
+    * batch cannot be detected from the counts themselves — a standing
+    * processed-baskets table (order-id-sized, bucketed by o: the
+    * anti-join's key) supplies the replay guard. Δbaskets = batch ∖
+    * processed; a replayed micro-batch after a restart has Δbaskets =
+    * ∅ and is a TRUE no-op — no state rewrite, no file churn
+    * (spec-pinned). The processed-id append lands LAST as the batch's
+    * commit marker; a crash in the middle of the multi-table write
+    * (counts landed, marker not) re-folds on replay — the same
+    * non-transactional window every foreachBatch dual here has; a
+    * production lake closes it with a transactional catalog commit,
+    * the testbed documents it instead.
+    *
+    * State write order: Δbaskets pinned first; the folded counts and
+    * the repaired labels are BOTH materialized before EITHER table is
+    * overwritten (each rewrite would otherwise yank files from under
+    * the other's read plan); the marker append lands last.
+    *
+    * Contract (streamingTriangles'): baskets arrive WHOLE within one
+    * micro-batch — a basket split across batches would under-count its
+    * cross-slice pairs, and the order-id replay guard would drop a
+    * second slice as a replay. The upstream source keys delivery by
+    * order, which is what every CDC/outbox feed of order lines gives. */
+  def streamingComponents(basketStream: DataFrame, cntTable: String,
+                          lblTable: String, procTable: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    basketStream.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        val pl = batch.select($"o", $"p").distinct()
+        if (!sp.catalog.tableExists(cntTable) ||
+            !sp.catalog.tableExists(lblTable) ||
+            !sp.catalog.tableExists(procTable)) {
+          Seq(cntTable, lblTable, procTable)
+            .foreach(graft.sources.LayoutOps.clearStaleLocation(sp, _))
+          graft.operators.RelationalOps.q50InitState(pl, cntTable, lblTable)
+          graft.sources.LayoutOps.writeBucketed(
+            pl.select($"o").distinct(), procTable, "o", 32)
+        } else {
+          // the previous batch rewrote these tables behind the relation
+          // cache — re-list or the read plans reference deleted files
+          Seq(cntTable, lblTable, procTable).foreach(sp.catalog.refreshTable)
+          val newBaskets = pl
+            .join(sp.table(procTable), Seq("o"), "left_anti")
+            .localCheckpoint()
+          try {
+            if (!newBaskets.isEmpty) {
+              val sup = graft.operators.RelationalOps.Q49MinSupport
+              val merged = graft.operators.RelationalOps
+                .q50Fold(cntTable, newBaskets)
+                .localCheckpoint() // pin: the overwrite below reads cntTable
+              try {
+                val labels = graft.operators.RelationalOps.q50Relabel(
+                  sp.table(lblTable),
+                  merged.filter($"n" >= sup)
+                    .select($"a", $"b", ($"n_old" < sup).as("is_new")))
+                try {
+                  merged.select($"a", $"b", $"n").repartition(32, $"a", $"b")
+                    .write.mode("overwrite").format("parquet")
+                    .bucketBy(32, "a", "b").sortBy("a", "b")
+                    .saveAsTable(cntTable)
+                  labels.write.mode("overwrite").format("parquet")
+                    .saveAsTable(lblTable)
+                  newBaskets.select($"o").distinct().repartition(32, $"o")
+                    .write.mode("append").format("parquet")
+                    .bucketBy(32, "o").sortBy("o").saveAsTable(procTable)
+                } finally
+                  graft.operators.DedupOps.unpersistCheckpointed(labels)
+              } finally
+                graft.operators.DedupOps.unpersistCheckpointed(merged)
+            }
+          } finally
+            graft.operators.DedupOps.unpersistCheckpointed(newBaskets)
+        }
+      }
 }

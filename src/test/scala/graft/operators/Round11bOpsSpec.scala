@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 second batch: the connected-component family (q49 batch,
+  * q50 incremental day-2) — planted-graph semantics, the contracted-
+  * graph relabel, read idempotence, and the zero-exchange fold guard. */
+class Round11bOpsSpec extends AnyFunSuite {
+  import graft.SharedSpark._
+
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  /** Planted basket corpus (see test bodies): three day-1 components,
+    * a sub-threshold seed pair, and a day-2 batch that (a) crosses the
+    * seed pair over the support threshold, (b) chains a second crossing
+    * to a brand-new node, (c) plants a wholly-new component, and (d)
+    * re-supports an existing edge WITHOUT crossing anything. */
+  private def plOld = {
+    import spark.implicits._
+    Seq(
+      (101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L),     // comp {1,2}
+      (103L, 10L), (103L, 11L), (104L, 10L), (104L, 11L), // comp {10,11}
+      (105L, 20L), (105L, 21L), (106L, 20L), (106L, 21L), // comp {20,21}
+      (107L, 2L), (107L, 10L),                            // seed (2,10) n=1
+      (108L, 11L), (108L, 40L)                            // seed (11,40) n=1
+    ).toDF("o", "p")
+  }
+
+  private def plNew = {
+    import spark.implicits._
+    Seq(
+      (201L, 2L), (201L, 10L),   // (2,10) crosses → merges {1,2}+{10,11}
+      (205L, 11L), (205L, 40L),  // (11,40) crosses → chains new node 40 in
+      (202L, 30L), (202L, 31L),  // }
+      (203L, 30L), (203L, 31L),  // } brand-new component {30,31}
+      (204L, 20L), (204L, 21L)   // (20,21) 2→3: already qualified, no-op
+    ).toDF("o", "p")
+  }
+
+  test("q50: contracted-graph relabel equals the from-scratch q49") {
+    val cntT = graft.sources.LayoutOps.stateTable("graft_state_q50spec_cnt", "a")
+    val lblT = graft.sources.LayoutOps.stateTable("graft_state_q50spec_lbl", "a")
+    val got = RelationalOps.q50From(cntT, lblT, plOld, plNew)
+      .collect().map(_.toSeq).toSeq
+    // transitive merge through TWO crossing edges lands 40 in the
+    // merged component; min part key (1) is the label on both paths
+    assert(got == Seq(
+      Seq(1L, 5L, 4L, 3L, 0L),    // {1,2,10,11,40}: edges (1,2)(10,11)(2,10)(11,40)
+      Seq(20L, 2L, 1L, 3L, 0L),   // untouched
+      Seq(30L, 2L, 1L, 3L, 0L)),  // brand-new
+      s"unexpected q50 output: $got")
+    // maintained-equals-derived: q49 over the union, modulo n_new_edges
+    val derived = RelationalOps.q49ComponentsFrom(plOld.unionByName(plNew))
+      .collect().map(_.toSeq).toSeq
+    assert(got.map(r => r.patch(3, Nil, 1)) == derived)
+    // read idempotence (q41's discipline: the delta never persists)
+    val again = RelationalOps.q50From(cntT, lblT, plOld, plNew)
+      .collect().map(_.toSeq).toSeq
+    assert(again == got, "second read diverged — fold persisted something")
+  }
+
+  test("q50: empty delta is a true no-op (empty contracted graph)") {
+    import spark.implicits._
+    val cntT = graft.sources.LayoutOps.stateTable("graft_state_q50spec2_cnt", "b")
+    val lblT = graft.sources.LayoutOps.stateTable("graft_state_q50spec2_lbl", "b")
+    val none = Seq.empty[(Long, Long)].toDF("o", "p")
+    val got = RelationalOps.q50From(cntT, lblT, plOld, none)
+      .collect().map(_.toSeq).toSeq
+    val derived = RelationalOps.q49ComponentsFrom(plOld)
+      .collect().map(_.toSeq).toSeq
+    assert(got.map(r => r.patch(3, Nil, 1)) == derived)
+    assert(got.forall(_(3) == 0L), "no edge crossed, n_new_edges must be 0")
+  }
+
+  test("q50: fold joins the standing counts with zero standing-side exchange") {
+    val cntT = graft.sources.LayoutOps.stateTable("graft_state_q50spec3_cnt", "c")
+    val lblT = graft.sources.LayoutOps.stateTable("graft_state_q50spec3_lbl", "c")
+    RelationalOps.q50From(cntT, lblT, plOld, plNew).collect() // build state
+    val df = RelationalOps.q50Fold(cntT, plNew)
+    val plan = physical(df)
+    def cntScan(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("graft_state_q50spec3_cnt")) => s
+    }
+    val scans = cntScan(plan)
+    assert(scans.nonEmpty, "fold does not scan the standing counts table")
+    assert(scans.forall(_.bucketedScan),
+      "standing counts scan is not reading the bucket layout")
+    // the LOWEST join over the standing scan is the fold; its standing-
+    // side child must contain no shuffle (the delta side pays the one
+    // delta-sized repartition)
+    val folds = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if cntScan(j).nonEmpty => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if cntScan(j).nonEmpty => j
+    }
+    assert(folds.nonEmpty, "no shuffled join over the standing counts scan")
+    val fold = folds.minBy(_.collect { case p => p }.size)
+    val standingSide = fold.children.filter(c => cntScan(c).nonEmpty)
+    assert(standingSide.nonEmpty)
+    standingSide.foreach { side =>
+      val ex = side.collect { case e: ShuffleExchangeExec => e }
+      assert(ex.isEmpty,
+        s"standing side of the fold rides ${ex.size} exchange(s)")
+    }
+  }
+
+  test("q49: planted graph labels by component minimum") {
+    import spark.implicits._
+    // chain 1-2-3 (each pair twice), isolated pair (9,8) twice, and a
+    // noise pair (5,6) once — below support, must not appear
+    val pl = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 3L), (4L, 2L), (4L, 3L),
+      (5L, 8L), (5L, 9L), (6L, 8L), (6L, 9L),
+      (7L, 5L), (7L, 6L)
+    ).toDF("o", "p")
+    val got = RelationalOps.q49ComponentsFrom(pl)
+      .collect().map(_.toSeq).toSeq
+    assert(got == Seq(
+      Seq(1L, 3L, 2L, 0L),   // {1,2,3}, edges (1,2)(2,3)
+      Seq(8L, 2L, 1L, 0L)))  // {8,9}
+  }
+}
