@@ -531,9 +531,40 @@ object DedupOps {
     * fingerprints) shares one component engine. Returns an eagerly
     * checkpointed `(id, lbl)` frame covering every node that appears
     * in a pair; loop state is fully released on every exit path. */
+  /** Node-count bound under which the per-round label vector is
+    * broadcast-joined instead of shuffle-joined inside
+    * [[componentsFrom]]: 1M (id, lbl) longs ≈ 16 MB serialized — well
+    * inside executor broadcast budgets, and far above any
+    * support-pruned affinity graph; a crawl-scale near-dup graph
+    * exceeds it and keeps the shuffle shape. */
+  private val BroadcastLabelBound = 1000000L
+
+  /** Edge-count bound under which the whole component computation runs
+    * as a driver-side union-find over ONE bounded collect. The general
+    * rule here is "never iterate over collect() results" — what makes
+    * this the measured exception is that EVERY per-round cost of the
+    * distributed loop (plan+codegen compile, broadcast round-trips, 32
+    * task launches per stage) is pure overhead when the graph is
+    * thousands of edges: q49's support-pruned graph at sf0.1 is 3.5k
+    * edges, and 7 broadcast-hinted supersteps still cost ~8 s of
+    * scheduling against ~3 ms of actual union-find work. The collect is
+    * memory-bounded BY CONSTRUCTION (limit(bound+1) — 1M edge rows ≈
+    * 16 MB — probes the size and the rows in one pass), and a graph
+    * over the bound falls back to the superstep loop, which is the
+    * correct shape for a crawl-scale near-dup graph. Same tradeoff
+    * class as the s-family's driver-side k-means centroids. */
+  private val DriverCcBound = 1000000
+
   private[operators] def componentsFrom(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // Size probe + small-graph fast path in one pass: limit() bounds
+    // the driver memory, not the upstream work — if the pair subtree
+    // is big the probe row count just exceeds the bound and the
+    // distributed loop below recomputes it (one extra pass, amortized
+    // against ~30 supersteps at that scale).
+    val probe = pairs.limit(DriverCcBound + 1).collect()
+    if (probe.length <= DriverCcBound) return driverComponents(spark, probe)
     // Undirected graph → both directions, so one join per round
     // propagates labels both ways.
     val edges = pairs
@@ -560,19 +591,34 @@ object DedupOps {
     try {
       // Labels only ever decrease, so the (exact, integer) label sum is a
       // monotone convergence measure: unchanged sum ⇔ fixpoint.
-      var prevSum = labels.agg(sum($"lbl")).as[Long].head()
+      // The same action also counts the nodes: a lazily-checkpointed
+      // label vector is a LogicalRDD with NO stats, so the planner
+      // assumes it is huge and plans every per-round join as a full
+      // shuffle join — measured 2 s/round on a 3.5k-edge graph (q49 at
+      // sf0.1), pure exchange/codegen overhead on tiny frames. When the
+      // vector is provably small, hint broadcast on every label-sided
+      // join: the round becomes broadcast joins + ONE tiny aggregate
+      // shuffle (16.0 → 6.4 s for q49, same host/SF). Above the bound
+      // the hint would ship a corpus-sized vector to every executor per
+      // round — fall back to shuffle joins, which is the correct shape
+      // for a 100 TB near-dup graph.
+      val init = labels.agg(sum($"lbl"), count(lit(1))).head()
+      var prevSum = init.getLong(0)
+      val bcastLabels = init.getLong(1) <= BroadcastLabelBound
+      def side(df: DataFrame): DataFrame =
+        if (bcastLabels) broadcast(df) else df
       while (!converged && rounds < maxRounds) {
-        val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        val nbrMin = edges.join(side(labels), edges("src") === labels("id"))
           .groupBy($"dst").agg(min($"lbl").as("nbr"))
           .select($"dst".as("id"), $"nbr")
-        val propagated = labels.join(nbrMin, Seq("id"), "left")
+        val propagated = labels.join(side(nbrMin), Seq("id"), "left")
           .select($"id", least($"lbl", coalesce($"nbr", $"lbl")).as("lbl"))
         // Pointer doubling: lbl ← min(lbl, labels[lbl]). Every lbl value
         // is a node id present in `propagated`, so the inner self-join is
         // total; chains compress by half per round.
         val next = propagated.as("a")
-          .join(propagated.select($"id".as("pid"), $"lbl".as("plbl")).as("b"),
-                $"a.lbl" === $"b.pid")
+          .join(side(propagated.select($"id".as("pid"), $"lbl".as("plbl")))
+            .as("b"), $"a.lbl" === $"b.pid")
           .select($"a.id", least($"a.lbl", $"b.plbl").as("lbl"))
           .localCheckpoint(eager = false)
         // if the sum job dies, `next`'s partially cached blocks are not
@@ -590,6 +636,8 @@ object DedupOps {
       if (!converged)
         throw new IllegalStateException(
           s"componentsFrom: label propagation did not converge in $maxRounds rounds")
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .info(s"componentsFrom: superstep loop converged in $rounds rounds")
       // Materialize the (small) final result eagerly; the finally then
       // releases the loop state without un-backing the returned frame.
       labels.select($"id", $"lbl").localCheckpoint()
@@ -597,6 +645,41 @@ object DedupOps {
       unpersistCheckpointed(labels)
       edges.unpersist(blocking = false)
     }
+  }
+
+  /** The small-graph arm of [[componentsFrom]]: union-find with path
+    * compression over the collected (i, j) pairs, labels = min node id
+    * per component (exactly what the min-propagation loop converges
+    * to, so the two arms are output-indistinguishable — the bound can
+    * move without any result changing). Returns the same eagerly
+    * checkpointed (id, lbl) frame contract as the loop. */
+  private def driverComponents(spark: SparkSession,
+      pairs: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    pairs.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      // union by MIN root: the surviving root is the smaller id, so a
+      // root IS its component's min — no second normalization pass
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet().forEach(id => out += ((id.longValue(), find(id.longValue()))))
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"componentsFrom: driver union-find over ${pairs.length} pairs, " +
+        s"${parent.size} nodes")
+    out.toSeq.toDF("id", "lbl").localCheckpoint()
   }
 
   val d8DupClustersSql: String =

@@ -2729,13 +2729,17 @@ object RelationalOps {
       .groupBy($"a", $"b").agg(count(lit(1)).as("n"))
       .filter($"n" >= Q49MinSupport)
       .select($"a", $"b")
-    val labels = q50Labels(ed.select($"a".as("i"), $"b".as("j")))
-    try
-      q49Summary(ed, labels)
-        .transform(withOneRow(_, truncatedBaskets(pl, cap)))
-        .orderBy($"n_members".desc, $"component_id")
-        .localCheckpoint() // eager: backs the result past the finally
-    finally DedupOps.unpersistCheckpointed(labels)
+      .localCheckpoint() // the corpus-sized pair agg feeds BOTH the
+                         // propagation loop and the summary — run it once
+    try {
+      val labels = q50Labels(ed.select($"a".as("i"), $"b".as("j")))
+      try
+        q49Summary(ed, labels)
+          .transform(withOneRow(_, truncatedBaskets(pl, cap)))
+          .orderBy($"n_members".desc, $"component_id")
+          .localCheckpoint() // eager: backs the result past the finally
+      finally DedupOps.unpersistCheckpointed(labels)
+    } finally DedupOps.unpersistCheckpointed(ed)
   }
 
   /** Per-component summary over a canonical (a < b) edge frame and its
@@ -2928,20 +2932,12 @@ object RelationalOps {
         coalesce($"n_old", lit(0L)).as("n_old"))
   }
 
-  /** [[DedupOps.componentsFrom]] tolerant of an EMPTY pair frame (a
+  /** [[DedupOps.componentsFrom]], including the empty-pair case (a
     * fold with no crossing edges — the common day-2 case on a quiet
-    * corpus): the propagation loop's convergence sum is null on zero
-    * rows, so short-circuit to an empty (id, lbl) frame instead. */
-  private def q50Labels(pairs: DataFrame): DataFrame = {
-    import pairs.sparkSession.implicits._
-    if (pairs.isEmpty)
-      // checkpointed like componentsFrom's result so the caller's
-      // release discipline is uniform (unpersistCheckpointed warns on
-      // non-checkpointed frames by design)
-      pairs.sparkSession.range(0).select($"id", $"id".as("lbl"))
-        .localCheckpoint()
-    else DedupOps.componentsFrom(pairs)
-  }
+    * corpus): an empty frame is below the driver union-find bound by
+    * definition, so it resolves to an empty (id, lbl) frame there. */
+  private def q50Labels(pairs: DataFrame): DataFrame =
+    DedupOps.componentsFrom(pairs)
 
   val q50ComponentsDay2Sql: String = {
     import graft.functions.EngineFns.sqlMd5Long
