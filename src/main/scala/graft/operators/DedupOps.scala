@@ -1450,6 +1450,184 @@ object DedupOps {
        |FROM rungs CROSS JOIN tot
        |ORDER BY method""".stripMargin
 
+  // --------------------------------------------------------------- d21
+  /** MinHash-LSH band tuning curve — the dedup analog of s17's nprobe
+    * curve: for every banding of the 16-slot signature (16×1, 8×2,
+    * 4×4 = d4's shipped config, 2×8, 1×16), the measured candidate
+    * count, recall and precision against the EXACT trigram-set Jaccard
+    * ≥ 0.6 ground truth, next to the theoretical hit rate at J = 0.6.
+    * This is the table a pipeline owner reads before moving the dedup
+    * knob: more bands → higher recall, more candidates to verify;
+    * fewer → cheaper, leakier. The theory column is exact integer
+    * arithmetic — J = 3/5, so 1−(1−J^r)^b = (5^16 − (5^r−3^r)^b)/5^16
+    * in permille with every intermediate inside a BIGINT — no
+    * cross-engine pow() in sight.
+    *
+    * Ground truth matches d9's estimator ledger (DISTINCT gram sets,
+    * inter/union), generated via the shared-gram join — exact for
+    * J ≥ 0.6 since such pairs share grams by definition — never
+    * all-pairs. Degenerate LSH buckets (a band key shared by > 256
+    * docs — a boilerplate min-gram at crawl scale) are EXCLUDED from
+    * pair generation and surfaced per config as `n_capped_buckets`
+    * (d11's cap + honest-flag discipline; a no-op on the declared
+    * data, spec-pinned against a planted hot bucket).
+    *
+    * Scale shape: signatures and gram sets are computed ONCE and
+    * shared across the 5 configs (persist + release); each config's
+    * candidate join is bucket-bounded by the cap; the per-config
+    * counts are driver-side scalars, so the output frame is 5 rows
+    * built from aggregates, never a collected pair set. */
+  private[operators] val D21Configs =
+    Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+  private[operators] val D21BucketCap = 256
+
+  /** Exact 1−(1−(3/5)^r)^b in permille, all-integer. */
+  private def d21Theory(b: Int, r: Int): Long = {
+    val p516 = BigInt(5).pow(16)
+    val miss = (BigInt(5).pow(r) - BigInt(3).pow(r)).pow(b) *
+      BigInt(5).pow(16 - b * r)
+    ((p516 - miss) * 1000 / p516).toLong
+  }
+
+  def d21BandTuning(spark: SparkSession, dir: String): DataFrame =
+    d21BandTuningFrom(docs(spark, dir))
+
+  private[operators] def d21BandTuningFrom(docsDf: DataFrame,
+      cap: Int = D21BucketCap): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    val hs = gramSetsFrom(docsDf).persist()
+    val sig = minhashSigsFrom(hs).persist()
+    try {
+      // exact ground truth over DISTINCT gram sets via shared-gram join
+      val g = hs.select($"doc_id", size($"hs").as("c"), explode($"hs").as("gh"))
+      val truth = g.as("a").join(g.hint("shuffle_hash").as("b"),
+          $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+          $"a.c".as("ca"), $"b.c".as("cb"))
+        .agg(count(lit(1)).as("inter"))
+        .filter($"inter" * 10 >= ($"ca" + $"cb" - $"inter") * 6)
+        .select($"i", $"j")
+        .localCheckpoint() // consumed once per config below
+      try {
+        val nTrue = truth.count()
+        // ALL configs ride one pipeline: a per-config driver loop costs
+        // ~4 actions × 5 configs of pure scheduling (measured 12.9 s at
+        // sf0.1); unioning the 31 band rows/doc into one frame computes
+        // the whole curve in 3 aggregate actions (12.9 → 8.9 s measured;
+        // the remainder is the real banding/join work — d4's single
+        // config alone is 1.3 s, this runs five plus exact truth), and
+        // at 100 TB it is one corpus pass instead of five.
+        val bandedAll = D21Configs.map { case (b, r) =>
+          val keyCols = array((0 until b).map { bi =>
+            md5(concat_ws(",", (0 until r).map(i =>
+              col(s"m${bi * r + i}").cast("string")): _*).cast("binary"))
+          }: _*)
+          sig.select(lit(b).as("bands"), $"doc_id",
+            posexplode(keyCols).as(Seq("band", "key")))
+        }.reduce(_ unionByName _)
+        val sized = bandedAll.withColumn("bn",
+          count(lit(1)).over(Window.partitionBy($"bands", $"band", $"key")))
+        val ok = sized.filter($"bn" <= cap)
+          .select($"bands", $"doc_id", $"band", $"key")
+        val nCapped = sized.filter($"bn" > cap)
+          .select($"bands", $"band", $"key").distinct()
+          .groupBy($"bands").agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val cand = ok.as("a").join(ok.as("b"),
+            $"a.bands" === $"b.bands" && $"a.band" === $"b.band" &&
+              $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.bands".as("bands"), $"a.doc_id".as("i"),
+            $"b.doc_id".as("j")).distinct()
+          .localCheckpoint() // consumed twice: count + hit semi-join
+        try {
+          val nCand = cand.groupBy($"bands").agg(count(lit(1)).as("c"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val nHit = cand.join(truth, Seq("i", "j"), "left_semi")
+            .groupBy($"bands").agg(count(lit(1)).as("c"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          def pm(a: Long, t: Long): Long =
+            if (t == 0) 0L else math.floor(1000.0 * a / t).toLong
+          val rows = D21Configs.map { case (b, r) =>
+            val (c, h) = (nCand.getOrElse(b, 0L), nHit.getOrElse(b, 0L))
+            (b, r, c, nTrue, h, pm(h, nTrue), pm(h, c), d21Theory(b, r),
+              nCapped.getOrElse(b, 0L))
+          }
+          rows.toDF("bands", "rows_per_band", "n_candidates", "n_true",
+              "n_hit", "recall_milli", "precision_milli", "theory600_milli",
+              "n_capped_buckets")
+            .orderBy($"bands".desc)
+        } finally unpersistCheckpointed(cand)
+      } finally unpersistCheckpointed(truth)
+    } finally {
+      sig.unpersist(blocking = false)
+      hs.unpersist(blocking = false)
+    }
+  }
+
+  val d21BandTuningSql: String = {
+    val cfgs = D21Configs.map { case (b, r) =>
+      val theory = d21Theory(b, r)
+      s"""b${b}_bands AS MATERIALIZED (
+         |  SELECT doc_id, u.b AS band,
+         |    md5(array_to_string(list_transform(sig[u.b*$r+1:u.b*$r+$r],
+         |        x -> CAST(x AS VARCHAR)), ',')) AS key
+         |  FROM sig, UNNEST(generate_series(0, ${b - 1})) AS u(b)),
+         |b${b}_sz AS MATERIALIZED (
+         |  SELECT band, key, COUNT(*) AS bn FROM b${b}_bands GROUP BY 1, 2),
+         |b${b}_ok AS MATERIALIZED (
+         |  SELECT t.doc_id, t.band, t.key
+         |  FROM b${b}_bands t JOIN b${b}_sz USING (band, key)
+         |  WHERE bn <= $D21BucketCap),
+         |b${b}_cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM b${b}_ok a JOIN b${b}_ok b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |b${b}_row AS (
+         |  SELECT $b AS bands, $r AS rows_per_band,
+         |    (SELECT COUNT(*) FROM b${b}_cand) AS n_candidates,
+         |    (SELECT COUNT(*) FROM truth) AS n_true,
+         |    (SELECT COUNT(*) FROM b${b}_cand c
+         |      JOIN truth t ON c.i = t.i AND c.j = t.j) AS n_hit,
+         |    CAST($theory AS BIGINT) AS theory600_milli,
+         |    (SELECT COUNT(*) FROM b${b}_sz WHERE bn > $D21BucketCap)
+         |      AS n_capped_buckets)""".stripMargin
+    }.mkString(",\n")
+    val rowsUnion = D21Configs.map { case (b, _) =>
+      s"SELECT * FROM b${b}_row"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |gr AS (SELECT doc_id,
+       |  list_transform(${sqlTrigrams("l")}, g -> ${sqlMd5Long("g")} % 2147483647) AS gh
+       |  FROM toks),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, 15), s ->
+       |      list_min(list_transform(gh, h ->
+       |        (((${sqlMd5Long("'A' || CAST(s AS VARCHAR)")} % 2147483646) + 1) * h
+       |          + (${sqlMd5Long("'B' || CAST(s AS VARCHAR)")} % 2147483647))
+       |        % 2147483647))) AS sig
+       |  FROM gr),
+       |gsets AS (SELECT doc_id, list_distinct(gh) AS hs FROM gr),
+       |gx AS (SELECT doc_id, len(hs) AS c, unnest(hs) AS gh FROM gsets),
+       |truth AS MATERIALIZED (
+       |  SELECT a.doc_id AS i, b.doc_id AS j
+       |  FROM gx a JOIN gx b ON a.gh = b.gh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.c, b.c
+       |  HAVING COUNT(*) * 10 >= (a.c + b.c - COUNT(*)) * 6),
+       |$cfgs,
+       |curve AS ($rowsUnion)
+       |SELECT bands, rows_per_band, n_candidates, n_true, n_hit,
+       |  CASE WHEN n_true = 0 THEN 0
+       |       ELSE ${sqlPermille("n_hit", "n_true")} END AS recall_milli,
+       |  CASE WHEN n_candidates = 0 THEN 0
+       |       ELSE ${sqlPermille("n_hit", "n_candidates")} END AS precision_milli,
+       |  theory600_milli, n_capped_buckets
+       |FROM curve
+       |ORDER BY bands DESC""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact"   -> (d1DedupExact _),
     "d2_dedup_normset" -> (d2DedupNormSet _),
@@ -1471,6 +1649,7 @@ object DedupOps {
     "d18_cosine_dup_hotsplit" -> (d18CosineDupHotsplit _),
     "d19_dupspan_coverage" -> (d19DupspanCoverage _),
     "d20_dedup_ladder" -> (d20DedupLadder _),
+    "d21_band_tuning"  -> (d21BandTuning _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1496,5 +1675,6 @@ object DedupOps {
     "d18_cosine_dup_hotsplit" -> d18CosineDupHotsplitSql,
     "d19_dupspan_coverage" -> d19DupspanCoverageSql,
     "d20_dedup_ladder" -> d20DedupLadderSql,
+    "d21_band_tuning"  -> d21BandTuningSql,
   )
 }

@@ -115,6 +115,32 @@ class Round11bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d21: degenerate LSH buckets are capped and surfaced per config") {
+    import spark.implicits._
+    // 260 byte-identical boilerplate docs (> cap): one band bucket per
+    // band holds all 260 in EVERY config — excluded from pairing,
+    // surfaced as `bands` capped buckets. One honest dup pair survives.
+    val boiler = (0L until 260L).map(i =>
+      (i, "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+    val pair = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1001L, "the quick brown fox jumps over the lazy dog tonight"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+    val rows = DedupOps.d21BandTuningFrom(docs).collect()
+    assert(rows.length == 5)
+    val nTrue = 260L * 259L / 2L + 1L
+    rows.foreach { r =>
+      val bands = r.getAs[Int]("bands")
+      assert(r.getAs[Long]("n_capped_buckets") == bands.toLong,
+        s"config $bands: expected one capped bucket per band")
+      assert(r.getAs[Long]("n_candidates") == 1L,
+        s"config $bands: capped bucket leaked candidates")
+      assert(r.getAs[Long]("n_hit") == 1L)
+      assert(r.getAs[Long]("n_true") == nTrue,
+        "ground truth must ignore the cap (it reports what LSH missed)")
+    }
+  }
+
   test("q49: planted graph labels by component minimum") {
     import spark.implicits._
     // chain 1-2-3 (each pair twice), isolated pair (9,8) twice, and a
