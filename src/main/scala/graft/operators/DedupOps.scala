@@ -555,7 +555,12 @@ object DedupOps {
     * class as the s-family's driver-side k-means centroids. */
   private val DriverCcBound = 1000000
 
-  private[operators] def componentsFrom(pairs: DataFrame): DataFrame = {
+  /** `driverBound` is parameterized ONLY so the spec can force the
+    * superstep arm on a planted graph (every testbed graph is under
+    * the production bound, which would otherwise leave the
+    * at-scale path untested). */
+  private[operators] def componentsFrom(pairs: DataFrame,
+      driverBound: Int = DriverCcBound): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     // Size probe + small-graph fast path in one pass: limit() bounds
@@ -563,8 +568,8 @@ object DedupOps {
     // is big the probe row count just exceeds the bound and the
     // distributed loop below recomputes it (one extra pass, amortized
     // against ~30 supersteps at that scale).
-    val probe = pairs.limit(DriverCcBound + 1).collect()
-    if (probe.length <= DriverCcBound) return driverComponents(spark, probe)
+    val probe = pairs.limit(driverBound + 1).collect()
+    if (probe.length <= driverBound) return driverComponents(spark, probe)
     // Undirected graph → both directions, so one join per round
     // propagates labels both ways.
     val edges = pairs

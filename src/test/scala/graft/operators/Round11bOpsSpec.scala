@@ -141,6 +141,29 @@ class Round11bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("componentsFrom: superstep loop agrees with the driver union-find") {
+    import spark.implicits._
+    // chain, 3-cycle, isolated edge — forced down BOTH arms: the
+    // production bound sends every testbed graph to the driver
+    // union-find, so without forcing bound=0 the distributed loop
+    // would be dead code under test
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L)).toDF("i", "j")
+    val want = Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
+    val viaDriver = DedupOps.componentsFrom(pairs)
+    val viaLoop = DedupOps.componentsFrom(pairs, driverBound = 0)
+    try {
+      def toSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(toSet(viaDriver) == want)
+      assert(toSet(viaLoop) == want, "superstep arm diverged from union-find")
+    } finally {
+      DedupOps.unpersistCheckpointed(viaDriver)
+      DedupOps.unpersistCheckpointed(viaLoop)
+    }
+  }
+
   test("q49: planted graph labels by component minimum") {
     import spark.implicits._
     // chain 1-2-3 (each pair twice), isolated pair (9,8) twice, and a
