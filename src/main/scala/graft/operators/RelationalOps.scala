@@ -2977,6 +2977,93 @@ object RelationalOps {
       |LIMIT 50""".stripMargin
   }
 
+  // --------------------------------------------------------------- q51
+  /** Mergeable histogram quantiles with day-2 maintenance — the
+    * production quantile path at 100 TB, where an exact percentile
+    * (q25) costs a full sort every day. Prices bin into fixed $128
+    * buckets on EXACT integer cents (decimal-cast first — the engine's
+    * double→decimal rule — so both engines bin identically); the
+    * standing state is the per-(returnflag, bin) count table —
+    * metadata-sized, additive, and therefore mergeable by a
+    * union+re-aggregate exactly like q41's summary. Every read folds
+    * the day's arrivals in and answers p50/p90/p99 as the lower edge
+    * of the first bin whose cumulative count reaches ⌈k·N/100⌉ — all
+    * integer arithmetic, so the result is bit-identical across engines
+    * and the oracle certifies maintained-equals-derived from scratch.
+    * Unlike q15's HLL/KLL surface (rows-only by construction: sketch
+    * internals differ across engines), the deterministic histogram is
+    * the sketch the correctness gate CAN hash — the error model is
+    * explicit (≤ one bin width) instead of implementation-defined.
+    *
+    * Scale shape: the day-2 cost is one batch-sized scan collapsing
+    * map-side into ≤ |flags|·|bins| rows; the fold and the cumulative
+    * window run on the metadata-sized histogram, never the corpus.
+    * `n_delta_rows` rides along so the incremental path is visible. */
+  private[operators] val Q51BinCents = 12800L
+
+  def q51QuantileDay2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    val histT = graft.sources.LayoutOps.stateTable("graft_state_q51_hist", dir)
+    val isNew = pmod(md5Long(concat($"l_orderkey".cast("string"), lit(":"),
+      $"l_linenumber".cast("string"), lit(":q51"))), lit(5L)) === 0L
+    def histOf(df: DataFrame): DataFrame = df
+      .select($"l_returnflag",
+        expr(s"CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+          s" div $Q51BinCents").as("bin"))
+      .groupBy($"l_returnflag", $"bin").agg(count(lit(1)).as("n"))
+    val li = t(spark, dir, "lineitem")
+    if (!spark.catalog.tableExists(histT)) {
+      graft.sources.LayoutOps.clearStaleLocation(spark, histT)
+      histOf(li.filter(!isNew))
+        .write.mode("overwrite").format("parquet").saveAsTable(histT)
+    }
+    val delta = histOf(li.filter(isNew))
+    val hist = spark.table(histT).unionByName(delta)
+      .groupBy($"l_returnflag", $"bin").agg(sum($"n").as("n"))
+    val w = Window.partitionBy($"l_returnflag").orderBy($"bin")
+    val cum = hist
+      .withColumn("cum", sum($"n").over(w))
+      .withColumn("total", sum($"n").over(Window.partitionBy($"l_returnflag")))
+    def pick(k: Int) = min(when(
+      $"cum" * 100 >= $"total" * k, $"bin" * Q51BinCents)).as(s"p${k}_cents")
+    cum.groupBy($"l_returnflag")
+      .agg(max($"total").as("n_rows"), pick(50), pick(90), pick(99))
+      .transform(withOneRow(_,
+        delta.agg(coalesce(sum($"n"), lit(0L)).as("n_delta_rows"))))
+      .orderBy($"l_returnflag")
+  }
+
+  val q51QuantileDay2Sql: String = {
+    import graft.functions.EngineFns.sqlMd5Long
+    val coin = sqlMd5Long(
+      "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) || ':q51'") +
+      " % 5 = 0"
+    val B = Q51BinCents
+    s"""WITH hist AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) // $B
+      |      AS bin,
+      |    COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |delta AS (
+      |  SELECT CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS n_delta_rows
+      |  FROM lineitem WHERE $coin),
+      |cum AS (
+      |  SELECT l_returnflag, bin, n,
+      |    SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+      |    SUM(n) OVER (PARTITION BY l_returnflag) AS total
+      |  FROM hist)
+      |SELECT l_returnflag, CAST(MAX(total) AS BIGINT) AS n_rows,
+      |  MIN(CASE WHEN cum * 100 >= total * 50 THEN bin * $B END) AS p50_cents,
+      |  MIN(CASE WHEN cum * 100 >= total * 90 THEN bin * $B END) AS p90_cents,
+      |  MIN(CASE WHEN cum * 100 >= total * 99 THEN bin * $B END) AS p99_cents,
+      |  delta.n_delta_rows
+      |FROM cum CROSS JOIN delta
+      |GROUP BY l_returnflag, delta.n_delta_rows
+      |ORDER BY l_returnflag""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -3028,6 +3115,7 @@ object RelationalOps {
     "q48_triangles_day2" -> (q48TrianglesDay2 _),
     "q49_components"     -> (q49Components _),
     "q50_components_day2" -> (q50ComponentsDay2 _),
+    "q51_quantile_day2"  -> (q51QuantileDay2 _),
   )
 
   // --------------------------------------------------------------- q15
@@ -3104,5 +3192,6 @@ object RelationalOps {
     "q48_triangles_day2" -> q44TrianglesSql,
     "q49_components"     -> q49ComponentsSql,
     "q50_components_day2" -> q50ComponentsDay2Sql,
+    "q51_quantile_day2"  -> q51QuantileDay2Sql,
   )
 }

@@ -164,6 +164,37 @@ class Round11bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q51: histogram quantile equals the binned exact order statistic") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("q51_quantile_day2")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // independent derivation: the first bin whose cumulative count
+    // reaches ceil(kN/100) is by definition the bin holding the
+    // ceil(kN/100)-th smallest value — so pXX_cents must equal that
+    // order statistic's own bin edge
+    val byFlag = graft.Tables(spark, sf, "lineitem")
+      .select($"l_returnflag".as("f"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("c"))
+      .collect().groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
+    out.foreach { r =>
+      val f = r.getString(0)
+      val vs = byFlag(f)
+      assert(r.getAs[Long]("n_rows") == vs.length.toLong)
+      Seq(50, 90, 99).foreach { k =>
+        val target = (vs.length.toLong * k + 99) / 100 // ceil(kN/100)
+        val exact = vs((target - 1).toInt)
+        assert(r.getAs[Long](s"p${k}_cents") == exact / 12800L * 12800L,
+          s"flag $f p$k")
+      }
+    }
+    // read idempotence: the delta never persists
+    val again = graft.SparkEntry.queries("q51_quantile_day2")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(again == out.map(_.toSeq).toSeq)
+  }
+
   test("q49: planted graph labels by component minimum") {
     import spark.implicits._
     // chain 1-2-3 (each pair twice), isolated pair (9,8) twice, and a
