@@ -522,6 +522,195 @@ object MultimodalOps {
   }
 
   // ------------------------------------------------------------ registry
+  // ---------------------------------------------------------------- m9
+  /** Day-2 media near-dup maintenance — m5 kept fresh as new streams
+    * arrive, including the piece the APPEND-ONLY incremental dedups
+    * (d13/d15/d16, t26) never face: DF-CAP CHURN. m5 excludes
+    * boilerplate frames (sig in > [[M5DfCap]] streams); a new batch can
+    * push a previously-counted sig OVER the cap, which RETRACTS its +1
+    * from every standing pair that shared it and shrinks both docs'
+    * signature-set sizes — the maintenance is decremental, not
+    * append-only. Hot sigs never cool (df only grows), which is the
+    * monotonicity that makes one-directional retraction sound.
+    *
+    * Standing state: the full posting list (sig, doc) bucketed by sig
+    * (the key every probe and retraction joins on), the per-sig df, the
+    * candidate pair intersections over non-hot sigs, and the per-doc
+    * non-hot set sizes. Read-time fold (q41's read-only discipline —
+    * the delta never persists, replays are structurally impossible):
+    *
+    *  - ΔE⁺: batch sigs that are cool under the FOLDED df self-join and
+    *    join still-cool old postings → new pair contributions;
+    *  - ΔE⁻: each sig crossing the cap this fold retracts one
+    *    intersection from every standing pair inside its OLD posting
+    *    list — ≤ cap docs per crossing sig, so the same cap that bounds
+    *    the candidate join bounds the retraction at ≤ cap²/2 pairs;
+    *  - per-doc sizes fold by the same ± deltas.
+    *
+    * Jaccard re-derives from the folded (shared, ni, nj); the output is
+    * exactly m5 over the union (the oracle certifies maintained-equals-
+    * derived) plus a constant `n_crossing_sigs` so the churn path is
+    * visible at the surface (and spec-pinned against a planted
+    * crossing). Daily cost ∝ batch postings + crossing·cap² — never a
+    * corpus re-pair. */
+  def m9MediaDedupDay2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    val docsAll = Tables(spark, dir, "documents")
+    val isNew = pmod(md5Long(concat($"doc_id".cast("string"), lit(":m9"))),
+      lit(5L)) === 0L
+    def st(p: String) = graft.sources.LayoutOps.stateTable(p, dir)
+    m9From(st("graft_state_m9_post"), st("graft_state_m9_df"),
+      st("graft_state_m9_pair"), st("graft_state_m9_n"),
+      docsAll.filter(!isNew), docsAll.filter(isNew))
+  }
+
+  /** Frame signatures (doc_id, frame_sig), DISTINCT per doc, for an
+    * arbitrary documents frame — m4's decode path without the
+    * presentation columns, shared by m9's day-1 build and its per-batch
+    * delta. */
+  private[operators] def m9SigsFrom(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    docsDf.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .flatMap { case (id, text, _) =>
+        (0 to math.max(text.length - 1, 0) by 64).iterator.map { off =>
+          (id, FakeCodec.frameSig(
+            text.substring(off, math.min(off + 16, text.length))))
+        }
+      }.toDF("doc_id", "frame_sig").distinct()
+  }
+
+  /** [[m9MediaDedupDay2]]'s maintained core over explicit old/new doc
+    * frames and state table names — planted-churn specs enter here. */
+  private[operators] def m9From(postT: String, dfT: String, pairT: String,
+      nT: String, docsOld: DataFrame, docsNew: DataFrame,
+      cap: Int = M5DfCap): DataFrame = {
+    val spark = docsOld.sparkSession
+    import spark.implicits._
+    // ---- day 1 (first call only): decode the old corpus ONCE into the
+    // bucketed posting list, then derive df/pairs/sizes from the table
+    // (three reads of parquet beat three runs of the decode pass).
+    if (!spark.catalog.tableExists(postT) || !spark.catalog.tableExists(dfT)
+        || !spark.catalog.tableExists(pairT) || !spark.catalog.tableExists(nT)) {
+      Seq(dfT, pairT, nT)
+        .foreach(graft.sources.LayoutOps.clearStaleLocation(spark, _))
+      graft.sources.LayoutOps.writeBucketed(
+        m9SigsFrom(docsOld), postT, "frame_sig", 32)
+      val post = spark.table(postT)
+      post.groupBy($"frame_sig").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").format("parquet").saveAsTable(dfT)
+      val hot = spark.table(dfT).filter($"df" > cap).select($"frame_sig")
+      val k = post.join(broadcast(hot), Seq("frame_sig"), "left_anti")
+      k.as("a").join(k.hint("shuffle_hash").as("b"),
+          $"a.frame_sig" === $"b.frame_sig" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+        .agg(count(lit(1)).as("shared"))
+        .write.mode("overwrite").format("parquet").saveAsTable(pairT)
+      k.groupBy($"doc_id").agg(count(lit(1)).as("n_sigs"))
+        .write.mode("overwrite").format("parquet").saveAsTable(nT)
+    }
+    // ---- every call: fold the batch in at read time
+    val sigsNew = m9SigsFrom(docsNew).localCheckpoint() // one decode pass
+    try {
+      val dfj = spark.table(dfT).select($"frame_sig", $"df".as("dfo"))
+        .join(sigsNew.groupBy($"frame_sig").agg(count(lit(1)).as("dfn")),
+          Seq("frame_sig"), "full_outer")
+        .select($"frame_sig",
+          (coalesce($"dfo", lit(0L)) > cap).as("hot_old"),
+          (coalesce($"dfo", lit(0L)) + coalesce($"dfn", lit(0L)) > cap)
+            .as("hot_all"))
+        .localCheckpoint() // sig-count-sized; consumed 3× below
+      try {
+        val crossing = dfj.filter(!$"hot_old" && $"hot_all")
+          .select($"frame_sig")
+        val hotAll = dfj.filter($"hot_all").select($"frame_sig")
+        val post = spark.table(postT)
+        // ΔE⁻: retract crossing sigs from standing pairs and sizes
+        val crossPost = post.join(broadcast(crossing), Seq("frame_sig"),
+          "left_semi")
+        val corrPairs = crossPost.as("a").join(crossPost.as("b"),
+            $"a.frame_sig" === $"b.frame_sig" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+          .agg((-count(lit(1))).as("shared"))
+        val corrN = crossPost.groupBy($"doc_id")
+          .agg((-count(lit(1))).as("n_sigs"))
+        // ΔE⁺: the batch's cool sigs against themselves and cool old postings
+        val okNew = sigsNew.join(broadcast(hotAll), Seq("frame_sig"),
+          "left_anti")
+        val okOldPost = post.join(broadcast(hotAll), Seq("frame_sig"),
+          "left_anti")
+        val newOld = okNew.as("x")
+          .join(okOldPost.hint("shuffle_hash").as("y"),
+            $"x.frame_sig" === $"y.frame_sig")
+          .select(least($"x.doc_id", $"y.doc_id").as("i"),
+            greatest($"x.doc_id", $"y.doc_id").as("j"))
+        val newNew = okNew.as("x").join(okNew.as("y"),
+            $"x.frame_sig" === $"y.frame_sig" && $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("i"), $"y.doc_id".as("j"))
+        val contrib = newOld.unionByName(newNew)
+          .groupBy($"i", $"j").agg(count(lit(1)).as("shared"))
+        // folds
+        val pairs = spark.table(pairT)
+          .unionByName(corrPairs).unionByName(contrib)
+          .groupBy($"i", $"j").agg(sum($"shared").as("shared"))
+          .filter($"shared" > 0)
+        val nAll = spark.table(nT).unionByName(corrN)
+          .unionByName(okNew.groupBy($"doc_id")
+            .agg(count(lit(1)).as("n_sigs")))
+          .groupBy($"doc_id").agg(sum($"n_sigs").as("n_sigs"))
+          .filter($"n_sigs" > 0)
+        val nCross = crossing.agg(count(lit(1)).as("n_crossing_sigs"))
+        pairs
+          .join(nAll.select($"doc_id".as("i"), $"n_sigs".as("ni")), Seq("i"))
+          .join(nAll.select($"doc_id".as("j"), $"n_sigs".as("nj")), Seq("j"))
+          .withColumn("jac_permille",
+            floor(lit(1000.0) * $"shared" / ($"ni" + $"nj" - $"shared"))
+              .cast("long"))
+          .filter($"jac_permille" >= 500)
+          .select($"i", $"j", $"shared", $"jac_permille")
+          .crossJoin(broadcast(nCross))
+          .orderBy($"i", $"j")
+          .localCheckpoint() // eager: backs the result past the finally
+      } finally DedupOps.unpersistCheckpointed(dfj)
+    } finally DedupOps.unpersistCheckpointed(sigsNew)
+  }
+
+  val m9MediaDedupDay2Sql: String = {
+    import graft.functions.EngineFns.sqlMd5Long
+    val coin = sqlMd5Long("CAST(doc_id AS VARCHAR) || ':m9'") + " % 5 = 0"
+    s"""WITH f AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id,
+      |    md5(substr(text, CAST(off + 1 AS INT), 16)) AS sig
+      |  FROM documents,
+      |    UNNEST(generate_series(0, greatest(length(text) - 1, 0), 64)) AS u(off)),
+      |newdoc AS (SELECT doc_id FROM documents WHERE $coin),
+      |df_all AS MATERIALIZED (SELECT sig, COUNT(*) AS c FROM f GROUP BY 1),
+      |df_old AS (
+      |  SELECT sig, COUNT(*) AS c FROM f
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM newdoc) GROUP BY 1),
+      |crossing AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_crossing_sigs
+      |  FROM df_all a LEFT JOIN df_old o USING (sig)
+      |  WHERE COALESCE(o.c, 0) <= $M5DfCap AND a.c > $M5DfCap),
+      |hot AS (SELECT sig FROM df_all WHERE c > $M5DfCap),
+      |k AS (SELECT doc_id, sig FROM f WHERE sig NOT IN (SELECT sig FROM hot)),
+      |n AS (SELECT doc_id, COUNT(*) AS n_sigs FROM k GROUP BY doc_id),
+      |p AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
+      |  FROM k a JOIN k b ON a.sig = b.sig AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i, j, shared,
+      |  CAST(FLOOR(1000.0 * shared / (na.n_sigs + nb.n_sigs - shared)) AS BIGINT)
+      |    AS jac_permille,
+      |  crossing.n_crossing_sigs
+      |FROM p JOIN n na ON p.i = na.doc_id JOIN n nb ON p.j = nb.doc_id
+      |CROSS JOIN crossing
+      |WHERE CAST(FLOOR(1000.0 * shared / (na.n_sigs + nb.n_sigs - shared)) AS BIGINT) >= 500
+      |ORDER BY i, j""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> (m1MultimodalMeta _),
     "m2_media_features"  -> (m2MediaFeatures _),
@@ -531,6 +720,7 @@ object MultimodalOps {
     "m6_modal_mismatch"  -> (m6ModalMismatch _),
     "m7_crossmodal_knn"  -> (m7CrossModalRetrieval _),
     "m8_media_canonical" -> (m8MediaCanonical _),
+    "m9_media_dedup_day2" -> (m9MediaDedupDay2 _),
   )
 
   /** m2 intentionally has no oracle (stubbed decode → rows-only check);
@@ -544,5 +734,6 @@ object MultimodalOps {
     "m6_modal_mismatch"  -> m6ModalMismatchSql,
     "m7_crossmodal_knn"  -> m7CrossModalRetrievalSql,
     "m8_media_canonical" -> m8MediaCanonicalSql,
+    "m9_media_dedup_day2" -> m9MediaDedupDay2Sql,
   )
 }

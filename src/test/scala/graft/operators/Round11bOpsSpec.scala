@@ -195,6 +195,54 @@ class Round11bOpsSpec extends AnyFunSuite {
     assert(again == out.map(_.toSeq).toSeq)
   }
 
+  test("m9: a sig crossing the df-cap retracts standing pairs") {
+    import spark.implicits._
+    // frames are 16-char substrings at 64-char stride; texts are built
+    // so frame boundaries land exactly on shared/unique 16+48 blocks
+    val A = "A" * 16; val B = "B" * 16; val F = "F" * 16; val G = "G" * 16
+    def doc(id: Long, text: String) = (id, text, text.length.toLong)
+    val old = Seq(
+      // docs 1,2: sigs {A,B,D_i} — pair (1,2) shares {A,B}, jac 500‰
+      doc(1L, A + "u1".padTo(48, '_') + B + "v1".padTo(48, '_') + "D1" * 8),
+      doc(2L, A + "u2".padTo(48, '_') + B + "v2".padTo(48, '_') + "D2" * 8),
+      // docs 3-5: sigs {A, C_i} — df(A) lands exactly AT the cap (5)
+      doc(3L, A + "u3".padTo(48, '_') + "C3" * 8),
+      doc(4L, A + "u4".padTo(48, '_') + "C4" * 8),
+      doc(5L, A + "u5".padTo(48, '_') + "C5" * 8)
+    ).toDF("doc_id", "text", "n_chars")
+    val nu = Seq(
+      // doc 10 carries A → df(A) = 6 > cap: A CROSSES
+      doc(10L, A + "uA".padTo(48, '_') + "XX" * 8),
+      // docs 11,12: a fresh near-dup pair {F,G}
+      doc(11L, F + "p1".padTo(48, '_') + G),
+      doc(12L, F + "p2".padTo(48, '_') + G)
+    ).toDF("doc_id", "text", "n_chars")
+    def st(p: String) = graft.sources.LayoutOps.stateTable(p, "m9spec")
+    val ts = (st("graft_state_m9s_post"), st("graft_state_m9s_df"),
+      st("graft_state_m9s_pair"), st("graft_state_m9s_n"))
+    // day 1 + empty batch: output IS from-scratch m5 over the old docs —
+    // pair (1,2) stands at exactly the 500‰ threshold via {A,B}
+    val empty = old.limit(0)
+    val d1 = MultimodalOps.m9From(ts._1, ts._2, ts._3, ts._4, old, empty)
+      .collect().map(_.toSeq).toSeq
+    assert(d1 == Seq(Seq(1L, 2L, 2L, 500L, 0L)), s"day-1: $d1")
+    // fold the batch: A crosses the cap → (1,2) loses A (jac 333‰,
+    // RETRACTED — the assertion an append-only maintainer fails);
+    // (11,12) arrives at 1000‰; doc 10's A is already hot (no pairs)
+    val d2 = MultimodalOps.m9From(ts._1, ts._2, ts._3, ts._4, old, nu)
+      .collect().map(_.toSeq).toSeq
+    assert(d2 == Seq(Seq(11L, 12L, 2L, 1000L, 1L)), s"day-2: $d2")
+    // maintained-equals-derived: from-scratch m5 over the union
+    val scratch = MultimodalOps.m5PairsFrom(
+        MultimodalOps.m9SigsFrom(old.unionByName(nu)))
+      .collect().map(_.toSeq).toSeq
+    assert(d2.map(_.dropRight(1)) == scratch)
+    // read idempotence
+    val again = MultimodalOps.m9From(ts._1, ts._2, ts._3, ts._4, old, nu)
+      .collect().map(_.toSeq).toSeq
+    assert(again == d2)
+  }
+
   test("q49: planted graph labels by component minimum") {
     import spark.implicits._
     // chain 1-2-3 (each pair twice), isolated pair (9,8) twice, and a
