@@ -569,7 +569,7 @@ object MultimodalOps {
     * arbitrary documents frame — m4's decode path without the
     * presentation columns, shared by m9's day-1 build and its per-batch
     * delta. */
-  private[operators] def m9SigsFrom(docsDf: DataFrame): DataFrame = {
+  private[graft] def m9SigsFrom(docsDf: DataFrame): DataFrame = {
     val spark = docsDf.sparkSession
     import spark.implicits._
     docsDf.select(col("doc_id"), col("text"), col("n_chars"))
@@ -589,79 +589,16 @@ object MultimodalOps {
       cap: Int = M5DfCap): DataFrame = {
     val spark = docsOld.sparkSession
     import spark.implicits._
-    // ---- day 1 (first call only): decode the old corpus ONCE into the
-    // bucketed posting list, then derive df/pairs/sizes from the table
-    // (three reads of parquet beat three runs of the decode pass).
     if (!spark.catalog.tableExists(postT) || !spark.catalog.tableExists(dfT)
-        || !spark.catalog.tableExists(pairT) || !spark.catalog.tableExists(nT)) {
-      Seq(dfT, pairT, nT)
-        .foreach(graft.sources.LayoutOps.clearStaleLocation(spark, _))
-      graft.sources.LayoutOps.writeBucketed(
-        m9SigsFrom(docsOld), postT, "frame_sig", 32)
-      val post = spark.table(postT)
-      post.groupBy($"frame_sig").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").format("parquet").saveAsTable(dfT)
-      val hot = spark.table(dfT).filter($"df" > cap).select($"frame_sig")
-      val k = post.join(broadcast(hot), Seq("frame_sig"), "left_anti")
-      k.as("a").join(k.hint("shuffle_hash").as("b"),
-          $"a.frame_sig" === $"b.frame_sig" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
-        .agg(count(lit(1)).as("shared"))
-        .write.mode("overwrite").format("parquet").saveAsTable(pairT)
-      k.groupBy($"doc_id").agg(count(lit(1)).as("n_sigs"))
-        .write.mode("overwrite").format("parquet").saveAsTable(nT)
-    }
+        || !spark.catalog.tableExists(pairT) || !spark.catalog.tableExists(nT))
+      m9InitState(docsOld, postT, dfT, pairT, nT, cap)
     // ---- every call: fold the batch in at read time
     val sigsNew = m9SigsFrom(docsNew).localCheckpoint() // one decode pass
     try {
-      val dfj = spark.table(dfT).select($"frame_sig", $"df".as("dfo"))
-        .join(sigsNew.groupBy($"frame_sig").agg(count(lit(1)).as("dfn")),
-          Seq("frame_sig"), "full_outer")
-        .select($"frame_sig",
-          (coalesce($"dfo", lit(0L)) > cap).as("hot_old"),
-          (coalesce($"dfo", lit(0L)) + coalesce($"dfn", lit(0L)) > cap)
-            .as("hot_all"))
-        .localCheckpoint() // sig-count-sized; consumed 3× below
+      val (dfj, pairs, nAll) = m9Fold(postT, dfT, pairT, nT, sigsNew, cap)
       try {
-        val crossing = dfj.filter(!$"hot_old" && $"hot_all")
-          .select($"frame_sig")
-        val hotAll = dfj.filter($"hot_all").select($"frame_sig")
-        val post = spark.table(postT)
-        // ΔE⁻: retract crossing sigs from standing pairs and sizes
-        val crossPost = post.join(broadcast(crossing), Seq("frame_sig"),
-          "left_semi")
-        val corrPairs = crossPost.as("a").join(crossPost.as("b"),
-            $"a.frame_sig" === $"b.frame_sig" && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
-          .agg((-count(lit(1))).as("shared"))
-        val corrN = crossPost.groupBy($"doc_id")
-          .agg((-count(lit(1))).as("n_sigs"))
-        // ΔE⁺: the batch's cool sigs against themselves and cool old postings
-        val okNew = sigsNew.join(broadcast(hotAll), Seq("frame_sig"),
-          "left_anti")
-        val okOldPost = post.join(broadcast(hotAll), Seq("frame_sig"),
-          "left_anti")
-        val newOld = okNew.as("x")
-          .join(okOldPost.hint("shuffle_hash").as("y"),
-            $"x.frame_sig" === $"y.frame_sig")
-          .select(least($"x.doc_id", $"y.doc_id").as("i"),
-            greatest($"x.doc_id", $"y.doc_id").as("j"))
-        val newNew = okNew.as("x").join(okNew.as("y"),
-            $"x.frame_sig" === $"y.frame_sig" && $"x.doc_id" < $"y.doc_id")
-          .select($"x.doc_id".as("i"), $"y.doc_id".as("j"))
-        val contrib = newOld.unionByName(newNew)
-          .groupBy($"i", $"j").agg(count(lit(1)).as("shared"))
-        // folds
-        val pairs = spark.table(pairT)
-          .unionByName(corrPairs).unionByName(contrib)
-          .groupBy($"i", $"j").agg(sum($"shared").as("shared"))
-          .filter($"shared" > 0)
-        val nAll = spark.table(nT).unionByName(corrN)
-          .unionByName(okNew.groupBy($"doc_id")
-            .agg(count(lit(1)).as("n_sigs")))
-          .groupBy($"doc_id").agg(sum($"n_sigs").as("n_sigs"))
-          .filter($"n_sigs" > 0)
-        val nCross = crossing.agg(count(lit(1)).as("n_crossing_sigs"))
+        val nCross = dfj.filter(!$"hot_old" && $"hot_all")
+          .agg(count(lit(1)).as("n_crossing_sigs"))
         pairs
           .join(nAll.select($"doc_id".as("i"), $"n_sigs".as("ni")), Seq("i"))
           .join(nAll.select($"doc_id".as("j"), $"n_sigs".as("nj")), Seq("j"))
@@ -675,6 +612,94 @@ object MultimodalOps {
           .localCheckpoint() // eager: backs the result past the finally
       } finally DedupOps.unpersistCheckpointed(dfj)
     } finally DedupOps.unpersistCheckpointed(sigsNew)
+  }
+
+  /** Day-1 of the media-dedup standing state: decode the old corpus
+    * ONCE into the bucketed posting list, then derive df/pairs/sizes
+    * from the table (three reads of parquet beat three runs of the
+    * decode pass). Shared by batch [[m9From]] and the streaming dual
+    * [[graft.streaming.StreamOps.streamingMediaDedup]]. */
+  private[graft] def m9InitState(docsOld: DataFrame, postT: String,
+      dfT: String, pairT: String, nT: String, cap: Int = M5DfCap): Unit = {
+    val spark = docsOld.sparkSession
+    import spark.implicits._
+    Seq(dfT, pairT, nT)
+      .foreach(graft.sources.LayoutOps.clearStaleLocation(spark, _))
+    graft.sources.LayoutOps.writeBucketed(
+      m9SigsFrom(docsOld), postT, "frame_sig", 32)
+    val post = spark.table(postT)
+    post.groupBy($"frame_sig").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").format("parquet").saveAsTable(dfT)
+    val hot = spark.table(dfT).filter($"df" > cap).select($"frame_sig")
+    val k = post.join(broadcast(hot), Seq("frame_sig"), "left_anti")
+    k.as("a").join(k.hint("shuffle_hash").as("b"),
+        $"a.frame_sig" === $"b.frame_sig" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .agg(count(lit(1)).as("shared"))
+      .write.mode("overwrite").format("parquet").saveAsTable(pairT)
+    k.groupBy($"doc_id").agg(count(lit(1)).as("n_sigs"))
+      .write.mode("overwrite").format("parquet").saveAsTable(nT)
+  }
+
+  /** m9's maintenance core over a pinned batch-sig frame: returns
+    * (dfj, pairsFolded, nFolded) where `dfj` is the CHECKPOINTED
+    * per-sig frame (frame_sig, df, hot_old, hot_all) the caller must
+    * release, and the folded pair/size frames are lazy plans reading
+    * the standing tables — batch m9 derives its output from them at
+    * read time, the streaming dual materializes and WRITES them, so
+    * the two paths provably run the same fold. */
+  private[graft] def m9Fold(postT: String, dfT: String, pairT: String,
+      nT: String, sigsNew: DataFrame, cap: Int = M5DfCap)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = sigsNew.sparkSession
+    import spark.implicits._
+    val dfj = spark.table(dfT).select($"frame_sig", $"df".as("dfo"))
+      .join(sigsNew.groupBy($"frame_sig").agg(count(lit(1)).as("dfn")),
+        Seq("frame_sig"), "full_outer")
+      .select($"frame_sig",
+        (coalesce($"dfo", lit(0L)) + coalesce($"dfn", lit(0L))).as("df"),
+        (coalesce($"dfo", lit(0L)) > cap).as("hot_old"),
+        (coalesce($"dfo", lit(0L)) + coalesce($"dfn", lit(0L)) > cap)
+          .as("hot_all"))
+      .localCheckpoint() // sig-count-sized; consumed 3× below
+    val crossing = dfj.filter(!$"hot_old" && $"hot_all")
+      .select($"frame_sig")
+    val hotAll = dfj.filter($"hot_all").select($"frame_sig")
+    val post = spark.table(postT)
+    // ΔE⁻: retract crossing sigs from standing pairs and sizes
+    val crossPost = post.join(broadcast(crossing), Seq("frame_sig"),
+      "left_semi")
+    val corrPairs = crossPost.as("a").join(crossPost.as("b"),
+        $"a.frame_sig" === $"b.frame_sig" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .agg((-count(lit(1))).as("shared"))
+    val corrN = crossPost.groupBy($"doc_id")
+      .agg((-count(lit(1))).as("n_sigs"))
+    // ΔE⁺: the batch's cool sigs against themselves and cool old postings
+    val okNew = sigsNew.join(broadcast(hotAll), Seq("frame_sig"),
+      "left_anti")
+    val okOldPost = post.join(broadcast(hotAll), Seq("frame_sig"),
+      "left_anti")
+    val newOld = okNew.as("x")
+      .join(okOldPost.hint("shuffle_hash").as("y"),
+        $"x.frame_sig" === $"y.frame_sig")
+      .select(least($"x.doc_id", $"y.doc_id").as("i"),
+        greatest($"x.doc_id", $"y.doc_id").as("j"))
+    val newNew = okNew.as("x").join(okNew.as("y"),
+        $"x.frame_sig" === $"y.frame_sig" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("i"), $"y.doc_id".as("j"))
+    val contrib = newOld.unionByName(newNew)
+      .groupBy($"i", $"j").agg(count(lit(1)).as("shared"))
+    val pairs = spark.table(pairT)
+      .unionByName(corrPairs).unionByName(contrib)
+      .groupBy($"i", $"j").agg(sum($"shared").as("shared"))
+      .filter($"shared" > 0)
+    val nAll = spark.table(nT).unionByName(corrN)
+      .unionByName(okNew.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_sigs")))
+      .groupBy($"doc_id").agg(sum($"n_sigs").as("n_sigs"))
+      .filter($"n_sigs" > 0)
+    (dfj, pairs, nAll)
   }
 
   val m9MediaDedupDay2Sql: String = {

@@ -882,4 +882,86 @@ object StreamOps {
             graft.operators.DedupOps.unpersistCheckpointed(newBaskets)
         }
       }
+
+  /** Streaming media near-dup maintenance — m9's online dual, and the
+    * first streaming maintainer here whose fold is DECREMENTAL: a
+    * micro-batch can push a frame signature over the boilerplate
+    * df-cap, which retracts that sig's intersection from standing
+    * pairs and shrinks doc set sizes (m9's churn semantics, via the
+    * shared [[graft.operators.MultimodalOps.m9Fold]] core — batch and
+    * stream provably run the same fold). First batch is day 1
+    * ([[graft.operators.MultimodalOps.m9InitState]]).
+    *
+    * Replay guard: streamingComponents' processed-id marker (pair
+    * intersections and df counts are read-modify-write, so a replay
+    * cannot be detected from the state itself) — Δdocs = batch ∖
+    * processed; a replayed batch is a TRUE no-op. The marker append
+    * lands last as the commit marker; the mid-batch crash window is
+    * the same documented non-transactional window every foreachBatch
+    * dual here has.
+    *
+    * State write order: Δdocs and the batch sigs pinned first; the
+    * folded df/pairs/sizes are ALL materialized before ANY table is
+    * overwritten (each fold reads the tables being rewritten); the
+    * posting append (disjoint docs — safe append) and the marker land
+    * last. */
+  def streamingMediaDedup(docStream: DataFrame, postTable: String,
+                          dfTable: String, pairTable: String,
+                          nTable: String, procTable: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        import graft.operators.{DedupOps, MultimodalOps}
+        val docsB = batch.select($"doc_id", $"text", $"n_chars").distinct()
+        val all = Seq(postTable, dfTable, pairTable, nTable, procTable)
+        if (!all.forall(sp.catalog.tableExists)) {
+          all.foreach(graft.sources.LayoutOps.clearStaleLocation(sp, _))
+          MultimodalOps.m9InitState(docsB, postTable, dfTable, pairTable,
+            nTable)
+          graft.sources.LayoutOps.writeBucketed(
+            docsB.select($"doc_id").distinct(), procTable, "doc_id", 32)
+        } else {
+          all.foreach(sp.catalog.refreshTable)
+          val newDocs = docsB
+            .join(sp.table(procTable), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          try {
+            if (!newDocs.isEmpty) {
+              val sigsNew = MultimodalOps.m9SigsFrom(newDocs)
+                .localCheckpoint()
+              try {
+                val (dfj, pairsF, nF) = MultimodalOps.m9Fold(
+                  postTable, dfTable, pairTable, nTable, sigsNew)
+                try {
+                  val pairsM = pairsF.localCheckpoint()
+                  val nM = nF.localCheckpoint()
+                  try {
+                    dfj.select($"frame_sig", $"df")
+                      .write.mode("overwrite").format("parquet")
+                      .saveAsTable(dfTable)
+                    pairsM.write.mode("overwrite").format("parquet")
+                      .saveAsTable(pairTable)
+                    nM.write.mode("overwrite").format("parquet")
+                      .saveAsTable(nTable)
+                    sigsNew.repartition(32, $"frame_sig")
+                      .write.mode("append").format("parquet")
+                      .bucketBy(32, "frame_sig").sortBy("frame_sig")
+                      .saveAsTable(postTable)
+                    newDocs.select($"doc_id").distinct()
+                      .repartition(32, $"doc_id")
+                      .write.mode("append").format("parquet")
+                      .bucketBy(32, "doc_id").sortBy("doc_id")
+                      .saveAsTable(procTable)
+                  } finally {
+                    DedupOps.unpersistCheckpointed(pairsM)
+                    DedupOps.unpersistCheckpointed(nM)
+                  }
+                } finally DedupOps.unpersistCheckpointed(dfj)
+              } finally DedupOps.unpersistCheckpointed(sigsNew)
+            }
+          } finally DedupOps.unpersistCheckpointed(newDocs)
+        }
+      }
 }

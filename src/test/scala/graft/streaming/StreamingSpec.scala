@@ -976,4 +976,71 @@ class StreamingSpec extends AnyFunSuite {
     Seq(cntT, lblT, procT, c2, l2)
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("streaming media dedup: cap churn retracts a standing pair; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val A = "A" * 16; val B = "B" * 16; val F = "F" * 16; val G = "G" * 16
+    def doc(id: Long, text: String) = (id, text, text.length.toLong)
+    // batch 1: df(A) = 5 sits exactly AT the cap; pair (1,2) = 500 permille
+    val b1 = Seq(
+      doc(1L, A + "u1".padTo(48, '_') + B + "v1".padTo(48, '_') + "D1" * 8),
+      doc(2L, A + "u2".padTo(48, '_') + B + "v2".padTo(48, '_') + "D2" * 8),
+      doc(3L, A + "u3".padTo(48, '_') + "C3" * 8),
+      doc(4L, A + "u4".padTo(48, '_') + "C4" * 8),
+      doc(5L, A + "u5".padTo(48, '_') + "C5" * 8))
+    // batch 2: doc 10 pushes A over the cap; 11/12 are a fresh dup pair
+    val b2 = Seq(
+      doc(10L, A + "uA".padTo(48, '_') + "XX" * 8),
+      doc(11L, F + "p1".padTo(48, '_') + G),
+      doc(12L, F + "p2".padTo(48, '_') + G))
+    val ts = Seq("smd_post", "smd_df", "smd_pair", "smd_n", "smd_proc")
+    ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    def pairMap = spark.table("smd_pair").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val input = MemoryStream[(Long, String, Long)]
+    val q = StreamOps.streamingMediaDedup(
+      input.toDF().toDF("doc_id", "text", "n_chars"),
+      "smd_post", "smd_df", "smd_pair", "smd_n", "smd_proc").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      ts.foreach(spark.catalog.refreshTable)
+      assert(pairMap == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (1L, 4L) -> 1L,
+        (1L, 5L) -> 1L, (2L, 3L) -> 1L, (2L, 4L) -> 1L, (2L, 5L) -> 1L,
+        (3L, 4L) -> 1L, (3L, 5L) -> 1L, (4L, 5L) -> 1L),
+        "day-1 pair intersections wrong")
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      ts.foreach(spark.catalog.refreshTable)
+      // A crossed: every A-only intersection retracts to zero and drops;
+      // (1,2) keeps only B; (11,12) arrives with {F,G}
+      val afterChurn = Map((1L, 2L) -> 1L, (11L, 12L) -> 2L)
+      assert(pairMap == afterChurn, s"churn fold wrong: $pairMap")
+      val procBefore = spark.table("smd_proc").count()
+      // replay batch 2 verbatim: the processed-id guard makes it a no-op
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      ts.foreach(spark.catalog.refreshTable)
+      assert(pairMap == afterChurn, "replayed batch moved the pair state")
+      assert(spark.table("smd_proc").count() == procBefore)
+    } finally q.stop()
+    // ground truth: from-scratch init over the union on every state table
+    import spark.implicits._
+    val g = Seq("smd_g_post", "smd_g_df", "smd_g_pair", "smd_g_n")
+    g.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.operators.MultimodalOps.m9InitState(
+      (b1 ++ b2).toDF("doc_id", "text", "n_chars"),
+      g(0), g(1), g(2), g(3))
+    def m(t: String, k: Int) = spark.table(t).collect()
+      .map(r => r.toSeq.take(k).mkString(",")).sorted.toSeq
+    assert(m("smd_pair", 3) == m("smd_g_pair", 3),
+      "streamed pairs diverged from rebuild")
+    assert(m("smd_n", 2) == m("smd_g_n", 2),
+      "streamed sizes diverged from rebuild")
+    assert(m("smd_df", 2) == m("smd_g_df", 2),
+      "streamed df diverged from rebuild")
+    assert(spark.table("smd_post").count() ==
+      spark.table("smd_g_post").count())
+    (ts ++ g).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
