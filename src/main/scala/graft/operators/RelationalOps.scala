@@ -2826,6 +2826,7 @@ object RelationalOps {
     q50From(
       graft.sources.LayoutOps.stateTable("graft_state_q50_cnt", dir),
       graft.sources.LayoutOps.stateTable("graft_state_q50_lbl", dir),
+      graft.sources.LayoutOps.stateTable("graft_state_q50_tr", dir),
       pl.filter(!isNew), pl.filter(isNew))
   }
 
@@ -2833,14 +2834,22 @@ object RelationalOps {
     * basket frames and state table names — planted-graph specs enter
     * here. Builds day-1 state on first call; every call folds the new
     * frame's counts in at read time. */
-  private[operators] def q50From(cntT: String, lblT: String,
+  private[operators] def q50From(cntT: String, lblT: String, trT: String,
       plOld: DataFrame, plNew: DataFrame,
       cap: Int = BasketItemCap): DataFrame = {
     val spark = plOld.sparkSession
     import spark.implicits._
-    // ---- day 1 (first call only): standing counts + converged labels
-    if (!spark.catalog.tableExists(cntT) || !spark.catalog.tableExists(lblT))
+    // ---- day 1 (first call only): standing counts + converged labels,
+    // plus the old corpus's truncation count (q48's pattern — a read
+    // must not re-scan the standing corpus just to report truncation;
+    // the persisted day-1 count folds with a BATCH-sized delta).
+    if (!spark.catalog.tableExists(cntT) || !spark.catalog.tableExists(lblT)
+        || !spark.catalog.tableExists(trT)) {
       q50InitState(plOld, cntT, lblT, cap)
+      graft.sources.LayoutOps.clearStaleLocation(spark, trT)
+      truncatedBaskets(plOld, cap)
+        .write.mode("overwrite").format("parquet").saveAsTable(trT)
+    }
     val qual = q50Fold(cntT, plNew, cap).filter($"n" >= Q49MinSupport)
       .select($"a", $"b", ($"n_old" < Q49MinSupport).as("is_new"))
       .localCheckpoint() // consumed 3× below — fold runs once
@@ -2851,7 +2860,11 @@ object RelationalOps {
           .transform(withOneRow(_, qual.filter($"is_new")
             .agg(count(lit(1)).as("n_new_edges"))))
           .transform(withOneRow(_,
-            truncatedBaskets(plOld.unionByName(plNew), cap)))
+            withOneRow(
+              spark.table(trT).select($"truncated_baskets".as("__told")),
+              truncatedBaskets(plNew, cap)
+                .select($"truncated_baskets".as("__tnew")))
+              .select(($"__told" + $"__tnew").as("truncated_baskets"))))
           .orderBy($"n_members".desc, $"component_id")
           .localCheckpoint() // eager: backs the result past the finally
       finally DedupOps.unpersistCheckpointed(finalLbl)

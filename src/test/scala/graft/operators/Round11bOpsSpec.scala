@@ -49,7 +49,8 @@ class Round11bOpsSpec extends AnyFunSuite {
   test("q50: contracted-graph relabel equals the from-scratch q49") {
     val cntT = graft.sources.LayoutOps.stateTable("graft_state_q50spec_cnt", "a")
     val lblT = graft.sources.LayoutOps.stateTable("graft_state_q50spec_lbl", "a")
-    val got = RelationalOps.q50From(cntT, lblT, plOld, plNew)
+    val trT = graft.sources.LayoutOps.stateTable("graft_state_q50spec_tr", "a")
+    val got = RelationalOps.q50From(cntT, lblT, trT, plOld, plNew)
       .collect().map(_.toSeq).toSeq
     // transitive merge through TWO crossing edges lands 40 in the
     // merged component; min part key (1) is the label on both paths
@@ -63,7 +64,7 @@ class Round11bOpsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(got.map(r => r.patch(3, Nil, 1)) == derived)
     // read idempotence (q41's discipline: the delta never persists)
-    val again = RelationalOps.q50From(cntT, lblT, plOld, plNew)
+    val again = RelationalOps.q50From(cntT, lblT, trT, plOld, plNew)
       .collect().map(_.toSeq).toSeq
     assert(again == got, "second read diverged — fold persisted something")
   }
@@ -72,8 +73,9 @@ class Round11bOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val cntT = graft.sources.LayoutOps.stateTable("graft_state_q50spec2_cnt", "b")
     val lblT = graft.sources.LayoutOps.stateTable("graft_state_q50spec2_lbl", "b")
+    val trT = graft.sources.LayoutOps.stateTable("graft_state_q50spec2_tr", "b")
     val none = Seq.empty[(Long, Long)].toDF("o", "p")
-    val got = RelationalOps.q50From(cntT, lblT, plOld, none)
+    val got = RelationalOps.q50From(cntT, lblT, trT, plOld, none)
       .collect().map(_.toSeq).toSeq
     val derived = RelationalOps.q49ComponentsFrom(plOld)
       .collect().map(_.toSeq).toSeq
@@ -84,7 +86,8 @@ class Round11bOpsSpec extends AnyFunSuite {
   test("q50: fold joins the standing counts with zero standing-side exchange") {
     val cntT = graft.sources.LayoutOps.stateTable("graft_state_q50spec3_cnt", "c")
     val lblT = graft.sources.LayoutOps.stateTable("graft_state_q50spec3_lbl", "c")
-    RelationalOps.q50From(cntT, lblT, plOld, plNew).collect() // build state
+    val trT = graft.sources.LayoutOps.stateTable("graft_state_q50spec3_tr", "c")
+    RelationalOps.q50From(cntT, lblT, trT, plOld, plNew).collect() // build state
     val df = RelationalOps.q50Fold(cntT, plNew)
     val plan = physical(df)
     def cntScan(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
