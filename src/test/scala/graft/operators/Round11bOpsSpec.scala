@@ -118,6 +118,66 @@ class Round11bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q50: randomized corpora agree with from-scratch q49 (seeded)") {
+    import spark.implicits._
+    // six seeded corpora: 40 baskets over a 12-item pool → dense support
+    // graph with organic threshold crossings, multi-component merges and
+    // first-seen nodes across the 70/30 split — the planted test's cases
+    // arise here in arbitrary combination
+    var newEdgesSeen = 0L
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val baskets = (1L to 40L).map { o =>
+        o -> Seq.fill(2 + rnd.nextInt(4))(1L + rnd.nextInt(12)).distinct
+      }
+      def plOf(bs: Seq[(Long, Seq[Long])]) =
+        bs.flatMap { case (o, ps) => ps.map(o -> _) }.toDF("o", "p")
+      val (oldB, newB) = baskets.partition(_._1 <= 28)
+      def st(p: String) = graft.sources.LayoutOps.stateTable(p, s"q50rnd$seed")
+      val rows = RelationalOps.q50From(st("graft_state_q50r_cnt"),
+          st("graft_state_q50r_lbl"), st("graft_state_q50r_tr"),
+          plOf(oldB), plOf(newB)).collect()
+      val got = rows.map(_.toSeq.patch(3, Nil, 1)).toSeq
+      val want = RelationalOps.q49ComponentsFrom(plOf(baskets))
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"seed $seed: maintained != derived")
+      newEdgesSeen += rows.headOption.map(_.getAs[Long]("n_new_edges")).getOrElse(0L)
+    }
+    // the generator must actually exercise the incremental path
+    assert(newEdgesSeen > 0L, "no seed produced a threshold crossing")
+  }
+
+  test("m9: randomized corpora agree with from-scratch m5 (seeded)") {
+    import spark.implicits._
+    // docs are 2-4 frames from a 12-frame pool (16-char frame + 48-char
+    // pad per 64-char block, so only the frames hash) → per-sig df spans
+    // the cap and crossings occur organically across the 70/30 split
+    var crossingsSeen = 0L
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val pool = (0 until 12).map(k => f"F$k%02dxxxxxxxxxxxx".take(16))
+      val docs = (1L to 25L).map { id =>
+        val text = Seq.fill(2 + rnd.nextInt(3))(pool(rnd.nextInt(12)))
+          .map(_ + "_" * 48).mkString
+        (id, text, text.length.toLong)
+      }
+      val (oldD, newD) = docs.partition(_._1 <= 18)
+      def df(d: Seq[(Long, String, Long)]) = d.toDF("doc_id", "text", "n_chars")
+      def st(p: String) = graft.sources.LayoutOps.stateTable(p, s"m9rnd$seed")
+      val rows = MultimodalOps.m9From(st("graft_state_m9r_post"),
+          st("graft_state_m9r_df"), st("graft_state_m9r_pair"),
+          st("graft_state_m9r_n"), df(oldD), df(newD)).collect()
+      val got = rows.map(_.toSeq.dropRight(1)).toSeq
+      val want = MultimodalOps.m5PairsFrom(MultimodalOps.m9SigsFrom(df(docs)))
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"seed $seed: maintained != derived")
+      crossingsSeen += rows.headOption
+        .map(_.getAs[Long]("n_crossing_sigs")).getOrElse(0L)
+    }
+    // the generator must actually exercise the churn (retraction) path
+    assert(crossingsSeen > 0L, "no seed produced a cap crossing")
+  }
+
   test("d21: degenerate LSH buckets are capped and surfaced per config") {
     import spark.implicits._
     // 260 byte-identical boilerplate docs (> cap): one band bucket per
