@@ -1612,9 +1612,111 @@ object RelationalOps {
         max($"deg_v").as("deg"))
   }
 
-  def q39GraphRankConverged(spark: SparkSession, dir: String): DataFrame = {
+  /** Edge-count bound under which the whole rank iteration runs on the
+    * driver over ONE bounded collect — [[DedupOps.componentsFrom]]'s
+    * sanctioned-exception pattern applied to q39 (r11 verdict item #4):
+    * the recurrence is exact integer arithmetic over a vector that is
+    * provably tiny at testbed scale (1.17M symmetric edges at sf0.1),
+    * yet every distributed round pays ~0.7–1 s of fixed driver
+    * scheduling — 13 genuinely sequential supersteps made q39 the
+    * slowest solo query (10.8–15.9 s) while the actual arithmetic is
+    * ~30 ms. The collect is memory-bounded BY CONSTRUCTION
+    * (limit(bound+1) of specialized (Long, Long) tuples: ≤ 64 MB at
+    * the bound, plus primitive long[]/int[] loop state — the honest
+    * budget, not serialized bytes); a graph over the bound falls back
+    * to the superstep loop, which is the right shape at crawl scale
+    * and is spec-forced on a planted graph. A/B at sf0.1, same host,
+    * solo child JVM: superstep arm 10.7 s → driver arm 1.4 s. */
+  private[operators] val Q39DriverBound = 2000000
+
+  def q39GraphRankConverged(spark: SparkSession, dir: String): DataFrame =
+    q39RankFrom(q39Edges(spark, dir))
+
+  /** Both arms of q39 over an explicit (u, v, deg_v) symmetric edge
+    * frame. `driverBound` is parameterized ONLY so the spec can force
+    * the distributed arm on a planted graph (componentsFrom's
+    * discipline: every testbed graph is under the production bound,
+    * which would otherwise leave the at-scale path untested). */
+  private[operators] def q39RankFrom(edges: DataFrame,
+      driverBound: Int = Q39DriverBound): DataFrame = {
+    val spark = edges.sparkSession
     import spark.implicits._
-    val edges = q39Edges(spark, dir)
+    val probe = edges.limit(driverBound + 1)
+      .select($"u".cast("long"), $"v".cast("long"))
+      .as[(Long, Long)].collect()
+    if (probe.length <= driverBound) return q39RankDriver(spark, probe)
+    q39RankDistributed(edges)
+  }
+
+  /** The small-graph arm: the exact integer recurrence on primitive
+    * arrays over the collected symmetric edge list. Degree is derived
+    * by counting each node's SOURCE occurrences (the list is
+    * symmetric, so this equals the deg_v the standing table carries);
+    * the fix-point test, round accounting and top-50 shape match the
+    * distributed loop exactly — the arms are output-indistinguishable
+    * and the oracle certifies either. */
+  private def q39RankDriver(spark: SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val ids0 = new Array[Long](edges.length * 2)
+    var k = 0
+    edges.foreach { case (u, v) => ids0(k) = u; ids0(k + 1) = v; k += 2 }
+    java.util.Arrays.sort(ids0)
+    var n = 0
+    var i = 0
+    while (i < ids0.length) {
+      if (n == 0 || ids0(i) != ids0(n - 1)) { ids0(n) = ids0(i); n += 1 }
+      i += 1
+    }
+    val ids = java.util.Arrays.copyOf(ids0, n)
+    val m = edges.length
+    val src = new Array[Int](m)
+    val dst = new Array[Int](m)
+    val deg = new Array[Long](n)
+    i = 0
+    edges.foreach { case (u, v) =>
+      val su = java.util.Arrays.binarySearch(ids, u)
+      src(i) = su
+      dst(i) = java.util.Arrays.binarySearch(ids, v)
+      deg(su) += 1
+      i += 1
+    }
+    // rank₀ = 250·deg — the degree-proportional warm start whose
+    // convergence proof lives on q39GraphRankConverged's scaladoc
+    var rank = Array.tabulate(n)(j => 250L * deg(j))
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < Q39MaxRounds) {
+      val acc = new Array[Long](n)
+      var e = 0
+      while (e < m) {
+        acc(dst(e)) += rank(src(e)) / deg(src(e))
+        e += 1
+      }
+      val next = new Array[Long](n)
+      var j = 0
+      converged = true
+      while (j < n) {
+        next(j) = 125L + acc(j) / 2
+        if (next(j) != rank(j)) converged = false
+        j += 1
+      }
+      rank = next
+      rounds += 1
+    }
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"q39: driver arm over $m edges, $n nodes, $rounds rounds")
+    val order = Array.tabulate(n)(identity).sortBy(j => (-rank(j), ids(j)))
+    val top = (0 until math.min(50, n)).map { r =>
+      val j = order(r)
+      (r + 1, ids(j), rank(j), rounds)
+    }
+    top.toDF("rnk", "node", "rank", "rounds").localCheckpoint()
+  }
+
+  private def q39RankDistributed(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     var ranks = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
       .select($"u".as("node"), $"deg", (lit(250L) * $"deg").as("rank"))
       .localCheckpoint(eager = false)

@@ -73,6 +73,37 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L), (5L, 6L)))
   }
 
+  /** Symmetric (u, v, deg_v) edge frame from an undirected pair list —
+    * the planted-graph entry into [[RelationalOps.q39RankFrom]]. */
+  private def q39EdgesOf(pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val sym = pairs.toDF("u", "v")
+      .unionByName(pairs.map(p => (p._2, p._1)).toDF("u", "v"))
+    val deg = sym.groupBy($"u").agg(count(lit(1)).as("deg"))
+    sym.join(deg.select($"u".as("v"), $"deg".as("deg_v")), Seq("v"))
+      .select($"u", $"v", $"deg_v")
+  }
+
+  private def ranked(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Int])
+
+  test("q39: driver arm equals the superstep arm on a planted graph " +
+      "(both arms forced)") {
+    val edges = q39EdgesOf(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (7L, 8L), (2L, 6L), (10L, 11L)))
+    val driver = ranked(RelationalOps.q39RankFrom(edges))
+    val superstep = ranked(RelationalOps.q39RankFrom(edges, driverBound = 0))
+    assert(driver == superstep)
+    assert(driver.nonEmpty && driver.head.size == 4)
+  }
+
+  test("q39: driver arm equals the superstep arm on the real graph") {
+    val edges = RelationalOps.q39Edges(spark, sf)
+    assert(ranked(RelationalOps.q39RankFrom(edges)) ==
+      ranked(RelationalOps.q39RankFrom(edges, driverBound = 0)))
+  }
+
   test("prefix truth: seeded randomized corpora agree with the " +
       "unrestricted join") {
     import spark.implicits._
