@@ -116,7 +116,7 @@ object Bench {
     * in-suite ≈ solo for the queries the r9/r10 verdicts flagged. */
   private val soloQueries = Set("q39_graph_converge", "q44_triangles",
     "q47_kcore", "q48_triangles_day2", "q49_components",
-    "q50_components_day2")
+    "q50_components_day2", "q52_components_retract")
 
   /** Family key: the alpha prefix of the query name (q1_agg → "q",
     * h01 → "h"). One child JVM per family. */

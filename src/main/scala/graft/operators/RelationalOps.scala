@@ -3179,6 +3179,186 @@ object RelationalOps {
       |ORDER BY l_returnflag""".stripMargin
   }
 
+  // --------------------------------------------------------------- q52
+  /** DECREMENTAL component maintenance — edge retraction, the case
+    * q50's merge-only fold cannot express (r11 "What's missing" #3):
+    * basket deletions (GDPR erasure, order retractions) DECREMENT pair
+    * support, and an edge crossing DOWN through the threshold can
+    * SPLIT a component — the non-monotone direction, where min-label
+    * folding is unsound and the standard shape is detect-affected +
+    * bounded recompute. Day 1 persists q50's standing state (support
+    * counts bucketed on the (a, b) fold key, converged labels, the
+    * corpus truncation count); every read derives the DELETED baskets'
+    * pair counts from the deletion feed only and folds them in by
+    * SUBTRACTION (whole baskets delete, and the item cap is
+    * per-basket, so the subtraction is exact against a from-scratch
+    * rebuild).
+    *
+    * Label repair: an edge that crossed downward names its standing
+    * component (both endpoints carry the same label by construction);
+    * the AFFECTED label set is delta-sized and broadcastable. Only
+    * affected components' SURVIVING edges re-enter
+    * [[DedupOps.componentsFrom]] — a recompute bounded by the touched
+    * components, never |E| — while every unaffected node keeps its
+    * standing label verbatim (support that merely DROPS without
+    * crossing cannot change connectivity). A node that loses its last
+    * qualifying edge drops out, exactly as a from-scratch q49 over the
+    * surviving corpus drops it; min-id labels of split fragments are
+    * what componentsFrom converges to, so maintained-equals-rebuilt
+    * holds and the oracle certifies it from scratch over
+    * corpus-minus-deletions.
+    *
+    * Output is q49's summary over the surviving graph plus
+    * `n_removed_edges` (how many edges crossed downward — the spec
+    * pins a planted bridge whose removal splits a component) and the
+    * FOLDED truncation count (persisted day-1 total minus the deleted
+    * baskets' own truncation — delta-sized, q48/q50's no-rescan
+    * discipline). q41's read-only IVM rule: the fold never persists,
+    * so a replayed read cannot double-delete.
+    *
+    * Scale shape: daily cost is the deletion feed's pair explosion
+    * (basket-bounded), a delta-sized shuffle into the bucketed
+    * standing counts (standing side plans zero exchange — the q50Fold
+    * guard, spec-pinned for the subtraction fold too), one broadcast
+    * semi-join against the affected label set, and a CC run over the
+    * affected subgraph. */
+  def q52ComponentsRetract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    val pl = t(spark, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val isDel = pmod(md5Long(concat($"o".cast("string"), lit(":q52"))),
+      lit(7L)) === 0L
+    q52From(
+      graft.sources.LayoutOps.stateTable("graft_state_q52_cnt", dir),
+      graft.sources.LayoutOps.stateTable("graft_state_q52_lbl", dir),
+      graft.sources.LayoutOps.stateTable("graft_state_q52_tr", dir),
+      pl, pl.filter(isDel))
+  }
+
+  /** [[q52ComponentsRetract]]'s maintained core over explicit
+    * full-corpus / deletion frames and state table names —
+    * planted-graph specs enter here. Day-1 state (first call) is built
+    * over the FULL corpus; every call folds the deletion frame's
+    * counts OUT at read time. */
+  private[operators] def q52From(cntT: String, lblT: String, trT: String,
+      plAll: DataFrame, plDel: DataFrame,
+      cap: Int = BasketItemCap): DataFrame = {
+    val spark = plAll.sparkSession
+    import spark.implicits._
+    if (!spark.catalog.tableExists(cntT) || !spark.catalog.tableExists(lblT)
+        || !spark.catalog.tableExists(trT)) {
+      q50InitState(plAll, cntT, lblT, cap)
+      graft.sources.LayoutOps.clearStaleLocation(spark, trT)
+      truncatedBaskets(plAll, cap)
+        .write.mode("overwrite").format("parquet").saveAsTable(trT)
+    }
+    val folded = q52Fold(cntT, plDel, cap)
+      .localCheckpoint() // consumed 3× below — fold runs once
+    try {
+      val removed = folded
+        .filter($"n_old" >= Q49MinSupport && $"n" < Q49MinSupport)
+        .select($"a", $"b")
+      val survived = folded.filter($"n" >= Q49MinSupport).select($"a", $"b")
+      val standing = spark.table(lblT)
+      // the affected label set is delta-sized: broadcast it into both
+      // the keep-side anti-join and the recompute-side semi-join
+      val affected = broadcast(removed
+        .join(standing.select($"id".as("a"), $"lbl"), Seq("a"))
+        .select($"lbl").distinct())
+      val affEdges = survived
+        .join(standing.select($"id".as("a"), $"lbl"), Seq("a"))
+        .join(affected, Seq("lbl"), "left_semi")
+        .select($"a".as("i"), $"b".as("j"))
+      val repaired = DedupOps.componentsFrom(affEdges)
+      try {
+        val finalLbl = standing.join(affected, Seq("lbl"), "left_anti")
+          .select($"id", $"lbl")
+          .unionByName(repaired)
+        q49Summary(survived, finalLbl)
+          .transform(withOneRow(_,
+            removed.agg(count(lit(1)).as("n_removed_edges"))))
+          .transform(withOneRow(_,
+            withOneRow(
+              spark.table(trT).select($"truncated_baskets".as("__tall")),
+              truncatedBaskets(plDel, cap)
+                .select($"truncated_baskets".as("__tdel")))
+              .select(($"__tall" - $"__tdel").as("truncated_baskets"))))
+          .orderBy($"n_members".desc, $"component_id")
+          .localCheckpoint() // eager: backs the result past the finally
+      } finally DedupOps.unpersistCheckpointed(repaired)
+    } finally DedupOps.unpersistCheckpointed(folded)
+  }
+
+  /** The subtraction fold: q50Fold's co-partitioned shape with the
+    * delta REMOVING support. LEFT join — a deleted basket's pairs are
+    * by construction a subset of the standing pairs, so deletions
+    * cannot mint rows. Unlike q50's full-outer (which CANNOT
+    * broadcast), a left join lets the planner broadcast the tiny
+    * testbed delta and bypass the bucket layout entirely; the merge
+    * hint pins the co-partitioned sort-merge shape — the one that
+    * holds when the deletion batch is a GDPR sweep of millions of
+    * baskets — and the bucketed standing side (bucketed AND sorted on
+    * (a, b)) still plans zero exchange and zero sort under it.
+    * Factored out so the plan guard can assert exactly that. */
+  private[graft] def q52Fold(cntT: String, plDel: DataFrame,
+      cap: Int = BasketItemCap): DataFrame = {
+    val spark = plDel.sparkSession
+    import spark.implicits._
+    spark.table(cntT)
+      .hint("merge")
+      .select($"a", $"b", $"n".as("n_old"))
+      .join(basketPairs(plDel, cap)
+          .groupBy($"a", $"b").agg(count(lit(1)).as("n_del"))
+          .repartition(32, $"a", $"b"),
+        Seq("a", "b"), "left")
+      .select($"a", $"b",
+        ($"n_old" - coalesce($"n_del", lit(0L))).as("n"), $"n_old")
+  }
+
+  val q52ComponentsRetractSql: String = {
+    import graft.functions.EngineFns.sqlMd5Long
+    val coin = sqlMd5Long("CAST(o AS VARCHAR) || ':q52'") + " % 7 = 0"
+    s"""WITH RECURSIVE $basketPlSql,
+      |oc AS MATERIALIZED (
+      |  SELECT o, $coin AS isdel FROM (SELECT DISTINCT o FROM pl0)),
+      |pc AS MATERIALIZED (
+      |  SELECT x.p AS a, y.p AS b, oc.isdel, COUNT(*) AS n
+      |  FROM pl x JOIN pl y ON x.o = y.o AND x.p < y.p
+      |  JOIN oc ON oc.o = x.o
+      |  GROUP BY 1, 2, 3),
+      |cntA AS MATERIALIZED (SELECT a, b, SUM(n) AS n FROM pc GROUP BY 1, 2),
+      |cntS AS MATERIALIZED (
+      |  SELECT a, b, SUM(n) AS n FROM pc WHERE NOT isdel GROUP BY 1, 2),
+      |ed AS MATERIALIZED (SELECT a, b FROM cntS WHERE n >= $Q49MinSupport),
+      |rme AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_removed_edges
+      |  FROM cntA LEFT JOIN cntS USING (a, b)
+      |  WHERE cntA.n >= $Q49MinSupport
+      |    AND COALESCE(cntS.n, 0) < $Q49MinSupport),
+      |edges AS (SELECT a AS src, b AS dst FROM ed
+      |          UNION ALL SELECT b, a FROM ed),
+      |reach AS (
+      |  SELECT DISTINCT src AS id, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |labels AS MATERIALIZED (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+      |mem AS (SELECT lbl, COUNT(*) AS n_members FROM labels GROUP BY 1),
+      |ne AS (SELECT l.lbl, COUNT(*) AS n_edges
+      |       FROM ed JOIN labels l ON l.id = ed.a GROUP BY 1),
+      |struncq AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS truncated_baskets
+      |  FROM (SELECT p0.o FROM pl0 p0 JOIN oc ON oc.o = p0.o
+      |        WHERE NOT oc.isdel
+      |        GROUP BY p0.o HAVING COUNT(*) > $BasketItemCap) tq)
+      |SELECT mem.lbl AS component_id, mem.n_members, ne.n_edges,
+      |  rme.n_removed_edges, struncq.truncated_baskets
+      |FROM mem JOIN ne ON ne.lbl = mem.lbl
+      |CROSS JOIN rme CROSS JOIN struncq
+      |ORDER BY n_members DESC, component_id
+      |LIMIT 50""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -3231,6 +3411,7 @@ object RelationalOps {
     "q49_components"     -> (q49Components _),
     "q50_components_day2" -> (q50ComponentsDay2 _),
     "q51_quantile_day2"  -> (q51QuantileDay2 _),
+    "q52_components_retract" -> (q52ComponentsRetract _),
   )
 
   // --------------------------------------------------------------- q15
@@ -3308,5 +3489,6 @@ object RelationalOps {
     "q49_components"     -> q49ComponentsSql,
     "q50_components_day2" -> q50ComponentsDay2Sql,
     "q51_quantile_day2"  -> q51QuantileDay2Sql,
+    "q52_components_retract" -> q52ComponentsRetractSql,
   )
 }

@@ -104,6 +104,117 @@ class Round12OpsSpec extends AnyFunSuite {
       ranked(RelationalOps.q39RankFrom(edges, driverBound = 0)))
   }
 
+  // ------------------------------------------------------------- q52
+  /** Planted retraction corpus: a 4-node chain whose BRIDGE edge loses
+    * support (→ genuine component split), an untouched component, and
+    * an edge whose support drops WITHOUT crossing (must not move). */
+  private def plAll = {
+    import spark.implicits._
+    Seq(
+      (301L, 1L), (301L, 2L), (302L, 1L), (302L, 2L),   // (1,2)  n=2
+      (303L, 3L), (303L, 4L), (304L, 3L), (304L, 4L),   // (3,4)  n=2
+      (305L, 2L), (305L, 3L), (306L, 2L), (306L, 3L),   // (2,3)  n=2 BRIDGE
+      (307L, 10L), (307L, 11L), (308L, 10L), (308L, 11L), // {10,11}
+      (309L, 20L), (309L, 21L), (310L, 20L), (310L, 21L),
+      (311L, 20L), (311L, 21L)                          // (20,21) n=3
+    ).toDF("o", "p")
+  }
+
+  private def plDel = {
+    import spark.implicits._
+    Seq(
+      (306L, 2L), (306L, 3L),   // bridge 2→1: crosses DOWN → split
+      (311L, 20L), (311L, 21L)  // (20,21) 3→2: drops, stays qualified
+    ).toDF("o", "p")
+  }
+
+  test("q52: planted bridge deletion splits a component") {
+    def st(p: String) = graft.sources.LayoutOps.stateTable(p, "q52plant")
+    val got = RelationalOps.q52From(st("graft_state_q52p_cnt"),
+        st("graft_state_q52p_lbl"), st("graft_state_q52p_tr"),
+        plAll, plDel)
+      .collect().map(_.toSeq).toSeq
+    // {1,2,3,4} splits into {1,2} and {3,4}; {10,11} untouched; the
+    // re-supported-but-surviving (20,21) keeps its component; exactly
+    // ONE edge crossed downward; nothing truncated
+    assert(got == Seq(
+      Seq(1L, 2L, 1L, 1L, 0L),
+      Seq(3L, 2L, 1L, 1L, 0L),
+      Seq(10L, 2L, 1L, 1L, 0L),
+      Seq(20L, 2L, 1L, 1L, 0L)))
+    // day-2 read idempotence: a second read folds the same deletions
+    // against the same standing state
+    val again = RelationalOps.q52From(st("graft_state_q52p_cnt"),
+        st("graft_state_q52p_lbl"), st("graft_state_q52p_tr"),
+        plAll, plDel).collect().map(_.toSeq).toSeq
+    assert(again == got)
+  }
+
+  test("q52: randomized deletions agree with from-scratch q49 (seeded)") {
+    import spark.implicits._
+    var removedSeen = 0L
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val baskets = (1L to 40L).map { o =>
+        o -> Seq.fill(2 + rnd.nextInt(4))(1L + rnd.nextInt(12)).distinct
+      }
+      def plOf(bs: Seq[(Long, Seq[Long])]) =
+        bs.flatMap { case (o, ps) => ps.map(o -> _) }.toDF("o", "p")
+      val del = baskets.filter(_._1 % 4 == 0)       // delete every 4th
+      def st(p: String) = graft.sources.LayoutOps.stateTable(p, s"q52rnd$seed")
+      val rows = RelationalOps.q52From(st("graft_state_q52r_cnt"),
+          st("graft_state_q52r_lbl"), st("graft_state_q52r_tr"),
+          plOf(baskets), plOf(del)).collect()
+      val got = rows.map(_.toSeq.patch(3, Nil, 1)).toSeq
+      val want = RelationalOps.q49ComponentsFrom(
+          plOf(baskets.filterNot(b => del.exists(_._1 == b._1))))
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"seed $seed: maintained != rebuilt")
+      removedSeen +=
+        rows.headOption.map(_.getAs[Long]("n_removed_edges")).getOrElse(0L)
+    }
+    // the generator must actually exercise the decremental path
+    assert(removedSeen > 0L, "no seed produced a downward crossing")
+  }
+
+  test("q52: subtraction fold reads the standing counts with zero " +
+      "standing-side exchange") {
+    def st(p: String) = graft.sources.LayoutOps.stateTable(p, "q52guard")
+    RelationalOps.q52From(st("graft_state_q52g_cnt"),
+      st("graft_state_q52g_lbl"), st("graft_state_q52g_tr"),
+      plAll, plDel).collect() // build state
+    val plan = physical(RelationalOps.q52Fold(st("graft_state_q52g_cnt"), plDel))
+    def cntScan(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths
+          .exists(_.toString.contains("graft_state_q52g_cnt")) => s
+    }
+    val scans = cntScan(plan)
+    assert(scans.nonEmpty && scans.forall(_.bucketedScan))
+    val folds = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if cntScan(j).nonEmpty => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if cntScan(j).nonEmpty => j
+    }
+    assert(folds.nonEmpty)
+    val fold = folds.minBy(_.collect { case p => p }.size)
+    fold.children.filter(c => cntScan(c).nonEmpty).foreach { side =>
+      val ex = side.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(ex.isEmpty,
+        s"standing side of the subtraction fold rides ${ex.size} exchange(s)")
+    }
+  }
+
+  private def physical(df: DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
   test("prefix truth: seeded randomized corpora agree with the " +
       "unrestricted join") {
     import spark.implicits._
