@@ -46,6 +46,14 @@ def eq(a, b):
         return a == b
     return str(a) == str(b)
 
+SUMMARY_PATH = sys.argv[3] if len(sys.argv) > 3 else None
+summary = {}
+
+def record(name, status, rows, detail=""):
+    summary[name] = {"status": status, "rows": rows}
+    if detail:
+        summary[name]["detail"] = detail
+
 fail = 0
 results = sorted(os.listdir(OUT_DIR))
 for name in results:
@@ -55,21 +63,25 @@ for name in results:
     got_rel = con.sql(f"SELECT * FROM read_parquet('{path}/*.parquet')")
     if name not in oracles:
         print(f"SKIP {name}: no oracle (rows-only check: {len(got_rel)} rows)")
+        record(name, "skip_rows_only", len(got_rel))
         continue
     try:
         exp_rel = con.sql(oracles[name])
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {e}")
+        record(name, "fail", -1, f"oracle SQL error: {e}")
         fail += 1
         continue
     gc, gr = norm(got_rel)
     ec, er = norm(exp_rel)
     if gc != ec:
         print(f"FAIL {name}: columns differ spark={gc} oracle={ec}")
+        record(name, "fail", len(gr), f"columns differ spark={gc} oracle={ec}")
         fail += 1
         continue
     if len(gr) != len(er):
         print(f"FAIL {name}: row count spark={len(gr)} oracle={len(er)}")
+        record(name, "fail", len(gr), f"row count spark={len(gr)} oracle={len(er)}")
         fail += 1
         continue
     bad = None
@@ -86,14 +98,28 @@ for name in results:
         if isinstance(x, float) and isinstance(y, float):
             delta = f" (delta={x - y:.3e})"
         print(f"FAIL {name}: row {i} col {c}: spark={x!r} oracle={y!r}{delta}")
+        record(name, "fail", len(gr), f"row {i} col {c}: spark={x!r} oracle={y!r}")
         fail += 1
     else:
         print(f"OK   {name}: {len(gr)} rows, {len(gc)} cols")
+        record(name, "ok", len(gr))
 
 missing = set(oracles) - {n for n in results if os.path.isdir(f"{OUT_DIR}/{n}")}
 for name in sorted(missing):
     print(f"FAIL {name}: oracle declared but no spark result written")
+    record(name, "fail", -1, "oracle declared but no spark result written")
     fail += 1
+
+if SUMMARY_PATH:
+    ok = sum(1 for v in summary.values() if v["status"] == "ok")
+    out = {"n_queries": len(summary), "n_ok": ok,
+           "n_fail": sum(1 for v in summary.values() if v["status"] == "fail"),
+           "n_rows_only": sum(1 for v in summary.values()
+                              if v["status"] == "skip_rows_only"),
+           "sf_dir": SF_DIR, "queries": summary}
+    with open(SUMMARY_PATH, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"summary written to {SUMMARY_PATH}")
 
 print(f"\n{'FAILED ' + str(fail) if fail else 'ALL GREEN'} "
       f"({len([n for n in results if os.path.isdir(f'{OUT_DIR}/{n}')])} results)")
