@@ -217,8 +217,17 @@ object Bench {
 
   /** Run `graft.Bench <names...>` in a fresh JVM with this JVM's flags
     * and classpath; return the parsed per-query seconds (−1 = failed).
-    * A child that produces no JSON line marks all its queries failed. */
-  private def runChild(names: Seq[String]): Seq[(String, Double)] = {
+    * A child that produces no JSON line marks all its queries failed.
+    *
+    * `repeats`: per-child override of the min-of-N count. Solo
+    * (iterative-driver) children run min-of-5 where families run
+    * min-of-3 (r11 verdict #8): their readings swung ±60% between two
+    * same-harness runs because a single scheduler hiccup lands on a
+    * 13-superstep query with 13× the surface area — two extra repeats
+    * on 7 queries cost ~1 min of wall and cut the recorded minimum's
+    * variance where it was actually observed. */
+  private def runChild(names: Seq[String],
+                       repeats: Option[Int] = None): Seq[(String, Double)] = {
     import scala.jdk.CollectionConverters._
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
@@ -239,6 +248,8 @@ object Bench {
       Seq(s"-Dspark.sql.warehouse.dir=${wh.toAbsolutePath}",
         "-cp", System.getProperty("java.class.path"), "graft.Bench") ++ names
     val pb = new ProcessBuilder(cmd.asJava)
+    repeats.foreach(r =>
+      pb.environment().put("SPARK_GRAFT_BENCH_REPEATS", r.toString))
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT) // logs stay visible
     val p = pb.start()
@@ -283,7 +294,7 @@ object Bench {
       System.err.println(
         s"[bench] family $f: ${grouped.size} queries + ${solo.size} solo")
       (if (grouped.nonEmpty) runChild(grouped) else Nil) ++
-        solo.flatMap(n => runChild(Seq(n)))
+        solo.flatMap(n => runChild(Seq(n), repeats = Some(5)))
     }
     val post = runChild(anchors)
     val wall = (System.nanoTime() - t0) / 1e9
