@@ -646,8 +646,8 @@ object MultimodalOps {
     * per-sig frame (frame_sig, df, hot_old, hot_all) the caller must
     * release, and the folded pair/size frames are lazy plans reading
     * the standing tables — batch m9 derives its output from them at
-    * read time, the streaming dual materializes and WRITES them, so
-    * the two paths provably run the same fold. */
+    * read time, the streaming dual writes them as the next epoch's
+    * snapshots, so the two paths provably run the same fold. */
   private[graft] def m9Fold(postT: String, dfT: String, pairT: String,
       nT: String, sigsNew: DataFrame, cap: Int = M5DfCap)
       : (DataFrame, DataFrame, DataFrame) = {

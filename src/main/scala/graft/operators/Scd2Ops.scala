@@ -35,17 +35,8 @@ object Scd2Ops {
   /** Initial SCD2 load: `versions` rows (k, seg_v, valid_from) become
     * (k, seg_v, valid_from, valid_to, is_current) with each version
     * closed by its successor and the latest left open. */
-  def initDim(spark: SparkSession, table: String, versions: DataFrame): Unit = {
-    import versions.sparkSession.implicits._
-    val w = Window.partitionBy($"k").orderBy($"valid_from")
-    val dim = versions
-      .withColumn("valid_to",
-        coalesce(lead($"valid_from", 1).over(w),
-          lit(FarFuture).cast("timestamp")))
-      .withColumn("is_current",
-        $"valid_to" === lit(FarFuture).cast("timestamp"))
-    graft.sources.LayoutOps.writeBucketed(dim, table, "k", 32)
-  }
+  def initDim(spark: SparkSession, table: String, versions: DataFrame): Unit =
+    graft.sources.LayoutOps.writeBucketed(initDimFrame(versions), table, "k", 32)
 
   /** Day-2 MERGE: for every key in `batch` (k, seg_v, valid_from),
     * close the dimension's current version at the new valid_from and
@@ -57,8 +48,20 @@ object Scd2Ops {
     * versions (the close-join pairs every dim row with every batch
     * row for its key). */
   def upsertDim(spark: SparkSession, table: String, batch: DataFrame): Unit = {
+    // materialize the merged content before overwriting the scanned
+    // location (CoW publish), then release the staging blocks
+    val next = mergedDim(spark.table(table), batch).localCheckpoint()
+    try graft.sources.LayoutOps.writeBucketed(next, table, "k", 32)
+    finally DedupOps.unpersistCheckpointed(next)
+  }
+
+  /** The MERGE itself, over explicit frames: close + insert as a lazy
+    * plan, shared by the in-place batch [[upsertDim]] and the
+    * epoch-committed streaming dual ([[graft.streaming.StreamOps
+    * .streamingScd2]]), which writes the result to the NEXT epoch's
+    * table instead of overwriting — same fold, different publish. */
+  private[graft] def mergedDim(dim: DataFrame, batch: DataFrame): DataFrame = {
     import batch.sparkSession.implicits._
-    val dim = spark.table(table)
     val b = batch
       .groupBy($"k")
       .agg(max_by(struct($"seg_v", $"valid_from"),
@@ -75,10 +78,19 @@ object Scd2Ops {
       $"b_from".as("valid_from"),
       lit(FarFuture).cast("timestamp").as("valid_to"),
       lit(true).as("is_current"))
-    // materialize the merged content before overwriting the scanned
-    // location (CoW publish), then release the staging blocks
-    val next = closed.unionByName(fresh).localCheckpoint()
-    try graft.sources.LayoutOps.writeBucketed(next, table, "k", 32)
-    finally DedupOps.unpersistCheckpointed(next)
+    closed.unionByName(fresh)
+  }
+
+  /** [[initDim]]'s content as a lazy frame, for callers that own the
+    * publish (the epoch-committed streaming dual). */
+  private[graft] def initDimFrame(versions: DataFrame): DataFrame = {
+    import versions.sparkSession.implicits._
+    val w = Window.partitionBy($"k").orderBy($"valid_from")
+    versions
+      .withColumn("valid_to",
+        coalesce(lead($"valid_from", 1).over(w),
+          lit(FarFuture).cast("timestamp")))
+      .withColumn("is_current",
+        $"valid_to" === lit(FarFuture).cast("timestamp"))
   }
 }

@@ -552,22 +552,6 @@ object StreamOps {
         enriched.write.mode("append").format("parquet").saveAsTable(sinkTable)
       }
 
-  /** Streaming incremental aggregate maintenance — q41's ONLINE dual:
-    * the per-(returnflag, linestatus) summary is a standing table and
-    * every micro-batch of lineitem arrivals folds in additively
-    * (batch-local partial aggregate → union with the standing summary →
-    * re-aggregate groups-sized rows → copy-on-write publish). Counts
-    * and exact-decimal sums are the additive parts, so after ANY batch
-    * split the summary is bit-identical to the from-scratch aggregate
-    * over everything that has arrived (spec-pinned) — no retraction
-    * handling needed because lineitem is append-only.
-    *
-    * Scale shape: the per-batch cost is one partial aggregate of the
-    * BATCH (map-side combine collapses to groups-sized before any
-    * shuffle) plus a rewrite of the groups-sized summary — never a
-    * rescan of history. The CoW publish materializes before
-    * overwriting the scanned location (Scd2Ops' discipline) and
-    * releases the staging blocks after. */
   /** Streaming day-2 GRAPH maintenance — q48's online dual (r9/r10
     * verdicts' open item): a stream of basket items `(o, p)` folds
     * into the standing triangle state per micro-batch. First batch is
@@ -576,7 +560,7 @@ object StreamOps {
     * counts ONLY the triangles touching ΔE
     * ([[graft.operators.RelationalOps.q48DeltaTriangles]], the exact
     * probe batch q48 runs), merges them into the count table, and
-    * appends ΔE to the bucketed edge table — per-batch work is
+    * lands ΔE as the edge log's next delta — per-batch work is
     * O(|ΔE|·min-deg), never a graph re-enumeration.
     *
     * Contract (documented, corpusIngestFilter's discipline): each
@@ -586,52 +570,54 @@ object StreamOps {
     * Under that contract the fold is exactly batch q48's: edges are
     * canonical/deduped, the delta anti-join makes re-delivery of a
     * whole batch a no-op (ΔE = ∅ → counts unchanged), so a replayed
-    * micro-batch after a restart is idempotent — spec-pinned.
+    * micro-batch after a restart is a TRUE no-op — spec-pinned.
     *
-    * State write order matters: the delta counts are materialized
-    * (localCheckpoint) BEFORE the count table is overwritten and
-    * before the edge append mutates the standing set the probe reads. */
-  def streamingTriangles(basketStream: DataFrame, edgesTable: String,
-                         triTable: String)
+    * Both tables commit ATOMICALLY through [[EpochStore]] — the
+    * pointer flip after both land is the transaction (r11 verdict #5);
+    * a crash mid-write leaves readers on the previous epoch and the
+    * re-delivered batch overwrites the orphans. */
+  private[graft] def trianglesBatch(batch: DataFrame, prefix: String,
+      dir: String, crashBeforeCommit: Boolean = false): Unit = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val store = new EpochStore(prefix, dir, TrianglesTables)
+    val pairs = graft.operators.RelationalOps
+      .basketPairs(batch.select($"o", $"p").distinct()).distinct()
+    if (!store.exists(sp)) {
+      store.transact(sp) { tx =>
+        graft.operators.RelationalOps.q48InitState(
+          pairs, tx.logDeltaName("edges"), tx.snapName("tri"))
+        if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+      }
+    } else {
+      val edOld = store.log(sp, "edges")
+      val delta = pairs.join(edOld, Seq("a", "b"), "left_anti")
+        .localCheckpoint() // one compute for the guard probe and 3 uses
+      try {
+        // a replayed batch (restart re-delivery) has ΔE = ∅: a TRUE
+        // no-op — no transaction opens, no epoch bump, no file churn
+        if (!delta.isEmpty) store.transact(sp) { tx =>
+          val deltaTri = graft.operators.RelationalOps
+            .q48DeltaTriangles(edOld, delta)
+          tx.writeSnap("tri", store.snap(sp, "tri")
+            .unionByName(deltaTri.select($"n", $"dtri".as("tri")))
+            .groupBy($"n").agg(sum($"tri").as("tri")))
+          tx.writeLogDelta("edges", delta)
+          if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+        }
+      } finally graft.operators.DedupOps.unpersistCheckpointed(delta)
+    }
+  }
+
+  private[graft] val TrianglesTables = EpochTables(
+    snaps = Map("tri" -> Nil), logs = Map("edges" -> Seq("a")))
+
+  def streamingTriangles(basketStream: DataFrame, prefix: String,
+                         dir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     basketStream.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sp = batch.sparkSession
-        import sp.implicits._
-        val pairs = graft.operators.RelationalOps
-          .basketPairs(batch.select($"o", $"p").distinct()).distinct()
-        if (!sp.catalog.tableExists(edgesTable) ||
-            !sp.catalog.tableExists(triTable)) {
-          Seq(edgesTable, triTable)
-            .foreach(graft.sources.LayoutOps.clearStaleLocation(sp, _))
-          graft.operators.RelationalOps.q48InitState(
-            pairs, edgesTable, triTable)
-        } else {
-          // the previous batch rewrote these tables behind the relation
-          // cache — re-list or the read plans reference deleted files
-          Seq(edgesTable, triTable).foreach(sp.catalog.refreshTable)
-          val edOld = sp.table(edgesTable)
-          val delta = pairs.join(edOld, Seq("a", "b"), "left_anti")
-            .localCheckpoint() // pin: the append below mutates edOld
-          try {
-            // a replayed batch (restart re-delivery) has ΔE = ∅: make
-            // it a TRUE no-op — no state rewrite, no file churn
-            if (!delta.isEmpty) {
-              val deltaTri = graft.operators.RelationalOps
-                .q48DeltaTriangles(edOld, delta)
-              val merged = sp.table(triTable)
-                .unionByName(deltaTri.select($"n", $"dtri".as("tri")))
-                .groupBy($"n").agg(sum($"tri").as("tri"))
-              val next = merged.localCheckpoint()
-              try next.write.mode("overwrite").format("parquet")
-                .saveAsTable(triTable)
-              finally graft.operators.DedupOps.unpersistCheckpointed(next)
-              delta.repartition(32, $"a")
-                .write.mode("append").format("parquet")
-                .bucketBy(32, "a").sortBy("a").saveAsTable(edgesTable)
-            }
-          } finally graft.operators.DedupOps.unpersistCheckpointed(delta)
-        }
+        trianglesBatch(batch.toDF(), prefix, dir)
       }
 
   /** Streaming SCD2 dimension maintenance — q40's online dual, the
@@ -649,38 +635,57 @@ object StreamOps {
     * Re-delivery discipline: the digest is computed BEFORE the replay
     * guard — a re-delivered batch collapses to exactly the rows its
     * first delivery landed, and the anti-join on `(k, valid_from)`
-    * against the standing dimension then drops them all, so a replayed
-    * micro-batch after a restart is a TRUE no-op (no CoW rewrite, no
-    * file churn — spec-pinned). Without the digest-first order, a
-    * replayed two-version key would re-apply its SUPERSEDED earlier
-    * version on top of the landed latest one. */
-  def streamingScd2(changeStream: DataFrame, dimTable: String)
+    * against the COMMITTED dimension then drops them all, so a replayed
+    * micro-batch after a restart is a TRUE no-op (no rewrite, no epoch
+    * bump — spec-pinned). Without the digest-first order, a replayed
+    * two-version key would re-apply its SUPERSEDED earlier version on
+    * top of the landed latest one.
+    *
+    * The dimension is a single table, but it still publishes through
+    * [[EpochStore]]: the merge writes the NEXT epoch's bucketed table
+    * and the pointer flip is the commit, so a reader never sees (and a
+    * crash never leaves) a half-written dimension — the batch
+    * [[graft.operators.Scd2Ops.upsertDim]]'s materialize-then-overwrite
+    * publish upgraded to an atomic one. */
+  private[graft] def scd2Batch(batch: DataFrame, prefix: String,
+      dir: String, crashBeforeCommit: Boolean = false): Unit = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val store = new EpochStore(prefix, dir, Scd2Tables)
+    val changes = batch.select($"k", $"seg_v", $"valid_from").distinct()
+    if (!store.exists(sp)) {
+      store.transact(sp) { tx =>
+        tx.writeSnap("dim", graft.operators.Scd2Ops.initDimFrame(changes))
+        if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+      }
+    } else {
+      // upsertDim's digest, replicated ahead of the replay guard
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"k").orderBy($"valid_from".desc, $"seg_v".desc)
+      val digest = changes
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).drop("rn")
+      val dim = store.snap(sp, "dim")
+      val delta = digest.join(dim.select($"k", $"valid_from"),
+          Seq("k", "valid_from"), "left_anti")
+        .localCheckpoint() // one compute for the guard probe and the merge
+      try {
+        if (!delta.isEmpty) store.transact(sp) { tx =>
+          tx.writeSnap("dim", graft.operators.Scd2Ops.mergedDim(dim, delta))
+          if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+        }
+      } finally graft.operators.DedupOps.unpersistCheckpointed(delta)
+    }
+  }
+
+  private[graft] val Scd2Tables = EpochTables(
+    snaps = Map("dim" -> Seq("k")), logs = Map.empty)
+
+  def streamingScd2(changeStream: DataFrame, prefix: String, dir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changeStream.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sp = batch.sparkSession
-        import sp.implicits._
-        val changes = batch.select($"k", $"seg_v", $"valid_from").distinct()
-        if (!sp.catalog.tableExists(dimTable)) {
-          graft.sources.LayoutOps.clearStaleLocation(sp, dimTable)
-          graft.operators.Scd2Ops.initDim(sp, dimTable, changes)
-        } else {
-          sp.catalog.refreshTable(dimTable)
-          // upsertDim's digest, replicated ahead of the replay guard
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy($"k").orderBy($"valid_from".desc, $"seg_v".desc)
-          val digest = changes
-            .withColumn("rn", row_number().over(w))
-            .filter($"rn" === 1).drop("rn")
-          val delta = digest.join(
-              sp.table(dimTable).select($"k", $"valid_from"),
-              Seq("k", "valid_from"), "left_anti")
-            .localCheckpoint() // pin: the MERGE rewrites the probe table
-          try {
-            if (!delta.isEmpty)
-              graft.operators.Scd2Ops.upsertDim(sp, dimTable, delta)
-          } finally graft.operators.DedupOps.unpersistCheckpointed(delta)
-        }
+        scd2Batch(batch.toDF(), prefix, dir)
       }
 
   /** Streaming day-2 RETRIEVAL-INDEX maintenance — t26's online dual,
@@ -691,103 +696,134 @@ object StreamOps {
     * First batch is day-1 (posting list `(term, doc_id, tf)` BUCKETED
     * BY TERM — the probe join's key — plus doc-length and per-term df
     * tables); every later batch explodes ONLY its new docs and merges:
-    * postings/dl APPEND (doc sets are disjoint, so no read-modify-
-    * write), df folds by ADDITION (CoW overwrite of a vocabulary-sized
-    * table). The corpus text is never re-read — per-batch cost is the
+    * postings/dl land as LOG DELTAS (doc sets are disjoint, so no
+    * read-modify-write), df folds by ADDITION into a vocabulary-sized
+    * snapshot. The corpus text is never re-read — per-batch cost is the
     * batch explode plus metadata-sized folds, t26's exact scale story.
     *
     * Re-delivery discipline (streamingTriangles'): new docs are the
-    * batch MINUS doc_ids already in the standing dl table, so a
+    * batch MINUS doc_ids already in the committed dl log, so a
     * replayed micro-batch after a restart has Δdocs = ∅ and is a TRUE
-    * no-op — no state rewrite, no file churn (spec-pinned). The
+    * no-op — no state write, no epoch bump (spec-pinned). The
     * anti-join probes dl (doc-count-sized), never the posting list.
     *
-    * State write order: Δdocs is pinned (localCheckpoint) before any
-    * table mutates; df — the only read-modify-write — is materialized
-    * before its overwrite (CoW, Scd2Ops' discipline); appends land
-    * last. */
-  def streamingBm25Index(docStream: DataFrame, postTable: String,
-                         dlTable: String, dfTable: String)
+    * All three tables commit ATOMICALLY through [[EpochStore]]:
+    * postings and dl land as the epoch's log deltas, the vocabulary-
+    * sized df fold lands as the epoch's snapshot, and the pointer flip
+    * after all three is the transaction (r11 verdict #5). */
+  private[graft] def bm25Batch(batch: DataFrame, prefix: String,
+      dir: String, crashBeforeCommit: Boolean = false): Unit = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val store = new EpochStore(prefix, dir, Bm25Tables)
+    val docs = batch.select($"doc_id", $"text").distinct()
+    if (!store.exists(sp)) {
+      store.transact(sp) { tx =>
+        val tf = graft.operators.TextOps.bm25TfOf(docs)
+          .localCheckpoint() // three writes below share the explode
+        try {
+          tx.writeLogDelta("post", tf)
+          tx.writeLogDelta("dl",
+            tf.groupBy($"doc_id").agg(sum($"tf").as("dl")))
+          tx.writeSnap("df",
+            tf.groupBy($"term").agg(count(lit(1)).as("df")))
+          if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+        } finally graft.operators.DedupOps.unpersistCheckpointed(tf)
+      }
+    } else {
+      val newDocs = docs.join(
+          store.log(sp, "dl").select($"doc_id"), Seq("doc_id"), "left_anti")
+        .localCheckpoint() // one compute for the guard probe and the explode
+      try {
+        if (!newDocs.isEmpty) store.transact(sp) { tx =>
+          val tfNew = graft.operators.TextOps.bm25TfOf(newDocs)
+            .localCheckpoint() // shared by the three merges
+          try {
+            // df folds by addition (disjoint doc sets)
+            tx.writeSnap("df", store.snap(sp, "df")
+              .unionByName(tfNew.groupBy($"term")
+                .agg(count(lit(1)).as("df")))
+              .groupBy($"term").agg(sum($"df").as("df")))
+            tx.writeLogDelta("dl",
+              tfNew.groupBy($"doc_id").agg(sum($"tf").as("dl")))
+            tx.writeLogDelta("post", tfNew)
+            if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+          } finally graft.operators.DedupOps.unpersistCheckpointed(tfNew)
+        }
+      } finally graft.operators.DedupOps.unpersistCheckpointed(newDocs)
+    }
+  }
+
+  private[graft] val Bm25Tables = EpochTables(
+    snaps = Map("df" -> Nil),
+    logs = Map("post" -> Seq("term"), "dl" -> Nil))
+
+  def streamingBm25Index(docStream: DataFrame, prefix: String, dir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sp = batch.sparkSession
-        import sp.implicits._
-        val docs = batch.select($"doc_id", $"text").distinct()
-        if (!sp.catalog.tableExists(postTable) ||
-            !sp.catalog.tableExists(dlTable) ||
-            !sp.catalog.tableExists(dfTable)) {
-          Seq(postTable, dlTable, dfTable)
-            .foreach(graft.sources.LayoutOps.clearStaleLocation(sp, _))
-          val tf = graft.operators.TextOps.bm25TfOf(docs)
-            .localCheckpoint() // three writes below share the explode
-          try {
-            graft.sources.LayoutOps.writeBucketed(tf, postTable, "term", 32)
-            tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-              .write.mode("overwrite").format("parquet").saveAsTable(dlTable)
-            tf.groupBy($"term").agg(count(lit(1)).as("df"))
-              .write.mode("overwrite").format("parquet").saveAsTable(dfTable)
-          } finally graft.operators.DedupOps.unpersistCheckpointed(tf)
-        } else {
-          // the previous batch rewrote these tables behind the relation
-          // cache — re-list or the read plans reference deleted files
-          Seq(postTable, dlTable, dfTable).foreach(sp.catalog.refreshTable)
-          val newDocs = docs.join(
-              sp.table(dlTable).select($"doc_id"), Seq("doc_id"), "left_anti")
-            .localCheckpoint() // pin: the appends below mutate the probe
-          try {
-            if (!newDocs.isEmpty) {
-              val tfNew = graft.operators.TextOps.bm25TfOf(newDocs)
-                .localCheckpoint() // shared by the three merges
-              try {
-                // df is the one read-modify-write: fold by addition
-                // (disjoint doc sets), materialize before overwriting
-                val dfMerged = sp.table(dfTable)
-                  .unionByName(tfNew.groupBy($"term")
-                    .agg(count(lit(1)).as("df")))
-                  .groupBy($"term").agg(sum($"df").as("df"))
-                  .localCheckpoint()
-                try dfMerged.write.mode("overwrite").format("parquet")
-                  .saveAsTable(dfTable)
-                finally graft.operators.DedupOps.unpersistCheckpointed(dfMerged)
-                tfNew.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-                  .write.mode("append").format("parquet").saveAsTable(dlTable)
-                tfNew.repartition(32, $"term")
-                  .write.mode("append").format("parquet")
-                  .bucketBy(32, "term").sortBy("term").saveAsTable(postTable)
-              } finally graft.operators.DedupOps.unpersistCheckpointed(tfNew)
-            }
-          } finally graft.operators.DedupOps.unpersistCheckpointed(newDocs)
-        }
+        bm25Batch(batch.toDF(), prefix, dir)
       }
 
-  def streamingIvm(lineitemStream: DataFrame, summaryTable: String)
+  /** Streaming incremental aggregate maintenance — q41's ONLINE dual:
+    * the per-(returnflag, linestatus) summary is a standing snapshot
+    * and every micro-batch of lineitem arrivals folds in additively
+    * (batch-local partial aggregate → union with the standing summary →
+    * re-aggregate groups-sized rows → epoch publish). Counts and
+    * exact-decimal sums are the additive parts, so after ANY batch
+    * split the summary is bit-identical to the from-scratch aggregate
+    * over everything that has arrived (spec-pinned) — no retraction
+    * handling needed because lineitem is append-only.
+    *
+    * Scale shape: the per-batch cost is one partial aggregate of the
+    * BATCH (map-side combine collapses to groups-sized before any
+    * shuffle) plus a rewrite of the groups-sized summary — never a
+    * rescan of history.
+    *
+    * Replay guard: the fold is purely ADDITIVE, so (unlike the
+    * content-guarded duals) the state itself cannot reveal a
+    * re-delivered batch — a replay would silently double-count. The
+    * guard is the committed `batchId` carried by [[EpochStore]]'s
+    * pointer: foreachBatch re-delivers under the SAME id, so
+    * `batchId <= lastCommitted` short-circuits before any write — the
+    * standard idempotent-foreachBatch pattern, here made atomic with
+    * the data because the id flips in the SAME pointer write that
+    * commits the fold. */
+  private[graft] def ivmBatch(batch: DataFrame, prefix: String, dir: String,
+      batchId: Long, crashBeforeCommit: Boolean = false): Unit = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val store = new EpochStore(prefix, dir, IvmTables)
+    if (store.exists(sp) && batchId >= 0 && batchId <= store.lastBatchId(sp))
+      return // replayed batch: already committed, a TRUE no-op
+    val delta = batch
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(28,8)")).as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(12,2)").cast("decimal(28,8)"))
+          .as("sum_price"))
+    val merged =
+      if (store.exists(sp))
+        store.snap(sp, "summary").unionByName(delta)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(sum($"n_rows").as("n_rows"),
+            sum($"sum_qty").as("sum_qty"),
+            sum($"sum_price").as("sum_price"))
+      else delta
+    store.transact(sp, batchId) { tx =>
+      tx.writeSnap("summary", merged)
+      if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+    }
+  }
+
+  private[graft] val IvmTables = EpochTables(
+    snaps = Map("summary" -> Nil), logs = Map.empty)
+
+  def streamingIvm(lineitemStream: DataFrame, prefix: String, dir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     lineitemStream.writeStream.outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sp = batch.sparkSession
-        import sp.implicits._
-        val delta = batch
-          .groupBy($"l_returnflag", $"l_linestatus")
-          .agg(count(lit(1)).as("n_rows"),
-            sum($"l_quantity".cast("decimal(28,8)")).as("sum_qty"),
-            sum($"l_extendedprice".cast("decimal(12,2)").cast("decimal(28,8)"))
-              .as("sum_price"))
-        val merged =
-          if (sp.catalog.tableExists(summaryTable))
-            sp.table(summaryTable).unionByName(delta)
-              .groupBy($"l_returnflag", $"l_linestatus")
-              .agg(sum($"n_rows").as("n_rows"),
-                sum($"sum_qty").as("sum_qty"),
-                sum($"sum_price").as("sum_price"))
-          else {
-            graft.sources.LayoutOps.clearStaleLocation(sp, summaryTable)
-            delta
-          }
-        val next = merged.localCheckpoint()
-        try next.write.mode("overwrite").format("parquet")
-          .saveAsTable(summaryTable)
-        finally graft.operators.DedupOps.unpersistCheckpointed(next)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ivmBatch(batch.toDF(), prefix, dir, id)
       }
 
   /** Streaming connected-component maintenance — q50's online dual: a
@@ -808,79 +844,80 @@ object StreamOps {
     * Re-delivery discipline: support counts are READ-MODIFY-WRITE, so
     * (unlike streamingTriangles' set-semantics edge state) a replayed
     * batch cannot be detected from the counts themselves — a standing
-    * processed-baskets table (order-id-sized, bucketed by o: the
+    * processed-baskets log (order-id-sized, bucketed by o: the
     * anti-join's key) supplies the replay guard. Δbaskets = batch ∖
     * processed; a replayed micro-batch after a restart has Δbaskets =
-    * ∅ and is a TRUE no-op — no state rewrite, no file churn
-    * (spec-pinned). The processed-id append lands LAST as the batch's
-    * commit marker; a crash in the middle of the multi-table write
-    * (counts landed, marker not) re-folds on replay — the same
-    * non-transactional window every foreachBatch dual here has; a
-    * production lake closes it with a transactional catalog commit,
-    * the testbed documents it instead.
+    * ∅ and is a TRUE no-op — no state write, no epoch bump
+    * (spec-pinned).
     *
-    * State write order: Δbaskets pinned first; the folded counts and
-    * the repaired labels are BOTH materialized before EITHER table is
-    * overwritten (each rewrite would otherwise yank files from under
-    * the other's read plan); the marker append lands last.
+    * All three tables commit ATOMICALLY through [[EpochStore]] (r11
+    * verdict #5): the folded counts and repaired labels land as the
+    * next epoch's snapshots, the batch's order ids as the processed
+    * log's delta, and the pointer flip after all three is the
+    * transaction — the crash window between "counts landed" and
+    * "marker landed" that the r11 code could only document is gone,
+    * because neither is visible until the single flip. The counts
+    * snapshot stays bucketed on the (a, b) fold key at every epoch, so
+    * q50Fold's standing side remains exchange-free.
     *
     * Contract (streamingTriangles'): baskets arrive WHOLE within one
     * micro-batch — a basket split across batches would under-count its
     * cross-slice pairs, and the order-id replay guard would drop a
     * second slice as a replay. The upstream source keys delivery by
     * order, which is what every CDC/outbox feed of order lines gives. */
-  def streamingComponents(basketStream: DataFrame, cntTable: String,
-                          lblTable: String, procTable: String)
+  private[graft] def componentsBatch(batch: DataFrame, prefix: String,
+      dir: String, crashBeforeCommit: Boolean = false): Unit = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val store = new EpochStore(prefix, dir, ComponentsTables)
+    val pl = batch.select($"o", $"p").distinct()
+    if (!store.exists(sp)) {
+      store.transact(sp) { tx =>
+        graft.operators.RelationalOps.q50InitState(
+          pl, tx.snapName("cnt"), tx.snapName("lbl"))
+        tx.writeLogDelta("proc", pl.select($"o").distinct())
+        if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+      }
+    } else {
+      val newBaskets = pl
+        .join(store.log(sp, "proc"), Seq("o"), "left_anti")
+        .localCheckpoint() // one compute for the guard probe and the fold
+      try {
+        if (!newBaskets.isEmpty) store.transact(sp) { tx =>
+          val sup = graft.operators.RelationalOps.Q49MinSupport
+          val merged = graft.operators.RelationalOps
+            .q50Fold(store.snapName(sp, "cnt"), newBaskets)
+            .localCheckpoint() // consumed by the labels AND the write
+          try {
+            val labels = graft.operators.RelationalOps.q50Relabel(
+              store.snap(sp, "lbl"),
+              merged.filter($"n" >= sup)
+                .select($"a", $"b", ($"n_old" < sup).as("is_new")))
+            try {
+              tx.writeSnap("cnt", merged.select($"a", $"b", $"n"))
+              tx.writeSnap("lbl", labels)
+              tx.writeLogDelta("proc", newBaskets.select($"o").distinct())
+              if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+            } finally
+              graft.operators.DedupOps.unpersistCheckpointed(labels)
+          } finally
+            graft.operators.DedupOps.unpersistCheckpointed(merged)
+        }
+      } finally
+        graft.operators.DedupOps.unpersistCheckpointed(newBaskets)
+    }
+  }
+
+  private[graft] val ComponentsTables = EpochTables(
+    snaps = Map("cnt" -> Seq("a", "b"), "lbl" -> Nil),
+    logs = Map("proc" -> Seq("o")))
+
+  def streamingComponents(basketStream: DataFrame, prefix: String,
+                          dir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     basketStream.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sp = batch.sparkSession
-        import sp.implicits._
-        val pl = batch.select($"o", $"p").distinct()
-        if (!sp.catalog.tableExists(cntTable) ||
-            !sp.catalog.tableExists(lblTable) ||
-            !sp.catalog.tableExists(procTable)) {
-          Seq(cntTable, lblTable, procTable)
-            .foreach(graft.sources.LayoutOps.clearStaleLocation(sp, _))
-          graft.operators.RelationalOps.q50InitState(pl, cntTable, lblTable)
-          graft.sources.LayoutOps.writeBucketed(
-            pl.select($"o").distinct(), procTable, "o", 32)
-        } else {
-          // the previous batch rewrote these tables behind the relation
-          // cache — re-list or the read plans reference deleted files
-          Seq(cntTable, lblTable, procTable).foreach(sp.catalog.refreshTable)
-          val newBaskets = pl
-            .join(sp.table(procTable), Seq("o"), "left_anti")
-            .localCheckpoint()
-          try {
-            if (!newBaskets.isEmpty) {
-              val sup = graft.operators.RelationalOps.Q49MinSupport
-              val merged = graft.operators.RelationalOps
-                .q50Fold(cntTable, newBaskets)
-                .localCheckpoint() // pin: the overwrite below reads cntTable
-              try {
-                val labels = graft.operators.RelationalOps.q50Relabel(
-                  sp.table(lblTable),
-                  merged.filter($"n" >= sup)
-                    .select($"a", $"b", ($"n_old" < sup).as("is_new")))
-                try {
-                  merged.select($"a", $"b", $"n").repartition(32, $"a", $"b")
-                    .write.mode("overwrite").format("parquet")
-                    .bucketBy(32, "a", "b").sortBy("a", "b")
-                    .saveAsTable(cntTable)
-                  labels.write.mode("overwrite").format("parquet")
-                    .saveAsTable(lblTable)
-                  newBaskets.select($"o").distinct().repartition(32, $"o")
-                    .write.mode("append").format("parquet")
-                    .bucketBy(32, "o").sortBy("o").saveAsTable(procTable)
-                } finally
-                  graft.operators.DedupOps.unpersistCheckpointed(labels)
-              } finally
-                graft.operators.DedupOps.unpersistCheckpointed(merged)
-            }
-          } finally
-            graft.operators.DedupOps.unpersistCheckpointed(newBaskets)
-        }
+        componentsBatch(batch.toDF(), prefix, dir)
       }
 
   /** Streaming media near-dup maintenance — m9's online dual, and the
@@ -892,76 +929,64 @@ object StreamOps {
     * stream provably run the same fold). First batch is day 1
     * ([[graft.operators.MultimodalOps.m9InitState]]).
     *
-    * Replay guard: streamingComponents' processed-id marker (pair
+    * Replay guard: streamingComponents' processed-id log (pair
     * intersections and df counts are read-modify-write, so a replay
     * cannot be detected from the state itself) — Δdocs = batch ∖
-    * processed; a replayed batch is a TRUE no-op. The marker append
-    * lands last as the commit marker; the mid-batch crash window is
-    * the same documented non-transactional window every foreachBatch
-    * dual here has.
+    * processed; a replayed batch is a TRUE no-op.
     *
-    * State write order: Δdocs and the batch sigs pinned first; the
-    * folded df/pairs/sizes are ALL materialized before ANY table is
-    * overwritten (each fold reads the tables being rewritten); the
-    * posting append (disjoint docs — safe append) and the marker land
-    * last. */
-  def streamingMediaDedup(docStream: DataFrame, postTable: String,
-                          dfTable: String, pairTable: String,
-                          nTable: String, procTable: String)
+    * All five tables commit ATOMICALLY through [[EpochStore]] (r11
+    * verdict #5): df/pairs/sizes as the epoch's snapshots, the batch
+    * sigs and processed ids as log deltas, one pointer flip as the
+    * transaction. The fold core reads the committed posting log
+    * through [[EpochStore.logView]], so it stays storage-agnostic. */
+  private[graft] def mediaDedupBatch(batch: DataFrame, prefix: String,
+      dir: String, crashBeforeCommit: Boolean = false): Unit = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    import graft.operators.{DedupOps, MultimodalOps}
+    val store = new EpochStore(prefix, dir, MediaDedupTables)
+    val docsB = batch.select($"doc_id", $"text", $"n_chars").distinct()
+    if (!store.exists(sp)) {
+      store.transact(sp) { tx =>
+        MultimodalOps.m9InitState(docsB, tx.logDeltaName("post"),
+          tx.snapName("df"), tx.snapName("pair"), tx.snapName("n"))
+        tx.writeLogDelta("proc", docsB.select($"doc_id").distinct())
+        if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+      }
+    } else {
+      val newDocs = docsB
+        .join(store.log(sp, "proc"), Seq("doc_id"), "left_anti")
+        .localCheckpoint() // one compute for the guard probe and the fold
+      try {
+        if (!newDocs.isEmpty) store.transact(sp) { tx =>
+          val sigsNew = MultimodalOps.m9SigsFrom(newDocs)
+            .localCheckpoint() // consumed by the fold AND the post delta
+          try {
+            val (dfj, pairsF, nF) = MultimodalOps.m9Fold(
+              store.logView(sp, "post"), store.snapName(sp, "df"),
+              store.snapName(sp, "pair"), store.snapName(sp, "n"), sigsNew)
+            try {
+              tx.writeSnap("df", dfj.select($"frame_sig", $"df"))
+              tx.writeSnap("pair", pairsF)
+              tx.writeSnap("n", nF)
+              tx.writeLogDelta("post", sigsNew)
+              tx.writeLogDelta("proc", newDocs.select($"doc_id").distinct())
+              if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+            } finally DedupOps.unpersistCheckpointed(dfj)
+          } finally DedupOps.unpersistCheckpointed(sigsNew)
+        }
+      } finally DedupOps.unpersistCheckpointed(newDocs)
+    }
+  }
+
+  private[graft] val MediaDedupTables = EpochTables(
+    snaps = Map("df" -> Nil, "pair" -> Nil, "n" -> Nil),
+    logs = Map("post" -> Seq("frame_sig"), "proc" -> Seq("doc_id")))
+
+  def streamingMediaDedup(docStream: DataFrame, prefix: String, dir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sp = batch.sparkSession
-        import sp.implicits._
-        import graft.operators.{DedupOps, MultimodalOps}
-        val docsB = batch.select($"doc_id", $"text", $"n_chars").distinct()
-        val all = Seq(postTable, dfTable, pairTable, nTable, procTable)
-        if (!all.forall(sp.catalog.tableExists)) {
-          all.foreach(graft.sources.LayoutOps.clearStaleLocation(sp, _))
-          MultimodalOps.m9InitState(docsB, postTable, dfTable, pairTable,
-            nTable)
-          graft.sources.LayoutOps.writeBucketed(
-            docsB.select($"doc_id").distinct(), procTable, "doc_id", 32)
-        } else {
-          all.foreach(sp.catalog.refreshTable)
-          val newDocs = docsB
-            .join(sp.table(procTable), Seq("doc_id"), "left_anti")
-            .localCheckpoint()
-          try {
-            if (!newDocs.isEmpty) {
-              val sigsNew = MultimodalOps.m9SigsFrom(newDocs)
-                .localCheckpoint()
-              try {
-                val (dfj, pairsF, nF) = MultimodalOps.m9Fold(
-                  postTable, dfTable, pairTable, nTable, sigsNew)
-                try {
-                  val pairsM = pairsF.localCheckpoint()
-                  val nM = nF.localCheckpoint()
-                  try {
-                    dfj.select($"frame_sig", $"df")
-                      .write.mode("overwrite").format("parquet")
-                      .saveAsTable(dfTable)
-                    pairsM.write.mode("overwrite").format("parquet")
-                      .saveAsTable(pairTable)
-                    nM.write.mode("overwrite").format("parquet")
-                      .saveAsTable(nTable)
-                    sigsNew.repartition(32, $"frame_sig")
-                      .write.mode("append").format("parquet")
-                      .bucketBy(32, "frame_sig").sortBy("frame_sig")
-                      .saveAsTable(postTable)
-                    newDocs.select($"doc_id").distinct()
-                      .repartition(32, $"doc_id")
-                      .write.mode("append").format("parquet")
-                      .bucketBy(32, "doc_id").sortBy("doc_id")
-                      .saveAsTable(procTable)
-                  } finally {
-                    DedupOps.unpersistCheckpointed(pairsM)
-                    DedupOps.unpersistCheckpointed(nM)
-                  }
-                } finally DedupOps.unpersistCheckpointed(dfj)
-              } finally DedupOps.unpersistCheckpointed(sigsNew)
-            }
-          } finally DedupOps.unpersistCheckpointed(newDocs)
-        }
+        mediaDedupBatch(batch.toDF(), prefix, dir)
       }
 }

@@ -200,9 +200,11 @@ class Round11OpsSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val dimT = "stream_scd2_dim"
+    import graft.streaming.{EpochStore, StreamOps}
+    val store = new EpochStore("graft_state_sscd2", "spec", StreamOps.Scd2Tables)
+    store.destroy(spark)
     val rebuilt = "stream_scd2_rebuild"
-    Seq(dimT, rebuilt).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"DROP TABLE IF EXISTS $rebuilt")
     def rowsOf(vers: Seq[Int]) =
       RelationalOps.q40DimVersions(spark, sf, vers)
         .as[(Long, String, java.sql.Timestamp)].collect().toSeq
@@ -210,30 +212,32 @@ class Round11OpsSpec extends AnyFunSuite {
     val b2 = rowsOf(Seq(2))    // day-2 CDC sliver
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
     val q = graft.streaming.StreamOps.streamingScd2(
-      input.toDF().toDF("k", "seg_v", "valid_from"), dimT).start()
+      input.toDF().toDF("k", "seg_v", "valid_from"),
+      "graft_state_sscd2", "spec").start()
     try {
       input.addData(b1: _*)
       q.processAllAvailable()
       input.addData(b2: _*)
       q.processAllAvailable()
       // replay the last batch (restart re-delivery): delta = ∅, the
-      // dimension must not move — no CoW rewrite, no new versions
-      spark.catalog.refreshTable(dimT)
-      val before = spark.table(dimT).collect().map(_.toSeq).toSet
+      // dimension must not move — no new EPOCH, no new versions
+      val epochBefore = store.committed(spark)._1
+      val before = store.snap(spark, "dim").collect().map(_.toSeq).toSet
       input.addData(b2: _*)
       q.processAllAvailable()
-      spark.catalog.refreshTable(dimT)
-      assert(spark.table(dimT).collect().map(_.toSeq).toSet == before,
+      assert(store.committed(spark)._1 == epochBefore,
+        "replayed CDC batch opened a new epoch")
+      assert(store.snap(spark, "dim").collect().map(_.toSeq).toSet == before,
         "replayed CDC batch moved the dimension")
     } finally q.stop()
     // ground truth: from-scratch SCD2 load over all three versions
     Scd2Ops.initDim(spark, rebuilt,
       RelationalOps.q40DimVersions(spark, sf, Seq(0, 1, 2)))
-    spark.catalog.refreshTable(dimT)
-    assert(spark.table(dimT).collect().map(_.toSeq).toSet
+    assert(store.snap(spark, "dim").collect().map(_.toSeq).toSet
         == spark.table(rebuilt).collect().map(_.toSeq).toSet,
       "streamed CDC dimension diverged from the from-scratch rebuild")
-    Seq(dimT, rebuilt).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"DROP TABLE IF EXISTS $rebuilt")
+    store.destroy(spark)
   }
 
   test("s21: compaction bounds file counts, cold cells bit-identical, serving unchanged") {

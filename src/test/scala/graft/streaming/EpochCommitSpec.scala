@@ -1,0 +1,323 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+/** The transactional contract of [[EpochStore]] (r11 verdict #5): a
+  * maintainer's multi-table batch commits atomically at the pointer
+  * flip. The crash tests kill a batch AFTER its data tables land but
+  * BEFORE the flip (the exact window the r11 duals could only
+  * document) and prove (a) a reader still sees the pre-batch state in
+  * FULL, (b) plain re-delivery converges to the from-scratch rebuild. */
+class EpochCommitSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val sf = SharedSpark.sf
+
+  private def baskets() = {
+    import spark.implicits._
+    val pl = graft.Tables(spark, sf, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      .as[(Long, Long)].collect().toSeq
+    val orders = pl.map(_._1).distinct.sorted
+    val day1 = orders.take(orders.length / 2).toSet
+    pl.partition { case (o, _) => day1(o) }
+  }
+
+  test("components: crash between state write and epoch flip leaves " +
+       "readers on the pre-batch state; re-delivery converges") {
+    import spark.implicits._
+    val store = new EpochStore("graft_state_ecc", "crash",
+      StreamOps.ComponentsTables)
+    store.destroy(spark)
+    val (b1, b2) = baskets()
+    // day 1 commits normally
+    StreamOps.componentsBatch(b1.toDF("o", "p"), "graft_state_ecc", "crash")
+    assert(store.committed(spark)._1 == 1)
+    def state() = (
+      store.snap(spark, "cnt").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap,
+      store.snap(spark, "lbl").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      store.log(spark, "proc").count())
+    val day1State = state()
+    // day 2 crashes INSIDE the multi-table write: counts, labels, and
+    // the processed-id delta have all LANDED as epoch-2 tables when the
+    // injected kill fires — the r11 window (counts landed, marker not)
+    // is strictly contained in this one
+    intercept[EpochStore.InjectedCrash] {
+      StreamOps.componentsBatch(b2.toDF("o", "p"), "graft_state_ecc",
+        "crash", crashBeforeCommit = true)
+    }
+    // the orphan epoch-2 tables exist on disk...
+    assert(spark.catalog.tableExists(s"${store.tag}_cnt__e2"),
+      "crash test did not land its data tables first")
+    // ...but a reader resolves the pointer and sees day 1, in full
+    assert(store.committed(spark)._1 == 1,
+      "crash moved the committed pointer")
+    assert(state() == day1State,
+      "a reader observed a partially-committed batch")
+    // recovery = plain re-delivery of the SAME batch: the replay guard
+    // probes committed state, sees it unprocessed, recomputes, and
+    // overwrites the orphans; the flip commits everything at once
+    StreamOps.componentsBatch(b2.toDF("o", "p"), "graft_state_ecc", "crash")
+    assert(store.committed(spark)._1 == 2, "recovery did not commit")
+    // converged state == from-scratch init over the union corpus
+    val c2 = "ecc_rebuild_cnt"; val l2 = "ecc_rebuild_lbl"
+    Seq(c2, l2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.operators.RelationalOps.q50InitState(
+      (b1 ++ b2).toDF("o", "p"), c2, l2)
+    val (gotCnt, gotLbl, _) = state()
+    assert(gotCnt == spark.table(c2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap,
+      "recovered counts diverged from rebuild")
+    assert(gotLbl == spark.table(l2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "recovered labels diverged from rebuild")
+    Seq(c2, l2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    store.destroy(spark)
+  }
+
+  test("components: crash mid-DAY-1 leaves no committed epoch; " +
+       "re-delivery initializes cleanly over the orphans") {
+    import spark.implicits._
+    val store = new EpochStore("graft_state_ecd1", "crash",
+      StreamOps.ComponentsTables)
+    store.destroy(spark)
+    val (b1, _) = baskets()
+    intercept[EpochStore.InjectedCrash] {
+      StreamOps.componentsBatch(b1.toDF("o", "p"), "graft_state_ecd1",
+        "crash", crashBeforeCommit = true)
+    }
+    assert(!store.exists(spark), "crashed day-1 committed a pointer")
+    StreamOps.componentsBatch(b1.toDF("o", "p"), "graft_state_ecd1", "crash")
+    assert(store.committed(spark)._1 == 1)
+    assert(store.snap(spark, "lbl").count() > 0)
+    store.destroy(spark)
+  }
+
+  test("bm25: crash before flip is invisible to readers; recovery " +
+       "equals the from-scratch index") {
+    import spark.implicits._
+    val store = new EpochStore("graft_state_ebm", "crash",
+      StreamOps.Bm25Tables)
+    store.destroy(spark)
+    val all = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+      .toSeq
+    val (b1, b2) = all.splitAt(all.length / 2)
+    StreamOps.bm25Batch(b1.toDF("doc_id", "text"), "graft_state_ebm", "crash")
+    val day1Post = store.log(spark, "post").count()
+    val day1Df = store.snap(spark, "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    intercept[EpochStore.InjectedCrash] {
+      StreamOps.bm25Batch(b2.toDF("doc_id", "text"), "graft_state_ebm",
+        "crash", crashBeforeCommit = true)
+    }
+    assert(store.log(spark, "post").count() == day1Post,
+      "crashed batch's posting delta is visible")
+    assert(store.snap(spark, "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == day1Df,
+      "crashed batch's df fold is visible")
+    StreamOps.bm25Batch(b2.toDF("doc_id", "text"), "graft_state_ebm", "crash")
+    val tfAll = graft.operators.TextOps.bm25TfOf(
+      graft.Tables(spark, sf, "documents").select($"doc_id", $"text"))
+    assert(store.log(spark, "post").select($"doc_id", $"term", $"tf")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap ==
+      tfAll.collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap,
+      "recovered posting list diverged from rebuild")
+    assert(store.snap(spark, "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      tfAll.groupBy($"term").agg(count(lit(1)).as("df")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      "recovered df diverged from rebuild")
+    store.destroy(spark)
+  }
+
+  test("ivm: batchId guard makes an additive fold replay-safe; crash " +
+       "before flip rolls the fold back") {
+    import spark.implicits._
+    val store = new EpochStore("graft_state_eivm", "crash",
+      StreamOps.IvmTables)
+    store.destroy(spark)
+    val rows = graft.Tables(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_linestatus", $"l_quantity",
+        $"l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    def df(rs: Seq[(String, String, Double, Double)]) =
+      rs.toDF("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice")
+    def nRows() = store.snap(spark, "summary")
+      .agg(sum($"n_rows")).collect()(0).getLong(0)
+    StreamOps.ivmBatch(df(h1), "graft_state_eivm", "crash", batchId = 0L)
+    assert(nRows() == h1.length)
+    // a re-delivered batch (same batchId) must NOT double-count — the
+    // additive fold has no content guard, only the committed batchId
+    StreamOps.ivmBatch(df(h1), "graft_state_eivm", "crash", batchId = 0L)
+    assert(nRows() == h1.length, "replayed additive batch double-counted")
+    assert(store.committed(spark)._1 == 1,
+      "replayed additive batch opened a new epoch")
+    // crash mid-batch-2: the landed epoch-2 summary is unreachable
+    intercept[EpochStore.InjectedCrash] {
+      StreamOps.ivmBatch(df(h2), "graft_state_eivm", "crash",
+        batchId = 1L, crashBeforeCommit = true)
+    }
+    assert(nRows() == h1.length, "crashed fold is visible to readers")
+    assert(store.lastBatchId(spark) == 0L,
+      "crash advanced the committed batchId")
+    // recovery: same batchId re-delivered — the guard sees it
+    // UNcommitted (the id flips only with the data) and re-runs it
+    StreamOps.ivmBatch(df(h2), "graft_state_eivm", "crash", batchId = 1L)
+    assert(nRows() == rows.length, "recovery lost rows")
+    assert(store.lastBatchId(spark) == 1L)
+    store.destroy(spark)
+  }
+
+  test("scd2: crash before flip leaves the dimension on the previous " +
+       "version; recovery merges once") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val store = new EpochStore("graft_state_escd", "crash",
+      StreamOps.Scd2Tables)
+    store.destroy(spark)
+    val b1 = Seq((1L, "A#0", ts("2024-01-01 00:00:00")),
+                 (2L, "B#0", ts("2024-01-01 00:00:00")))
+    val b2 = Seq((1L, "A#1", ts("2024-02-01 00:00:00")))
+    def df(rs: Seq[(Long, String, java.sql.Timestamp)]) =
+      rs.toDF("k", "seg_v", "valid_from")
+    StreamOps.scd2Batch(df(b1), "graft_state_escd", "crash")
+    assert(store.snap(spark, "dim").count() == 2)
+    intercept[EpochStore.InjectedCrash] {
+      StreamOps.scd2Batch(df(b2), "graft_state_escd", "crash",
+        crashBeforeCommit = true)
+    }
+    assert(store.snap(spark, "dim").count() == 2,
+      "crashed merge is visible to readers")
+    StreamOps.scd2Batch(df(b2), "graft_state_escd", "crash")
+    val dim = store.snap(spark, "dim")
+    assert(dim.count() == 3)
+    assert(dim.filter($"k" === 1 && $"is_current").collect()
+      .map(_.getString(1)).toSeq == Seq("A#1"),
+      "recovered dimension has the wrong current version")
+    store.destroy(spark)
+  }
+
+  test("triangles: crash before flip keeps edge log and counts " +
+       "consistent as a pair; recovery converges") {
+    import spark.implicits._
+    val store = new EpochStore("graft_state_etri", "crash",
+      StreamOps.TrianglesTables)
+    store.destroy(spark)
+    val (b1, b2) = baskets()
+    StreamOps.trianglesBatch(b1.toDF("o", "p"), "graft_state_etri", "crash")
+    val day1 = (store.log(spark, "edges").count(),
+      store.snap(spark, "tri").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    intercept[EpochStore.InjectedCrash] {
+      StreamOps.trianglesBatch(b2.toDF("o", "p"), "graft_state_etri",
+        "crash", crashBeforeCommit = true)
+    }
+    // the CONSISTENT PAIR property — the whole point of the atomic
+    // commit: after the crash, edges and counts are both day-1 (the
+    // half-transaction where counts moved but edges didn't, or vice
+    // versa, cannot be observed)
+    assert((store.log(spark, "edges").count(),
+      store.snap(spark, "tri").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap) == day1,
+      "crash exposed a half-committed (edges, counts) pair")
+    StreamOps.trianglesBatch(b2.toDF("o", "p"), "graft_state_etri", "crash")
+    val ed = graft.operators.RelationalOps.basketPairs(
+        (b1 ++ b2).toDF("o", "p")).distinct()
+    val und = ed.unionByName(ed.select($"b".as("a"), $"a".as("b")))
+    val want = graft.operators.RelationalOps.q44TrianglesCorners(ed,
+        und.groupBy($"a".as("n")).agg(count(lit(1)).as("d")))
+      .groupBy($"n").agg(count(lit(1)).as("tri"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(store.snap(spark, "tri").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == want,
+      "recovered triangle counts diverged from rebuild")
+    store.destroy(spark)
+  }
+
+  test("media dedup: crash before flip keeps all five tables on the " +
+       "pre-batch epoch; recovery converges to the rebuild") {
+    import spark.implicits._
+    val A = "A" * 16; val B = "B" * 16
+    def doc(id: Long, text: String) = (id, text, text.length.toLong)
+    val b1 = Seq(
+      doc(1L, A + "u1".padTo(48, '_') + B),
+      doc(2L, A + "u2".padTo(48, '_') + B),
+      doc(3L, A + "u3".padTo(48, '_') + "C3" * 8))
+    val b2 = Seq(doc(4L, A + "u4".padTo(48, '_') + "C4" * 8))
+    val store = new EpochStore("graft_state_emd", "crash",
+      StreamOps.MediaDedupTables)
+    store.destroy(spark)
+    def df(rs: Seq[(Long, String, Long)]) =
+      rs.toDF("doc_id", "text", "n_chars")
+    StreamOps.mediaDedupBatch(df(b1), "graft_state_emd", "crash")
+    def full() = Seq("df", "pair", "n").map(n =>
+      store.snap(spark, n).collect().map(_.toSeq.mkString(",")).sorted.toSeq)
+    val day1 = (full(), store.log(spark, "post").count(),
+      store.log(spark, "proc").count())
+    intercept[EpochStore.InjectedCrash] {
+      StreamOps.mediaDedupBatch(df(b2), "graft_state_emd", "crash",
+        crashBeforeCommit = true)
+    }
+    assert((full(), store.log(spark, "post").count(),
+      store.log(spark, "proc").count()) == day1,
+      "crash exposed a half-committed five-table write")
+    StreamOps.mediaDedupBatch(df(b2), "graft_state_emd", "crash")
+    // rebuild ground truth over the union
+    val g = Seq("emd_g_post", "emd_g_df", "emd_g_pair", "emd_g_n")
+    g.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.operators.MultimodalOps.m9InitState(
+      df(b1 ++ b2), g(0), g(1), g(2), g(3))
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq.mkString(",")).sorted.toSeq
+    assert(m(store.snap(spark, "pair")) == m(spark.table("emd_g_pair")),
+      "recovered pairs diverged from rebuild")
+    assert(m(store.snap(spark, "df")) == m(spark.table("emd_g_df")),
+      "recovered df diverged from rebuild")
+    g.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    store.destroy(spark)
+  }
+
+  test("components: compaction folds the proc-log chain into one base; " +
+       "day-3 folds against the compacted store identically") {
+    import spark.implicits._
+    val store = new EpochStore("graft_state_ecpt", "crash",
+      StreamOps.ComponentsTables)
+    store.destroy(spark)
+    val (b1, rest) = baskets()
+    val orders2 = rest.map(_._1).distinct.sorted
+    val day2 = orders2.take(orders2.length / 2).toSet
+    val (b2, b3) = rest.partition { case (o, _) => day2(o) }
+    StreamOps.componentsBatch(b1.toDF("o", "p"), "graft_state_ecpt", "crash")
+    StreamOps.componentsBatch(b2.toDF("o", "p"), "graft_state_ecpt", "crash")
+    val procBefore = store.log(spark, "proc").count()
+    store.compact(spark)
+    assert(store.log(spark, "proc").count() == procBefore,
+      "compaction changed the processed-id log content")
+    // the log is now ONE bucketed base table
+    val (e, b, _) = store.committed(spark)
+    assert(b == e, "compaction did not reset the log base")
+    assert(spark.catalog.tableExists(s"${store.tag}_proc__b$b"))
+    // day 3 maintains against the compacted store
+    StreamOps.componentsBatch(b3.toDF("o", "p"), "graft_state_ecpt", "crash")
+    val c2 = "ecpt_rebuild_cnt"; val l2 = "ecpt_rebuild_lbl"
+    Seq(c2, l2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.operators.RelationalOps.q50InitState(
+      (b1 ++ b2 ++ b3).toDF("o", "p"), c2, l2)
+    assert(store.snap(spark, "cnt").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap ==
+      spark.table(c2).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap,
+      "post-compaction fold diverged from rebuild")
+    Seq(c2, l2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    store.destroy(spark)
+  }
+}

@@ -664,19 +664,21 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
         r.getDouble(3))).toSeq
     val (half1, half2) = rows.splitAt(rows.length / 2)
-    spark.sql("DROP TABLE IF EXISTS stream_ivm_summary")
+    val store = new graft.streaming.EpochStore(
+      "graft_state_sivm", "spec", StreamOps.IvmTables)
+    store.destroy(spark)
     val input = MemoryStream[(String, String, Double, Double)]
     val q = StreamOps.streamingIvm(
       input.toDF().toDF("l_returnflag", "l_linestatus", "l_quantity",
         "l_extendedprice"),
-      "stream_ivm_summary").start()
+      "graft_state_sivm", "spec").start()
     try {
       input.addData(half1: _*)
       q.processAllAvailable()
       input.addData(half2: _*)
       q.processAllAvailable()
     } finally q.stop()
-    val got = spark.table("stream_ivm_summary")
+    val got = store.snap(spark, "summary")
       .orderBy($"l_returnflag", $"l_linestatus")
       .collect().map(_.toSeq).toSeq
     val want = graft.Tables(spark, sf, "lineitem")
@@ -688,7 +690,7 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy($"l_returnflag", $"l_linestatus")
       .collect().map(_.toSeq).toSeq
     assert(got == want, s"streamed summary diverged:\n$got\nvs\n$want")
-    spark.sql("DROP TABLE IF EXISTS stream_ivm_summary")
+    store.destroy(spark)
   }
 
   test("streaming interval coverage: cross-batch sweep state matches batch e22") {
@@ -762,36 +764,36 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val sf = SharedSpark.sf
-    val postT = "stream_bm25_post"
-    val dlT = "stream_bm25_dl"
-    val dfT = "stream_bm25_df"
-    Seq(postT, dlT, dfT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val store = new graft.streaming.EpochStore(
+      "graft_state_sbm25", "spec", StreamOps.Bm25Tables)
+    store.destroy(spark)
     val all = graft.Tables(spark, sf, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
     val (b1, b2) = all.splitAt(all.length / 2)
     val input = MemoryStream[(Long, String)]
     val q = StreamOps.streamingBm25Index(
-      input.toDF().toDF("doc_id", "text"), postT, dlT, dfT).start()
+      input.toDF().toDF("doc_id", "text"), "graft_state_sbm25", "spec").start()
     try {
       input.addData(b1.toSeq: _*)
       q.processAllAvailable()
       input.addData(b2.toSeq: _*)
       q.processAllAvailable()
       // replay batch 2 verbatim (a restart re-delivering the last
-      // batch): Δdocs = ∅, no state table may move
-      Seq(postT, dlT, dfT).foreach(spark.catalog.refreshTable)
-      val postN = spark.table(postT).count()
-      val dlN = spark.table(dlT).count()
-      val dfBefore = spark.table(dfT).collect()
+      // batch): Δdocs = ∅, no state may move — and no new epoch
+      val epochBefore = store.committed(spark)._1
+      val postN = store.log(spark, "post").count()
+      val dlN = store.log(spark, "dl").count()
+      val dfBefore = store.snap(spark, "df").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       input.addData(b2.toSeq: _*)
       q.processAllAvailable()
-      Seq(postT, dlT, dfT).foreach(spark.catalog.refreshTable)
-      assert(spark.table(postT).count() == postN,
+      assert(store.committed(spark)._1 == epochBefore,
+        "replayed batch opened a new epoch")
+      assert(store.log(spark, "post").count() == postN,
         "replayed batch grew the posting list")
-      assert(spark.table(dlT).count() == dlN,
+      assert(store.log(spark, "dl").count() == dlN,
         "replayed batch grew the doc-length table")
-      assert(spark.table(dfT).collect()
+      assert(store.snap(spark, "df").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap == dfBefore,
         "replayed batch moved the df table")
     } finally q.stop()
@@ -804,71 +806,91 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val wantDf = tfAll.groupBy($"term").agg(count(lit(1)).as("df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    Seq(postT, dlT, dfT).foreach(spark.catalog.refreshTable)
-    assert(spark.table(postT).select($"doc_id", $"term", $"tf").collect()
+    assert(store.log(spark, "post").select($"doc_id", $"term", $"tf").collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
       == wantPost,
       "maintained posting list diverged from from-scratch rebuild")
-    assert(spark.table(dlT).collect()
+    assert(store.log(spark, "dl").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == wantDl,
       "maintained doc-length table diverged")
-    assert(spark.table(dfT).collect()
+    assert(store.snap(spark, "df").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap == wantDf,
       "maintained df table diverged")
-    Seq(postT, dlT, dfT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // OPTIMIZE: compaction folds the delta chain into one bucketed base
+    // as a normal epoch — content identical, epoch advanced, superseded
+    // epoch tables vacuumed
+    val eBefore = store.committed(spark)._1
+    store.compact(spark)
+    val (eAfter, bAfter, _) = store.committed(spark)
+    assert(eAfter == eBefore + 1 && bAfter == eAfter,
+      "compaction did not advance to a fresh base epoch")
+    assert(store.log(spark, "post").select($"doc_id", $"term", $"tf").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      == wantPost, "compaction changed the posting content")
+    assert(store.snap(spark, "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == wantDf,
+      "compaction changed the df snapshot")
+    // vacuum dropped everything the pointer no longer references
+    val leftover = spark.sessionState.catalog
+      .listTables("default", s"${store.tag}_*__*").map(_.table)
+      .filterNot(t => t.endsWith(s"__e$eAfter") || t.endsWith(s"__b$bAfter"))
+    assert(leftover.isEmpty, s"vacuum left superseded tables: $leftover")
+    store.destroy(spark)
   }
 
-  test("streaming bm25: day-1 build heals orphan state directories") {
+  test("streaming bm25: day-1 build heals orphan epoch-table directories") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val sf = SharedSpark.sf
-    val postT = "stream_bm25_orph_post"
-    val dlT = "stream_bm25_orph_dl"
-    val dfT = "stream_bm25_orph_df"
-    Seq(postT, dlT, dfT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    // a run killed mid-day-1 (before any data file landed) leaves empty
-    // table DIRECTORIES in the warehouse with no catalog entries (the
-    // catalog is per-process) — the next day-1 must clear them instead
-    // of dying with LOCATION_ALREADY_EXISTS. (An orphan WITH data files
-    // is deliberately different for these non-graft_state_ names: the
-    // clearStaleLocation contract ADOPTS it as an append sink.)
-    Seq(postT, dlT, dfT).foreach { t =>
+    val store = new graft.streaming.EpochStore(
+      "graft_state_sbm25o", "spec", StreamOps.Bm25Tables)
+    store.destroy(spark)
+    // a run killed mid-day-1 leaves `__e1`/`__d1` DIRECTORIES in the
+    // warehouse with no catalog entries (the catalog is per-process)
+    // and NO pointer — epoch tables are graft_state_-prefixed, so the
+    // re-delivered day-1 clears and rewrites them instead of dying
+    // with LOCATION_ALREADY_EXISTS or adopting half-written data
+    Seq(s"${store.tag}_post__d1", s"${store.tag}_dl__d1",
+        s"${store.tag}_df__e1").foreach { t =>
       val loc = new org.apache.hadoop.fs.Path(
         spark.sessionState.catalog.defaultTablePath(
           org.apache.spark.sql.catalyst.TableIdentifier(t)))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.mkdirs(loc)
+      // plant a stray file so the orphan is non-empty (a kill can land
+      // mid-write): rebuildable state must still be cleared
+      val out = fs.create(new org.apache.hadoop.fs.Path(loc, "part-junk"))
+      out.write(Array[Byte](1, 2, 3)); out.close()
     }
     val all = graft.Tables(spark, sf, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
     val input = MemoryStream[(Long, String)]
     val q = StreamOps.streamingBm25Index(
-      input.toDF().toDF("doc_id", "text"), postT, dlT, dfT).start()
+      input.toDF().toDF("doc_id", "text"), "graft_state_sbm25o", "spec")
+      .start()
     try {
       input.addData(all: _*)
       q.processAllAvailable()
     } finally q.stop()
-    Seq(postT, dlT, dfT).foreach(spark.catalog.refreshTable)
-    assert(Seq(postT, dlT, dfT).forall(spark.catalog.tableExists),
-      "day-1 build did not recreate all state tables")
+    assert(store.exists(spark), "day-1 did not commit epoch 1")
     // every doc with at least one token must be present (docs whose
     // text yields no tokens never enter the index, batch or stream)
     val wantDocs = graft.operators.TextOps.bm25TfOf(
         graft.Tables(spark, sf, "documents").select($"doc_id", $"text"))
       .select($"doc_id").distinct().count()
-    assert(spark.table(dlT).count() == wantDocs,
+    assert(store.log(spark, "dl").count() == wantDocs,
       "healed day-1 build lost documents")
-    Seq(postT, dlT, dfT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    store.destroy(spark)
   }
 
   test("streaming triangles: two micro-batches equal batch rebuild; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
     val sf = SharedSpark.sf
-    val edT = "stream_tri_edges"
-    val triT = "stream_tri_counts"
-    Seq(edT, triT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val store = new graft.streaming.EpochStore(
+      "graft_state_stri", "spec", StreamOps.TrianglesTables)
+    store.destroy(spark)
     // whole baskets per batch (the operator's documented contract):
     // split ORDERS, not rows
     val pl = graft.Tables(spark, sf, "lineitem")
@@ -879,26 +901,25 @@ class StreamingSpec extends AnyFunSuite {
     val (b1, b2) = pl.partition { case (o, _) => day1Orders(o) }
     val input = MemoryStream[(Long, Long)]
     val q = StreamOps.streamingTriangles(
-      input.toDF().toDF("o", "p"), edT, triT).start()
+      input.toDF().toDF("o", "p"), "graft_state_stri", "spec").start()
     try {
       input.addData(b1: _*)
       q.processAllAvailable()
       input.addData(b2: _*)
       q.processAllAvailable()
       // replay batch 2 verbatim (a restart re-delivering the last
-      // batch): ΔE = ∅, state must not move
-      // (foreachBatch runs in a cloned session whose writes invalidate
-      // only ITS relation cache — refresh before direct reads here)
-      Seq(edT, triT).foreach(spark.catalog.refreshTable)
-      val triAfter = spark.table(triT).collect()
+      // batch): ΔE = ∅, state must not move — and no new epoch
+      val epochBefore = store.committed(spark)._1
+      val triAfter = store.snap(spark, "tri").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val edgesAfter = spark.table(edT).count()
+      val edgesAfter = store.log(spark, "edges").count()
       input.addData(b2: _*)
       q.processAllAvailable()
-      Seq(edT, triT).foreach(spark.catalog.refreshTable)
-      assert(spark.table(edT).count() == edgesAfter,
+      assert(store.committed(spark)._1 == epochBefore,
+        "replayed batch opened a new epoch")
+      assert(store.log(spark, "edges").count() == edgesAfter,
         "replayed batch grew the edge state")
-      assert(spark.table(triT).collect()
+      assert(store.snap(spark, "tri").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap == triAfter,
         "replayed batch moved the triangle counts")
     } finally q.stop()
@@ -912,23 +933,21 @@ class StreamingSpec extends AnyFunSuite {
         und.groupBy($"a".as("n")).agg(count(lit(1)).as("d")))
       .groupBy($"n").agg(count(lit(1)).as("tri"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    Seq(edT, triT).foreach(spark.catalog.refreshTable)
-    val got = spark.table(triT).collect()
+    val got = store.snap(spark, "tri").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want, s"streamed triangle counts diverged from rebuild")
     // the standing edge set equals the corpus pair set
-    assert(spark.table(edT).count() == ed.count())
-    Seq(edT, triT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    assert(store.log(spark, "edges").count() == ed.count())
+    store.destroy(spark)
   }
 
   test("streaming components: two micro-batches equal from-scratch init; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
     val sf = SharedSpark.sf
-    val cntT = "stream_cc_cnt"
-    val lblT = "stream_cc_lbl"
-    val procT = "stream_cc_proc"
-    Seq(cntT, lblT, procT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val store = new graft.streaming.EpochStore(
+      "graft_state_scc", "spec", StreamOps.ComponentsTables)
+    store.destroy(spark)
     // whole baskets per batch (the operator's documented contract):
     // split ORDERS, not rows
     val pl = graft.Tables(spark, sf, "lineitem")
@@ -937,28 +956,30 @@ class StreamingSpec extends AnyFunSuite {
     val orders = pl.map(_._1).distinct.sorted
     val day1 = orders.take(orders.length / 2).toSet
     val (b1, b2) = pl.partition { case (o, _) => day1(o) }
-    def cntMap = spark.table(cntT).collect()
+    def cntMap = store.snap(spark, "cnt").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    def lblMap = spark.table(lblT).collect()
+    def lblMap = store.snap(spark, "lbl").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val input = MemoryStream[(Long, Long)]
     val q = StreamOps.streamingComponents(
-      input.toDF().toDF("o", "p"), cntT, lblT, procT).start()
+      input.toDF().toDF("o", "p"), "graft_state_scc", "spec").start()
     try {
       input.addData(b1: _*)
       q.processAllAvailable()
       input.addData(b2: _*)
       q.processAllAvailable()
-      Seq(cntT, lblT, procT).foreach(spark.catalog.refreshTable)
-      val (c0, l0, p0) = (cntMap, lblMap, spark.table(procT).count())
+      val (c0, l0, p0) =
+        (cntMap, lblMap, store.log(spark, "proc").count())
+      val epochBefore = store.committed(spark)._1
       // replay batch 2 verbatim (a restart re-delivering the last
       // batch): the order-id guard makes it a true no-op
       input.addData(b2: _*)
       q.processAllAvailable()
-      Seq(cntT, lblT, procT).foreach(spark.catalog.refreshTable)
+      assert(store.committed(spark)._1 == epochBefore,
+        "replayed batch opened a new epoch")
       assert(cntMap == c0, "replayed batch moved the support counts")
       assert(lblMap == l0, "replayed batch moved the labels")
-      assert(spark.table(procT).count() == p0,
+      assert(store.log(spark, "proc").count() == p0,
         "replayed batch grew the processed-basket marker")
     } finally q.stop()
     // ground truth: from-scratch day-1 init over the union corpus —
@@ -973,8 +994,8 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cntMap == wantCnt, "streamed support counts diverged from rebuild")
     assert(lblMap == wantLbl, "streamed labels diverged from rebuild")
-    Seq(cntT, lblT, procT, c2, l2)
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq(c2, l2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    store.destroy(spark)
   }
 
   test("streaming media dedup: cap churn retracts a standing pair; replay idempotent") {
@@ -993,36 +1014,37 @@ class StreamingSpec extends AnyFunSuite {
       doc(10L, A + "uA".padTo(48, '_') + "XX" * 8),
       doc(11L, F + "p1".padTo(48, '_') + G),
       doc(12L, F + "p2".padTo(48, '_') + G))
-    val ts = Seq("smd_post", "smd_df", "smd_pair", "smd_n", "smd_proc")
-    ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    def pairMap = spark.table("smd_pair").collect()
+    val store = new graft.streaming.EpochStore(
+      "graft_state_smd", "spec", StreamOps.MediaDedupTables)
+    store.destroy(spark)
+    def pairMap = store.snap(spark, "pair").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val input = MemoryStream[(Long, String, Long)]
     val q = StreamOps.streamingMediaDedup(
       input.toDF().toDF("doc_id", "text", "n_chars"),
-      "smd_post", "smd_df", "smd_pair", "smd_n", "smd_proc").start()
+      "graft_state_smd", "spec").start()
     try {
       input.addData(b1: _*)
       q.processAllAvailable()
-      ts.foreach(spark.catalog.refreshTable)
       assert(pairMap == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (1L, 4L) -> 1L,
         (1L, 5L) -> 1L, (2L, 3L) -> 1L, (2L, 4L) -> 1L, (2L, 5L) -> 1L,
         (3L, 4L) -> 1L, (3L, 5L) -> 1L, (4L, 5L) -> 1L),
         "day-1 pair intersections wrong")
       input.addData(b2: _*)
       q.processAllAvailable()
-      ts.foreach(spark.catalog.refreshTable)
       // A crossed: every A-only intersection retracts to zero and drops;
       // (1,2) keeps only B; (11,12) arrives with {F,G}
       val afterChurn = Map((1L, 2L) -> 1L, (11L, 12L) -> 2L)
       assert(pairMap == afterChurn, s"churn fold wrong: $pairMap")
-      val procBefore = spark.table("smd_proc").count()
+      val procBefore = store.log(spark, "proc").count()
+      val epochBefore = store.committed(spark)._1
       // replay batch 2 verbatim: the processed-id guard makes it a no-op
       input.addData(b2: _*)
       q.processAllAvailable()
-      ts.foreach(spark.catalog.refreshTable)
+      assert(store.committed(spark)._1 == epochBefore,
+        "replayed batch opened a new epoch")
       assert(pairMap == afterChurn, "replayed batch moved the pair state")
-      assert(spark.table("smd_proc").count() == procBefore)
+      assert(store.log(spark, "proc").count() == procBefore)
     } finally q.stop()
     // ground truth: from-scratch init over the union on every state table
     import spark.implicits._
@@ -1031,16 +1053,18 @@ class StreamingSpec extends AnyFunSuite {
     graft.operators.MultimodalOps.m9InitState(
       (b1 ++ b2).toDF("doc_id", "text", "n_chars"),
       g(0), g(1), g(2), g(3))
-    def m(t: String, k: Int) = spark.table(t).collect()
+    def m(df: org.apache.spark.sql.DataFrame, k: Int) = df.collect()
       .map(r => r.toSeq.take(k).mkString(",")).sorted.toSeq
-    assert(m("smd_pair", 3) == m("smd_g_pair", 3),
+    def t(name: String) = spark.table(name)
+    assert(m(store.snap(spark, "pair"), 3) == m(t("smd_g_pair"), 3),
       "streamed pairs diverged from rebuild")
-    assert(m("smd_n", 2) == m("smd_g_n", 2),
+    assert(m(store.snap(spark, "n"), 2) == m(t("smd_g_n"), 2),
       "streamed sizes diverged from rebuild")
-    assert(m("smd_df", 2) == m("smd_g_df", 2),
+    assert(m(store.snap(spark, "df"), 2) == m(t("smd_g_df"), 2),
       "streamed df diverged from rebuild")
-    assert(spark.table("smd_post").count() ==
+    assert(store.log(spark, "post").count() ==
       spark.table("smd_g_post").count())
-    (ts ++ g).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    g.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    store.destroy(spark)
   }
 }
