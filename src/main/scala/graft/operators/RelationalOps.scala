@@ -3359,6 +3359,47 @@ object RelationalOps {
       |LIMIT 50""".stripMargin
   }
 
+  // --------------------------------------------------------------- q53
+  /** Hierarchy ROLLUP in one pass — the multi-level report (detail →
+    * per-region subtotal → grand total) every BI layer asks of a
+    * warehouse. `rollup(r_name, n_name)` computes all three levels in
+    * a SINGLE aggregation: Spark expands the grouping sets map-side
+    * (each input row feeds every level's partial aggregate before the
+    * one shuffle), so the 100 TB cost is one scan + one exchange where
+    * the naive form is three scans and three exchanges — the reason
+    * ROLLUP/GROUPING SETS exist as physical operators rather than
+    * UNION ALL sugar. `grouping_id()` disambiguates a rolled-up NULL
+    * from a data NULL (levels here: 0 = nation detail, 1 = region
+    * subtotal, 3 = grand total), matching DuckDB/Postgres
+    * `GROUPING(r_name, n_name)` bit-for-bit (first argument is the
+    * high bit in both engines). nation/region broadcast (bounded dims
+    * at any SF); orders⋈customer is the one key shuffle. */
+  def q53RollupReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(spark, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(spark, dir, "region")),
+        $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("revenue"),
+        grouping_id().as("lvl"))
+      .orderBy($"lvl", $"r_name", $"n_name")
+  }
+
+  val q53RollupReportSql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  GROUPING(r_name, n_name) AS lvl
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY lvl, r_name, n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -3412,6 +3453,7 @@ object RelationalOps {
     "q50_components_day2" -> (q50ComponentsDay2 _),
     "q51_quantile_day2"  -> (q51QuantileDay2 _),
     "q52_components_retract" -> (q52ComponentsRetract _),
+    "q53_rollup_report"  -> (q53RollupReport _),
   )
 
   // --------------------------------------------------------------- q15
@@ -3490,5 +3532,6 @@ object RelationalOps {
     "q50_components_day2" -> q50ComponentsDay2Sql,
     "q51_quantile_day2"  -> q51QuantileDay2Sql,
     "q52_components_retract" -> q52ComponentsRetractSql,
+    "q53_rollup_report"  -> q53RollupReportSql,
   )
 }
