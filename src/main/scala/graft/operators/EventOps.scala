@@ -1212,6 +1212,84 @@ object EventOps {
       |ORDER BY latency_hours""".stripMargin
 
   // ------------------------------------------------------------ registry
+  // --------------------------------------------------------------- e26
+  /** PIVOT — the wide activity matrix (one row per day, one count
+    * column per event type), the long→wide reshape every BI export and
+    * feature-store join asks for. Spark's `pivot` WITH an explicit
+    * value list compiles to ONE conditional-aggregation pass — each
+    * cell is a `count(CASE WHEN type = v)` inside the same hash
+    * aggregate, so the matrix costs exactly one scan + one day-keyed
+    * exchange. Omitting the list would be wrong twice at 100 TB: Spark
+    * runs an EXTRA distinct job over the type column to discover the
+    * output schema, and that schema becomes data-dependent (a new type
+    * in tomorrow's data silently widens the table downstream). A
+    * (day, type) pair with no rows pivots to NULL where the oracle's
+    * FILTER count gives 0 — `na.fill` pins the 0-not-NULL semantics.
+    * Output is days × |types| — metadata-sized at any volume. */
+  private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** The matrix without the presentation sort, so e27's melt can add
+    * its OWN sort instead of stacking one on an inherited one (the
+    * unpivot generator blocks EliminateSorts across it — two sorts
+    * would mean two range exchanges, spec-pinned at one). */
+  private def pivotMatrixOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy(to_date($"ts").as("day"))
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotTypes)
+  }
+
+  def e26PivotMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pivotMatrixOf(spark, dir).orderBy($"day")
+  }
+
+  val e26PivotMatrixSql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
+  // --------------------------------------------------------------- e27
+  /** UNPIVOT — the wide→long inverse of e26, run as a ROUNDTRIP: the
+    * pivoted day × type matrix melts back to (day, event_type,
+    * n_events) rows. `unpivot` is a per-row generator (each input row
+    * expands to |types| output rows inside the same stage — no
+    * exchange, no extra scan), so the reshape itself is free at any
+    * scale; the cost is e26's one aggregation underneath. The
+    * roundtrip is NOT the identity of a plain group-by: the matrix
+    * materialized absent (day, type) cells as 0, so the long form has
+    * exactly days × |types| rows — the densified shape a feature
+    * store wants (every entity × feature key present) — which is what
+    * the oracle certifies via days ⨯ types LEFT JOIN counts. */
+  def e27UnpivotLong(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pivotMatrixOf(spark, dir)
+      .unpivot(Array($"day"), PivotTypes.map(col).toArray,
+        "event_type", "n_events")
+      .orderBy($"day", $"event_type")
+  }
+
+  val e27UnpivotLongSql: String =
+    """WITH m AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      |ty AS (SELECT * FROM (VALUES ('click'), ('error'), ('purchase'),
+      |                             ('signup'), ('view')) v(event_type))
+      |SELECT d.day AS day, t.event_type AS event_type,
+      |  COALESCE(m.n, 0) AS n_events
+      |FROM days d CROSS JOIN ty t
+      |LEFT JOIN m ON m.day = d.day AND m.event_type = t.event_type
+      |ORDER BY d.day, t.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
     "e2_json_extract" -> (e2JsonExtract _),
@@ -1238,6 +1316,8 @@ object EventOps {
     "e23_top_paths"  -> (e23TopPaths _),
     "e24_cohort_ltv" -> (e24CohortLtv _),
     "e25_conversion_latency" -> (e25ConversionLatency _),
+    "e26_pivot_matrix" -> (e26PivotMatrix _),
+    "e27_unpivot_long" -> (e27UnpivotLong _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1266,5 +1346,7 @@ object EventOps {
     "e23_top_paths"  -> e23TopPathsSql,
     "e24_cohort_ltv" -> e24CohortLtvSql,
     "e25_conversion_latency" -> e25ConversionLatencySql,
+    "e26_pivot_matrix" -> e26PivotMatrixSql,
+    "e27_unpivot_long" -> e27UnpivotLongSql,
   )
 }

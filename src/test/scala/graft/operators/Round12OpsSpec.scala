@@ -240,4 +240,48 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(pairsOf(DedupOps.jaccardTruthPairs(hs)) ==
       pairsOf(naiveTruth(hs)))
   }
+
+  // ----------------------------------------------------- q53/e26 plans
+
+  private def shuffles(df: DataFrame) =
+    physical(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+
+  test("q53: rollup is ONE aggregation pass — one Expand, all dims " +
+       "broadcast, one agg shuffle") {
+    val df = RelationalOps.q53RollupReport(spark, sf)
+    val plan = physical(df)
+    val expands = plan.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }
+    assert(expands.size == 1,
+      s"rollup expanded ${expands.size} times, expected exactly 1")
+    val bhj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+    // nation and region are BOUNDED dims (25/5 rows at any SF) and must
+    // always broadcast; customer additionally broadcasts at testbed
+    // size, so accept 2 or 3 — fewer means a bounded dim shuffled
+    assert(bhj.size >= 2, s"expected >=2 broadcast dim joins, got ${bhj.size}")
+    // the agg shuffle plus the final orderBy's range exchange — a third
+    // shuffle would mean the levels are being computed as separate jobs
+    assert(shuffles(df).size == 2,
+      s"rollup plan shuffles ${shuffles(df).size}×, expected 2 (agg + sort)")
+  }
+
+  test("e26/e27: pivot is conditional aggregation (no per-type scans); " +
+       "unpivot adds no exchange on top") {
+    val piv = EventOps.queries("e26_pivot_matrix")(spark, sf)
+    // one scan total: every pivot cell rides the same aggregate
+    val scans = physical(piv).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.size == 1, s"pivot scanned ${scans.size}×, expected 1")
+    val pivShuffles = shuffles(piv).size
+    val long = EventOps.queries("e27_unpivot_long")(spark, sf)
+    // the melt is a generator: same exchange count as the matrix it
+    // reshapes (its own orderBy replaces e26's — no additional stage)
+    assert(shuffles(long).size == pivShuffles,
+      s"unpivot added exchanges: ${shuffles(long).size} vs $pivShuffles")
+    // densified long form: every day × type cell present
+    assert(long.count() == piv.count() * 5)
+  }
 }
