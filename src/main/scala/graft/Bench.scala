@@ -116,7 +116,12 @@ object Bench {
     * in-suite ≈ solo for the queries the r9/r10 verdicts flagged. */
   private val soloQueries = Set("q39_graph_converge", "q44_triangles",
     "q47_kcore", "q48_triangles_day2", "q49_components",
-    "q50_components_day2", "q52_components_retract")
+    "q50_components_day2", "q52_components_retract",
+    // d21 is the d-family's iterative-shaped member: ~8 driver actions
+    // (per-config collects + checkpoints) make it swing with scheduler
+    // context like the q-family loops do (17.1 s in-family vs 10.6 s
+    // solo on the same host, r12-measured)
+    "d21_band_tuning")
 
   /** Family key: the alpha prefix of the query name (q1_agg → "q",
     * h01 → "h"). One child JVM per family. */

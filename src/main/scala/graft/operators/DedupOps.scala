@@ -1507,11 +1507,12 @@ object DedupOps {
     * cross-engine pow() in sight.
     *
     * Ground truth matches d9's estimator ledger (DISTINCT gram sets,
-    * inter/union), generated by [[jaccardPrefixCandidates]] — the
-    * PPJoin prefix-filtered join (r11 verdict item #2: the previous
-    * unrestricted shared-gram self-join was quadratic on hot grams),
-    * which keeps truth EXACT while bounding the join by PREFIX
-    * document frequency. Degenerate LSH buckets (a band key shared by > 256
+    * inter/union), generated by [[jaccardTruthPairs]] — an exact
+    * fan-out probe picks the cheap unrestricted join when it is
+    * provably small and the PPJoin prefix-filtered arm
+    * ([[jaccardPrefixCandidates]]) above the bound (r11 verdict item
+    * #2: the previous ALWAYS-unrestricted self-join was quadratic on
+    * hot grams), keeping truth EXACT at either scale. Degenerate LSH buckets (a band key shared by > 256
     * docs — a boilerplate min-gram at crawl scale) are EXCLUDED from
     * pair generation and surfaced per config as `n_capped_buckets`
     * (d11's cap + honest-flag discipline; a no-op on the declared
@@ -1585,28 +1586,63 @@ object DedupOps {
       .distinct()
   }
 
-  /** Exact Jaccard ≥ 0.6 truth pairs (i, j) from a (doc_id, hs) frame:
-    * prefix-filtered candidates verified by the exact intersect/union
-    * check — output-identical to the unrestricted shared-gram join it
-    * replaced (the prefix-filter theorem, [[jaccardPrefixCandidates]]),
-    * never quadratic on hot grams. */
-  private[operators] def jaccardTruthPairs(hs: DataFrame): DataFrame = {
+  /** Exact-candidate-count bound under which the truth join skips the
+    * prefix filter: the unrestricted shared-gram self-join emits
+    * EXACTLY Σ_g df·(df−1)/2 rows, a quantity one gram-keyed aggregate
+    * computes BEFORE committing to either plan. At ≤ 50M narrow
+    * (3-long) rows the naive join is a ~1 GB shuffle — trivial on any
+    * cluster and measurably CHEAPER than the prefix arm's extra
+    * df-rank window (A/B at sf0.1: naive 7.6 s vs prefix 10.6 s,
+    * because this corpus's flat df profile never triggers the
+    * quadratic case) — while the catastrophe the prefix arm exists
+    * for is 5×10⁹ pairs from one 100k-doc boilerplate gram, 100× over
+    * this bound. Same sanctioned two-arm shape as componentsFrom's
+    * driver probe: an exact, cheap size probe picks the plan, the
+    * scale arm is the fallback, and specs force BOTH arms. */
+  private[operators] val NaiveTruthFanoutBound = 50000000L
+
+  /** Exact Jaccard ≥ 0.6 truth pairs (i, j) from a (doc_id, hs) frame.
+    * Two output-identical arms behind an exact fan-out probe:
+    * corpora whose shared-gram join provably emits ≤ `fanoutBound`
+    * rows take the unrestricted join (cheapest constants); anything
+    * bigger — a single hot gram is enough — takes the PPJoin
+    * prefix-filtered candidates ([[jaccardPrefixCandidates]], the
+    * prefix-filter theorem keeps truth EXACT), never quadratic on hot
+    * grams. `fanoutBound` is parameterized ONLY so the spec can force
+    * each arm on the same corpus and assert identical output. */
+  private[operators] def jaccardTruthPairs(hs: DataFrame,
+      fanoutBound: Long = NaiveTruthFanoutBound): DataFrame = {
     val spark = hs.sparkSession
     import spark.implicits._
-    // exact |A∩B| per candidate: explode the candidate pairs against
-    // doc i's grams, then equi-join on the COMPOSITE (j, gh) — each
-    // row matches at most one gram of j, so the count is the exact
-    // intersection and the fan-out is candidates × doc length, with
-    // only narrow (3-long) rows in the shuffles — cheaper than moving
-    // the gram-ARRAY table through two doc-keyed exchanges
-    val g = hs.select($"doc_id", explode($"hs").as("gh"))
-    jaccardPrefixCandidates(hs)
-      .join(g.select($"doc_id".as("i"), $"gh"), Seq("i"))
-      .join(g.hint("shuffle_hash").select($"doc_id".as("j"), $"gh"),
-        Seq("j", "gh"), "left_semi")
-      .groupBy($"i", $"j", $"ca", $"cb").agg(count(lit(1)).as("inter"))
-      .filter($"inter" * 10 >= ($"ca" + $"cb" - $"inter") * 6)
-      .select($"i", $"j")
+    val g = hs.select($"doc_id", size($"hs").as("c"), explode($"hs").as("gh"))
+    val fanout = g.groupBy($"gh").agg(count(lit(1)).as("df"))
+      .agg(sum(($"df" * ($"df" - 1) / 2).cast("decimal(38,0)")))
+      .first().getDecimal(0)
+    val gi = g.select($"doc_id".as("i"), $"gh")
+    val gj = g.select($"doc_id".as("j"), $"gh")
+    if (fanout != null &&
+        fanout.compareTo(new java.math.BigDecimal(fanoutBound)) <= 0) {
+      // naive arm: the probe just PROVED the join is small
+      g.as("a").join(g.hint("shuffle_hash").as("b"),
+          $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+          $"a.c".as("ca"), $"b.c".as("cb"))
+        .agg(count(lit(1)).as("inter"))
+        .filter($"inter" * 10 >= ($"ca" + $"cb" - $"inter") * 6)
+        .select($"i", $"j")
+    } else {
+      // prefix arm — exact |A∩B| per candidate: explode the candidate
+      // pairs against doc i's grams, then equi-join on the COMPOSITE
+      // (j, gh) — each row matches at most one gram of j, so the count
+      // is the exact intersection and the fan-out is candidates × doc
+      // length, with only narrow (3-long) rows in the shuffles
+      jaccardPrefixCandidates(hs)
+        .join(gi, Seq("i"))
+        .join(gj.hint("shuffle_hash"), Seq("j", "gh"), "left_semi")
+        .groupBy($"i", $"j", $"ca", $"cb").agg(count(lit(1)).as("inter"))
+        .filter($"inter" * 10 >= ($"ca" + $"cb" - $"inter") * 6)
+        .select($"i", $"j")
+    }
   }
 
   private[operators] def d21BandTuningFrom(docsDf: DataFrame,
@@ -1616,19 +1652,19 @@ object DedupOps {
     val hs = gramSetsFrom(docsDf).persist()
     val sig = minhashSigsFrom(hs).persist()
     try {
-      // exact ground truth over DISTINCT gram sets: PPJoin prefix
-      // filter + exact verify (see jaccardPrefixCandidates — r11's
-      // one flagged scale-killer, removed). A/B at sf0.1, same host,
-      // whole query: unrestricted-join arm 7.6 s, prefix-filtered arm
-      // 10.6 s — the df ranking pays a gram-keyed agg+join plus the
-      // doc-keyed rank shuffle, pure constant factor on this corpus's
-      // FLAT df profile (no gram is hot, so the old arm never paid its
-      // quadratic worst case here). The trade is deliberate: +40% at
-      // the testbed buys the prefix-df bound that keeps one 100k-doc
-      // boilerplate gram from generating 5×10⁹ truth-arm pairs at
-      // crawl scale (spec-pinned: the planted boilerplate corpus
-      // generates ZERO prefix candidates where the old arm generated
-      // all C(n,2)).
+      // exact ground truth over DISTINCT gram sets, behind
+      // jaccardTruthPairs' fan-out probe (r11's one flagged
+      // scale-killer, removed): one gram-keyed aggregate computes the
+      // unrestricted join's EXACT output size Σ df·(df−1)/2 and picks
+      // the plan — ≤ 50M rows takes the cheap naive join (A/B at
+      // sf0.1, same host, whole query: naive 7.6 s vs
+      // always-prefix 10.6 s — this corpus's FLAT df profile never
+      // pays the quadratic case, so the df-rank window was pure
+      // constant overhead), anything hotter takes the PPJoin prefix
+      // arm whose candidate fan-out is bounded by PREFIX df
+      // (spec-pinned: a planted boilerplate gram in every doc
+      // generates ZERO prefix candidates where the naive join
+      // generates all C(n,2); both arms spec-forced output-identical).
       val truth = jaccardTruthPairs(hs)
         .localCheckpoint() // consumed once per config below
       try {

@@ -420,23 +420,80 @@ object StreamOps {
     * and needs none: foreachBatch runs the SAME batch plan per
     * micro-batch, which is exactly the daily-ingest shape d17
     * materializes the state for. The streamed union over any batch
-    * split equals the one-shot batch d15 (spec-pinned). */
+    * split equals the one-shot batch d15 (spec-pinned).
+    *
+    * Sink idempotency ([[idempotentSinkWrite]]): the matches land in
+    * the sink's `sink_batch=<batchId>` partition via dynamic partition
+    * overwrite, so a re-delivered micro-batch REPLACES its own output
+    * instead of appending duplicate flag rows — spec-pinned. */
   def streamingNeardupIngest(docsStream: DataFrame, corpusBandTable: String,
                              sinkTable: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docsStream.writeStream.outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sp = batch.sparkSession
-        import sp.implicits._
-        val matches = graft.operators.DedupOps.bandKeysFor(batch.toDF())
-          .withColumn("bk", concat_ws(":", $"band", $"key"))
-          .select($"bk", $"doc_id".as("batch_id"))
-          .join(sp.table(corpusBandTable).hint("merge")
-            .withColumnRenamed("doc_id", "corpus_id"), Seq("bk"))
-          .select($"batch_id", $"corpus_id").distinct()
-        graft.sources.LayoutOps.clearStaleLocation(sp, sinkTable)
-        matches.write.mode("append").format("parquet").saveAsTable(sinkTable)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        neardupIngestBatch(batch.toDF(), id, corpusBandTable, sinkTable)
       }
+
+  private[graft] def neardupIngestBatch(batch: DataFrame, batchId: Long,
+      corpusBandTable: String, sinkTable: String): Unit = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val matches = graft.operators.DedupOps.bandKeysFor(batch)
+      .withColumn("bk", concat_ws(":", $"band", $"key"))
+      .select($"bk", $"doc_id".as("batch_id"))
+      .join(sp.table(corpusBandTable).hint("merge")
+        .withColumnRenamed("doc_id", "corpus_id"), Seq("bk"))
+      .select($"batch_id", $"corpus_id").distinct()
+    idempotentSinkWrite(matches, batchId, sinkTable)
+  }
+
+  /** At-least-once delivery → exactly-once SINK rows for the
+    * foreachBatch RESULT sinks (the duals' standing STATE goes through
+    * [[EpochStore]]; a result sink needs only per-batch idempotency):
+    * each batch's output lands in its own `sink_batch=<batchId>` hive
+    * partition via DYNAMIC partition overwrite — `insertInto` with
+    * `partitionOverwriteMode=dynamic` replaces exactly the partitions
+    * present in the data, so a re-delivered batch (same batchId, the
+    * foreachBatch contract) REWRITES its own partition bit-identically
+    * instead of appending duplicates, and every other batch's output
+    * is untouched. The partition column doubles as provenance (which
+    * batch produced this row), and downstream reads prune on it. */
+  private[graft] def idempotentSinkWrite(out: DataFrame, batchId: Long,
+                                         sinkTable: String): Unit = {
+    val sp = out.sparkSession
+    val stamped = out.withColumn("sink_batch",
+      org.apache.spark.sql.functions.lit(batchId))
+    if (!sp.catalog.tableExists(sinkTable)) {
+      // the warehouse outlives the in-memory catalog: a prior process's
+      // sink directory is caller-owned ACCUMULATED OUTPUT — adopt it
+      // (register + recover its batch partitions) rather than wipe it;
+      // an empty leftover directory is cleared so creation can proceed
+      val loc = new org.apache.hadoop.fs.Path(
+        sp.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(sinkTable)))
+      val fs = loc.getFileSystem(sp.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc) && fs.listStatus(loc).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }) {
+        sp.catalog.createTable(sinkTable, loc.toString, "parquet")
+        sp.sql(s"ALTER TABLE $sinkTable RECOVER PARTITIONS")
+      } else {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        stamped.write.partitionBy("sink_batch")
+          .format("parquet").saveAsTable(sinkTable)
+        return
+      }
+    }
+    // the per-write partitionOverwriteMode option is not honored on
+    // this insert path (observed: batch 8's insert statically wiped
+    // batch 7's partition) — scope the session conf around the write
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val old = sp.conf.get(confKey, "STATIC")
+    sp.conf.set(confKey, "DYNAMIC")
+    try stamped.write.mode("overwrite").insertInto(sinkTable)
+    finally sp.conf.set(confKey, old)
+  }
 
   /** Streaming last-touch attribution — e21's online dual: each
     * arriving purchase is credited to the user's most recent preceding
@@ -501,20 +558,21 @@ object StreamOps {
     * batch — training never appears in this lineage, which is what
     * makes per-arrival latency proportional to nprobe·cell size, not
     * corpus size. Schema in: (vec_id LONG, v ARRAY<DOUBLE>); out:
-    * (qid, nid, rnk, adc_micro). */
+    * (qid, nid, rnk, adc_micro) + the [[idempotentSinkWrite]] batch
+    * partition (re-delivered batches rewrite their own answers,
+    * never duplicate them). */
   def streamingAnnServe(queryStream: DataFrame, dir: String,
                         sinkTable: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queryStream.writeStream.outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val sp = batch.sparkSession
         val qs = batch.select("vec_id", "v").collect().toSeq
           .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
-        if (qs.nonEmpty) {
-          val res = graft.operators.SimilarityOps.s10ServeFrom(sp, dir, qs)
-          graft.sources.LayoutOps.clearStaleLocation(sp, sinkTable)
-          res.write.mode("append").format("parquet").saveAsTable(sinkTable)
-        }
+        if (qs.nonEmpty)
+          idempotentSinkWrite(
+            graft.operators.SimilarityOps.s10ServeFrom(sp, dir, qs),
+            id, sinkTable)
       }
 
   /** Streaming point-in-time enrichment — q38's SCD2 lookup as an
@@ -533,12 +591,14 @@ object StreamOps {
     * (valid_from ≤ ts < valid_to) rides the equi-join on the key as a
     * codegen'd residual — never a range-only join. Versions per key are
     * bounded by churn, not event volume, so the matched row count
-    * equals the batch size. */
+    * equals the batch size. Sink writes are [[idempotentSinkWrite]]
+    * batch-partitioned: a re-delivered batch re-enriches and REPLACES
+    * its own partition. */
   def streamingPitEnrich(events: DataFrame, dimTable: String,
                          sinkTable: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val sp = batch.sparkSession
         import sp.implicits._
         val dim = sp.table(dimTable)
@@ -548,8 +608,7 @@ object StreamOps {
               $"e.ts" >= $"d.valid_from" && $"e.ts" < $"d.valid_to",
             "left")
           .select($"e.event_id", $"e.user_id", $"e.ts", $"d.seg_v")
-        graft.sources.LayoutOps.clearStaleLocation(sp, sinkTable)
-        enriched.write.mode("append").format("parquet").saveAsTable(sinkTable)
+        idempotentSinkWrite(enriched, id, sinkTable)
       }
 
   /** Streaming day-2 GRAPH maintenance — q48's online dual (r9/r10

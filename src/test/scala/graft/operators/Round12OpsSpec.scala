@@ -51,6 +51,10 @@ class Round12OpsSpec extends AnyFunSuite {
     // unique (df=1) — the boilerplate gram reaches NO prefix, so the
     // candidate set is empty, matching the (empty) truth set exactly
     assert(DedupOps.jaccardPrefixCandidates(hs).count() == 0L)
+    // the fan-out probe (Σ df·(df−1)/2 = 1770 here) picks the naive
+    // arm by default; force the PREFIX arm to prove the scale path,
+    // and check the probe's default agrees
+    assert(DedupOps.jaccardTruthPairs(hs, fanoutBound = -1L).count() == 0L)
     assert(DedupOps.jaccardTruthPairs(hs).count() == 0L)
     assert(naiveTruth(hs).count() == 0L)
   }
@@ -68,9 +72,13 @@ class Round12OpsSpec extends AnyFunSuite {
       (6L, Array(0L, 51, 52, 53)),                 // identical → 1.0 ✓
       (7L, Array(0L, 71))
     ).toDF("doc_id", "hs")
-    val got = pairsOf(DedupOps.jaccardTruthPairs(hs))
-    assert(got == pairsOf(naiveTruth(hs)))
-    assert(got == Set((1L, 2L), (5L, 6L)))
+    // BOTH arms forced on the same corpus (probe-default = naive here)
+    val gotPrefix = pairsOf(DedupOps.jaccardTruthPairs(hs, fanoutBound = -1L))
+    val gotNaive = pairsOf(DedupOps.jaccardTruthPairs(hs,
+      fanoutBound = Long.MaxValue))
+    assert(gotPrefix == pairsOf(naiveTruth(hs)))
+    assert(gotNaive == gotPrefix)
+    assert(gotPrefix == Set((1L, 2L), (5L, 6L)))
   }
 
   /** Symmetric (u, v, deg_v) edge frame from an undirected pair list —
@@ -237,8 +245,12 @@ class Round12OpsSpec extends AnyFunSuite {
     }
     val hs = docs.toSeq.toDF("doc_id", "hs")
       .select($"doc_id", array_distinct($"hs").as("hs"))
-    assert(pairsOf(DedupOps.jaccardTruthPairs(hs)) ==
-      pairsOf(naiveTruth(hs)))
+    // the PREFIX arm forced (the randomized corpus is the adversarial
+    // input for the theorem); the probe-picked default must agree too
+    val want = pairsOf(naiveTruth(hs))
+    assert(pairsOf(DedupOps.jaccardTruthPairs(hs, fanoutBound = -1L))
+      == want)
+    assert(pairsOf(DedupOps.jaccardTruthPairs(hs)) == want)
   }
 
   // ----------------------------------------------------- q53/e26 plans

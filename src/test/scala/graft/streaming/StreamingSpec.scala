@@ -355,6 +355,47 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("sink idempotency: a re-delivered batch REPLACES its partition; " +
+       "a new batch adds its own") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = SharedSpark.sf
+    graft.SparkEntry.queries("d17_neardup_day2")(spark, sf).collect()
+    val bandTable =
+      graft.sources.LayoutOps.stateTable("graft_state_d15_bands", sf)
+    val batchDocs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text")
+      .where(pmod(graft.functions.EngineFns.md5Long(
+        concat($"doc_id".cast("string"), lit(":d13"))), lit(5L)) === 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (half1, half2) = batchDocs.splitAt(batchDocs.length / 2)
+    val sink = "sink_replay_test"
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    StreamOps.neardupIngestBatch(half1.toDF("doc_id", "text"), 7L,
+      bandTable, sink)
+    val b7 = spark.table(sink).collect().map(_.toSeq).toSet
+    assert(b7.nonEmpty, "batch 7 produced no matches to test with")
+    // a re-delivered batch (same batchId — the foreachBatch restart
+    // contract) must land bit-identically, not append duplicates
+    StreamOps.neardupIngestBatch(half1.toDF("doc_id", "text"), 7L,
+      bandTable, sink)
+    assert(spark.table(sink).collect().map(_.toSeq).toSet == b7,
+      "replayed batch changed the sink")
+    // a NEW batch writes its own partition, batch 7's rows untouched
+    // (same docs under a new id: the matches are identical, so the
+    // sink MUST now hold them twice — once per provenance partition)
+    StreamOps.neardupIngestBatch(half1.toDF("doc_id", "text"), 8L,
+      bandTable, sink)
+    val after = spark.table(sink).collect().map(_.toSeq).toSet
+    assert(b7.subsetOf(after), "a new batch disturbed an old partition")
+    assert(after.size == 2 * b7.size, "batch 8's partition missing")
+    // reads prune on the provenance partition
+    assert(spark.table(sink).filter($"sink_batch" === 7L)
+      .collect().map(_.toSeq).toSet == b7)
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+  }
+
   test("streaming attribution: cross-batch keyed state matches batch e21 on an ordered feed") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
