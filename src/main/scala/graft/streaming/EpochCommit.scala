@@ -110,9 +110,11 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
 
   def exists(sp: SparkSession): Boolean = committed(sp)._1 > 0
 
-  /** Atomic pointer flip: temp file + rename — THE commit point. */
-  private def flip(sp: SparkSession, epoch: Int, base: Int,
-                   batchId: Long): Unit = {
+  /** Atomic pointer flip: temp file + rename — THE commit point.
+    * private[streaming] ONLY so the restart spec can hand-commit a
+    * path-written epoch (simulating a prior process's warehouse). */
+  private[streaming] def flip(sp: SparkSession, epoch: Int, base: Int,
+                              batchId: Long): Unit = {
     val pd = pointerDir(sp)
     val ctx = fc(sp, pd)
     val tmp = new org.apache.hadoop.fs.Path(pd, "_EPOCH_tmp")
@@ -160,6 +162,18 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
 
   def snap(sp: SparkSession, name: String): DataFrame =
     sp.table(snapName(sp, name))
+
+  /** Time-travel read: the snapshot AS OF an earlier committed epoch.
+    * Superseded epochs stay on disk until [[vacuum]] (the same
+    * contract a lake format's VERSION AS OF gives), so any un-vacuumed
+    * epoch is readable — the audit/debug path ("what did the state
+    * look like before batch N folded in"). */
+  def snapAt(sp: SparkSession, name: String, epoch: Int): DataFrame = {
+    val (e, _, _) = committed(sp)
+    require(epoch >= 1 && epoch <= e,
+      s"EpochStore($tag): epoch $epoch outside committed range [1, $e]")
+    resolve(sp, tname(name, s"e$epoch"))
+  }
 
   /** Committed log content: base (if compacted) plus the delta chain. */
   def log(sp: SparkSession, name: String): DataFrame = {

@@ -286,6 +286,40 @@ class EpochCommitSpec extends AnyFunSuite {
     store.destroy(spark)
   }
 
+  test("epoch store: committed reads ADOPT unregistered directories " +
+       "(the warehouse outlives the in-memory catalog); time travel " +
+       "reads any un-vacuumed epoch") {
+    import spark.implicits._
+    val store = new EpochStore("graft_state_eadopt", "crash",
+      EpochTables(snaps = Map("x" -> Nil), logs = Map("l" -> Nil)))
+    store.destroy(spark)
+    // a PRIOR PROCESS committed epochs 1 and 2: its tables exist as
+    // warehouse directories but this process's catalog has no entries —
+    // write them as bare paths and hand-flip the pointer
+    def pathOf(t: String) = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(t)).toString
+    Seq((1L, "a")).toDF("k", "v").write.parquet(
+      pathOf(s"${store.tag}_x__e1"))
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(
+      pathOf(s"${store.tag}_x__e2"))
+    Seq(10L).toDF("o").write.parquet(pathOf(s"${store.tag}_l__d1"))
+    Seq(20L).toDF("o").write.parquet(pathOf(s"${store.tag}_l__d2"))
+    store.flip(spark, 2, 0, -1L)
+    // committed reads resolve through adoption — no catalog entries yet
+    assert(store.snap(spark, "x").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L))
+    assert(store.log(spark, "l").collect().map(_.getLong(0)).toSet
+      == Set(10L, 20L))
+    // time travel: epoch 1 is un-vacuumed, so AS OF 1 still reads
+    assert(store.snapAt(spark, "x", 1).collect().map(_.getLong(0)).toSet
+      == Set(1L))
+    intercept[IllegalArgumentException] { store.snapAt(spark, "x", 3) }
+    // vacuum drops the superseded epoch; the committed one survives
+    store.vacuum(spark)
+    assert(store.snap(spark, "x").count() == 2)
+    store.destroy(spark)
+  }
+
   test("components: compaction folds the proc-log chain into one base; " +
        "day-3 folds against the compacted store identically") {
     import spark.implicits._
