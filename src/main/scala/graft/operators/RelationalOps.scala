@@ -3400,6 +3400,150 @@ object RelationalOps {
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY lvl, r_name, n_name""".stripMargin
 
+  // --------------------------------------------------------------- q54
+  /** Bounded-hop single-source shortest paths (BFS) over the part
+    * co-purchase graph — the "blast radius" question every graph
+    * surface needs next to components (q49) and ranking (q39): from
+    * the smallest part in the support-pruned graph, how many parts
+    * sit 1, 2, … [[Q54MaxHops]] co-purchase hops away? Output is one
+    * row per hop level (n_nodes, sum of reached part ids — the
+    * deterministic digest the gate can hash) plus the family's
+    * honest truncation column.
+    *
+    * Two output-identical arms behind componentsFrom's probe shape:
+    * a graph whose edge list fits the driver bound runs a driver BFS
+    * (every per-round cost of the distributed loop — plan compile,
+    * 32 task launches — is pure overhead on thousands of edges; same
+    * measured-exception class, heap ≤ the componentsFrom budget by
+    * the same typed-tuple argument), and anything larger runs the
+    * frontier-expansion superstep loop: per round ONE join
+    * (frontier ⋈ edges) + distinct + anti-join against the visited
+    * set, each round's state eagerly checkpointed and the superseded
+    * round released — O(maxHops) rounds by construction, so unlike
+    * open-ended propagation the distributed arm's round count is
+    * BOUNDED regardless of graph diameter. Specs force both arms
+    * label-identical on planted and real graphs. */
+  private[operators] val Q54MaxHops = 6
+  private[operators] val Q54DriverBound = 1000000
+
+  def q54ShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    q54From(t(spark, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct())
+  }
+
+  /** [[q54ShortestPaths]]'s core over an arbitrary (o, p) basket frame
+    * — planted-graph specs enter here; `driverBound` parameterized
+    * ONLY so the spec can force the superstep arm. */
+  private[operators] def q54From(pl: DataFrame, cap: Int = BasketItemCap,
+      driverBound: Int = Q54DriverBound): DataFrame = {
+    val spark = pl.sparkSession
+    import spark.implicits._
+    val ed = basketPairs(pl, cap)
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n"))
+      .filter($"n" >= Q49MinSupport).select($"a", $"b")
+      .localCheckpoint() // feeds the probe and every BFS round — run once
+    try {
+      val dist = q54Bfs(ed, Q54MaxHops, driverBound)
+      try
+        dist.groupBy($"hops")
+          .agg(count(lit(1)).as("n_nodes"), sum($"id").as("sum_ids"))
+          .transform(withOneRow(_, truncatedBaskets(pl, cap)))
+          .orderBy($"hops")
+          .localCheckpoint() // eager: backs the result past the finally
+      finally DedupOps.unpersistCheckpointed(dist)
+    } finally DedupOps.unpersistCheckpointed(ed)
+  }
+
+  /** (id, hops) for every node within `maxHops` of the graph's
+    * minimum node, over a canonical (a < b) edge frame; result is
+    * eagerly checkpointed (caller releases). */
+  private def q54Bfs(ed: DataFrame, maxHops: Int,
+                     driverBound: Int): DataFrame = {
+    val spark = ed.sparkSession
+    import spark.implicits._
+    // size probe + small-graph fast path in one pass (componentsFrom's
+    // shape: limit bounds the driver memory, not the upstream work)
+    val probe = ed.limit(driverBound + 1)
+      .select($"a".cast("long"), $"b".cast("long"))
+      .as[(Long, Long)].collect()
+    if (probe.length <= driverBound) {
+      if (probe.isEmpty)
+        return Seq.empty[(Long, Int)].toDF("id", "hops").localCheckpoint()
+      val adj = new scala.collection.mutable.HashMap[
+        Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      probe.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer()) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer()) += a
+      }
+      val src = probe.iterator.map(_._1).min // a < b ⇒ min(a) is global min
+      val hops = scala.collection.mutable.HashMap(src -> 0)
+      var frontier = List(src)
+      var h = 0
+      while (h < maxHops && frontier.nonEmpty) {
+        h += 1
+        frontier = frontier.flatMap(adj(_))
+          .filter(n => !hops.contains(n))
+          .distinct
+        frontier.foreach(hops.update(_, h))
+      }
+      return hops.toSeq.toDF("id", "hops").localCheckpoint()
+    }
+    // superstep arm: bounded frontier expansion
+    val und = ed.unionByName(ed.select($"b".as("a"), $"a".as("b")))
+    val src = ed.agg(min($"a")).first().getLong(0)
+    var visited = Seq((src, 0)).toDF("id", "hops").localCheckpoint()
+    var frontier = visited
+    var h = 0
+    var halt = false
+    while (h < maxHops && !halt) {
+      h += 1
+      val next = frontier.select($"id".as("a"))
+        .join(und, Seq("a"))
+        .select($"b".as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .select($"id", lit(h).as("hops"))
+        .localCheckpoint()
+      if (frontier ne visited) DedupOps.unpersistCheckpointed(frontier)
+      if (next.isEmpty) {
+        DedupOps.unpersistCheckpointed(next)
+        frontier = visited
+        halt = true
+      } else {
+        val nv = visited.unionByName(next).localCheckpoint()
+        DedupOps.unpersistCheckpointed(visited)
+        visited = nv
+        frontier = next
+      }
+    }
+    if (frontier ne visited) DedupOps.unpersistCheckpointed(frontier)
+    visited
+  }
+
+  val q54ShortestPathsSql: String =
+    s"""WITH RECURSIVE $basketPlSql,
+      |$basketTruncSql,
+      |ed AS MATERIALIZED (
+      |  SELECT x.p AS a, y.p AS b
+      |  FROM pl x JOIN pl y ON x.o = y.o AND x.p < y.p
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= $Q49MinSupport),
+      |edges AS (SELECT a AS u, b AS v FROM ed
+      |          UNION ALL SELECT b, a FROM ed),
+      |src AS (SELECT MIN(a) AS s FROM ed),
+      |walk AS (
+      |  SELECT s AS id, 0 AS hops FROM src
+      |  UNION
+      |  SELECT e.v AS id, w.hops + 1 AS hops
+      |  FROM walk w JOIN edges e ON e.u = w.id
+      |  WHERE w.hops < $Q54MaxHops),
+      |dist AS (SELECT id, MIN(hops) AS hops FROM walk GROUP BY id)
+      |SELECT hops, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(id) AS BIGINT) AS sum_ids, trunc.truncated_baskets
+      |FROM dist CROSS JOIN trunc
+      |GROUP BY hops, trunc.truncated_baskets
+      |ORDER BY hops""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -3454,6 +3598,7 @@ object RelationalOps {
     "q51_quantile_day2"  -> (q51QuantileDay2 _),
     "q52_components_retract" -> (q52ComponentsRetract _),
     "q53_rollup_report"  -> (q53RollupReport _),
+    "q54_shortest_paths" -> (q54ShortestPaths _),
   )
 
   // --------------------------------------------------------------- q15
@@ -3533,5 +3678,6 @@ object RelationalOps {
     "q51_quantile_day2"  -> q51QuantileDay2Sql,
     "q52_components_retract" -> q52ComponentsRetractSql,
     "q53_rollup_report"  -> q53RollupReportSql,
+    "q54_shortest_paths" -> q54ShortestPathsSql,
   )
 }
