@@ -3219,9 +3219,11 @@ object RelationalOps {
     * Scale shape: daily cost is the deletion feed's pair explosion
     * (basket-bounded), a delta-sized shuffle into the bucketed
     * standing counts (standing side plans zero exchange — the q50Fold
-    * guard, spec-pinned for the subtraction fold too), one broadcast
-    * semi-join against the affected label set, and a CC run over the
-    * affected subgraph. */
+    * guard, spec-pinned for the subtraction fold too), a semi-join
+    * against the affected label set (unhinted — AQE broadcasts it when
+    * actually small; a mass-deletion sweep's million-label set takes
+    * the shuffle instead of dying at the broadcast cap), and a CC run
+    * over the affected subgraph. */
   def q52ComponentsRetract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.EngineFns.md5Long
@@ -3261,15 +3263,7 @@ object RelationalOps {
         .select($"a", $"b")
       val survived = folded.filter($"n" >= Q49MinSupport).select($"a", $"b")
       val standing = spark.table(lblT)
-      // the affected label set is delta-sized: broadcast it into both
-      // the keep-side anti-join and the recompute-side semi-join
-      val affected = broadcast(removed
-        .join(standing.select($"id".as("a"), $"lbl"), Seq("a"))
-        .select($"lbl").distinct())
-      val affEdges = survived
-        .join(standing.select($"id".as("a"), $"lbl"), Seq("a"))
-        .join(affected, Seq("lbl"), "left_semi")
-        .select($"a".as("i"), $"b".as("j"))
+      val (affected, affEdges) = q52AffectedEdges(removed, survived, standing)
       val repaired = DedupOps.componentsFrom(affEdges)
       try {
         val finalLbl = standing.join(affected, Seq("lbl"), "left_anti")
@@ -3288,6 +3282,29 @@ object RelationalOps {
           .localCheckpoint() // eager: backs the result past the finally
       } finally DedupOps.unpersistCheckpointed(repaired)
     } finally DedupOps.unpersistCheckpointed(folded)
+  }
+
+  /** The affected-label set and the affected components' surviving
+    * edges. The affected set sizes with the DELETION BATCH — on the
+    * GDPR-sweep regime [[q52Fold]] is designed for it can be millions
+    * of labels, so it carries NO broadcast hint (the q36/p13 rule:
+    * hint only provably-constant sides). AQE broadcasts it at runtime
+    * when it is actually small; a sweep-sized set takes the shuffle it
+    * needs instead of OOMing the driver at the broadcast cap. Factored
+    * out so ScaleSpec can walk the analyzed plans and assert no
+    * deletion-derived frame is hint-pinned. */
+  private[graft] def q52AffectedEdges(removed: DataFrame,
+      survived: DataFrame, standing: DataFrame): (DataFrame, DataFrame) = {
+    val spark = removed.sparkSession
+    import spark.implicits._
+    val affected = removed
+      .join(standing.select($"id".as("a"), $"lbl"), Seq("a"))
+      .select($"lbl").distinct()
+    val affEdges = survived
+      .join(standing.select($"id".as("a"), $"lbl"), Seq("a"))
+      .join(affected, Seq("lbl"), "left_semi")
+      .select($"a".as("i"), $"b".as("j"))
+    (affected, affEdges)
   }
 
   /** The subtraction fold: q50Fold's co-partitioned shape with the

@@ -206,6 +206,42 @@ class ScaleSpec extends AnyFunSuite {
       s"rank window not partitioned by selection bucket:\n$p")
   }
 
+  test("q52: no broadcast hint on any deletion-batch-derived frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    // affected sizes with the DELETION BATCH (a GDPR sweep = millions of
+    // labels) — a hard broadcast hint there OOMs the driver at exactly
+    // the scale q52Fold's doc targets. AQE must decide at runtime.
+    val removed = Seq((1L, 2L)).toDF("a", "b")
+    val survived = Seq((3L, 4L), (1L, 5L)).toDF("a", "b")
+    val standing = Seq((1L, 1L), (3L, 3L), (5L, 1L)).toDF("id", "lbl")
+    val (affected, affEdges) =
+      graft.operators.RelationalOps.q52AffectedEdges(removed, survived, standing)
+    Seq(affected, affEdges).foreach { df =>
+      val bcast = df.queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+      }
+      assert(bcast.isEmpty, s"broadcast hint on deletion-derived frame: $bcast")
+    }
+    // q25's shape: with size-based broadcast off and AQE off, nothing may
+    // survive as a BroadcastExchange — proof no hint pins a side.
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = graft.operators.RelationalOps
+        .q52AffectedEdges(removed, survived, standing)._2
+        .queryExecution.executedPlan
+      val bad = p.collect { case b: BroadcastExchangeExec => b }
+      assert(bad.isEmpty, s"hint-pinned broadcast in q52 repair path:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+    }
+  }
+
   test("d8 label propagation frees superseded checkpoints (no per-round leak)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
