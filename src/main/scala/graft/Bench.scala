@@ -46,6 +46,20 @@ package graft
   * certifies scheduler latency — the axis the iterative queries are
   * bound by. Rule: normalize q44/q47–q50-class readings by the runs'
   * `__iter` ratio before claiming a cross-round regression.
+  *
+  * PER-CHILD anchors (round 13): the pre/post anchor children bracket
+  * the RUN, not each CHILD — the r12 driver bench read the ENTIRE
+  * s-family at 1.4–4.2× its r11 numbers with flat global anchors and
+  * zero s-family code change, and nothing in the artifact could say
+  * whether one child's JVM landed on a busy host window. Now every
+  * child times a ~1 s reduced-round `__iter` micro-anchor INSIDE its
+  * own JVM, right before its queries, and reports it as
+  * `child_anchor`; the orchestrator merges them into a per-child-keyed
+  * `child_anchors` object. NORMALIZATION RULE: before comparing a
+  * family's numbers across rounds, divide by the two runs'
+  * `child_anchors` ratio for THAT child — a family whose readings and
+  * child anchor moved in lockstep saw host drift, not a regression;
+  * a family that moved on a flat child anchor is a real plan change.
   */
 object Bench {
   /** Drop every cached/persisted block between queries so one query can
@@ -85,14 +99,15 @@ object Bench {
     * plan evidence. */
   private val IterAnchor = "__iter"
 
-  private def iterAnchorRun(spark: org.apache.spark.sql.SparkSession): Unit = {
+  private def iterAnchorRun(spark: org.apache.spark.sql.SparkSession,
+                            rounds: Int = 10): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     var df = spark.range(1000)
       .select($"id", ($"id" % 7).as("k"))
       .localCheckpoint(eager = false)
     var prev = df
-    for (_ <- 1 to 10) {
+    for (_ <- 1 to rounds) {
       df = df.as("a").join(df.as("b"), $"a.k" === $"b.k")
         .groupBy($"a.id".as("id")).agg(count(lit(1)).as("n"))
         .select($"id", ($"n" % 7).as("k"))
@@ -175,6 +190,23 @@ object Bench {
       catch { case _: Throwable => () }
       resetCachedState(spark)
     }
+    // Per-child micro-anchor (r13): a 3-round __iter loop (~1 s) timed
+    // IN THIS JVM right before the queries. Its reading travels with the
+    // child's numbers so a busy host window during exactly this child is
+    // attributable from the artifact alone — the blind spot that left
+    // the r12 s-family's 1.4–4.2× swing unexplained. One untimed pass
+    // warms it; min-of-2 keeps a single GC spike out.
+    val childAnchor = {
+      iterAnchorRun(spark, rounds = 3)
+      resetCachedState(spark)
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        iterAnchorRun(spark, rounds = 3)
+        val dt = (System.nanoTime() - t0) / 1e9
+        resetCachedState(spark)
+        dt
+      }.min
+    }
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val results = bench.map { case (name, fn) =>
       // best-of-N: single runs are GC/JIT-noisy (one outlier measured 20×;
@@ -199,7 +231,8 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    println(resultLine(results, sfDir))
+    println(resultLine(results, sfDir,
+      extra = s""","child_anchor":$childAnchor"""))
     Console.out.flush()
     spark.stop()
     if (results.exists(_._2 < 0)) sys.exit(1)
@@ -232,7 +265,7 @@ object Bench {
     * on 7 queries cost ~1 min of wall and cut the recorded minimum's
     * variance where it was actually observed. */
   private def runChild(names: Seq[String],
-                       repeats: Option[Int] = None): Seq[(String, Double)] = {
+      repeats: Option[Int] = None): (Seq[(String, Double)], Double) = {
     import scala.jdk.CollectionConverters._
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
@@ -269,11 +302,14 @@ object Bench {
         .forEach(Files.deleteIfExists(_))
     } catch { case _: Throwable => () }
     out.reverse.find(_.startsWith("{\"metric\"")) match {
-      case Some(line) => parseQueries(line, names)
+      case Some(line) =>
+        val anchor = "\"child_anchor\":(-?[0-9.Ee+-]+)".r
+          .findFirstMatchIn(line).map(_.group(1).toDouble).getOrElse(-1.0)
+        (parseQueries(line, names), anchor)
       case None =>
         System.err.println(
           s"[bench] child for ${names.head}.. produced no result line")
-        names.map(_ -> -1.0)
+        (names.map(_ -> -1.0), -1.0)
     }
   }
 
@@ -291,21 +327,37 @@ object Bench {
   }
 
   private def orchestrate(sfDir: String): Unit = {
-    val fams = SparkEntry.queries.keySet.toSeq.sorted.groupBy(family)
+    // GRAFT_BENCH_ONLY=q1_agg,s1_knn_brute: restrict the orchestrated
+    // set (harness self-test / single-family iteration); full set when
+    // unset — the driver's per-round invocation.
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val fams = SparkEntry.queries.keySet.toSeq.sorted
+      .filter(n => only.forall(_.contains(n))).groupBy(family)
     val t0 = System.nanoTime()
-    val pre = runChild(anchors)
+    // every child's in-JVM micro-anchor, keyed by child identity
+    // (family letter for grouped children, query name for solos,
+    // pre/post for the anchor children) — the per-child host-drift
+    // record the r12 s-family question needed (see scaladoc rule)
+    val childAnchors = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def keyed(key: String, r: (Seq[(String, Double)], Double)) = {
+      childAnchors(key) = r._2
+      r._1
+    }
+    val pre = keyed("pre", runChild(anchors))
     val results = fams.toSeq.sortBy(_._1).flatMap { case (f, names) =>
       val (solo, grouped) = names.partition(soloQueries)
       System.err.println(
         s"[bench] family $f: ${grouped.size} queries + ${solo.size} solo")
-      (if (grouped.nonEmpty) runChild(grouped) else Nil) ++
-        solo.flatMap(n => runChild(Seq(n), repeats = Some(5)))
+      (if (grouped.nonEmpty) keyed(f, runChild(grouped)) else Nil) ++
+        solo.flatMap(n => keyed(n, runChild(Seq(n), repeats = Some(5))))
     }
-    val post = runChild(anchors)
+    val post = keyed("post", runChild(anchors))
     val wall = (System.nanoTime() - t0) / 1e9
     def obj(rs: Seq[(String, Double)]) = rs
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val extra = s""","anchors_pre":${obj(pre)},"anchors_post":${obj(post)}""" +
+      s""","child_anchors":${obj(childAnchors.toSeq)}""" +
       s""","wall_sec":$wall,"isolation":"jvm-per-family""""
     println(resultLine(results, sfDir, extra))
     Console.out.flush()
