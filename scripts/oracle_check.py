@@ -104,10 +104,20 @@ for name in results:
         print(f"OK   {name}: {len(gr)} rows, {len(gc)} cols")
         record(name, "ok", len(gr))
 
-missing = set(oracles) - {n for n in results if os.path.isdir(f"{OUT_DIR}/{n}")}
+# A crashed query is an EXPLICIT fail, not an absent key: Verify swallows
+# per-query exceptions to stderr (driver contract), so the only trace of a
+# crash is a missing result dir. Diff against the full attempted-query list
+# (query_names.json, written by Verify) so even rows-only queries with no
+# oracle entry fail loudly; fall back to the oracle keys for older dumps.
+attempted = set(oracles)
+names_path = f"{OUT_DIR}/query_names.json"
+if os.path.exists(names_path):
+    with open(names_path) as f:
+        attempted |= set(json.load(f))
+missing = attempted - {n for n in results if os.path.isdir(f"{OUT_DIR}/{n}")}
 for name in sorted(missing):
-    print(f"FAIL {name}: oracle declared but no spark result written")
-    record(name, "fail", -1, "oracle declared but no spark result written")
+    print(f"FAIL {name}: query attempted but no spark result written")
+    record(name, "fail", -1, "query attempted but no spark result written")
     fail += 1
 
 if SUMMARY_PATH:

@@ -44,6 +44,12 @@ object Verify {
     val json = oracleSelected
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the full attempted-query list, so the checker can turn a CRASHED
+    // query (no result dir, swallowed to stderr above) into an explicit
+    // fail row — without this, a rows-only query that dies is silently
+    // absent and the summary under-counts instead of failing
+    Files.writeString(Paths.get(s"$outDir/query_names.json"),
+      selected.keySet.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -32,14 +32,16 @@ final case class EpochTables(snaps: Map[String, Seq[String]],
   *    IMMUTABLE — which also retires the refreshTable/localCheckpoint
   *    "pin before overwrite" discipline the old duals needed, since no
   *    read plan can ever have files yanked from under it.
-  *  - Readers resolve through a pointer file (`_EPOCH`, content
-  *    `"<epoch> <base> <batchId>"`). Snapshots read `__e<N>`; logs read
+  *  - Readers resolve through epoch-numbered pointer files
+  *    (`_EPOCH.<n>`, content `"<epoch> <base> <batchId>"`; the max `n`
+  *    is the committed epoch). Snapshots read `__e<N>`; logs read
   *    `__b<B>` (the compacted base) plus the deltas in `(B, N]`.
   *  - A batch writes ALL its tables under epoch `N+1`, then flips the
-  *    pointer — a temp-file write plus ONE atomic rename (posix/HDFS),
-  *    the transaction's only commit point. A reader at any instant
-  *    resolves either epoch `N` in full or epoch `N+1` in full, never a
-  *    mix.
+  *    pointer — a temp-file write plus ONE atomic rename WITHOUT
+  *    overwrite (posix/HDFS create-exclusive = CAS), the transaction's
+  *    only commit point. A reader at any instant resolves either epoch
+  *    `N` in full or epoch `N+1` in full, never a mix; a second writer
+  *    racing the same epoch fails loudly instead of last-write-winning.
   *  - A crash BEFORE the flip leaves orphan `__e/d<N+1>` tables that no
   *    reader can reach. Recovery is plain re-delivery: the replay guard
   *    probes COMMITTED state, sees the batch unprocessed, recomputes,
@@ -71,7 +73,11 @@ final case class EpochTables(snaps: Map[String, Seq[String]],
   *    idempotent-foreachBatch pattern.
   *
   * Single-writer per store (one streaming query), matching Structured
-  * Streaming's execution model; readers are unrestricted. */
+  * Streaming's execution model; readers are unrestricted. The
+  * single-writer rule is ENFORCED, not just documented: the commit
+  * rename is create-exclusive on an epoch-numbered pointer, so of two
+  * writers racing the same epoch exactly one commits and the other
+  * throws [[EpochStore.ConcurrentCommitException]] (spec-pinned). */
 final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
   require(prefix.startsWith("graft_state_"),
     "EpochStore: prefix must be graft_state_-prefixed so orphan " +
@@ -94,49 +100,105 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
     org.apache.hadoop.fs.FileContext.getFileContext(
       p.toUri, sp.sparkContext.hadoopConfiguration)
 
+  private val PointerName = "_EPOCH\\.(\\d+)".r
+
   /** (epoch, logBase, lastBatchId); (0, 0, -1) for a store that has
-    * never committed. */
+    * never committed. The committed epoch is the max `_EPOCH.<n>`
+    * pointer file: each is immutable once renamed into place, so the
+    * read is race-free against a concurrent commit (which only ever
+    * ADDS `_EPOCH.<n+1>`). */
   def committed(sp: SparkSession): (Int, Int, Long) = {
     val pd = pointerDir(sp)
-    val f = new org.apache.hadoop.fs.Path(pd, "_EPOCH")
-    try {
-      val in = fc(sp, pd).open(f)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-              finally in.close()
-      val Array(e, b, bid) = s.split(" ")
-      (e.toInt, b.toInt, bid.toLong)
-    } catch { case _: java.io.FileNotFoundException => (0, 0, -1L) }
+    val ctx = fc(sp, pd)
+    val latest =
+      try {
+        val it = ctx.util.listStatus(pd)
+        it.flatMap(st => st.getPath.getName match {
+          case PointerName(n) => Some(n.toInt -> st.getPath)
+          case _ => None
+        }).sortBy(_._1).lastOption
+      } catch { case _: java.io.FileNotFoundException => None }
+    latest match {
+      case None => (0, 0, -1L)
+      case Some((_, f)) =>
+        val in = ctx.open(f)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+        val Array(e, b, bid) = s.split(" ")
+        (e.toInt, b.toInt, bid.toLong)
+    }
   }
 
   def exists(sp: SparkSession): Boolean = committed(sp)._1 > 0
 
-  /** Atomic pointer flip: temp file + rename — THE commit point.
+  /** Atomic pointer flip — THE commit point — with a concurrent-writer
+    * fence (r12 verdict item #4): the pointer file is epoch-NUMBERED and
+    * the commit is a rename WITHOUT overwrite (posix/HDFS create-
+    * exclusive semantics = compare-and-swap on "epoch N+1 not yet
+    * committed"). Two writers racing to commit the same next epoch:
+    * exactly one rename lands, the loser gets
+    * [[EpochStore.ConcurrentCommitException]] instead of silently
+    * last-write-winning — the guarantee a lake format's CAS commit
+    * gives, turning the single-writer discipline into an enforced
+    * invariant. The temp file is uuid-suffixed so racers never collide
+    * pre-commit; a crash at any point leaves either no pointer (commit
+    * never happened — orphan tables, plain re-delivery heals) or the
+    * committed pointer (commit happened in full).
+    *
     * private[streaming] ONLY so the restart spec can hand-commit a
     * path-written epoch (simulating a prior process's warehouse). */
   private[streaming] def flip(sp: SparkSession, epoch: Int, base: Int,
                               batchId: Long): Unit = {
     val pd = pointerDir(sp)
     val ctx = fc(sp, pd)
-    val tmp = new org.apache.hadoop.fs.Path(pd, "_EPOCH_tmp")
+    val tmp = new org.apache.hadoop.fs.Path(pd,
+      s"_EPOCH_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = ctx.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE),
       org.apache.hadoop.fs.Options.CreateOpts.createParent())
     try out.write(s"$epoch $base $batchId".getBytes("UTF-8"))
     finally out.close()
-    ctx.rename(tmp, new org.apache.hadoop.fs.Path(pd, "_EPOCH"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try ctx.rename(tmp, new org.apache.hadoop.fs.Path(pd, s"_EPOCH.$epoch"))
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        try ctx.delete(tmp, false) catch { case _: Throwable => () }
+        throw new EpochStore.ConcurrentCommitException(tag, epoch, e)
+      case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("already exists") =>
+        try ctx.delete(tmp, false) catch { case _: Throwable => () }
+        throw new EpochStore.ConcurrentCommitException(tag, epoch, e)
+    }
   }
 
   // -------------------------------------------------------------- reads
 
+  /** Bucket columns a table of this store was WRITTEN with, recovered
+    * from its name: the store declared them in [[EpochTables]], so the
+    * spec survives a process restart even though catalog metadata does
+    * not. `__e<n>` → snap spec; `__d<n>`/`__b<n>` → log spec. */
+  private def bucketColsOf(t: String): Seq[String] = {
+    val rest = t.stripPrefix(s"${tag}_")
+    val i = rest.lastIndexOf("__")
+    if (i < 0) Nil
+    else {
+      val (name, suffix) = (rest.substring(0, i), rest.substring(i + 2))
+      if (suffix.startsWith("e")) tables.snaps.getOrElse(name, Nil)
+      else tables.logs.getOrElse(name, Nil)
+    }
+  }
+
   /** Resolve a committed table, ADOPTING its directory into this
     * process's catalog if needed: the warehouse outlives the in-memory
     * catalog, so after a process restart a committed epoch's directory
-    * exists with no catalog entry. Adoption registers it as plain
-    * parquet — the bucket spec is catalog metadata and does not survive
-    * the restart, so folds in the restarted process pay one exchange
-    * until the next epoch's write restores a bucketed table. */
+    * exists with no catalog entry. The bucket spec is catalog metadata
+    * and does not survive the restart either — but the store KNOWS it
+    * ([[EpochTables]]), and Spark's bucketed writer encoded each file's
+    * bucket id in its name, so adoption re-registers the table with the
+    * declared CLUSTERED/SORTED BY spec over the existing files. The
+    * zero-exchange folds therefore survive a process restart instead of
+    * silently paying a full standing-side exchange until the next epoch
+    * rewrite (r12 verdict item #3). */
   private def resolve(sp: SparkSession, t: String): DataFrame = {
     if (!sp.catalog.tableExists(t)) {
       val loc = new org.apache.hadoop.fs.Path(
@@ -145,7 +207,15 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
       val fs = loc.getFileSystem(sp.sparkContext.hadoopConfiguration)
       require(fs.exists(loc),
         s"EpochStore: committed table $t has no directory — state lost")
-      sp.catalog.createTable(t, loc.toString, "parquet")
+      val buckets = bucketColsOf(t)
+      if (buckets.isEmpty) sp.catalog.createTable(t, loc.toString, "parquet")
+      else {
+        val schema = sp.read.parquet(loc.toString).schema
+        val cols = buckets.mkString(", ")
+        sp.sql(s"CREATE TABLE $t (${schema.toDDL}) USING parquet " +
+          s"CLUSTERED BY ($cols) SORTED BY ($cols) INTO 32 BUCKETS " +
+          s"LOCATION '$loc'")
+      }
     }
     sp.table(t)
   }
@@ -254,10 +324,15 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
   /** OPTIMIZE: fold every log's delta chain into a single bucketed base
     * and carry the snapshots forward, as one normal transaction — crash
     * mid-compaction leaves readers on the old chain, retry overwrites
-    * the orphans. After the flip the superseded tables are vacuumed.
-    * Run on a lake's compaction cadence (the read-amplification bound
-    * is one relation per epoch since the last run). */
-  def compact(sp: SparkSession): Unit = {
+    * the orphans. After the flip the superseded tables are vacuumed;
+    * `retain` keeps the last K superseded epochs on disk so [[snapAt]]
+    * time-travel and in-flight readers whose plans already resolved an
+    * old epoch survive the compaction cycle (the grace window every
+    * lake format's VACUUM documents — default 0 reclaims everything,
+    * matching a RETAIN 0 HOURS vacuum). Run on a lake's compaction
+    * cadence (the read-amplification bound is one relation per epoch
+    * since the last run). */
+  def compact(sp: SparkSession, retain: Int = 0): Unit = {
     val (e, _, bid) = committed(sp)
     require(e > 0, s"EpochStore($tag): nothing to compact")
     val next = e + 1
@@ -280,38 +355,87 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
       }
     }
     flip(sp, next, next, bid)
-    vacuum(sp)
+    vacuum(sp, retain)
   }
+
+  /** Every table name of this store, from the catalog AND the warehouse
+    * directory listing: the catalog is per-process, so epoch tables
+    * committed by a PRIOR process are directories with no catalog entry
+    * after a restart — a catalog-only sweep would never reclaim them
+    * and disk would grow across restarts. The warehouse listing is the
+    * durable source of truth. */
+  private def allStoreTables(sp: SparkSession): Seq[String] = {
+    val fromCatalog = sp.sessionState.catalog
+      .listTables("default", s"${tag}_*__*").map(_.table)
+    val wh = tablePath(sp, s"${tag}__probe").getParent
+    val fs = wh.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val fromDisk =
+      if (!fs.exists(wh)) Nil
+      else fs.listStatus(wh).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith(s"${tag}_") && n.contains("__") &&
+          n != s"${tag}__epoch")
+    (fromCatalog ++ fromDisk).distinct
+  }
+
+  private def tablePath(sp: SparkSession, t: String) =
+    new org.apache.hadoop.fs.Path(
+      sp.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)))
 
   /** Drop every table of this store the committed pointer no longer
     * references: superseded snapshots, compacted-away deltas and bases,
-    * crash orphans above the committed epoch. Safe post-commit — the
+    * crash orphans above the committed epoch. Tables are enumerated
+    * from the warehouse directory, not just the per-process catalog, so
+    * a restart cannot strand a prior process's superseded epochs on
+    * disk. `retain` keeps the last K superseded epochs for [[snapAt]]
+    * time-travel and in-flight-reader grace. Safe post-commit — the
     * pointer is the only path to a table, so an unreferenced one has no
-    * readers (modulo the same in-flight-reader grace period every lake
-    * format's VACUUM documents). */
-  def vacuum(sp: SparkSession): Unit = {
+    * NEW readers. */
+  def vacuum(sp: SparkSession, retain: Int = 0): Unit = {
     val (e, b, _) = committed(sp)
+    val keepMin = e - retain
     val Snap = s"${tag}_(\\w+)__e(\\d+)".r
     val Delta = s"${tag}_(\\w+)__d(\\d+)".r
     val Base = s"${tag}_(\\w+)__b(\\d+)".r
-    sp.sessionState.catalog.listTables("default", s"${tag}_*__*")
-      .map(_.table).foreach {
-        case t @ Snap(_, k) if k.toInt != e => drop(sp, t)
-        case t @ Delta(_, k) if k.toInt <= b || k.toInt > e => drop(sp, t)
-        case t @ Base(_, k) if k.toInt != b => drop(sp, t)
-        case _ => ()
-      }
+    allStoreTables(sp).foreach {
+      case t @ Snap(_, k) if k.toInt > e || k.toInt < keepMin =>
+        dropAndDelete(sp, t)
+      case t @ Delta(_, k)
+          if k.toInt > e || (k.toInt <= b && k.toInt < keepMin) =>
+        dropAndDelete(sp, t)
+      case t @ Base(_, k)
+          if k.toInt > e || (k.toInt != b && k.toInt < keepMin) =>
+        dropAndDelete(sp, t)
+      case _ => ()
+    }
+    // prune superseded pointer files below the retained window:
+    // committed() takes the max, so these are unread — pure hygiene
+    // bounding the pointer directory's growth across epochs
+    val pd = pointerDir(sp)
+    val ctx = fc(sp, pd)
+    try ctx.util.listStatus(pd).foreach(st => st.getPath.getName match {
+      case PointerName(n) if n.toInt < keepMin => ctx.delete(st.getPath, false)
+      case _ => ()
+    }) catch { case _: java.io.FileNotFoundException => () }
   }
 
-  private def drop(sp: SparkSession, t: String): Unit =
+  /** DROP TABLE + delete the directory: adopted (post-restart) tables
+    * register as EXTERNAL, whose drop leaves files behind — vacuum must
+    * reclaim the disk either way. */
+  private def dropAndDelete(sp: SparkSession, t: String): Unit = {
     sp.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = tablePath(sp, t)
+    val fs = loc.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
 
-  /** Remove the store entirely: every epoch table and the pointer.
+  /** Remove the store entirely: every epoch table (catalog-registered
+    * or stranded on disk by a prior process) and the pointer.
     * Test/teardown utility — a production store is vacuumed, not
     * destroyed. */
   def destroy(sp: SparkSession): Unit = {
-    sp.sessionState.catalog.listTables("default", s"${tag}_*__*")
-      .map(_.table).foreach(drop(sp, _))
+    allStoreTables(sp).foreach(dropAndDelete(sp, _))
     val pd = pointerDir(sp)
     val fs = pd.getFileSystem(sp.sparkContext.hadoopConfiguration)
     fs.delete(pd, true)
@@ -324,4 +448,14 @@ object EpochStore {
     * inside the multi-table write — the window the epoch commit closes. */
   final class InjectedCrash
     extends RuntimeException("injected crash before epoch commit")
+
+  /** Thrown by the losing writer when two transactions race the same
+    * epoch: the commit rename is create-exclusive, so the loser fails
+    * loudly instead of silently last-write-winning. Its orphan tables
+    * are unreachable and healed by the normal re-delivery path. */
+  final class ConcurrentCommitException(tag: String, epoch: Int,
+      cause: Throwable)
+    extends RuntimeException(s"EpochStore($tag): epoch $epoch was " +
+      "committed by a concurrent writer — single-writer-per-store " +
+      "violated; this transaction's tables are unreachable orphans", cause)
 }

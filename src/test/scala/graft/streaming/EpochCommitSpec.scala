@@ -320,6 +320,125 @@ class EpochCommitSpec extends AnyFunSuite {
     store.destroy(spark)
   }
 
+  test("epoch store: two writers racing the same epoch — exactly one " +
+       "commits and the loser throws (create-exclusive commit fence)") {
+    import spark.implicits._
+    val store = new EpochStore("graft_state_erace", "crash",
+      EpochTables(snaps = Map("x" -> Nil), logs = Map.empty))
+    store.destroy(spark)
+    store.transact(spark, 0L)(_.writeSnap("x", Seq(1L).toDF("k")))
+    assert(store.committed(spark)._1 == 1)
+    // writer A opens epoch 2 and writes; before A's flip, writer B runs
+    // a COMPLETE transaction for the same epoch (the interleaving a
+    // second streaming query against one store would produce). B's
+    // commit lands; A's flip must fail loudly, never last-write-win.
+    intercept[EpochStore.ConcurrentCommitException] {
+      store.transact(spark, 1L) { tx =>
+        tx.writeSnap("x", Seq(2L, 3L).toDF("k"))
+        store.transact(spark, 1L)(_.writeSnap("x", Seq(9L).toDF("k")))
+      }
+    }
+    // exactly one commit: readers see B's epoch 2 in full
+    assert(store.committed(spark)._1 == 2,
+      "the racing commit did not land exactly once")
+    assert(store.snap(spark, "x").collect().map(_.getLong(0)).toSet
+      == Set(9L), "loser's write leaked into the committed epoch")
+    store.destroy(spark)
+  }
+
+  test("epoch store: post-restart adoption re-registers the bucket " +
+       "spec; the standing-side fold stays exchange-free") {
+    import spark.implicits._
+    val store = new EpochStore("graft_state_ebkt", "crash",
+      EpochTables(snaps = Map("cnt" -> Seq("a", "b")), logs = Map.empty))
+    store.destroy(spark)
+    val day1 = (1L to 200L).map(i => (i, i % 7, 1L)).toDF("a", "b", "n")
+    store.transact(spark, 0L)(_.writeSnap("cnt", day1))
+    val t = s"${store.tag}_cnt__e1"
+    // simulate a process restart: the warehouse survives, the catalog
+    // entry (and with it the bucket-spec metadata) does not — move the
+    // directory aside, drop the entry, move the files back
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(loc.getParent,
+      loc.getName + "_aside")
+    assert(fs.rename(loc, aside))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    assert(fs.rename(aside, loc))
+    assert(!spark.catalog.tableExists(t), "restart simulation leaked")
+    // adoption must restore CLUSTERED/SORTED BY from the store's own
+    // declaration — the fold shape every maintainer relies on: merge
+    // join with the standing side scanning bucketed, zero exchange
+    val delta = Seq((1L, 1L, 5L)).toDF("a", "b", "n_del")
+    val fold = store.snap(spark, "cnt").hint("merge")
+      .join(delta.repartition(32, $"a", $"b"), Seq("a", "b"), "left")
+    val plan = fold.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    def cntScan(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths
+          .exists(_.toString.contains(s"${store.tag}_cnt__e1")) => s
+    }
+    val scans = cntScan(plan)
+    assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+      s"adopted standing table not scanned bucketed:\n$plan")
+    val folds = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if cntScan(j).nonEmpty => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if cntScan(j).nonEmpty => j
+    }
+    assert(folds.nonEmpty, s"no fold join over the adopted table:\n$plan")
+    folds.minBy(_.collect { case p => p }.size)
+      .children.filter(c => cntScan(c).nonEmpty).foreach { side =>
+        val ex = side.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(ex.isEmpty,
+          s"post-restart standing side rides ${ex.size} exchange(s):\n$plan")
+      }
+    // and the adopted content is intact
+    assert(store.snap(spark, "cnt").count() == 200)
+    store.destroy(spark)
+  }
+
+  test("epoch store: vacuum reclaims epochs stranded by a prior " +
+       "process (warehouse enumeration, not catalog-only); retain " +
+       "keeps the time-travel window") {
+    import spark.implicits._
+    val store = new EpochStore("graft_state_evac", "crash",
+      EpochTables(snaps = Map("x" -> Nil), logs = Map.empty))
+    store.destroy(spark)
+    def pathOf(t: String) = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(t)).toString
+    // a prior process committed epochs 1..3; NOTHING is in this
+    // process's catalog (bare-path writes + hand flip)
+    (1 to 3).foreach(k => Seq(k.toLong).toDF("k")
+      .write.parquet(pathOf(s"${store.tag}_x__e$k")))
+    store.flip(spark, 1, 0, -1L); store.flip(spark, 2, 0, -1L)
+    store.flip(spark, 3, 0, -1L)
+    val fs = new org.apache.hadoop.fs.Path(pathOf(s"${store.tag}_x__e1"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def onDisk(k: Int) = fs.exists(
+      new org.apache.hadoop.fs.Path(pathOf(s"${store.tag}_x__e$k")))
+    // retain=1 keeps the last superseded epoch for snapAt/in-flight
+    // readers, reclaims older strays — from DISK, not the catalog
+    store.vacuum(spark, retain = 1)
+    assert(!onDisk(1), "catalog-only vacuum stranded a prior process's epoch")
+    assert(onDisk(2) && onDisk(3), "vacuum ate the retained window")
+    assert(store.snapAt(spark, "x", 2).collect().map(_.getLong(0)).toSeq
+      == Seq(2L), "retained epoch not readable via time travel")
+    store.vacuum(spark)
+    assert(!onDisk(2) && onDisk(3), "default vacuum semantics changed")
+    store.destroy(spark)
+    assert(!onDisk(3), "destroy left a stranded directory")
+  }
+
   test("components: compaction folds the proc-log chain into one base; " +
        "day-3 folds against the compacted store identically") {
     import spark.implicits._
