@@ -2079,7 +2079,7 @@ object RelationalOps {
     * could not tell a complete graph from a truncated one (r10 verdict
     * "What's wrong #3") — every basket-graph query now carries this
     * count as a constant output column, mirrored in its oracle. */
-  private[operators] def truncatedBaskets(pl: DataFrame,
+  private[graft] def truncatedBaskets(pl: DataFrame,
       cap: Int = BasketItemCap): DataFrame = {
     import pl.sparkSession.implicits._
     pl.groupBy($"o").agg(count(lit(1)).as("__n"))
@@ -3263,12 +3263,8 @@ object RelationalOps {
         .select($"a", $"b")
       val survived = folded.filter($"n" >= Q49MinSupport).select($"a", $"b")
       val standing = spark.table(lblT)
-      val (affected, affEdges) = q52AffectedEdges(removed, survived, standing)
-      val repaired = DedupOps.componentsFrom(affEdges)
+      val finalLbl = q52RepairLabels(removed, survived, standing)
       try {
-        val finalLbl = standing.join(affected, Seq("lbl"), "left_anti")
-          .select($"id", $"lbl")
-          .unionByName(repaired)
         q49Summary(survived, finalLbl)
           .transform(withOneRow(_,
             removed.agg(count(lit(1)).as("n_removed_edges"))))
@@ -3280,8 +3276,36 @@ object RelationalOps {
               .select(($"__tall" - $"__tdel").as("truncated_baskets"))))
           .orderBy($"n_members".desc, $"component_id")
           .localCheckpoint() // eager: backs the result past the finally
-      } finally DedupOps.unpersistCheckpointed(repaired)
+      } finally DedupOps.unpersistCheckpointed(finalLbl)
     } finally DedupOps.unpersistCheckpointed(folded)
+  }
+
+  /** Detect-affected + bounded-recompute label repair after edge
+    * retraction — the decremental core [[q52From]] (batch read) and the
+    * streaming retraction maintainer
+    * ([[graft.streaming.StreamOps.retractBatch]]) both run, so the two
+    * provably apply the same rule. Unaffected nodes keep their standing
+    * labels VERBATIM; only components named by a downward-crossing edge
+    * re-enter [[DedupOps.componentsFrom]] (over their surviving edges),
+    * which converges to min-id labels of every split fragment — so
+    * maintained-equals-rebuilt holds. A node that lost its last
+    * qualifying edge is in an affected component and absent from the
+    * recompute's edge set, so it drops out, exactly as a from-scratch
+    * build over the surviving corpus drops it. Returns an EAGER local
+    * checkpoint (callers unpersist via
+    * [[DedupOps.unpersistCheckpointed]]). */
+  private[graft] def q52RepairLabels(removed: DataFrame, survived: DataFrame,
+      standing: DataFrame): DataFrame = {
+    val spark = removed.sparkSession
+    import spark.implicits._
+    val (affected, affEdges) = q52AffectedEdges(removed, survived, standing)
+    val repaired = DedupOps.componentsFrom(affEdges)
+    try {
+      standing.join(affected, Seq("lbl"), "left_anti")
+        .select($"id", $"lbl")
+        .unionByName(repaired)
+        .localCheckpoint()
+    } finally DedupOps.unpersistCheckpointed(repaired)
   }
 
   /** The affected-label set and the affected components' surviving

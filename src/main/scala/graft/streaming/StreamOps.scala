@@ -979,6 +979,104 @@ object StreamOps {
         componentsBatch(batch.toDF(), prefix, dir)
       }
 
+  /** Streaming component RETRACTION maintenance — q52's online dual and
+    * the graph-state decremental path (r12 verdict #5; media dedup
+    * already exercises decremental folds for the dedup family). The
+    * stream carries basket DELETIONS `(o, p)` (a GDPR/compliance
+    * retraction feed); each micro-batch folds its baskets' pair counts
+    * OUT of the standing support by subtraction
+    * ([[graft.operators.RelationalOps.q52Fold]] — co-partitioned with
+    * the bucketed counts, delta-sized shuffle) and repairs labels with
+    * the SAME detect-affected + bounded-recompute core the batch read
+    * runs ([[graft.operators.RelationalOps.q52RepairLabels]]): an edge
+    * crossing DOWN through the threshold can SPLIT a component — the
+    * non-monotone direction where q50's min-label merge folding is
+    * unsound — so only affected components' surviving edges recompute.
+    *
+    * Day 1 (store absent) initializes from `standingCorpus` — the full
+    * basket corpus the retraction feed runs against — exactly as
+    * q52From's day 1 does ([[graft.operators.RelationalOps
+    * .q50InitState]] + the truncation count), with an EMPTY
+    * processed-deletions log.
+    *
+    * Contract: deletions arrive as WHOLE baskets within one micro-batch
+    * (the truncation fold derives a deleted basket's truncation from
+    * the feed's own rows, and the pair subtraction needs every pair the
+    * basket contributed — exactly what a CDC delete of an order gives).
+    * Replay guard: the processed-deletion order-id log; a re-delivered
+    * batch has Δdeletions = ∅ and is a TRUE no-op (no epoch bump).
+    * All four tables (counts, labels, truncation, processed log) commit
+    * atomically through [[EpochStore]]; counts stay bucketed on the
+    * (a, b) fold key at every epoch so the subtraction's standing side
+    * remains exchange-free — including after a process restart (the
+    * store re-registers the bucket spec on adoption). */
+  private[graft] def retractBatch(batch: DataFrame,
+      standingCorpus: => DataFrame, prefix: String, dir: String,
+      crashBeforeCommit: Boolean = false): Unit = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val store = new EpochStore(prefix, dir, RetractTables)
+    val del = batch.select($"o", $"p").distinct()
+    if (!store.exists(sp)) {
+      val pl = standingCorpus.select($"o", $"p").distinct()
+      store.transact(sp) { tx =>
+        graft.operators.RelationalOps.q50InitState(
+          pl, tx.snapName("cnt"), tx.snapName("lbl"))
+        tx.writeSnap("tr", graft.operators.RelationalOps.truncatedBaskets(pl))
+        tx.writeLogDelta("proc",
+          sp.emptyDataset[Long].toDF("o").select($"o"))
+      }
+    }
+    val newDel = del
+      .join(store.log(sp, "proc"), Seq("o"), "left_anti")
+      .localCheckpoint() // one compute for the guard probe and the fold
+    try {
+      if (!newDel.isEmpty) store.transact(sp) { tx =>
+        val sup = graft.operators.RelationalOps.Q49MinSupport
+        val folded = graft.operators.RelationalOps
+          .q52Fold(store.snapName(sp, "cnt"), newDel)
+          .localCheckpoint() // consumed by removed/survived/cnt below
+        try {
+          val removed = folded
+            .filter($"n_old" >= sup && $"n" < sup).select($"a", $"b")
+          val survived = folded.filter($"n" >= sup).select($"a", $"b")
+          val labels = graft.operators.RelationalOps.q52RepairLabels(
+            removed, survived, store.snap(sp, "lbl"))
+          try {
+            // a pair subtracted to zero no longer exists in a rebuild
+            // over the surviving corpus — drop it, don't keep a zero row
+            tx.writeSnap("cnt",
+              folded.filter($"n" > 0).select($"a", $"b", $"n"))
+            tx.writeSnap("lbl", labels)
+            tx.writeSnap("tr", store.snap(sp, "tr")
+              .select($"truncated_baskets".as("__tall"))
+              .crossJoin(graft.operators.RelationalOps
+                .truncatedBaskets(newDel)
+                .select($"truncated_baskets".as("__tdel")))
+              .select(($"__tall" - $"__tdel").as("truncated_baskets")))
+            tx.writeLogDelta("proc", newDel.select($"o").distinct())
+            if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+          } finally
+            graft.operators.DedupOps.unpersistCheckpointed(labels)
+        } finally
+          graft.operators.DedupOps.unpersistCheckpointed(folded)
+      }
+    } finally
+      graft.operators.DedupOps.unpersistCheckpointed(newDel)
+  }
+
+  private[graft] val RetractTables = EpochTables(
+    snaps = Map("cnt" -> Seq("a", "b"), "lbl" -> Nil, "tr" -> Nil),
+    logs = Map("proc" -> Seq("o")))
+
+  def streamingRetractions(deletionStream: DataFrame,
+      standingCorpus: DataFrame, prefix: String, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deletionStream.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        retractBatch(batch.toDF(), standingCorpus, prefix, dir)
+      }
+
   /** Streaming media near-dup maintenance — m9's online dual, and the
     * first streaming maintainer here whose fold is DECREMENTAL: a
     * micro-batch can push a frame signature over the boilerplate

@@ -320,6 +320,74 @@ class EpochCommitSpec extends AnyFunSuite {
     store.destroy(spark)
   }
 
+  test("retractions: crash between subtraction fold and flip is " +
+       "invisible; recovery converges to the rebuild over the " +
+       "surviving corpus") {
+    import spark.implicits._
+    val store = new EpochStore("graft_state_eret", "crash",
+      StreamOps.RetractTables)
+    store.destroy(spark)
+    val (b1, b2) = baskets()
+    val all = b1 ++ b2
+    // whole baskets per deletion batch (the operator's contract):
+    // split b2's ORDERS, not its rows
+    val delOrdersAll = b2.map(_._1).distinct.sorted
+    val del1Orders = delOrdersAll.take(delOrdersAll.length / 2).toSet
+    val del1 = b2.filter { case (o, _) => del1Orders(o) }
+    val del2 = b2.filterNot { case (o, _) => del1Orders(o) }
+    def corpus = all.toDF("o", "p")
+    // day 1 init + first deletion batch commit normally
+    StreamOps.retractBatch(del1.toDF("o", "p"), corpus,
+      "graft_state_eret", "crash")
+    def state() = (
+      store.snap(spark, "cnt").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap,
+      store.snap(spark, "lbl").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      store.snap(spark, "tr").collect()(0).getLong(0),
+      store.log(spark, "proc").count())
+    val afterDel1 = state()
+    val epochAfterDel1 = store.committed(spark)._1
+    // replay of the committed deletion batch: TRUE no-op — a re-
+    // delivered retraction must never double-delete
+    StreamOps.retractBatch(del1.toDF("o", "p"), corpus,
+      "graft_state_eret", "crash")
+    assert(store.committed(spark)._1 == epochAfterDel1,
+      "replayed deletion batch opened a new epoch")
+    assert(state() == afterDel1, "replayed deletion batch double-deleted")
+    // second deletion batch crashes AFTER all four tables land, BEFORE
+    // the flip — the kill window the epoch commit closes
+    intercept[EpochStore.InjectedCrash] {
+      StreamOps.retractBatch(del2.toDF("o", "p"), corpus,
+        "graft_state_eret", "crash", crashBeforeCommit = true)
+    }
+    assert(state() == afterDel1,
+      "a reader observed a partially-committed retraction")
+    // recovery = plain re-delivery
+    StreamOps.retractBatch(del2.toDF("o", "p"), corpus,
+      "graft_state_eret", "crash")
+    // maintained state ≡ from-scratch build over corpus MINUS deletions
+    // (the equivalence q52's batch oracle certifies) — i.e. exactly b1
+    val surviving = all.filterNot { case (o, _) =>
+      delOrdersAll.contains(o) }
+    val c2 = "eret_rebuild_cnt"; val l2 = "eret_rebuild_lbl"
+    Seq(c2, l2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.operators.RelationalOps.q50InitState(
+      surviving.toDF("o", "p"), c2, l2)
+    val (gotCnt, gotLbl, gotTr, _) = state()
+    assert(gotCnt == spark.table(c2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap,
+      "retracted counts diverged from rebuild over the surviving corpus")
+    assert(gotLbl == spark.table(l2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "retracted labels diverged from rebuild over the surviving corpus")
+    assert(gotTr == graft.operators.RelationalOps
+      .truncatedBaskets(surviving.toDF("o", "p")).collect()(0).getLong(0),
+      "folded truncation count diverged from rebuild")
+    Seq(c2, l2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    store.destroy(spark)
+  }
+
   test("epoch store: two writers racing the same epoch — exactly one " +
        "commits and the loser throws (create-exclusive commit fence)") {
     import spark.implicits._

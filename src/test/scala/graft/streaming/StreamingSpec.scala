@@ -1039,6 +1039,63 @@ class StreamingSpec extends AnyFunSuite {
     store.destroy(spark)
   }
 
+  test("streaming retractions: a planted bridge deletion splits a " +
+       "component through the writeStream path; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = new graft.streaming.EpochStore(
+      "graft_state_sret", "spec", StreamOps.RetractTables)
+    store.destroy(spark)
+    // Round12OpsSpec's planted retraction corpus: a 4-node chain whose
+    // BRIDGE edge (2,3) holds support 2 from baskets 305/306 alone —
+    // deleting them splits {1,2,3,4}; {10,11} is untouched; (20,21)
+    // drops 3→2 without crossing
+    val corpus = Seq(
+      (301L, 1L), (301L, 2L), (302L, 1L), (302L, 2L),
+      (303L, 3L), (303L, 4L), (304L, 3L), (304L, 4L),
+      (305L, 2L), (305L, 3L), (306L, 2L), (306L, 3L),
+      (307L, 10L), (307L, 11L), (308L, 10L), (308L, 11L),
+      (309L, 20L), (309L, 21L), (310L, 20L), (310L, 21L),
+      (311L, 20L), (311L, 21L)).toDF("o", "p")
+    def lblMap = store.snap(spark, "lbl").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamOps.streamingRetractions(
+      input.toDF().toDF("o", "p"), corpus, "graft_state_sret", "spec")
+      .start()
+    try {
+      // batch 1: delete basket 306 — bridge support 2→1, crosses DOWN
+      input.addData((306L, 2L), (306L, 3L))
+      q.processAllAvailable()
+      assert(lblMap == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+        10L -> 10L, 20L -> 20L, 11L -> 10L, 21L -> 20L),
+        "bridge deletion did not split the component")
+      // batch 2: delete basket 311 — (20,21) 3→2, stays qualified
+      input.addData((311L, 20L), (311L, 21L))
+      q.processAllAvailable()
+      val afterB2 = lblMap
+      assert(afterB2(20L) == 20L && afterB2(21L) == 20L,
+        "a non-crossing support drop moved labels")
+      val epochBefore = store.committed(spark)._1
+      // replay batch 2 verbatim: the processed-deletion guard makes a
+      // re-delivered retraction a true no-op — never a double delete
+      input.addData((311L, 20L), (311L, 21L))
+      q.processAllAvailable()
+      assert(store.committed(spark)._1 == epochBefore,
+        "replayed retraction opened a new epoch")
+      assert(lblMap == afterB2, "replayed retraction double-deleted")
+    } finally q.stop()
+    // maintained ≡ rebuilt over corpus minus both deleted baskets
+    val c2 = "sret_rebuild_cnt"; val l2 = "sret_rebuild_lbl"
+    Seq(c2, l2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.operators.RelationalOps.q50InitState(
+      corpus.filter(!$"o".isin(306L, 311L)), c2, l2)
+    assert(lblMap == spark.table(l2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "streamed retraction state diverged from rebuild")
+    Seq(c2, l2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    store.destroy(spark)
+  }
+
   test("streaming media dedup: cap churn retracts a standing pair; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val A = "A" * 16; val B = "B" * 16; val F = "F" * 16; val G = "G" * 16
