@@ -3585,6 +3585,164 @@ object RelationalOps {
       |GROUP BY hops, trunc.truncated_baskets
       |ORDER BY hops""".stripMargin
 
+  // --------------------------------------------------------------- q55
+  /** Bounded-hop WEIGHTED shortest paths — q54's BFS generalized to
+    * integer edge costs (the co-purchase support count as the cost):
+    * from the smallest part in the support-pruned graph, the cheapest
+    * total cost reachable within [[Q55MaxHops]] edges, per node,
+    * digested as one row per distinct cost (n_nodes, sum of ids) plus
+    * the family's truncation column. Where BFS relaxes by hop count,
+    * this relaxes by accumulated weight — the classic bounded
+    * Bellman-Ford: after round h every node holds the exact minimum
+    * cost over paths of ≤ h edges, so a cheaper-but-longer path keeps
+    * winning rounds until the hop budget ends (the behavior the spec
+    * plants), and round count is BOUNDED by the hop budget regardless
+    * of graph diameter — never open-ended propagation.
+    *
+    * Two output-identical arms behind q54's probe shape: edge lists
+    * within the driver bound run the relaxation loop on the driver
+    * (hash-map adjacency, exactly the distributed update rule);
+    * anything larger runs the superstep loop — per round ONE join
+    * (frontier ⋈ edges) + a min-aggregate + an improvement anti-filter
+    * against the standing distances, each round's state eagerly
+    * checkpointed and the superseded round released. Only IMPROVED
+    * nodes re-enter the frontier, so per-round work tracks the
+    * shrinking improvement set, not |V|. Exact integer arithmetic end
+    * to end, so the DuckDB recursive-CTE oracle hash-matches. */
+  private[operators] val Q55MaxHops = 6
+  private[operators] val Q55DriverBound = 1000000
+
+  def q55WeightedPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    q55From(t(spark, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct())
+  }
+
+  /** [[q55WeightedPaths]]'s core over an arbitrary (o, p) basket frame
+    * — planted-graph specs enter here; `driverBound` parameterized
+    * ONLY so the spec can force the superstep arm. */
+  private[operators] def q55From(pl: DataFrame, cap: Int = BasketItemCap,
+      driverBound: Int = Q55DriverBound): DataFrame = {
+    val spark = pl.sparkSession
+    import spark.implicits._
+    val ed = basketPairs(pl, cap)
+      .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
+      .filter($"w" >= Q49MinSupport)
+      .localCheckpoint() // feeds the probe and every relax round — run once
+    try {
+      val dist = q55BellmanFord(ed, Q55MaxHops, driverBound)
+      try
+        dist.groupBy($"cost")
+          .agg(count(lit(1)).as("n_nodes"), sum($"id").as("sum_ids"))
+          .transform(withOneRow(_, truncatedBaskets(pl, cap)))
+          .orderBy($"cost")
+          .localCheckpoint() // eager: backs the result past the finally
+      finally DedupOps.unpersistCheckpointed(dist)
+    } finally DedupOps.unpersistCheckpointed(ed)
+  }
+
+  /** (id, cost) = exact min path cost within `maxHops` edges of the
+    * graph's minimum node, over a canonical (a < b, w) weighted edge
+    * frame; result is eagerly checkpointed (caller releases). */
+  private def q55BellmanFord(ed: DataFrame, maxHops: Int,
+                             driverBound: Int): DataFrame = {
+    val spark = ed.sparkSession
+    import spark.implicits._
+    val probe = ed.limit(driverBound + 1)
+      .select($"a".cast("long"), $"b".cast("long"), $"w".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    if (probe.length <= driverBound) {
+      if (probe.isEmpty)
+        return Seq.empty[(Long, Long)].toDF("id", "cost").localCheckpoint()
+      val adj = new scala.collection.mutable.HashMap[
+        Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+      probe.foreach { case (a, b, w) =>
+        adj.getOrElseUpdate(a,
+          scala.collection.mutable.ArrayBuffer()) += ((b, w))
+        adj.getOrElseUpdate(b,
+          scala.collection.mutable.ArrayBuffer()) += ((a, w))
+      }
+      val src = probe.iterator.map(_._1).min // a < b ⇒ min(a) is global min
+      val dist = scala.collection.mutable.HashMap(src -> 0L)
+      var frontier = List(src)
+      var h = 0
+      while (h < maxHops && frontier.nonEmpty) {
+        h += 1
+        // the relax rule, verbatim: an improvement this round is a path
+        // of exactly h edges cheaper than every ≤(h−1)-edge path seen
+        val improved = new scala.collection.mutable.HashMap[Long, Long]()
+        frontier.foreach { u =>
+          val du = dist(u)
+          adj(u).foreach { case (v, w) =>
+            val nd = du + w
+            if (nd < dist.getOrElse(v, Long.MaxValue) &&
+                nd < improved.getOrElse(v, Long.MaxValue))
+              improved(v) = nd
+          }
+        }
+        improved.foreach { case (v, d) => dist(v) = d }
+        frontier = improved.keys.toList
+      }
+      return dist.toSeq.toDF("id", "cost").localCheckpoint()
+    }
+    // superstep arm: bounded Bellman-Ford relaxation
+    val und = ed.unionByName(ed.select($"b".as("a"), $"a".as("b"), $"w"))
+    val src = ed.agg(min($"a")).first().getLong(0)
+    var dist = Seq((src, 0L)).toDF("id", "cost").localCheckpoint()
+    var frontier = dist
+    var h = 0
+    var halt = false
+    while (h < maxHops && !halt) {
+      h += 1
+      val improved = frontier.select($"id".as("a"), $"cost")
+        .join(und, Seq("a"))
+        .select($"b".as("id"), ($"cost" + $"w").as("nc"))
+        .groupBy($"id").agg(min($"nc").as("nc"))
+        .join(dist.select($"id", $"cost".as("__old")), Seq("id"), "left")
+        .filter($"__old".isNull || $"nc" < $"__old")
+        .select($"id", $"nc".as("cost"))
+        .localCheckpoint()
+      if (frontier ne dist) DedupOps.unpersistCheckpointed(frontier)
+      if (improved.isEmpty) {
+        DedupOps.unpersistCheckpointed(improved)
+        frontier = dist
+        halt = true
+      } else {
+        val nd = dist.join(improved.select($"id"), Seq("id"), "left_anti")
+          .unionByName(improved).localCheckpoint()
+        DedupOps.unpersistCheckpointed(dist)
+        dist = nd
+        frontier = improved
+      }
+    }
+    if (frontier ne dist) DedupOps.unpersistCheckpointed(frontier)
+    dist
+  }
+
+  val q55WeightedPathsSql: String =
+    s"""WITH RECURSIVE $basketPlSql,
+      |$basketTruncSql,
+      |ed AS MATERIALIZED (
+      |  SELECT x.p AS a, y.p AS b, COUNT(*) AS w
+      |  FROM pl x JOIN pl y ON x.o = y.o AND x.p < y.p
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= $Q49MinSupport),
+      |edges AS (SELECT a AS u, b AS v, w FROM ed
+      |          UNION ALL SELECT b, a, w FROM ed),
+      |src AS (SELECT MIN(a) AS s FROM ed),
+      |walk AS (
+      |  SELECT s AS id, 0 AS hops, CAST(0 AS BIGINT) AS cost FROM src
+      |  UNION
+      |  SELECT e.v AS id, w.hops + 1 AS hops, w.cost + e.w AS cost
+      |  FROM walk w JOIN edges e ON e.u = w.id
+      |  WHERE w.hops < $Q55MaxHops),
+      |dist AS (SELECT id, MIN(cost) AS cost FROM walk GROUP BY id)
+      |SELECT cost, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(id) AS BIGINT) AS sum_ids, trunc.truncated_baskets
+      |FROM dist CROSS JOIN trunc
+      |GROUP BY cost, trunc.truncated_baskets
+      |ORDER BY cost""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -3640,6 +3798,7 @@ object RelationalOps {
     "q52_components_retract" -> (q52ComponentsRetract _),
     "q53_rollup_report"  -> (q53RollupReport _),
     "q54_shortest_paths" -> (q54ShortestPaths _),
+    "q55_weighted_paths" -> (q55WeightedPaths _),
   )
 
   // --------------------------------------------------------------- q15
@@ -3720,5 +3879,6 @@ object RelationalOps {
     "q52_components_retract" -> q52ComponentsRetractSql,
     "q53_rollup_report"  -> q53RollupReportSql,
     "q54_shortest_paths" -> q54ShortestPathsSql,
+    "q55_weighted_paths" -> q55WeightedPathsSql,
   )
 }
