@@ -472,10 +472,27 @@ object StreamOps {
         sp.sessionState.catalog.defaultTablePath(
           org.apache.spark.sql.catalyst.TableIdentifier(sinkTable)))
       val fs = loc.getFileSystem(sp.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc) && fs.listStatus(loc).exists { st =>
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }) {
+      val entries =
+        if (fs.exists(loc)) fs.listStatus(loc).toSeq else Nil
+      def visible(st: org.apache.hadoop.fs.FileStatus) = {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      val partDirs = entries.exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("sink_batch="))
+      val looseFiles = entries.exists(st => visible(st) && !st.isDirectory)
+      if (looseFiles)
+        // a leftover directory in a DIFFERENT layout (e.g. a legacy
+        // plain-append sink with data files directly under the table
+        // dir) must not be silently adopted: RECOVER PARTITIONS would
+        // throw on every re-delivery and wedge the stream. Fail ONCE
+        // with an actionable message instead.
+        throw new IllegalStateException(
+          s"sink $sinkTable: existing directory $loc is not " +
+            "sink_batch=-partitioned (loose data files found) — migrate " +
+            "it into sink_batch=<n>/ subdirectories or point the sink " +
+            "at a fresh table name")
+      if (partDirs) {
         sp.catalog.createTable(sinkTable, loc.toString, "parquet")
         sp.sql(s"ALTER TABLE $sinkTable RECOVER PARTITIONS")
       } else {
@@ -485,14 +502,28 @@ object StreamOps {
         return
       }
     }
-    // the per-write partitionOverwriteMode option is not honored on
-    // this insert path (observed: batch 8's insert statically wiped
-    // batch 7's partition) — scope the session conf around the write
-    val confKey = "spark.sql.sources.partitionOverwriteMode"
-    val old = sp.conf.get(confKey, "STATIC")
-    sp.conf.set(confKey, "DYNAMIC")
-    try stamped.write.mode("overwrite").insertInto(sinkTable)
-    finally sp.conf.set(confKey, old)
+    // The per-write option('partitionOverwriteMode', 'dynamic') is not
+    // honored on this insertInto path (re-verified on Spark 4.1: a new
+    // batch statically wiped the previous batch's partition), so the
+    // session conf must carry it — but mutating the CALLER's session
+    // conf would leak dynamic-overwrite semantics to any concurrent
+    // write on the same session. Run the insert through a fresh
+    // newSession() instead: it shares the SparkContext and the external
+    // catalog (the sink table resolves) while owning a private conf,
+    // so the flag never escapes this write. The frame crosses sessions
+    // via a global temp view (session-bound plans cannot).
+    val v = s"__sink_stage_${batchId}_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    stamped.createOrReplaceGlobalTempView(v)
+    try {
+      val wsp = sp.newSession()
+      wsp.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+      wsp.table(s"global_temp.$v").write.mode("overwrite")
+        .insertInto(sinkTable)
+      // the write ran in wsp; the caller's session still caches the
+      // replaced partition's old file listing — invalidate it
+      sp.catalog.refreshTable(sinkTable)
+    } finally sp.catalog.dropGlobalTempView(v)
   }
 
   /** Streaming last-touch attribution — e21's online dual: each
@@ -847,14 +878,36 @@ object StreamOps {
     * `batchId <= lastCommitted` short-circuits before any write — the
     * standard idempotent-foreachBatch pattern, here made atomic with
     * the data because the id flips in the SAME pointer write that
-    * commits the fold. */
+    * commits the fold.
+    *
+    * SHARE-FATE contract (every batchId-guarded sink has it): the
+    * streaming CHECKPOINT and the store live and die together. Deleting
+    * the checkpoint restarts ids at 0, which the guard would otherwise
+    * misread as replays and silently drop; since ids are monotonic per
+    * checkpoint and only the most recent batch is ever re-delivered, a
+    * batchId STRICTLY below the committed one is proof of a reset and
+    * fails loudly (spec-pinned) instead. */
   private[graft] def ivmBatch(batch: DataFrame, prefix: String, dir: String,
       batchId: Long, crashBeforeCommit: Boolean = false): Unit = {
     val sp = batch.sparkSession
     import sp.implicits._
     val store = new EpochStore(prefix, dir, IvmTables)
-    if (store.exists(sp) && batchId >= 0 && batchId <= store.lastBatchId(sp))
-      return // replayed batch: already committed, a TRUE no-op
+    if (store.exists(sp) && batchId >= 0) {
+      val last = store.lastBatchId(sp)
+      if (batchId == last)
+        return // re-delivered last batch: already committed, a TRUE no-op
+      if (batchId < last)
+        // Structured Streaming re-delivers only the MOST RECENT batch
+        // (ids are monotonic per checkpoint), so an id strictly below
+        // the committed one means the CHECKPOINT WAS RESET while the
+        // store survived — treating it as a replay would silently drop
+        // every batch until ids catch up. Fail loudly instead.
+        throw new IllegalStateException(
+          s"ivm store $prefix: batchId $batchId < committed $last — the " +
+            "streaming checkpoint was reset/replaced while the store " +
+            "survived (they share fate); restore the checkpoint or " +
+            "destroy the store / point it at a fresh prefix")
+    }
     val delta = batch
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(count(lit(1)).as("n_rows"),

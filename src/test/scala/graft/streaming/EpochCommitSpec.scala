@@ -174,6 +174,17 @@ class EpochCommitSpec extends AnyFunSuite {
     StreamOps.ivmBatch(df(h2), "graft_state_eivm", "crash", batchId = 1L)
     assert(nRows() == rows.length, "recovery lost rows")
     assert(store.lastBatchId(spark) == 1L)
+    // a batchId STRICTLY below the committed one can only mean the
+    // streaming checkpoint was reset while the store survived — the
+    // guard must fail loudly, not silently drop batches until ids
+    // catch up (share-fate contract)
+    val e = intercept[IllegalStateException] {
+      StreamOps.ivmBatch(df(h1), "graft_state_eivm", "crash", batchId = 0L)
+    }
+    assert(e.getMessage.contains("checkpoint was reset"),
+      s"unhelpful reset error: ${e.getMessage}")
+    assert(nRows() == rows.length,
+      "post-reset batch wrote state before failing")
     store.destroy(spark)
   }
 

@@ -396,6 +396,44 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $sink")
   }
 
+  test("sink adoption: a sink_batch=-partitioned leftover is adopted; " +
+       "a legacy flat layout fails once with an actionable error, " +
+       "never a per-delivery RECOVER PARTITIONS wedge") {
+    import spark.implicits._
+    def locOf(t: String) = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)))
+    val fs = locOf("x").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // (a) a prior process's PARTITIONED sink directory: adopted, its
+    // batches recovered, the new batch added alongside
+    val adopted = "sink_adopt_part_test"
+    spark.sql(s"DROP TABLE IF EXISTS $adopted")
+    Seq((1L, 2L)).toDF("batch_id", "corpus_id")
+      .withColumn("sink_batch", org.apache.spark.sql.functions.lit(3L))
+      .write.partitionBy("sink_batch").parquet(locOf(adopted).toString)
+    StreamOps.idempotentSinkWrite(
+      Seq((5L, 6L)).toDF("batch_id", "corpus_id"), 4L, adopted)
+    assert(spark.table(adopted).select("sink_batch").distinct()
+      .collect().map(_.get(0).toString.toInt).toSet == Set(3, 4),
+      "prior process's batch partition lost on adoption")
+    spark.sql(s"DROP TABLE IF EXISTS $adopted")
+    // (b) a legacy PLAIN-APPEND layout (data files directly under the
+    // table dir) must be refused with a clear message — silently
+    // adopting it would make RECOVER PARTITIONS throw on every
+    // re-delivery of the batch, wedging the stream
+    val legacy = "sink_adopt_flat_test"
+    spark.sql(s"DROP TABLE IF EXISTS $legacy")
+    Seq((1L, 2L)).toDF("batch_id", "corpus_id")
+      .write.parquet(locOf(legacy).toString)
+    val e = intercept[IllegalStateException] {
+      StreamOps.idempotentSinkWrite(
+        Seq((5L, 6L)).toDF("batch_id", "corpus_id"), 0L, legacy)
+    }
+    assert(e.getMessage.contains("not sink_batch=-partitioned"),
+      s"unhelpful legacy-layout error: ${e.getMessage}")
+    fs.delete(locOf(legacy), true)
+  }
+
   test("streaming attribution: cross-batch keyed state matches batch e21 on an ordered feed") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
