@@ -349,7 +349,20 @@ object Bench {
       val (solo, grouped) = names.partition(soloQueries)
       System.err.println(
         s"[bench] family $f: ${grouped.size} queries + ${solo.size} solo")
-      (if (grouped.nonEmpty) keyed(f, runChild(grouped)) else Nil) ++
+      // the s-family runs BISECTED into two children (r12 verdict #2's
+      // contingency, taken preemptively): its r12 driver readings were
+      // family-wide 1.4–4.2× with flat global anchors and no code
+      // change — two halves, each with its own child anchor, localize
+      // any recurrence to one child JVM's host window instead of "the
+      // family", and halve the blast radius of a single busy window
+      val groups: Seq[(String, Seq[String])] =
+        if (f == "s" && grouped.size > 10) {
+          val (a, b) = grouped.splitAt(grouped.size / 2)
+          Seq(s"${f}_a" -> a, s"${f}_b" -> b)
+        } else Seq(f -> grouped)
+      groups.flatMap { case (k, g) =>
+        if (g.nonEmpty) keyed(k, runChild(g)) else Nil
+      } ++
         solo.flatMap(n => keyed(n, runChild(Seq(n), repeats = Some(5))))
     }
     val post = keyed("post", runChild(anchors))
