@@ -1790,6 +1790,119 @@ object DedupOps {
        |ORDER BY bands DESC""".stripMargin
   }
 
+  // --------------------------------------------------------------- d22
+  /** Edit-distance self-join (fuzzy near-duplicate prefixes): all
+    * same-language document pairs whose first [[D22PrefixLen]]-char
+    * prefixes are within Levenshtein distance [[D22MaxDist]] — the
+    * typo/OCR/near-rewrite duplicate class that token-set similarity
+    * (d3/d9) misses because single-character edits shift every
+    * containing shingle. Defined over documents with at least
+    * [[D22PrefixLen]] chars so the compared strings have one fixed
+    * length (stated in the oracle too).
+    *
+    * Scale arm — PassJoin partition blocking (Li et al., "PASS-JOIN:
+    * a partition-based method for similarity joins", PVLDB 5(3),
+    * 2011; public algorithm): split each prefix into K+1 = 9 fixed
+    * segments. If ed(a,b) ≤ K, at most K segments of `a` are touched
+    * by an edit, so ≥ 1 segment survives VERBATIM in `b`, displaced
+    * by at most the net indel balance ≤ K. Each doc therefore emits
+    * its 9 fixed chunks (build side) and the ~9×(2K+1) shifted
+    * same-length substrings (probe side); an equi-join on
+    * (lang, segment, content) yields every qualifying pair with NO
+    * quadratic step — candidates are linear in actual content
+    * collisions, then one `levenshtein(_, _, K)` verification with
+    * early-exit at the threshold. At 100 TB the fan-out is a fixed
+    * ×~160 on an 80-byte column (not the document), the join is
+    * hash-partitioned on segment content, and a boilerplate-heavy
+    * corpus (every doc sharing a template prefix) would add the
+    * d11-style df-cap on hot (lang, seg, content) keys — on a capped
+    * key the pairs are REAL duplicates anyway and belong to the
+    * exact-dedup ladder (d1/d2) upstream.
+    *
+    * Truth = the oracle's quadratic same-lang join; the spec plants a
+    * 1-edit pair, a K-edit pair, a K+1-edit non-pair, and a
+    * cross-lang twin, and separately forces blocking-equals-naive on
+    * the real corpus. */
+  private[operators] val D22PrefixLen = 80
+  private[operators] val D22MaxDist = 8
+
+  /** (segIdx, start0, len): 8 segments of 9 chars + a final 8. */
+  private val D22Segs: Seq[(Int, Int, Int)] =
+    (0 to D22MaxDist).map { i =>
+      val start = i * 9
+      (i, start, math.min(9, D22PrefixLen - start))
+    }
+
+  def d22EditDistJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir)
+      .filter($"n_chars" >= D22PrefixLen)
+      .select($"doc_id", $"lang",
+        substring($"text", 1, D22PrefixLen).as("pre"))
+      .localCheckpoint() // feeds chunks, probes, and both verify joins
+    // eager: the pair list is tiny and must outlive base's release
+    try d22From(base).localCheckpoint()
+    finally unpersistCheckpointed(base)
+  }
+
+  /** [[d22EditDistJoin]]'s core over an arbitrary (doc_id, lang, pre)
+    * frame of fixed-length strings — planted-pair specs enter here. */
+  private[operators] def d22From(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val chunkArr = array(D22Segs.map { case (i, s, l) =>
+      struct(lit(i).as("seg"), substring($"pre", s + 1, l).as("sub"))
+    }: _*)
+    val probeArr = array((for {
+      (i, s, l) <- D22Segs
+      p <- math.max(0, s - D22MaxDist) to
+        math.min(D22PrefixLen - l, s + D22MaxDist)
+    } yield struct(lit(i).as("seg"),
+      substring($"pre", p + 1, l).as("sub"))): _*)
+    val chunks = base.select($"doc_id".as("i"), $"lang",
+        explode(chunkArr).as("c"))
+      .select($"i", $"lang", $"c.seg", $"c.sub")
+    val probes = base.select($"doc_id".as("j"), $"lang",
+        explode(probeArr).as("c"))
+      .select($"j", $"lang", $"c.seg", $"c.sub")
+    val cand = chunks.join(probes, Seq("lang", "seg", "sub"))
+      .filter($"i" < $"j")
+      .select($"i", $"j").distinct()
+    cand
+      .join(base.select($"doc_id".as("i"), $"pre".as("pre_i")), Seq("i"))
+      .join(base.select($"doc_id".as("j"), $"pre".as("pre_j")), Seq("j"))
+      .withColumn("dist",
+        levenshtein($"pre_i", $"pre_j", D22MaxDist))
+      .filter($"dist" >= 0) // -1 = early-exited past the threshold
+      .select($"i", $"j", $"dist")
+      .orderBy($"i", $"j")
+  }
+
+  /** Quadratic truth arm (the oracle's plan): same-lang cross pairs,
+    * no blocking — the spec forces it identical to [[d22From]]. */
+  private[operators] def d22Naive(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val a = base.select($"doc_id".as("i"), $"lang", $"pre".as("pre_i"))
+    val b = base.select($"doc_id".as("j"), $"lang", $"pre".as("pre_j"))
+    a.join(b, Seq("lang")).filter($"i" < $"j")
+      .withColumn("dist", levenshtein($"pre_i", $"pre_j", D22MaxDist))
+      .filter($"dist" >= 0)
+      .select($"i", $"j", $"dist")
+      .orderBy($"i", $"j")
+  }
+
+  val d22EditDistJoinSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, substr(text, 1, $D22PrefixLen) AS pre
+       |  FROM documents WHERE n_chars >= $D22PrefixLen)
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |  CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
+       |FROM d a JOIN d b
+       |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.pre, b.pre) <= $D22MaxDist
+       |ORDER BY i, j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact"   -> (d1DedupExact _),
     "d2_dedup_normset" -> (d2DedupNormSet _),
@@ -1812,6 +1925,7 @@ object DedupOps {
     "d19_dupspan_coverage" -> (d19DupspanCoverage _),
     "d20_dedup_ladder" -> (d20DedupLadder _),
     "d21_band_tuning"  -> (d21BandTuning _),
+    "d22_editdist_join" -> (d22EditDistJoin _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1838,5 +1952,6 @@ object DedupOps {
     "d19_dupspan_coverage" -> d19DupspanCoverageSql,
     "d20_dedup_ladder" -> d20DedupLadderSql,
     "d21_band_tuning"  -> d21BandTuningSql,
+    "d22_editdist_join" -> d22EditDistJoinSql,
   )
 }

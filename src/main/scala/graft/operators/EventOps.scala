@@ -1290,6 +1290,70 @@ object EventOps {
       |LEFT JOIN m ON m.day = d.day AND m.event_type = t.event_type
       |ORDER BY d.day, t.event_type""".stripMargin
 
+  // --------------------------------------------------------------- e28
+  /** Longest purchase-day streak per user — the gaps-and-islands
+    * pattern (consecutive-day runs found WITHOUT a self-join): for
+    * each user's distinct purchase days in order, `day − row_number`
+    * is constant exactly along a consecutive run, so the island key
+    * falls out of one window pass and runs become plain groups. The
+    * naive alternative (join day d to d−1 and chase chains) is
+    * iterative and quadratic-ish; this is two window passes and an
+    * aggregation, all partitioned by user — at 100 TB every exchange
+    * is user-keyed and the frame entering the windows is already
+    * collapsed to distinct user-days (≤ users × days, far below raw
+    * events). Output per user: the best streak length, the start day
+    * of the earliest best streak (ties broken by start), and how many
+    * distinct streaks the user had. */
+  def e28Streaks(spark: SparkSession, dir: String): DataFrame =
+    e28From(events(spark, dir))
+
+  /** [[e28Streaks]]'s core over an arbitrary (user_id, ts, event_type)
+    * frame — planted-streak specs enter here. */
+  private[operators] def e28From(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val days = ev
+      .filter($"event_type" === "purchase")
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val byDay = Window.partitionBy($"user_id").orderBy($"day")
+    val streaks = days
+      .withColumn("grp", date_sub($"day", row_number().over(byDay)))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"), min($"day").as("start"))
+    val pick = Window.partitionBy($"user_id")
+      .orderBy($"len".desc, $"start")
+    streaks
+      .withColumn("n_streaks",
+        count(lit(1)).over(Window.partitionBy($"user_id")))
+      .withColumn("rn", row_number().over(pick))
+      .filter($"rn" === 1)
+      .select($"user_id", $"len".as("best_len"),
+        $"start".as("best_start"), $"n_streaks")
+      .orderBy($"user_id")
+  }
+
+  val e28StreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |isl AS (
+      |  SELECT user_id, day,
+      |    day - CAST(ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY day) AS INT) AS grp
+      |  FROM days),
+      |st AS (
+      |  SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start
+      |  FROM isl GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT user_id, len, start,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_streaks,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY len DESC, start) AS rn
+      |  FROM st)
+      |SELECT user_id, len AS best_len, start AS best_start, n_streaks
+      |FROM rk WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
     "e2_json_extract" -> (e2JsonExtract _),
@@ -1318,6 +1382,7 @@ object EventOps {
     "e25_conversion_latency" -> (e25ConversionLatency _),
     "e26_pivot_matrix" -> (e26PivotMatrix _),
     "e27_unpivot_long" -> (e27UnpivotLong _),
+    "e28_streaks" -> (e28Streaks _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1348,5 +1413,6 @@ object EventOps {
     "e25_conversion_latency" -> e25ConversionLatencySql,
     "e26_pivot_matrix" -> e26PivotMatrixSql,
     "e27_unpivot_long" -> e27UnpivotLongSql,
+    "e28_streaks" -> e28StreaksSql,
   )
 }

@@ -3743,6 +3743,109 @@ object RelationalOps {
       |GROUP BY cost, trunc.truncated_baskets
       |ORDER BY cost""".stripMargin
 
+  // --------------------------------------------------------------- q56
+  /** Skyline (Pareto frontier) over `part`: the parts for which no
+    * other part is both cheaper-or-equal AND larger-or-equal with at
+    * least one strict — minimize `p_retailprice`, maximize `p_size`.
+    * The multi-criteria shortlist query ("show me the undominated
+    * offers") that a naive engine answers with an O(n²) NOT EXISTS
+    * self-join.
+    *
+    * Scale arm — local-skyline-then-merge, the distributed-skyline
+    * result that makes the operator shuffle-light: the global skyline
+    * is contained in the union of per-partition local skylines
+    * (dominance is transitive: if q dominates p, then q's partition's
+    * local skyline holds a point that dominates-or-equals q and hence
+    * dominates p). So: (1) hash-partition rows and compute each
+    * partition's local skyline with ONE sorted-window pass —
+    * `max(p_size)` over price-strictly-less (a RANGE frame to -1 on
+    * exact integer cents; prices are 2-decimal so cents are lossless)
+    * catches case "cheaper and at-least-as-large", and the RANGE
+    * current-row frame (= all ORDER BY peers) catches "same price,
+    * strictly larger" — no self-join anywhere; (2) the union of local
+    * skylines is tiny (a random partition's 2-D skyline is O(log n)
+    * expected), so the final pass runs the same window globally over
+    * a metadata-sized frame. The only global sort in the plan sorts
+    * the survivors, never the input. At 100 TB the heavy stage is an
+    * embarrassingly-parallel per-partition window; the merge input
+    * stays ~partitions × log(rows/partition).
+    *
+    * Truth arm (`q56SkylineNaive`): the NOT EXISTS anti-join,
+    * spec-forced output-identical — it IS the oracle's plan shape. */
+  def q56Skyline(spark: SparkSession, dir: String): DataFrame =
+    q56From(t(spark, dir, "part"))
+
+  /** [[q56Skyline]]'s merged two-pass core over an arbitrary
+    * (p_partkey, p_retailprice, p_size) frame — planted-dominance
+    * specs enter here. */
+  private[operators] def q56From(part: DataFrame): DataFrame = {
+    val spark = part.sparkSession
+    import spark.implicits._
+    val pts = part
+      .select($"p_partkey", $"p_retailprice", $"p_size",
+        round($"p_retailprice" * 100).cast("long").as("__cents"))
+    // (1) per-partition local skyline: one window pass inside each of
+    // the 32 hash partitions — no exchange beyond the initial hash.
+    val local = localSkyline(
+      pts.repartition(32, $"p_partkey"), Some(spark_partition_id()))
+    // (2) survivors are O(parts × log n): one global pass finishes.
+    localSkyline(local, None)
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .orderBy($"p_retailprice", $"p_partkey")
+  }
+
+  /** One sorted-window skyline pass over `pts` (expects `__cents`).
+    * `bucket` = Some(expr) partitions the windows by that expression
+    * (local skylines); None runs one global pass (only ever fed the
+    * metadata-sized union of local skylines). Keeps a row iff no row
+    * in the same bucket dominates it:
+    *   dominated ⟺ max(size | price < p)  ≥ p.size   (strictly cheaper)
+    *             ∨ max(size | price = p)  > p.size    (peer, larger)  */
+  private def localSkyline(pts: DataFrame,
+      bucket: Option[Column]): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = bucket match {
+      case Some(b) => Window.partitionBy(b)
+      case None    => Window.partitionBy()
+    }
+    val wLt = base.orderBy($"__cents")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = base.orderBy($"__cents").rangeBetween(0, 0)
+    pts
+      .withColumn("__max_lt", max($"p_size").over(wLt))
+      .withColumn("__max_eq", max($"p_size").over(wEq))
+      .filter(!(coalesce($"__max_lt" >= $"p_size", lit(false)) ||
+        $"__max_eq" > $"p_size"))
+      .drop("__max_lt", "__max_eq")
+  }
+
+  /** Quadratic NOT EXISTS truth arm — the spec forces it identical to
+    * the merged two-pass plan on planted dominance chains and ties. */
+  private[operators] def q56SkylineNaive(pts: DataFrame): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val other = pts.select($"p_retailprice".as("bp"), $"p_size".as("bs"))
+    pts.join(other,
+        ($"bp" <= $"p_retailprice") && ($"bs" >= $"p_size") &&
+          (($"bp" < $"p_retailprice") || ($"bs" > $"p_size")),
+        "left_anti")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .orderBy($"p_retailprice", $"p_partkey")
+  }
+
+  val q56SkylineSql: String =
+    """SELECT a.p_partkey, a.p_retailprice, a.p_size
+      |FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_retailprice <= a.p_retailprice
+      |    AND b.p_size >= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice
+      |         OR b.p_size > a.p_size))
+      |ORDER BY a.p_retailprice, a.p_partkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -3799,6 +3902,7 @@ object RelationalOps {
     "q53_rollup_report"  -> (q53RollupReport _),
     "q54_shortest_paths" -> (q54ShortestPaths _),
     "q55_weighted_paths" -> (q55WeightedPaths _),
+    "q56_skyline"        -> (q56Skyline _),
   )
 
   // --------------------------------------------------------------- q15
@@ -3880,5 +3984,6 @@ object RelationalOps {
     "q53_rollup_report"  -> q53RollupReportSql,
     "q54_shortest_paths" -> q54ShortestPathsSql,
     "q55_weighted_paths" -> q55WeightedPathsSql,
+    "q56_skyline"        -> q56SkylineSql,
   )
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Round-13 second batch: q56 skyline (local-skyline-then-merge vs the
+  * quadratic NOT EXISTS truth arm), e28 gaps-and-islands streaks, and
+  * d22 PassJoin edit-distance self-join (partition blocking vs the
+  * quadratic truth arm, including the max-displacement indel case). */
+class Round13bOpsSpec extends AnyFunSuite {
+  import graft.SharedSpark._
+
+  private def digest(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq
+
+  // ------------------------------------------------------------- q56
+
+  /** Planted dominance structure (price, size):
+    *  - (0.50, 3): cheapest — on the skyline.
+    *  - (1.00, 5) × 2 identical: duplicates never dominate each other
+    *    (one strict inequality required) — BOTH on the skyline.
+    *  - (1.00, 4): same price as the 5s, strictly smaller — dominated
+    *    by the peer rule (max_eq > size).
+    *  - (1.50, 10): biggest at its price — on the skyline.
+    *  - (2.00, 10): same size as (1.50, 10) but pricier — dominated
+    *    by the strictly-cheaper rule (max_lt >= size).
+    *  - (0.75, 2): cheaper than the 5s but smaller than (0.50, 3)'s
+    *    max at lower price — dominated. */
+  private def plantedParts = {
+    import spark.implicits._
+    Seq(
+      (1L, 0.50, 3), (2L, 1.00, 5), (3L, 1.00, 5), (4L, 1.00, 4),
+      (5L, 1.50, 10), (6L, 2.00, 10), (7L, 0.75, 2)
+    ).toDF("p_partkey", "p_retailprice", "p_size")
+  }
+
+  test("q56: planted dominance chains, price ties, and duplicate " +
+      "points resolve exactly (merged arm)") {
+    assert(digest(RelationalOps.q56From(plantedParts)) == Seq(
+      Seq(1L, 0.50, 3), Seq(2L, 1.00, 5), Seq(3L, 1.00, 5),
+      Seq(5L, 1.50, 10)))
+  }
+
+  test("q56: merged two-pass arm is output-identical to the NOT " +
+      "EXISTS truth arm on planted and real data") {
+    assert(digest(RelationalOps.q56From(plantedParts)) ==
+      digest(RelationalOps.q56SkylineNaive(plantedParts)))
+    val part = graft.Tables(spark, sf, "part")
+    assert(digest(RelationalOps.q56From(part)) ==
+      digest(RelationalOps.q56SkylineNaive(part)))
+  }
+
+  // ------------------------------------------------------------- e28
+
+  private def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+
+  /** user 1: purchase days 1,2,3 then 10,11 (plus a same-day double
+    * purchase on day 2 and an ignored view on day 6) → best 3 @ Jan 1,
+    * 2 streaks. user 2: two equal-length streaks (days 5,6 and 1,2) →
+    * tie broken to the EARLIEST start. user 3: views only → absent. */
+  private def plantedEvents = {
+    import spark.implicits._
+    (Seq(1, 2, 2, 3, 10, 11).map(d => (1L, ts(d), "purchase")) ++
+      Seq((1L, ts(6), "view")) ++
+      Seq(5, 6, 1, 2).map(d => (2L, ts(d), "purchase")) ++
+      Seq((3L, ts(4), "view"), (3L, ts(5), "view")))
+      .toDF("user_id", "ts", "event_type")
+  }
+
+  test("e28: islands split on gaps, same-day repeats collapse, ties " +
+      "break to the earliest start, non-purchasers are absent") {
+    val got = digest(EventOps.e28From(plantedEvents))
+    assert(got == Seq(
+      Seq(1L, 3L, java.sql.Date.valueOf("2024-01-01"), 2L),
+      Seq(2L, 2L, java.sql.Date.valueOf("2024-01-01"), 2L)))
+  }
+
+  // ------------------------------------------------------------- d22
+
+  /** Textbook Levenshtein DP — the spec's independent distance
+    * oracle, so planted expectations are computed, not hand-derived. */
+  private def lev(s: String, t: String): Int = {
+    val d = Array.tabulate(s.length + 1, t.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to s.length; j <- 1 to t.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+    d(s.length)(t.length)
+  }
+
+  private val r80: String =
+    (0 until 80).map(i => ('A' + i % 26).toChar).mkString
+
+  test("d22: planted pairs at distance 1, K, K+1, max-displacement " +
+      "indels, and a cross-lang twin resolve exactly") {
+    import spark.implicits._
+    val k = DedupOps.D22MaxDist
+    def subst(s: String, n: Int, off: Int, c: Char): String =
+      (0 until n).foldLeft(s)((acc, i) => acc.updated(off + i * 8, c))
+    val d1 = subst(r80, 1, 3, '#')
+    val dk = subst(r80, k, 3, '#')
+    // k+1 edits at DISJOINT positions and a different char, so dk1 is
+    // past the threshold from EVERY planted neighbor, not just r80
+    val dk1 = subst(r80, k + 1, 7, '%')
+    // 4 deletions early + 4 insertions late: distance 8 with the
+    // middle 46 chars displaced by 4 — the pigeonhole's shifted-match
+    // window must still catch a verbatim segment.
+    val shifted = r80.take(10) + r80.slice(14, 60) + "####" +
+      r80.slice(60, 80)
+    assert(shifted.length == 80)
+    assert(lev(r80, d1) == 1 && lev(r80, dk) == k &&
+      lev(r80, shifted) == k)
+    for (s <- Seq(r80, d1, dk, shifted)) assert(lev(dk1, s) > k)
+    val base = Seq(
+      (1L, "en", r80), (2L, "en", d1), (3L, "en", dk),
+      (4L, "en", dk1), (5L, "de", r80), (6L, "en", shifted)
+    ).toDF("doc_id", "lang", "pre")
+    val got = digest(DedupOps.d22From(base))
+    // every en-pair among {r80, d1, dk, shifted} within K; dk1 only
+    // reaches d1's single-# neighborhood nowhere under K; the de twin
+    // is excluded by language despite distance 0
+    val expect = digest(DedupOps.d22Naive(base))
+    assert(got == expect)
+    assert(got.contains(Seq(1L, 2L, 1)) && got.contains(Seq(1L, 3L, k)) &&
+      got.contains(Seq(1L, 6L, k)))
+    assert(!got.exists(r => r(0) == 4L || r(1) == 4L ||
+      r(0) == 5L || r(1) == 5L))
+  }
+
+  test("d22: PassJoin blocking is output-identical to the quadratic " +
+      "truth arm on the real corpus") {
+    import spark.implicits._
+    val base = graft.Tables(spark, sf, "documents")
+      .filter($"n_chars" >= DedupOps.D22PrefixLen)
+      .select($"doc_id", $"lang",
+        substring($"text", 1, DedupOps.D22PrefixLen).as("pre"))
+      .localCheckpoint()
+    try
+      assert(digest(DedupOps.d22From(base)) ==
+        digest(DedupOps.d22Naive(base)))
+    finally DedupOps.unpersistCheckpointed(base)
+  }
+}
