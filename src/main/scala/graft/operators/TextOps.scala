@@ -1676,6 +1676,92 @@ object TextOps {
     t20Bm25Score(tf, dl, dfx, stats, q)
   }
 
+  // --------------------------------------------------------------- t27
+  /** Exact corpus-wide heavy hitters: every word bigram covering at
+    * least 0.1% of all bigram occurrences, with its exact count — the
+    * boilerplate-phrase detector that feeds dedup (a bigram this hot
+    * is template text) and tokenizer-merge candidates (BPE's first
+    * merges are exactly the hottest adjacent pairs).
+    *
+    * The naive plan — groupBy over EVERY bigram occurrence — shuffles
+    * the full n-gram key space, which at 100 TB is itself data-sized
+    * (distinct n-grams grow with the corpus). The two-pass shape here
+    * never shuffles the key space:
+    *   1. Candidate sweep: one scan folds each partition into a
+    *      [[graft.functions.MisraGriesAgg]] sketch (≤ 2k counters);
+    *      partials merge to ONE sketch whose key set provably
+    *      contains every item with frequency > N/(k+1). k = 4000 vs
+    *      the 0.1% threshold = 4× guarantee margin. The same
+    *      aggregate carries count(*) so N rides along for free.
+    *   2. Exact recount: a second scan keeps only candidate bigrams
+    *      (broadcast semi-join against the ≤ 2k-entry candidate list
+    *      — provably metadata-sized, so the hint is safe by
+    *      construction) and counts them exactly; the ≥ 0.1% filter
+    *      on exact integer counts makes the final answer EXACT —
+    *      hash-identical to the oracle's full groupBy, which is the
+    *      point: sketch for the candidates, never for the answer. */
+  private[operators] val T27K = 4000
+
+  def t27HeavyBigrams(spark: SparkSession, dir: String): DataFrame =
+    t27From(docs(spark, dir), T27K)
+
+  /** Word bigram occurrences (NOT distinct — frequency semantics). */
+  private def bigramsOf(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    d.select(tokens($"text").as("l"))
+      .select(explode(when(size($"l") < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size($"l") - 1),
+          i => concat_ws(" ", element_at($"l", i),
+            element_at($"l", i + 1))))).as("g"))
+  }
+
+  /** [[t27HeavyBigrams]]'s core with the sketch width exposed so the
+    * spec can stress the trim path and force width-invariance. */
+  private[operators] def t27From(d: DataFrame, k: Int): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val mg = udaf(new graft.functions.MisraGriesAgg(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val bi = bigramsOf(d)
+    // pass 1: candidates + N in one scan
+    val row = bi.agg(mg($"g").as("cands"), count(lit(1)).as("n")).first()
+    val cands = row.getSeq[String](0)
+    val total = row.getLong(1)
+    // pass 2: exact recount of candidates only (≤ 2k keys)
+    val candDf = cands.toDF("g")
+    bi.join(broadcast(candDf), Seq("g"))
+      .groupBy($"g").agg(count(lit(1)).as("n_occ"))
+      .filter($"n_occ" * 1000 >= total)
+      .orderBy($"n_occ".desc, $"g")
+  }
+
+  /** Full-shuffle truth arm — the oracle's plan; the spec forces it
+    * identical to the sketch-guided two-pass at two sketch widths. */
+  private[operators] def t27Naive(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val bi = bigramsOf(d).localCheckpoint()
+    try {
+      val total = bi.count()
+      bi.groupBy($"g").agg(count(lit(1)).as("n_occ"))
+        .filter($"n_occ" * 1000 >= total)
+        .orderBy($"n_occ".desc, $"g")
+        .localCheckpoint()
+    } finally DedupOps.unpersistCheckpointed(bi)
+  }
+
+  val t27HeavyBigramsSql: String =
+    """WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+      |bi AS (
+      |  SELECT l[i] || ' ' || l[i+1] AS g
+      |  FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0)))
+      |    AS t(i)),
+      |c AS (SELECT g, COUNT(*) AS n_occ FROM bi GROUP BY 1)
+      |SELECT g, n_occ FROM c
+      |WHERE n_occ * 1000 >= (SELECT COUNT(*) FROM bi)
+      |ORDER BY n_occ DESC, g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_profile" -> (t2LangProfile _),
@@ -1703,6 +1789,7 @@ object TextOps {
     "t24_quality_drift" -> (t24QualityDrift _),
     "t25_lm_surprise_hashed" -> (t25LmSurpriseHashed _),
     "t26_bm25_day2" -> (t26Bm25Day2 _),
+    "t27_heavy_bigrams" -> (t27HeavyBigrams _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1734,5 +1821,6 @@ object TextOps {
     // maintained index must equal the from-scratch build (q40's
     // contract): the oracle IS t20's SQL
     "t26_bm25_day2" -> t20Bm25Sql,
+    "t27_heavy_bigrams" -> t27HeavyBigramsSql,
   )
 }

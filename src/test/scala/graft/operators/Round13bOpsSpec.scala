@@ -142,4 +142,34 @@ class Round13bOpsSpec extends AnyFunSuite {
         digest(DedupOps.d22Naive(base)))
     finally DedupOps.unpersistCheckpointed(base)
   }
+
+  // ------------------------------------------------------------- t27
+
+  test("misra-gries: an item just above the N/(k+1) guarantee line " +
+      "survives an adversarial flood of distinct fillers") {
+    val agg = new graft.functions.MisraGriesAgg(4)
+    // N = 100: "hot" appears 21 > 100/5 times among 79 unique fillers
+    // — the worst case for a width-4 sketch (every filler miss forces
+    // counter pressure). The MG bound says hot MUST survive.
+    val stream = new scala.util.Random(7).shuffle(
+      (Seq.fill(21)("hot") ++ (1 to 79).map(i => s"f$i")).toList)
+    val sketch = stream.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(sketch).contains("hot"))
+    // split-and-merge path preserves the guarantee too
+    val (l, r) = stream.splitAt(41)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged).contains("hot"))
+  }
+
+  test("t27: sketch-guided two-pass equals the full-shuffle truth arm " +
+      "at both the default and a trim-stressing sketch width") {
+    val d = graft.Tables(spark, sf, "documents")
+    val truth = digest(TextOps.t27Naive(d))
+    assert(truth.nonEmpty)
+    assert(digest(TextOps.t27From(d, TextOps.T27K)) == truth)
+    // k = 1200 still satisfies k+1 > 1/0.001 — exactness must hold
+    // even with the buffer 3.3x tighter and trims actually firing
+    assert(digest(TextOps.t27From(d, 1200)) == truth)
+  }
 }
