@@ -3846,6 +3846,108 @@ object RelationalOps {
       |         OR b.p_size > a.p_size))
       |ORDER BY a.p_retailprice, a.p_partkey""".stripMargin
 
+  // --------------------------------------------------------------- q57
+  /** KMV sketch SET ALGEBRA: union, intersection, and Jaccard
+    * estimates between two audiences (distinct `view` users vs
+    * distinct `purchase` users) computed entirely on two bottom-k
+    * sketches — the q33 primitive promoted to the operation sketches
+    * actually exist for. Counting either audience exactly is easy;
+    * the 100 TB win is that ONE distributed pass builds a ≤ k-long
+    * sketch per audience and every set operation after that is O(k)
+    * driver arithmetic on metadata — overlap matrices across hundreds
+    * of segments never touch the data again (and the sketches are the
+    * same mergeable state q42 maintains incrementally).
+    *
+    * Estimators (Beyer et al., SIGMOD'07 — public): the union sketch
+    * is the bottom-k of the two sketches' union with threshold τ =
+    * its k-th value; ρ = |K_A ∩ K_B ∩ {h ≤ τ}| items agree under τ,
+    * so Ĵ = ρ/|union kept| and |A∩B| ≈ Ĵ·|A∪B|-hat. Degenerate
+    * small-side case (union < k) is EXACT by construction — the
+    * sketches are the whole sets. Like q33 and unlike HLL, every
+    * step — md5 hashing, order statistics, the few IEEE doubles — is
+    * engine-deterministic, so the DuckDB oracle checks the estimates
+    * bit for bit. */
+  def q57KmvSetops(spark: SparkSession, dir: String): DataFrame =
+    q57From(t(spark, dir, "events"), "view", "purchase")
+
+  /** [[q57KmvSetops]]'s core; audiences parameterized for specs. */
+  private[operators] def q57From(ev: DataFrame, typeA: String,
+      typeB: String): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    import graft.functions.{KmvAgg, KmvSetAgg}
+    val k = 64
+    val kmv = new KmvSetAgg(k).toColumn
+    // one distributed pass: dedup in codegen'd hash-agg land first
+    // (q33's shape), then the typed sketch fold on ~#distinct rows
+    val sketches = ev
+      .filter($"event_type".isin(typeA, typeB))
+      .select($"event_type", md5Long($"user_id".cast("string")).as("h"))
+      .distinct()
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(kmv.name("s"))
+      .collect().toMap // 2 rows × ≤ k longs — metadata by construction
+    val ka = sketches.getOrElse(typeA, Nil)
+    val kb = sketches.getOrElse(typeB, Nil)
+    // sketch algebra — O(k), never touches the data again
+    val u = (ka ++ kb).distinct.sorted.take(k)
+    val nu = u.size
+    val tau = if (u.isEmpty) 0L else u.last
+    val rho = ka.toSet.intersect(kb.toSet).count(_ <= tau).toLong
+    def est(s: List[Long]) =
+      KmvAgg.estimate(k, s.size, if (s.isEmpty) 0L else s.last)
+    val estU = KmvAgg.estimate(k, nu, tau)
+    val jacMilli = if (nu == 0) 0L else 1000L * rho / nu
+    val estI = if (nu == 0) 0.0
+      else rho.toDouble / nu.toDouble * estU
+    Seq((ka.size, kb.size, est(ka), est(kb), nu, estU, rho,
+      jacMilli, estI))
+      .toDF("n_a", "n_b", "est_a", "est_b", "n_union_kept",
+        "est_union", "rho", "jaccard_milli", "est_intersect")
+  }
+
+  val q57KmvSetopsSql: String = {
+    import graft.functions.EngineFns.sqlMd5Long
+    val h = sqlMd5Long("CAST(user_id AS VARCHAR)")
+    s"""WITH ha AS (SELECT DISTINCT $h AS h FROM events
+       |            WHERE event_type = 'view'),
+       |hb AS (SELECT DISTINCT $h AS h FROM events
+       |       WHERE event_type = 'purchase'),
+       |ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+       |kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+       |u AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+       |      ORDER BY h LIMIT 64),
+       |su AS (SELECT COUNT(*) AS nu, MAX(h) AS tau FROM u),
+       |sa AS (SELECT COUNT(*) AS na, MAX(h) AS ta FROM ka),
+       |sb AS (SELECT COUNT(*) AS nb, MAX(h) AS tb FROM kb),
+       |sr AS (SELECT COUNT(*) AS rho FROM ka JOIN kb USING (h), su
+       |       WHERE h <= tau)
+       |SELECT CAST(na AS INT) AS n_a, CAST(nb AS INT) AS n_b,
+       |  CASE WHEN na < 64 THEN CAST(na AS DOUBLE)
+       |       ELSE 63.0 * 1152921504606846976.0 / CAST(ta AS DOUBLE)
+       |  END AS est_a,
+       |  CASE WHEN nb < 64 THEN CAST(nb AS DOUBLE)
+       |       ELSE 63.0 * 1152921504606846976.0 / CAST(tb AS DOUBLE)
+       |  END AS est_b,
+       |  CAST(nu AS INT) AS n_union_kept,
+       |  CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+       |       ELSE 63.0 * 1152921504606846976.0 / CAST(tau AS DOUBLE)
+       |  END AS est_union,
+       |  CAST(rho AS BIGINT) AS rho,
+       |  CASE WHEN nu = 0 THEN 0
+       |       ELSE CAST(1000 * rho // nu AS BIGINT)
+       |  END AS jaccard_milli,
+       |  CASE WHEN nu = 0 THEN 0.0
+       |       ELSE CAST(rho AS DOUBLE) / CAST(nu AS DOUBLE) *
+       |         (CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+       |               ELSE 63.0 * 1152921504606846976.0 /
+       |                 CAST(tau AS DOUBLE) END)
+       |  END AS est_intersect
+       |FROM sa, sb, su, sr""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -3903,6 +4005,7 @@ object RelationalOps {
     "q54_shortest_paths" -> (q54ShortestPaths _),
     "q55_weighted_paths" -> (q55WeightedPaths _),
     "q56_skyline"        -> (q56Skyline _),
+    "q57_kmv_setops"     -> (q57KmvSetops _),
   )
 
   // --------------------------------------------------------------- q15
@@ -3985,5 +4088,6 @@ object RelationalOps {
     "q54_shortest_paths" -> q54ShortestPathsSql,
     "q55_weighted_paths" -> q55WeightedPathsSql,
     "q56_skyline"        -> q56SkylineSql,
+    "q57_kmv_setops"     -> q57KmvSetopsSql,
   )
 }

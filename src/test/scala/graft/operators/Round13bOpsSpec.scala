@@ -172,4 +172,43 @@ class Round13bOpsSpec extends AnyFunSuite {
     // even with the buffer 3.3x tighter and trims actually firing
     assert(digest(TextOps.t27From(d, 1200)) == truth)
   }
+
+  // ------------------------------------------------------------- q57
+
+  test("q57: small audiences (union < k) make every sketch estimate " +
+      "EXACT — set algebra on full sets") {
+    import spark.implicits._
+    // A = users 1-10 (view), B = users 6-15 (purchase):
+    // |A|=10, |B|=10, |A∪B|=15, |A∩B|=5, J=1/3
+    val ev = ((1L to 10L).map(u => (u, ts(1), "view")) ++
+      (6L to 15L).map(u => (u, ts(2), "purchase")))
+      .toDF("user_id", "ts", "event_type")
+    val r = RelationalOps.q57From(ev, "view", "purchase").collect().head
+    assert(r.getInt(0) == 10 && r.getInt(1) == 10)       // n_a, n_b
+    assert(r.getDouble(2) == 10.0 && r.getDouble(3) == 10.0)
+    assert(r.getInt(4) == 15 && r.getDouble(5) == 15.0)  // union
+    assert(r.getLong(6) == 5L)                           // rho
+    assert(r.getLong(7) == 333L)                         // jaccard_milli
+    assert(r.getDouble(8) == 5.0 / 15.0 * 15.0)          // est_intersect
+  }
+
+  test("q57: full-sketch estimates land within KMV error bounds of " +
+      "the exact counts on the real events table") {
+    import spark.implicits._
+    val ev = graft.Tables(spark, sf, "events")
+    val exact = ev.filter($"event_type".isin("view", "purchase"))
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactU = ev.filter($"event_type".isin("view", "purchase"))
+      .select($"user_id").distinct().count()
+    val r = RelationalOps.q57From(ev, "view", "purchase").collect().head
+    // KMV relative standard error ~ 1/sqrt(k-2) ≈ 12.7% at k=64;
+    // 3 s.e. gate, same shape as the q33 spec (exact path if < k)
+    def ok(est: Double, truth: Long): Boolean =
+      math.abs(est - truth) <= math.max(1.0, 0.39 * truth)
+    assert(ok(r.getDouble(2), exact.getOrElse("view", 0L)))
+    assert(ok(r.getDouble(3), exact.getOrElse("purchase", 0L)))
+    assert(ok(r.getDouble(5), exactU))
+  }
 }
