@@ -3948,6 +3948,43 @@ object RelationalOps {
        |FROM sa, sb, su, sr""".stripMargin
   }
 
+  // --------------------------------------------------------------- q58
+  /** Day-2 skyline maintenance: q56's Pareto frontier kept current as
+    * new parts arrive, WITHOUT rescanning the standing corpus. The
+    * merge-reducibility that powers q56's distributed arm is also its
+    * incremental-view-maintenance theorem: skyline(A ∪ Δ) =
+    * skyline(skyline(A) ∪ Δ), so the standing state is just
+    * yesterday's skyline — metadata-sized (a random 2-D skyline is
+    * O(log n)) — and the daily fold runs q56's two-pass core over
+    * {standing skyline ∪ Δ}: the delta's points can both EVICT
+    * dominated standing points and be rejected by them, with no
+    * retraction machinery because insertion-only dominance never
+    * resurrects a loser. At 100 TB yesterday's corpus is never read
+    * again; the fold's cost is the delta scan. (Deletions WOULD need
+    * the q52-style retraction shape — a dropped skyline point must be
+    * re-derived from the corpus; out of scope here and stated.)
+    *
+    * Same gate contract as every day-2 twin (q40/q41/q42/q48/q50):
+    * the oracle is the FULL-table q56 SQL, so the maintained result
+    * must hash-match a from-scratch rebuild. */
+  def q58SkylineDay2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    val stateT =
+      graft.sources.LayoutOps.stateTable("graft_state_q58_skyline", dir)
+    val part = t(spark, dir, "part")
+    val isNew = pmod(
+      md5Long(concat($"p_partkey".cast("string"), lit(":q58"))),
+      lit(5L)) === 0L
+    if (!spark.catalog.tableExists(stateT)) {
+      graft.sources.LayoutOps.clearStaleLocation(spark, stateT)
+      q56From(part.filter(!isNew))
+        .write.mode("overwrite").format("parquet").saveAsTable(stateT)
+    }
+    q56From(spark.table(stateT).unionByName(part.filter(isNew)
+      .select($"p_partkey", $"p_retailprice", $"p_size")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -4006,6 +4043,7 @@ object RelationalOps {
     "q55_weighted_paths" -> (q55WeightedPaths _),
     "q56_skyline"        -> (q56Skyline _),
     "q57_kmv_setops"     -> (q57KmvSetops _),
+    "q58_skyline_day2"   -> (q58SkylineDay2 _),
   )
 
   // --------------------------------------------------------------- q15
@@ -4089,5 +4127,6 @@ object RelationalOps {
     "q55_weighted_paths" -> q55WeightedPathsSql,
     "q56_skyline"        -> q56SkylineSql,
     "q57_kmv_setops"     -> q57KmvSetopsSql,
+    "q58_skyline_day2"   -> q56SkylineSql,
   )
 }

@@ -211,4 +211,27 @@ class Round13bOpsSpec extends AnyFunSuite {
     assert(ok(r.getDouble(3), exact.getOrElse("purchase", 0L)))
     assert(ok(r.getDouble(5), exactU))
   }
+
+  // ------------------------------------------------------------- q58
+
+  test("q58: the IVM identity skyline(A ∪ Δ) = skyline(skyline(A) ∪ Δ) " +
+      "holds when the delta both evicts standing points and is rejected") {
+    import spark.implicits._
+    // (0.40, 6) dominates the standing (0.50,3)/(1.00,5)x2 — EVICTS;
+    // (3.00, 1) is dominated by everything — REJECTED
+    val delta = Seq((8L, 0.40, 6), (9L, 3.00, 1))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+    val all = plantedParts.unionByName(delta)
+    val maintained = digest(RelationalOps.q56From(
+      RelationalOps.q56From(plantedParts).unionByName(delta)))
+    assert(maintained == digest(RelationalOps.q56From(all)))
+    assert(maintained == Seq(
+      Seq(8L, 0.40, 6), Seq(5L, 1.50, 10)))
+  }
+
+  test("q58: maintained skyline equals from-scratch rebuild on the " +
+      "real table (state built, then folded)") {
+    assert(digest(RelationalOps.q58SkylineDay2(spark, sf)) ==
+      digest(RelationalOps.q56Skyline(spark, sf)))
+  }
 }
