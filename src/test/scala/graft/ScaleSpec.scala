@@ -360,4 +360,46 @@ class ScaleSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [isnotnull(yr"), s"no partition pruning:\n$p")
     assert(read.count() > 0)
   }
+
+  test("q56: skyline plans pure window passes — no join of any kind, " +
+      "in particular never the naive arm's nested-loop") {
+    val p = plan("q56_skyline")
+    assert(p.contains("Window"), s"expected window passes:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"skyline must not join:\n$p")
+  }
+
+  test("d22: candidate generation is an equi-join on segment content " +
+      "— never a cartesian/nested-loop pass over the corpus") {
+    val p = plan("d22_editdist_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking join degenerated:\n$p")
+  }
+
+  test("e28: every streak window is user-partitioned — no " +
+      "single-partition stage anywhere") {
+    val p = plan("e28_streaks")
+    assert(p.contains("Window"), s"expected windows:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a global window/exchange crept in:\n$p")
+  }
+
+  test("t27: the exact recount joins the candidate list broadcast — " +
+      "the occurrence stream is never shuffled by key space") {
+    val p = plan("t27_heavy_bigrams")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate semi-join must broadcast the metadata side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"recount must not shuffle-join the stream:\n$p")
+  }
+
+  test("q58: the day-2 fold scans the delta and the standing skyline " +
+      "only — the standing corpus parquet is read exactly once") {
+    val p = plan("q58_skyline_day2")
+    val partScans = "part\\.parquet".r.findAllIn(p).length
+    assert(partScans <= 1, s"fold rescans the corpus ($partScans scans):\n$p")
+    assert(p.contains("graft_state_q58_skyline"),
+      s"fold must read the standing skyline state:\n$p")
+  }
 }
