@@ -2773,6 +2773,96 @@ object SimilarityOps {
     s10ServeFrom(spark, dir, qs, Some(codesT))
   }
 
+  // --------------------------------------------------------------- s22
+  /** Maximum-inner-product search (MIPS): top-K neighbors by RAW dot
+    * product — recommender scoring (user·item), where cosine's norm
+    * division is wrong on purpose: a longer item vector SHOULD win.
+    * Distinct operator from s1: the two rankings disagree whenever
+    * norms vary, and MIPS is not a metric (no triangle inequality),
+    * so metric-space indexes don't apply directly.
+    *
+    * The gated arm is the exact broadcast-scored scan (s1's shape:
+    * queries are a broadcast constant, the corpus streams through one
+    * codegen'd projection, per-query top-K via partial TakeOrdered).
+    * The 100 TB path is the norm-augmentation REDUCTION (Bachrach et
+    * al., RecSys'14 — public): append sqrt(M² − ‖x‖²) to every data
+    * vector (M = max norm, one scalar probe) and 0 to queries; all
+    * augmented data norms equal M, so cos(q́, x́) = dot(q,x)/(‖q‖·M)
+    * — MONOTONE in the dot product. MIPS becomes angular NN and the
+    * whole cosine infrastructure (s2's hyperplane LSH, s3's IVF)
+    * serves it unchanged. [[s22AugmentedArm]] implements the
+    * reduction end-to-end and the spec forces its ranking identical
+    * to the direct arm on the real corpus — the correctness content
+    * of the reduction, pinned. */
+  def s22KnnMips(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    s22From(emb(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+  }
+
+  /** [[s22KnnMips]]'s core over an arbitrary (vec_id, v) frame —
+    * planted non-normalized corpora (where MIPS and cosine genuinely
+    * disagree; the shipped embeddings are unit-norm) enter here. */
+  private[operators] def s22From(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    registerAll(spark)
+    val q = e.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val w = Window.partitionBy($"qid").orderBy($"ip".desc, $"nid".asc)
+    e.select($"vec_id".as("nid"), $"v".as("nv"))
+      .join(broadcast(q), $"qid" =!= $"nid")
+      .withColumn("ip", dot($"qv", $"nv"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"nid", $"rnk", micro($"ip").as("ip_micro"))
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** The norm-augmentation arm: ranks by COSINE over augmented
+    * vectors; the spec forces (qid, nid, rnk) identical to
+    * [[s22From]]. Returns ranks only — the cosine score is on a
+    * different scale than the dot by construction. */
+  private[operators] def s22AugFrom(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    registerAll(spark)
+    val e = e0.withColumn("nrm2", dot($"v", $"v"))
+    // one scalar probe: the max squared norm (metadata by construction)
+    val m2 = e.agg(max($"nrm2")).first().getDouble(0)
+    val aug = e.withColumn("va",
+      concat($"v", array(sqrt(lit(m2) - $"nrm2"))))
+    val q = aug.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("qid"),
+        concat($"v", array(lit(0.0))).as("qa"),
+        sqrt($"nrm2").as("qnrm"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    aug.select($"vec_id".as("nid"), $"va")
+      .join(broadcast(q), $"qid" =!= $"nid")
+      .withColumn("cos",
+        dot($"qa", $"va") / ($"qnrm" * sqrt(dot($"va", $"va"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"nid", $"rnk")
+      .orderBy($"qid", $"rnk")
+  }
+
+  val s22KnnMipsSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |    ${sqlDot("q.v", "n.v")} AS ip
+       |  FROM e q JOIN e n ON q.vec_id < $NQUERIES AND q.vec_id <> n.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, ip,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ip DESC, nid ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, nid, rnk, ${sqlMicro("ip")} AS ip_micro
+       |FROM ranked WHERE rnk <= $K
+       |ORDER BY qid, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh"   -> (s2KnnLsh _),
@@ -2795,6 +2885,7 @@ object SimilarityOps {
     "s19_knn_graph_hybrid" -> (s19KnnGraphHybrid _),
     "s20_index_rebalance" -> (s20IndexRebalance _),
     "s21_index_compact" -> (s21IndexCompact _),
+    "s22_knn_mips" -> (s22KnnMips _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2823,5 +2914,6 @@ object SimilarityOps {
     // equal the from-scratch index walk — s7/s10's SQL IS the oracle
     // (compacted-equals-uncompacted, the file-count bound is spec-pinned)
     "s21_index_compact" -> s7KnnIvfPqKmeansSql,
+    "s22_knn_mips" -> s22KnnMipsSql,
   )
 }

@@ -234,4 +234,31 @@ class Round13bOpsSpec extends AnyFunSuite {
     assert(digest(RelationalOps.q58SkylineDay2(spark, sf)) ==
       digest(RelationalOps.q56Skyline(spark, sf)))
   }
+
+  // ------------------------------------------------------------- s22
+
+  test("s22: on a non-normalized corpus MIPS disagrees with cosine " +
+      "(the high-norm off-angle vector wins the dot, loses the angle) " +
+      "and the norm-augmentation reduction reproduces MIPS exactly") {
+    import spark.implicits._
+    // query 0 = [1,0]; nid 11 = [0.9,0.1] (cos .994, dot 0.9);
+    // nid 12 = [3,3] (cos .707, dot 3.0) → MIPS: 12 first; cosine: 11
+    val e = Seq(
+      (0L, Array(1.0, 0.0)), (11L, Array(0.9, 0.1)),
+      (12L, Array(3.0, 3.0))
+    ).toDF("vec_id", "v")
+    val mips = digest(SimilarityOps.s22From(e)
+      .select($"qid", $"nid", $"rnk"))
+    assert(mips == Seq(Seq(0L, 12L, 1), Seq(0L, 11L, 2)))
+    assert(digest(SimilarityOps.s22AugFrom(e)) == mips)
+  }
+
+  test("s22: the augmentation arm reproduces the MIPS ranking on the " +
+      "real (unit-norm) corpus too") {
+    import spark.implicits._
+    val e = graft.Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    assert(digest(SimilarityOps.s22AugFrom(e)) ==
+      digest(SimilarityOps.s22From(e).select($"qid", $"nid", $"rnk")))
+  }
 }
