@@ -1354,6 +1354,112 @@ object EventOps {
       |FROM rk WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- e29
+  /** RFM segmentation — recency / frequency / monetary quintile scores
+    * per purchaser, the standard customer-value grid ("545" = recent,
+    * frequent, big spender). Each dimension scores 1–5 against the
+    * EXACT quintile boundaries of the user-level distribution, and the
+    * boundaries come from [[PercentileOps.exactPercentiles]] — the
+    * distributed threshold-selection pass — NOT from an `ntile` window,
+    * because ntile without a partition key is a single-partition sort
+    * of the whole user frame (fine at 1 500 users, a one-task funnel at
+    * 100 M). All three measures ride ONE selection pass via the q25
+    * stack-melt; the 12 boundary values are a provably-one-row frame
+    * (aggregate without grouping), so the scoring join is a safe
+    * broadcast by construction. Scoring is explicit boundary
+    * comparisons (strictly-below for recency where smaller is better,
+    * strictly-above for frequency/monetary), so tie semantics are
+    * pinned in both engines rather than inherited from ntile's
+    * row-splitting. */
+  def e29RfmSegments(spark: SparkSession, dir: String): DataFrame =
+    e29From(events(spark, dir))
+
+  /** [[e29RfmSegments]]'s core over an arbitrary (user_id, ts,
+    * event_type, value) frame — planted-quintile specs enter here. */
+  private[operators] def e29From(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val p = ev
+      .filter($"event_type" === "purchase")
+      .select($"user_id", to_date($"ts").as("day"), $"value")
+    val u = p.groupBy($"user_id").agg(
+      max($"day").as("last_day"),
+      count(lit(1)).as("frequency"),
+      dsum($"value").as("monetary"))
+    val asof = p.agg(max($"day").as("today")) // provably one row
+    val stats = u.crossJoin(broadcast(asof))
+      .withColumn("recency_days",
+        datediff($"today", $"last_day").cast("int"))
+    val melted = stats.selectExpr(
+      """stack(3, 'r', cast(recency_days as double),
+        |         'f', cast(frequency as double),
+        |         'm', monetary) AS (which, v)""".stripMargin)
+    val bCols = for {
+      w <- Seq("r", "f", "m"); f <- Seq(20, 40, 60, 80)
+    } yield max(when($"which" === w && $"frac" === f / 100.0, $"pct"))
+      .as(s"$w$f")
+    val b = PercentileOps
+      .exactPercentiles(melted, Seq("which"), "v", Seq(0.2, 0.4, 0.6, 0.8))
+      .groupBy() // one row: the 12 quintile boundaries
+      .agg(bCols.head, bCols.tail: _*)
+    def below(v: Column, bs: Seq[String]): Column =
+      bs.map(bn => when(v < col(bn), 1).otherwise(0)).reduce(_ + _)
+    def above(v: Column, bs: Seq[String]): Column =
+      bs.map(bn => when(v > col(bn), 1).otherwise(0)).reduce(_ + _)
+    stats.crossJoin(broadcast(b))
+      .withColumn("r_score",
+        lit(1) + below($"recency_days", Seq("r20", "r40", "r60", "r80")))
+      .withColumn("f_score",
+        lit(1) + above($"frequency", Seq("f20", "f40", "f60", "f80")))
+      .withColumn("m_score",
+        lit(1) + above($"monetary", Seq("m20", "m40", "m60", "m80")))
+      .select($"user_id", $"recency_days", $"frequency", $"monetary",
+        $"r_score", $"f_score", $"m_score",
+        concat($"r_score".cast("string"), $"f_score".cast("string"),
+          $"m_score".cast("string")).as("segment"))
+      .orderBy($"user_id")
+  }
+
+  val e29RfmSegmentsSql: String = {
+    def cases(v: String, op: String, bs: Seq[String]): String =
+      bs.map(b => s"CASE WHEN $v $op $b THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, value
+       |  FROM events WHERE event_type = 'purchase'),
+       |u AS (
+       |  SELECT user_id, MAX(day) AS last_day, COUNT(*) AS frequency,
+       |    $dsumSql AS monetary
+       |  FROM p GROUP BY 1),
+       |a AS (SELECT MAX(day) AS today FROM p),
+       |s AS (SELECT u.*,
+       |    CAST(date_diff('day', last_day, today) AS INT) AS recency_days
+       |  FROM u, a),
+       |b AS (SELECT
+       |  quantile_cont(CAST(recency_days AS DOUBLE), 0.2) AS r20,
+       |  quantile_cont(CAST(recency_days AS DOUBLE), 0.4) AS r40,
+       |  quantile_cont(CAST(recency_days AS DOUBLE), 0.6) AS r60,
+       |  quantile_cont(CAST(recency_days AS DOUBLE), 0.8) AS r80,
+       |  quantile_cont(CAST(frequency AS DOUBLE), 0.2) AS f20,
+       |  quantile_cont(CAST(frequency AS DOUBLE), 0.4) AS f40,
+       |  quantile_cont(CAST(frequency AS DOUBLE), 0.6) AS f60,
+       |  quantile_cont(CAST(frequency AS DOUBLE), 0.8) AS f80,
+       |  quantile_cont(monetary, 0.2) AS m20,
+       |  quantile_cont(monetary, 0.4) AS m40,
+       |  quantile_cont(monetary, 0.6) AS m60,
+       |  quantile_cont(monetary, 0.8) AS m80
+       |  FROM s)
+       |SELECT user_id, recency_days,
+       |  CAST(frequency AS BIGINT) AS frequency, monetary,
+       |  CAST(1 + ${cases("recency_days", "<", Seq("r20", "r40", "r60", "r80"))} AS INT) AS r_score,
+       |  CAST(1 + ${cases("frequency", ">", Seq("f20", "f40", "f60", "f80"))} AS INT) AS f_score,
+       |  CAST(1 + ${cases("monetary", ">", Seq("m20", "m40", "m60", "m80"))} AS INT) AS m_score,
+       |  CAST(1 + ${cases("recency_days", "<", Seq("r20", "r40", "r60", "r80"))} AS VARCHAR) ||
+       |  CAST(1 + ${cases("frequency", ">", Seq("f20", "f40", "f60", "f80"))} AS VARCHAR) ||
+       |  CAST(1 + ${cases("monetary", ">", Seq("m20", "m40", "m60", "m80"))} AS VARCHAR) AS segment
+       |FROM s, b
+       |ORDER BY user_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
     "e2_json_extract" -> (e2JsonExtract _),
@@ -1383,6 +1489,7 @@ object EventOps {
     "e26_pivot_matrix" -> (e26PivotMatrix _),
     "e27_unpivot_long" -> (e27UnpivotLong _),
     "e28_streaks" -> (e28Streaks _),
+    "e29_rfm_segments" -> (e29RfmSegments _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1414,5 +1521,6 @@ object EventOps {
     "e26_pivot_matrix" -> e26PivotMatrixSql,
     "e27_unpivot_long" -> e27UnpivotLongSql,
     "e28_streaks" -> e28StreaksSql,
+    "e29_rfm_segments" -> e29RfmSegmentsSql,
   )
 }

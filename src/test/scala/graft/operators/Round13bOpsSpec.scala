@@ -253,6 +253,27 @@ class Round13bOpsSpec extends AnyFunSuite {
     assert(digest(SimilarityOps.s22AugFrom(e)) == mips)
   }
 
+  // ------------------------------------------------------------- e29
+
+  test("e29: planted monotone R/F/M dimensions score the expected " +
+      "quintile grid (interpolated boundaries, strict comparisons)") {
+    import spark.implicits._
+    // user i (1..5): i purchases, all on day 10-i, value 10.0 each →
+    // recency_days = i-1 over [0..4], frequency = i, monetary = 10i.
+    // Quintile boundaries of [0..4] are 0.8/1.6/2.4/3.2 (lerp), of
+    // [1..5] are 1.8/2.6/3.4/4.2 — strict-compare scores fall out as
+    // the diagonal grid below.
+    val ev = (1 to 5).flatMap { i =>
+      (1 to i).map(_ => (i.toLong, ts(10 - i), "purchase", 10.0))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val got = digest(EventOps.e29From(ev)
+      .select($"user_id", $"r_score", $"f_score", $"m_score", $"segment"))
+    assert(got == Seq(
+      Seq(1L, 5, 1, 1, "511"), Seq(2L, 4, 2, 2, "422"),
+      Seq(3L, 3, 3, 3, "333"), Seq(4L, 2, 4, 4, "244"),
+      Seq(5L, 1, 5, 5, "155")))
+  }
+
   test("s22: the augmentation arm reproduces the MIPS ranking on the " +
       "real (unit-norm) corpus too") {
     import spark.implicits._
