@@ -3985,6 +3985,93 @@ object RelationalOps {
       .select($"p_partkey", $"p_retailprice", $"p_size")))
   }
 
+  // --------------------------------------------------------------- q59
+  /** Decremental skyline — the delete twin of q58's insert fold,
+    * completing the family the way q52 completes components
+    * (q49 batch / q50 day-2 / q52 retraction). The scenario: the best
+    * offer is WITHDRAWN — the cheapest point of the current frontier
+    * (min price, then min key) is retracted; what is the new frontier?
+    *
+    * Deleting a skyline point is the hard direction: its replacements
+    * must be re-derived from points it was hiding, and a naive engine
+    * rescans the corpus. The layered-skyline theorem makes the fold
+    * metadata-only: keep TWO layers, L1 = skyline(corpus) and
+    * L2 = skyline(corpus ∖ L1). Every point below L2 is dominated by
+    * some L2 point (skyline property of corpus ∖ L1), and a single
+    * deletion x ∈ L1 deletes no L2 point, so that dominator survives
+    * — no layer-3 point can surface. Hence
+    * skyline(corpus ∖ x) = skyline((L1 ∖ x) ∪ L2), both layers
+    * O(log n)-sized, the fold never reads the corpus (ScaleSpec pins
+    * ≤ 1 part scan including the L1-pick probe). k deletions per
+    * repair cycle need k+1 layers, and layer repair after a fold is
+    * one corpus pass — amortizable, stated honestly; the q52 contrast
+    * is that dominance deletion CANNOT be purely subtractive, so the
+    * bounded-promotion layer is the right standing state.
+    *
+    * Oracle: full NOT EXISTS skyline over part minus the same
+    * deterministic point — the maintained result must hash-match the
+    * from-scratch rebuild. */
+  def q59SkylineRetract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = t(spark, dir, "part")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+    val l1T =
+      graft.sources.LayoutOps.stateTable("graft_state_q59_l1", dir)
+    val l2T =
+      graft.sources.LayoutOps.stateTable("graft_state_q59_l2", dir)
+    if (!spark.catalog.tableExists(l1T)) {
+      graft.sources.LayoutOps.clearStaleLocation(spark, l1T)
+      q56From(part)
+        .write.mode("overwrite").format("parquet").saveAsTable(l1T)
+    }
+    if (!spark.catalog.tableExists(l2T)) {
+      graft.sources.LayoutOps.clearStaleLocation(spark, l2T)
+      q56From(part.join(spark.table(l1T).select($"p_partkey"),
+          Seq("p_partkey"), "left_anti"))
+        .write.mode("overwrite").format("parquet").saveAsTable(l2T)
+    }
+    q59Fold(spark.table(l1T), spark.table(l2T))
+  }
+
+  /** The metadata-only fold: drop the (min price, min key) point of
+    * L1 and re-run the skyline over the two layers. Planted specs
+    * enter here. */
+  private[operators] def q59Fold(l1: DataFrame, l2: DataFrame): DataFrame = {
+    val spark = l1.sparkSession
+    import spark.implicits._
+    // both layers are O(log n); the pick is a one-row probe
+    val x = l1.orderBy($"p_retailprice", $"p_partkey").limit(1)
+      .select($"p_partkey").as[Long].collect().headOption
+    val kept = x match {
+      case Some(k) => l1.filter($"p_partkey" =!= k)
+      case None    => l1
+    }
+    q56From(kept.unionByName(l2))
+  }
+
+  val q59SkylineRetractSql: String =
+    """WITH sky AS (
+      |  SELECT a.p_partkey, a.p_retailprice, a.p_size FROM part a
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM part b
+      |    WHERE b.p_retailprice <= a.p_retailprice
+      |      AND b.p_size >= a.p_size
+      |      AND (b.p_retailprice < a.p_retailprice
+      |           OR b.p_size > a.p_size))),
+      |x AS (SELECT p_partkey FROM sky
+      |      ORDER BY p_retailprice, p_partkey LIMIT 1),
+      |rest AS (SELECT * FROM part
+      |         WHERE p_partkey <> (SELECT p_partkey FROM x))
+      |SELECT a.p_partkey, a.p_retailprice, a.p_size
+      |FROM rest a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM rest b
+      |  WHERE b.p_retailprice <= a.p_retailprice
+      |    AND b.p_size >= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice
+      |         OR b.p_size > a.p_size))
+      |ORDER BY a.p_retailprice, a.p_partkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -4044,6 +4131,7 @@ object RelationalOps {
     "q56_skyline"        -> (q56Skyline _),
     "q57_kmv_setops"     -> (q57KmvSetops _),
     "q58_skyline_day2"   -> (q58SkylineDay2 _),
+    "q59_skyline_retract" -> (q59SkylineRetract _),
   )
 
   // --------------------------------------------------------------- q15
@@ -4128,5 +4216,6 @@ object RelationalOps {
     "q56_skyline"        -> q56SkylineSql,
     "q57_kmv_setops"     -> q57KmvSetopsSql,
     "q58_skyline_day2"   -> q56SkylineSql,
+    "q59_skyline_retract" -> q59SkylineRetractSql,
   )
 }

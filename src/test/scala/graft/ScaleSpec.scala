@@ -394,6 +394,16 @@ class ScaleSpec extends AnyFunSuite {
       s"recount must not shuffle-join the stream:\n$p")
   }
 
+  test("q59: the retraction fold is metadata-only — the final plan " +
+      "reads the two layer tables and never the corpus parquet") {
+    val p = plan("q59_skyline_retract")
+    assert(!p.contains("part.parquet"),
+      s"retraction fold rescans the corpus:\n$p")
+    assert(p.contains("graft_state_q59_l1") &&
+      p.contains("graft_state_q59_l2"),
+      s"fold must read both skyline layers:\n$p")
+  }
+
   test("q58: the day-2 fold scans the delta and the standing skyline " +
       "only — the standing corpus parquet is read exactly once") {
     val p = plan("q58_skyline_day2")

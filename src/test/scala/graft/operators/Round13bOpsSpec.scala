@@ -253,6 +253,37 @@ class Round13bOpsSpec extends AnyFunSuite {
     assert(digest(SimilarityOps.s22AugFrom(e)) == mips)
   }
 
+  // ------------------------------------------------------------- q59
+
+  test("q59: retracting the cheapest frontier point promotes from L2 " +
+      "exactly — fold over layers equals recompute minus the point") {
+    import spark.implicits._
+    val l1 = RelationalOps.q56From(plantedParts)
+    val rest = plantedParts.join(l1.select($"p_partkey"),
+      Seq("p_partkey"), "left_anti")
+    val l2 = RelationalOps.q56From(rest)
+    // deleted x = (1, 0.50, 3); (7, 0.75, 2) must PROMOTE from L2
+    // (it was hidden only by x), (4, 1.00, 4) and (6, 2.00, 10) must
+    // stay rejected (their dominators survive)
+    val folded = digest(RelationalOps.q59Fold(l1, l2))
+    assert(folded == Seq(
+      Seq(7L, 0.75, 2), Seq(2L, 1.00, 5), Seq(3L, 1.00, 5),
+      Seq(5L, 1.50, 10)))
+    assert(folded == digest(RelationalOps.q56From(
+      plantedParts.filter($"p_partkey" =!= 1L))))
+  }
+
+  test("q59: layered fold equals from-scratch recompute on the real " +
+      "table") {
+    import spark.implicits._
+    val part = graft.Tables(spark, sf, "part")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+    val x = RelationalOps.q56From(part)
+      .limit(1).select($"p_partkey").as[Long].collect().head
+    assert(digest(RelationalOps.q59SkylineRetract(spark, sf)) ==
+      digest(RelationalOps.q56From(part.filter($"p_partkey" =!= x))))
+  }
+
   // ------------------------------------------------------------- e29
 
   test("e29: planted monotone R/F/M dimensions score the expected " +
