@@ -4072,6 +4072,102 @@ object RelationalOps {
       |         OR b.p_size > a.p_size))
       |ORDER BY a.p_retailprice, a.p_partkey""".stripMargin
 
+  // --------------------------------------------------------------- q60
+  /** Snapshot diff (CDC reconciliation): classify every key of two
+    * table snapshots as INSERT / DELETE / UPDATE / unchanged — the
+    * operator that turns the reference's drop-and-recreate sync
+    * (`TableSync`, its entire dataflow) into an incremental one: ship
+    * the diff, not the table. The "old" snapshot is derived
+    * deterministically from orders (5% of keys absent = inserts-to-be,
+    * a disjoint 5% carrying a shifted price = updates-to-be), so the
+    * oracle can rebuild the exact same pair.
+    *
+    * Scale shape: ONE full-outer join hash-partitioned on the primary
+    * key — both sides shuffle once, change classification is a
+    * map-side projection over the joined row (null-safe per-column
+    * compares on the value columns; a row-hash compare works too but
+    * double→string rendering differs across engines, so explicit
+    * column compares keep the oracle exact). No window, no second
+    * scan; at 100 TB this is the reconciliation pass every CDC
+    * pipeline runs, and bucketing both snapshots on the key would
+    * remove even the exchange. Unchanged rows are dropped before the
+    * (tiny) ordered output. */
+  def q60SyncDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    val now = t(spark, dir, "orders")
+    val isIns = pmod(md5Long(concat($"o_orderkey".cast("string"),
+      lit(":q60i"))), lit(20L)) === 0L
+    val isUpd = pmod(md5Long(concat($"o_orderkey".cast("string"),
+      lit(":q60u"))), lit(20L)) === 1L
+    val isDel = pmod(md5Long(concat($"o_orderkey".cast("string"),
+      lit(":q60d"))), lit(20L)) === 2L
+    // yesterday's snapshot: insert keys absent; update keys carry the
+    // pre-change price (the +100.00 shift is exact in doubles at this
+    // magnitude in BOTH engines — same IEEE add); a disjoint 5% exists
+    // ONLY in the old snapshot (negated keys, which today's table
+    // cannot contain) = deletes-to-be
+    val old = now.filter(!isIns)
+      .select($"o_orderkey", $"o_orderstatus",
+        when(isUpd, $"o_totalprice" + 100.0)
+          .otherwise($"o_totalprice").as("o_totalprice"))
+      .unionByName(now.filter(isDel)
+        .select((-$"o_orderkey").as("o_orderkey"), $"o_orderstatus",
+          $"o_totalprice"))
+    q60DiffFrom(old,
+      now.select($"o_orderkey", $"o_orderstatus", $"o_totalprice"))
+  }
+
+  /** The reconciliation core: classify keys of two (o_orderkey,
+    * o_orderstatus, o_totalprice) snapshots. Planted specs enter
+    * here. */
+  private[operators] def q60DiffFrom(old: DataFrame,
+      now: DataFrame): DataFrame = {
+    val spark = old.sparkSession
+    import spark.implicits._
+    old.as("o")
+      .join(now.as("n"), $"o.o_orderkey" === $"n.o_orderkey", "full_outer")
+      .select(
+        coalesce($"n.o_orderkey", $"o.o_orderkey").as("o_orderkey"),
+        when($"o.o_orderkey".isNull, "insert")
+          .when($"n.o_orderkey".isNull, "delete")
+          .when(!($"o.o_totalprice" <=> $"n.o_totalprice") ||
+            !($"o.o_orderstatus" <=> $"n.o_orderstatus"), "update")
+          .otherwise("same").as("change"))
+      .filter($"change" =!= "same")
+      .orderBy($"o_orderkey")
+  }
+
+  val q60SyncDiffSql: String = {
+    import graft.functions.EngineFns.sqlMd5Long
+    val hi = sqlMd5Long("CAST(o_orderkey AS VARCHAR) || ':q60i'")
+    val hu = sqlMd5Long("CAST(o_orderkey AS VARCHAR) || ':q60u'")
+    val hd = sqlMd5Long("CAST(o_orderkey AS VARCHAR) || ':q60d'")
+    s"""WITH old AS (
+       |  SELECT o_orderkey, o_orderstatus,
+       |    CASE WHEN $hu % 20 = 1 THEN o_totalprice + 100.0
+       |         ELSE o_totalprice END AS o_totalprice
+       |  FROM orders WHERE $hi % 20 <> 0
+       |  UNION ALL
+       |  SELECT -o_orderkey AS o_orderkey, o_orderstatus, o_totalprice
+       |  FROM orders WHERE $hd % 20 = 2),
+       |now_s AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+       |          FROM orders),
+       |j AS (
+       |  SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+       |    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+       |         WHEN n.o_orderkey IS NULL THEN 'delete'
+       |         WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+       |           OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       |           THEN 'update'
+       |         ELSE 'same' END AS change
+       |  FROM old o FULL OUTER JOIN now_s n
+       |    ON o.o_orderkey = n.o_orderkey)
+       |SELECT o_orderkey, change FROM j
+       |WHERE change <> 'same'
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -4132,6 +4228,7 @@ object RelationalOps {
     "q57_kmv_setops"     -> (q57KmvSetops _),
     "q58_skyline_day2"   -> (q58SkylineDay2 _),
     "q59_skyline_retract" -> (q59SkylineRetract _),
+    "q60_sync_diff"      -> (q60SyncDiff _),
   )
 
   // --------------------------------------------------------------- q15
@@ -4217,5 +4314,6 @@ object RelationalOps {
     "q57_kmv_setops"     -> q57KmvSetopsSql,
     "q58_skyline_day2"   -> q56SkylineSql,
     "q59_skyline_retract" -> q59SkylineRetractSql,
+    "q60_sync_diff"      -> q60SyncDiffSql,
   )
 }

@@ -284,6 +284,32 @@ class Round13bOpsSpec extends AnyFunSuite {
       digest(RelationalOps.q56From(part.filter($"p_partkey" =!= x))))
   }
 
+  // ------------------------------------------------------------- q60
+
+  test("q60: planted snapshots classify insert/delete/update and drop " +
+      "unchanged rows; null-safe compares survive null values") {
+    import spark.implicits._
+    val old = Seq((1L, "O", 10.0), (2L, "F", 20.0), (3L, "O", 30.0),
+      (5L, null.asInstanceOf[String], 50.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val now = Seq((2L, "F", 25.0), (3L, "O", 30.0), (4L, "P", 40.0),
+      (5L, null.asInstanceOf[String], 50.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    assert(digest(RelationalOps.q60DiffFrom(old, now)) == Seq(
+      Seq(1L, "delete"), Seq(2L, "update"), Seq(4L, "insert")))
+  }
+
+  test("q60: all three change classes appear on the real table and " +
+      "unchanged keys stay out") {
+    import spark.implicits._
+    val d = RelationalOps.q60SyncDiff(spark, sf)
+    val byClass = d.groupBy($"change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byClass.keySet == Set("insert", "delete", "update"))
+    val total = graft.Tables(spark, sf, "orders").count()
+    assert(byClass.values.sum < total / 2) // diff ≪ table, not a dump
+  }
+
   // ------------------------------------------------------------- e29
 
   test("e29: planted monotone R/F/M dimensions score the expected " +
