@@ -4168,6 +4168,96 @@ object RelationalOps {
        |ORDER BY o_orderkey""".stripMargin
   }
 
+  // --------------------------------------------------------------- q61
+  /** Bootstrap confidence interval for a mean — resampling statistics
+    * as a SCALABLE aggregate, not a driver loop. The naive bootstrap
+    * materializes B resampled copies of the data (B× the corpus — dead
+    * at 100 TB); the Poissonized bootstrap replaces "draw n rows with
+    * replacement" with an independent Poisson(1) multiplicity per
+    * (row, replica) — the standard large-n approximation (the
+    * multinomial's cell counts converge to independent Poisson(1); the
+    * same trick streaming bootstrap papers use) — so each replica is a
+    * WEIGHTED aggregate computed map-side in one scan: the shuffle
+    * carries B partial sums per partition, never resampled data.
+    *
+    * Every step is engine-deterministic: the per-(row, replica) weight
+    * inverts the Poisson(1) CDF at u = md5-uniform (CDF literals are
+    * exact double constants, identical text in both engines), replica
+    * sums run in DECIMAL (the dsum discipline), and the interval is
+    * the 2nd-smallest / 2nd-largest of the B = 32 replica means
+    * (≈ 3rd/97th percentile) over a metadata-sized frame. Output:
+    * point mean, bootstrap interval, replica count. */
+  private val Q61B = 32
+  private val Q61PoissonCdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712)
+
+  def q61BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    val o = t(spark, dir, "orders").select($"o_orderkey", $"o_totalprice")
+    val point = o.agg(
+      (sum($"o_totalprice".cast("decimal(28,8)")).cast("double") /
+        count(lit(1)).cast("double")).as("point_mean"))
+    val rep = o.select($"o_orderkey", $"o_totalprice",
+        explode(sequence(lit(0), lit(Q61B - 1))).as("b"))
+      .withColumn("u",
+        (pmod(md5Long(concat($"o_orderkey".cast("string"), lit(":"),
+          $"b".cast("string"), lit(":q61"))), lit(1000000000L))
+          .cast("double")) / lit(1000000000.0))
+      .withColumn("w",
+        Q61PoissonCdf.zipWithIndex.foldRight(lit(7): Column) {
+          case ((c, k), e) => when($"u" < c, k).otherwise(e)
+        })
+    val means = rep.groupBy($"b").agg(
+      (sum(($"w" * $"o_totalprice").cast("decimal(28,8)")).cast("double") /
+        sum($"w").cast("double")).as("m"))
+    val lo = Window.orderBy($"m")
+    val hi = Window.orderBy($"m".desc)
+    val ranked = means
+      .withColumn("ra", row_number().over(lo))
+      .withColumn("rd", row_number().over(hi))
+    point
+      .crossJoin(ranked.filter($"ra" === 2).select($"m".as("boot_lo")))
+      .crossJoin(ranked.filter($"rd" === 2).select($"m".as("boot_hi")))
+      .withColumn("n_replicas", lit(Q61B))
+  }
+
+  val q61BootstrapCiSql: String = {
+    import graft.functions.EngineFns.sqlMd5Long
+    val h = sqlMd5Long(
+      "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':q61'")
+    val cdfCase = Q61PoissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }
+      .mkString("CASE ", " ", " ELSE 7 END")
+    s"""WITH pt AS (
+       |  SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8)))
+       |      AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS point_mean
+       |  FROM orders),
+       |r AS (
+       |  SELECT o_orderkey, o_totalprice, b,
+       |    CAST($h % 1000000000 AS DOUBLE) / 1000000000.0 AS u
+       |  FROM orders, unnest(generate_series(0, ${Q61B - 1})) t(b)),
+       |wt AS (SELECT b, o_totalprice, $cdfCase AS w FROM r),
+       |m AS (
+       |  SELECT b,
+       |    CAST(CAST(SUM(CAST(w * o_totalprice AS DECIMAL(28,8)))
+       |      AS VARCHAR) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+       |  FROM wt GROUP BY b),
+       |rk AS (
+       |  SELECT m,
+       |    ROW_NUMBER() OVER (ORDER BY m) AS ra,
+       |    ROW_NUMBER() OVER (ORDER BY m DESC) AS rd
+       |  FROM m)
+       |SELECT pt.point_mean,
+       |  (SELECT m FROM rk WHERE ra = 2) AS boot_lo,
+       |  (SELECT m FROM rk WHERE rd = 2) AS boot_hi,
+       |  $Q61B AS n_replicas
+       |FROM pt""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -4229,6 +4319,7 @@ object RelationalOps {
     "q58_skyline_day2"   -> (q58SkylineDay2 _),
     "q59_skyline_retract" -> (q59SkylineRetract _),
     "q60_sync_diff"      -> (q60SyncDiff _),
+    "q61_bootstrap_ci"   -> (q61BootstrapCi _),
   )
 
   // --------------------------------------------------------------- q15
@@ -4315,5 +4406,6 @@ object RelationalOps {
     "q58_skyline_day2"   -> q56SkylineSql,
     "q59_skyline_retract" -> q59SkylineRetractSql,
     "q60_sync_diff"      -> q60SyncDiffSql,
+    "q61_bootstrap_ci"   -> q61BootstrapCiSql,
   )
 }

@@ -310,6 +310,32 @@ class Round13bOpsSpec extends AnyFunSuite {
     assert(byClass.values.sum < total / 2) // diff ≪ table, not a dump
   }
 
+  // ------------------------------------------------------------- q61
+
+  test("q61: the bootstrap interval brackets the point mean and the " +
+      "Poissonized weights have the right mass (mean 1, P(0) = 1/e)") {
+    import spark.implicits._
+    val r = RelationalOps.q61BootstrapCi(spark, sf).collect().head
+    val (point, lo, hi) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(lo < point && point < hi, s"interval [$lo, $hi] vs $point")
+    assert((hi - lo) / point < 0.2, "interval implausibly wide")
+    // weight-mass check on a direct recomputation of the weights
+    import graft.functions.EngineFns.md5Long
+    val w = graft.Tables(spark, sf, "orders")
+      .select($"o_orderkey",
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("u",
+        pmod(md5Long(concat($"o_orderkey".cast("string"), lit(":"),
+          $"b".cast("string"), lit(":q61"))), lit(1000000000L))
+          .cast("double") / lit(1000000000.0))
+      .agg(avg(when($"u" < 0.36787944117144233, 1.0).otherwise(0.0))
+        .as("p0"))
+      .collect().head.getDouble(0)
+    assert(math.abs(w - math.exp(-1.0)) < 0.01,
+      s"P(weight=0) = $w, expected ~1/e")
+  }
+
   // ------------------------------------------------------------- e29
 
   test("e29: planted monotone R/F/M dimensions score the expected " +
