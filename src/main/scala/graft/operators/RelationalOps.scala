@@ -4258,6 +4258,87 @@ object RelationalOps {
        |FROM pt""".stripMargin
   }
 
+  // --------------------------------------------------------------- q62
+  /** Group-wise ordinary least squares — revenue trend (price vs
+    * order date) per order priority — via SUFFICIENT STATISTICS: the
+    * five sums (n, Σx, Σy, Σx², Σxy) are one map-side-partial hash
+    * aggregate (partials merge by addition — the textbook mergeable
+    * shape), and slope/intercept fall out of the closed form on the
+    * metadata-sized group frame. No ML library, no per-group data
+    * pass, no iteration; at 100 TB the cost is exactly one scan and
+    * one groups-sized exchange — regression as an aggregate, the way
+    * a SQL engine should do it.
+    *
+    * Engine-exactness discipline: x (days since 1990-01-01) and y
+    * (price CENTS) are integers, so all five sums are EXACT 64-bit
+    * integer arithmetic in both engines (no decimal-precision
+    * propagation rules in play, which differ between engines); the
+    * closed-form combination then runs in doubles with one pinned
+    * parenthesization on both sides — deterministic IEEE, so the
+    * slopes hash-match the oracle bit for bit. (Products like n·Σxy
+    * would overflow int64 at 100×, so the combination casts the exact
+    * sums to double FIRST — same op order, same result, any scale.) */
+  def q62TrendRegression(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    q62From(t(spark, dir, "orders")
+      .select($"o_orderpriority",
+        datediff(to_date($"o_orderdate"), lit("1990-01-01").cast("date"))
+          .cast("long").as("x"),
+        round($"o_totalprice" * 100).cast("long").as("yc")))
+  }
+
+  /** [[q62TrendRegression]]'s core over an arbitrary
+    * (o_orderpriority, x, yc) frame — planted exact-line specs enter
+    * here. */
+  private[operators] def q62From(o: DataFrame): DataFrame = {
+    val spark = o.sparkSession
+    import spark.implicits._
+    val s = o.groupBy($"o_orderpriority").agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("sx"),
+      sum($"yc").as("sy"),
+      sum($"x" * $"x").as("sxx"),
+      sum($"x" * $"yc").as("sxy"))
+    val nd = $"n".cast("double")
+    val (sx, sy, sxx, sxy) = ($"sx".cast("double"), $"sy".cast("double"),
+      $"sxx".cast("double"), $"sxy".cast("double"))
+    val slopeC = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    s.withColumn("slope_per_day", slopeC / lit(100.0))
+      .withColumn("intercept",
+        (($"sy".cast("double") - slopeC * $"sx".cast("double")) / nd)
+          / lit(100.0))
+      .select($"o_orderpriority", $"n", $"slope_per_day", $"intercept")
+      .orderBy($"o_orderpriority")
+  }
+
+  val q62TrendRegressionSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority,
+      |    CAST(date_diff('day', DATE '1990-01-01',
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+      |  FROM orders),
+      |s AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(yc) AS sy,
+      |    SUM(x * x) AS sxx, SUM(x * yc) AS sxy
+      |  FROM o GROUP BY 1)
+      |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+      |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100.0
+      |    AS slope_per_day,
+      |  ((CAST(sy AS DOUBLE)
+      |      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |        * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE)) / 100.0 AS intercept
+      |FROM s
+      |ORDER BY o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -4320,6 +4401,7 @@ object RelationalOps {
     "q59_skyline_retract" -> (q59SkylineRetract _),
     "q60_sync_diff"      -> (q60SyncDiff _),
     "q61_bootstrap_ci"   -> (q61BootstrapCi _),
+    "q62_trend_regression" -> (q62TrendRegression _),
   )
 
   // --------------------------------------------------------------- q15
@@ -4407,5 +4489,6 @@ object RelationalOps {
     "q59_skyline_retract" -> q59SkylineRetractSql,
     "q60_sync_diff"      -> q60SyncDiffSql,
     "q61_bootstrap_ci"   -> q61BootstrapCiSql,
+    "q62_trend_regression" -> q62TrendRegressionSql,
   )
 }

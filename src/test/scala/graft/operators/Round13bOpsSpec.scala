@@ -336,6 +336,21 @@ class Round13bOpsSpec extends AnyFunSuite {
       s"P(weight=0) = $w, expected ~1/e")
   }
 
+  // ------------------------------------------------------------- q62
+
+  test("q62: a planted exact line y = 3x + 5 recovers slope 3 and " +
+      "intercept 5 to the double's last bit; a flat group gives 0") {
+    import spark.implicits._
+    // yc in cents: y = 3x + 5 dollars → yc = 300x + 500 exactly
+    val o = ((0L to 9L).map(x => ("line", x, 300L * x + 500L)) ++
+      (0L to 9L).map(x => ("flat", x, 700L)))
+      .toDF("o_orderpriority", "x", "yc")
+    val got = digest(RelationalOps.q62From(o))
+    assert(got == Seq(
+      Seq("flat", 10L, 0.0, 7.0),
+      Seq("line", 10L, 3.0, 5.0)))
+  }
+
   // ------------------------------------------------------------- e29
 
   test("e29: planted monotone R/F/M dimensions score the expected " +
