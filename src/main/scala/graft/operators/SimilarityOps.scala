@@ -2863,6 +2863,95 @@ object SimilarityOps {
        |FROM ranked WHERE rnk <= $K
        |ORDER BY qid, rnk""".stripMargin
 
+  // --------------------------------------------------------------- s23
+  /** Clustering quality against gold labels — PURITY and RAND INDEX
+    * for the s6 k-means assignment, evaluated from the contingency
+    * table alone: one argmin map pass assigns every vector its
+    * nearest codebook cell (the same broadcast-literal codebook s6
+    * serves from), one hash aggregate builds the (cell, label) table
+    * — k × |labels| rows, metadata at any corpus size — and both
+    * metrics are exact integer pair-counting folds over it:
+    * purity = Σ_c max_l n_cl / N, RI = (allPairs + 2·Σ C(n_cl,2)
+    * − Σ C(n_c·,2) − Σ C(n_·l,2)) / allPairs. Everything up to the
+    * final permille floor is 64-bit integer arithmetic (`div`, not
+    * fractional `/`, so the counts stay exact past 2^53 pairs), so
+    * the metrics hash-match the oracle, whose kmeans is the same
+    * hash-derandomized construction in SQL
+    * ([[sqlCoarseKmeansCtes]]). The eval every embedding-pipeline
+    * health check wants next to s13's recall. */
+  def s23ClusterEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerAll(spark)
+    val e = emb(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"),
+        $"label")
+    val cents = kmeansCentroids(e.select($"vec_id", $"v"))
+    s23EvalFrom(e.select(argminOver($"v", cents).as("cid"), $"label"))
+  }
+
+  /** The metric fold over an arbitrary (cid, label) assignment frame
+    * — planted-contingency specs enter here. */
+  private[operators] def s23EvalFrom(assigned: DataFrame): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val ct = assigned.groupBy($"cid", $"label")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // k × labels rows; feeds three folds
+    try {
+      val tot = ct.agg(sum($"n").as("nv"),
+        sum(expr("n * (n - 1) div 2")).as("same_both"))
+      val byC = ct.groupBy($"cid")
+        .agg(sum($"n").as("nc"), max($"n").as("mx"))
+        .agg(sum(expr("nc * (nc - 1) div 2")).as("same_clus"),
+          sum($"mx").as("purity_num"),
+          count(lit(1)).as("n_clusters"))
+      val byL = ct.groupBy($"label").agg(sum($"n").as("nl"))
+        .agg(sum(expr("nl * (nl - 1) div 2")).as("same_lab"))
+      tot.crossJoin(byC).crossJoin(byL)
+        .withColumn("all_pairs", expr("nv * (nv - 1) div 2"))
+        .select($"nv".as("n_vectors"), $"n_clusters",
+          expr("1000 * purity_num div nv").as("purity_milli"),
+          expr("""1000 * (all_pairs + 2 * same_both - same_clus
+                  - same_lab) div all_pairs""").as("rand_milli"))
+        .localCheckpoint() // one row; must outlive ct's release
+    } finally DedupOps.unpersistCheckpointed(ct)
+  }
+
+  val s23ClusterEvalSql: String = {
+    val dist = sqlSqd _
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+       |$sqlCoarseKmeansCtes,
+       |assigned AS (
+       |  SELECT vec_id, label, cid FROM (
+       |    SELECT x.vec_id, x.label, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${dist("x.v", "c.cv")}, c.cid) AS rn
+       |    FROM e x CROSS JOIN c2 c)
+       |  WHERE rn = 1),
+       |ct AS (SELECT cid, label, COUNT(*) AS n
+       |       FROM assigned GROUP BY 1, 2),
+       |tot AS (SELECT SUM(n) AS nv,
+       |  SUM(n * (n - 1) // 2) AS same_both FROM ct),
+       |byc AS (
+       |  SELECT SUM(nc * (nc - 1) // 2) AS same_clus,
+       |    SUM(mx) AS purity_num, COUNT(*) AS n_clusters
+       |  FROM (SELECT cid, SUM(n) AS nc, MAX(n) AS mx
+       |        FROM ct GROUP BY 1)),
+       |byl AS (
+       |  SELECT SUM(nl * (nl - 1) // 2) AS same_lab
+       |  FROM (SELECT label, SUM(n) AS nl FROM ct GROUP BY 1))
+       |SELECT CAST(nv AS BIGINT) AS n_vectors,
+       |  CAST(n_clusters AS BIGINT) AS n_clusters,
+       |  CAST(1000 * purity_num // nv AS BIGINT) AS purity_milli,
+       |  CAST(1000 * ((nv * (nv - 1) // 2) + 2 * same_both
+       |      - same_clus - same_lab)
+       |    // (nv * (nv - 1) // 2) AS BIGINT) AS rand_milli
+       |FROM tot, byc, byl""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh"   -> (s2KnnLsh _),
@@ -2886,6 +2975,7 @@ object SimilarityOps {
     "s20_index_rebalance" -> (s20IndexRebalance _),
     "s21_index_compact" -> (s21IndexCompact _),
     "s22_knn_mips" -> (s22KnnMips _),
+    "s23_cluster_eval" -> (s23ClusterEval _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2915,5 +3005,6 @@ object SimilarityOps {
     // (compacted-equals-uncompacted, the file-count bound is spec-pinned)
     "s21_index_compact" -> s7KnnIvfPqKmeansSql,
     "s22_knn_mips" -> s22KnnMipsSql,
+    "s23_cluster_eval" -> s23ClusterEvalSql,
   )
 }

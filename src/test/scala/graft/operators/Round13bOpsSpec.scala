@@ -351,6 +351,26 @@ class Round13bOpsSpec extends AnyFunSuite {
       Seq("line", 10L, 3.0, 5.0)))
   }
 
+  // ------------------------------------------------------------- s23
+
+  test("s23: planted contingencies — a perfect clustering scores " +
+      "1000/1000, a single merged cluster scores by pair counting") {
+    import spark.implicits._
+    // perfect: clusters == labels (4 + 4)
+    val perfect = Seq.fill(4)((0L, 0)) ++ Seq.fill(4)((1L, 1))
+    val p = SimilarityOps.s23EvalFrom(perfect.toDF("cid", "label"))
+      .collect().head
+    assert(p.getLong(2) == 1000L && p.getLong(3) == 1000L)
+    // merged: one cluster, two labels 2+2: purity = 500;
+    // agree-pairs = allPairs(6) + 2·sameBoth(2·2) − sameClus(6)
+    //   − sameLab(2) = 2 → RI = 2/6 → 333
+    val merged = Seq.fill(2)((0L, 0)) ++ Seq.fill(2)((0L, 1))
+    val m = SimilarityOps.s23EvalFrom(merged.toDF("cid", "label"))
+      .collect().head
+    assert(m.getLong(1) == 1L && m.getLong(2) == 500L &&
+      m.getLong(3) == 333L)
+  }
+
   // ------------------------------------------------------------- e29
 
   test("e29: planted monotone R/F/M dimensions score the expected " +
