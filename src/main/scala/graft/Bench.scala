@@ -238,6 +238,41 @@ object Bench {
     if (results.exists(_._2 < 0)) sys.exit(1)
   }
 
+  /** 3-decimal ROOT-locale rendering for the compact driver line
+    * (-1 failure markers pass through verbatim). */
+  private def f3(v: Double): String =
+    if (v < 0) "-1"
+    else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** The COMPACT driver-facing stdout line (round 14): totals +
+    * per-family subtotals + failed + anchors at 3 decimals. The r12/r13
+    * driver artifacts both arrived `"parsed": null` because the old
+    * per-query line (208 queries × ~35 bytes of 17-digit doubles ≈
+    * 8 KB) overflowed the driver's ~2.2 KB stdout tail capture; this
+    * line is provably < 1.5 KB at the full query surface (spec-bounded)
+    * while per-query detail goes to the `detail` file, committed each
+    * round as BENCH_local_r{N}.json. */
+  private[graft] def compactLine(results: Seq[(String, Double)],
+      sfDir: String, pre: Seq[(String, Double)],
+      post: Seq[(String, Double)], childAnchors: Seq[(String, Double)],
+      wall: Double, detailPath: String): String = {
+    def obj3(rs: Seq[(String, Double)]) = rs
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val fams = results.groupBy { case (n, _) => family(n) }.toSeq
+      .sortBy(_._1).map { case (f, rs) =>
+        f -> rs.collect { case (_, v) if v >= 0 => v }.sum }
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""queries":${obj3(fams)},"n_queries":${results.size},""" +
+      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""sf":"$sfDir","anchors_pre":${obj3(pre)},""" +
+      s""""anchors_post":${obj3(post)},""" +
+      s""""child_anchors":${obj3(childAnchors)},""" +
+      s""""wall_sec":${f3(wall)},"isolation":"jvm-per-family",""" +
+      s""""detail":"$detailPath"}"""
+  }
+
   private def resultLine(results: Seq[(String, Double)], sfDir: String,
                          extra: String = ""): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -372,7 +407,19 @@ object Bench {
     val extra = s""","anchors_pre":${obj(pre)},"anchors_post":${obj(post)}""" +
       s""","child_anchors":${obj(childAnchors.toSeq)}""" +
       s""","wall_sec":$wall,"isolation":"jvm-per-family""""
-    println(resultLine(results, sfDir, extra))
+    // full per-query detail → file (committed per round as
+    // BENCH_local_r{N}.json); stdout gets only the compact line the
+    // driver's tail capture can actually hold (see compactLine doc)
+    val detailPath =
+      sys.env.getOrElse("GRAFT_BENCH_DETAIL_PATH", "BENCH_detail.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(detailPath),
+      resultLine(results, sfDir, extra) + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
+    println(compactLine(results, sfDir, pre, post, childAnchors.toSeq,
+      wall, detailPath))
     Console.out.flush()
     if (results.exists(_._2 < 0)) sys.exit(1)
   }

@@ -1812,19 +1812,37 @@ object DedupOps {
     * quadratic step — candidates are linear in actual content
     * collisions, then one `levenshtein(_, _, K)` verification with
     * early-exit at the threshold. At 100 TB the fan-out is a fixed
-    * ×~160 on an 80-byte column (not the document), the join is
-    * hash-partitioned on segment content, and a boilerplate-heavy
-    * corpus (every doc sharing a template prefix) would add the
-    * d11-style df-cap on hot (lang, seg, content) keys — on a capped
-    * key the pairs are REAL duplicates anyway and belong to the
-    * exact-dedup ladder (d1/d2) upstream.
+    * ×~160 on an 80-byte column (not the document), and the join is
+    * hash-partitioned on segment content.
     *
-    * Truth = the oracle's quadratic same-lang join; the spec plants a
-    * 1-edit pair, a K-edit pair, a K+1-edit non-pair, and a
-    * cross-lang twin, and separately forces blocking-equals-naive on
-    * the real corpus. */
+    * Hot-key cap (d11's discipline, ON BY DEFAULT): a boilerplate
+    * corpus — thousands of docs opening with the same crawl/template
+    * prefix — makes every segment of that template a hot
+    * (lang, seg, content) key, and the candidate join quadratic in
+    * the cohort size even though the colliding docs are NOT
+    * duplicates below the prefix. Keys whose chunk-side document
+    * frequency exceeds [[D22KeyCap]] are therefore dropped from BOTH
+    * join sides before candidates form (the hot set is Zipf-tiny and
+    * broadcasts into left-anti probes; the segment stream takes no
+    * extra shuffle), bounding every key's collision list at
+    * [[D22KeyCap]] × window, i.e. candidates stay LINEAR in corpus
+    * size under any skew. The price is honest and surfaced: pairs
+    * discoverable ONLY through a capped key (template-cohort pairs —
+    * exact-prefix duplicates, which belong to the d1/d2 ladder
+    * upstream) are excluded, and `n_capped_keys` on every output row
+    * reports how many keys the cap touched (0 = the cap changed
+    * nothing). The oracle mirrors the full blocking + cap CTE-for-CTE
+    * so the gate checks the capped semantics exactly.
+    *
+    * The spec plants a 1-edit pair, a K-edit pair, a K+1-edit
+    * non-pair, and a cross-lang twin; forces uncapped
+    * blocking-equals-naive on the real corpus (PassJoin
+    * completeness); and separately plants a 300-doc template cohort
+    * proving candidates stay bounded (not cohort²) while a true
+    * 1-edit pair still surfaces through its rare shared segment. */
   private[operators] val D22PrefixLen = 80
   private[operators] val D22MaxDist = 8
+  private[operators] val D22KeyCap = 50
 
   /** (segIdx, start0, len): 8 segments of 9 chars + a final 8. */
   private val D22Segs: Seq[(Int, Int, Int)] =
@@ -1846,8 +1864,31 @@ object DedupOps {
   }
 
   /** [[d22EditDistJoin]]'s core over an arbitrary (doc_id, lang, pre)
-    * frame of fixed-length strings — planted-pair specs enter here. */
-  private[operators] def d22From(base: DataFrame): DataFrame = {
+    * frame of fixed-length strings — planted-pair specs enter here.
+    * `cap` defaults to [[D22KeyCap]]; specs pass `Int.MaxValue` to
+    * prove uncapped PassJoin completeness against the naive arm. */
+  private[operators] def d22From(
+      base: DataFrame, cap: Int = D22KeyCap): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val (cand, hot) = d22CandidatesAndHot(base, cap)
+    val nHot = hot.agg(count(lit(1)).as("n_capped_keys"))
+    cand
+      .join(base.select($"doc_id".as("i"), $"pre".as("pre_i")), Seq("i"))
+      .join(base.select($"doc_id".as("j"), $"pre".as("pre_j")), Seq("j"))
+      .withColumn("dist",
+        levenshtein($"pre_i", $"pre_j", D22MaxDist))
+      .filter($"dist" >= 0) // -1 = early-exited past the threshold
+      .select($"i", $"j", $"dist")
+      .crossJoin(broadcast(nHot)) // one row — the honest cap report
+      .orderBy($"i", $"j")
+  }
+
+  /** Capped candidate pairs (pre-verification, distinct `(i, j)`) and
+    * the hot-key set — exposed so the planted-template-cohort spec can
+    * prove the candidate count stays linear under a hot prefix. */
+  private[operators] def d22CandidatesAndHot(
+      base: DataFrame, cap: Int): (DataFrame, DataFrame) = {
     val spark = base.sparkSession
     import spark.implicits._
     val chunkArr = array(D22Segs.map { case (i, s, l) =>
@@ -1865,17 +1906,24 @@ object DedupOps {
     val probes = base.select($"doc_id".as("j"), $"lang",
         explode(probeArr).as("c"))
       .select($"j", $"lang", $"c.seg", $"c.sub")
-    val cand = chunks.join(probes, Seq("lang", "seg", "sub"))
+    // Chunk-side document frequency IS count(*): each doc emits each
+    // (seg) exactly once, so no distinct pass is needed. Keys over the
+    // cap are dropped from both sides — dropping the chunk side alone
+    // already kills the collision (the probe rows find no partner),
+    // the probe-side anti just keeps hot probe rows out of the
+    // shuffle; the RESULT is identical either way, which is why the
+    // oracle caps the chunk side only.
+    val hot = chunks.groupBy($"lang", $"seg", $"sub")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" > cap).select($"lang", $"seg", $"sub")
+    val keptChunks =
+      chunks.join(broadcast(hot), Seq("lang", "seg", "sub"), "left_anti")
+    val keptProbes =
+      probes.join(broadcast(hot), Seq("lang", "seg", "sub"), "left_anti")
+    val cand = keptChunks.join(keptProbes, Seq("lang", "seg", "sub"))
       .filter($"i" < $"j")
       .select($"i", $"j").distinct()
-    cand
-      .join(base.select($"doc_id".as("i"), $"pre".as("pre_i")), Seq("i"))
-      .join(base.select($"doc_id".as("j"), $"pre".as("pre_j")), Seq("j"))
-      .withColumn("dist",
-        levenshtein($"pre_i", $"pre_j", D22MaxDist))
-      .filter($"dist" >= 0) // -1 = early-exited past the threshold
-      .select($"i", $"j", $"dist")
-      .orderBy($"i", $"j")
+    (cand, hot)
   }
 
   /** Quadratic truth arm (the oracle's plan): same-lang cross pairs,
@@ -1892,14 +1940,54 @@ object DedupOps {
       .orderBy($"i", $"j")
   }
 
+  /** Fixed (seg, start0, len) rows for the oracle's chunk CTE. */
+  private val d22SegRows: String =
+    D22Segs.map { case (i, s, l) => s"($i, $s, $l)" }.mkString(", ")
+
+  /** Fixed (seg, pos0, len) rows for the oracle's probe CTE — every
+    * shifted window each segment may land in under ≤ K net indels. */
+  private val d22ProbeRows: String = (for {
+    (i, s, l) <- D22Segs
+    p <- math.max(0, s - D22MaxDist) to
+      math.min(D22PrefixLen - l, s + D22MaxDist)
+  } yield s"($i, $p, $l)").mkString(", ")
+
+  /** Mirrors [[d22From]]'s capped blocking CTE-for-CTE (chunk-side df
+    * cap, candidate distinct, threshold verify, n_capped_keys report)
+    * so the gate checks the CAPPED semantics — the quadratic join is
+    * no longer the oracle because the cap is part of the operator's
+    * definition (hot-template pairs are d1/d2's job upstream). */
   val d22EditDistJoinSql: String =
     s"""WITH d AS (
        |  SELECT doc_id, lang, substr(text, 1, $D22PrefixLen) AS pre
-       |  FROM documents WHERE n_chars >= $D22PrefixLen)
-       |SELECT a.doc_id AS i, b.doc_id AS j,
-       |  CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
-       |FROM d a JOIN d b
-       |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  FROM documents WHERE n_chars >= $D22PrefixLen),
+       |segs(seg, s0, len) AS (VALUES $d22SegRows),
+       |wins(seg, p0, len) AS (VALUES $d22ProbeRows),
+       |chunks AS (
+       |  SELECT d.doc_id, d.lang, s.seg, substr(d.pre, s.s0 + 1, s.len) AS sub
+       |  FROM d CROSS JOIN segs s),
+       |hot AS (
+       |  SELECT lang, seg, sub FROM chunks
+       |  GROUP BY 1, 2, 3 HAVING COUNT(*) > $D22KeyCap),
+       |kept AS (
+       |  SELECT c.* FROM chunks c
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |    WHERE h.lang = c.lang AND h.seg = c.seg AND h.sub = c.sub)),
+       |probes AS (
+       |  SELECT d.doc_id, d.lang, w.seg, substr(d.pre, w.p0 + 1, w.len) AS sub
+       |  FROM d CROSS JOIN wins w),
+       |cand AS (
+       |  SELECT DISTINCT k.doc_id AS i, p.doc_id AS j
+       |  FROM kept k JOIN probes p
+       |    ON k.lang = p.lang AND k.seg = p.seg AND k.sub = p.sub
+       |  WHERE k.doc_id < p.doc_id),
+       |nhot AS (SELECT COUNT(*) AS n_capped_keys FROM hot)
+       |SELECT c.i, c.j, CAST(levenshtein(a.pre, b.pre) AS INT) AS dist,
+       |  nhot.n_capped_keys
+       |FROM cand c
+       |JOIN d a ON a.doc_id = c.i
+       |JOIN d b ON b.doc_id = c.j
+       |CROSS JOIN nhot
        |WHERE levenshtein(a.pre, b.pre) <= $D22MaxDist
        |ORDER BY i, j""".stripMargin
 

@@ -3784,10 +3784,15 @@ object RelationalOps {
     val pts = part
       .select($"p_partkey", $"p_retailprice", $"p_size",
         round($"p_retailprice" * 100).cast("long").as("__cents"))
-    // (1) per-partition local skyline: one window pass inside each of
-    // the 32 hash partitions — no exchange beyond the initial hash.
+    // (1) per-partition local skyline: one window pass inside each
+    // hash partition — no exchange beyond the initial hash. The count
+    // tracks the SESSION's shuffle parallelism (r13 verdict #5: a
+    // hardcoded 32 would cap the heavy stage at 32 tasks on a
+    // 1000-executor cluster); the merge-pass input grows only as
+    // partitions × log(rows/partition), still metadata-sized.
+    val nPart = spark.sessionState.conf.numShufflePartitions
     val local = localSkyline(
-      pts.repartition(32, $"p_partkey"), Some(spark_partition_id()))
+      pts.repartition(nPart, $"p_partkey"), Some(spark_partition_id()))
     // (2) survivors are O(parts × log n): one global pass finishes.
     localSkyline(local, None)
       .select($"p_partkey", $"p_retailprice", $"p_size")
@@ -4210,9 +4215,15 @@ object RelationalOps {
         Q61PoissonCdf.zipWithIndex.foldRight(lit(7): Column) {
           case ((c, k), e) => when($"u" < c, k).otherwise(e)
         })
+    // All-zero-weight replicas (unreachable beyond toy n — P ≈ e^-n
+    // per replica — but the tiny-input spec path could hit one) would
+    // mean-divide by zero: NaN in Spark, an error/NULL split in
+    // DuckDB. Both arms drop such replicas explicitly (r13 advice).
     val means = rep.groupBy($"b").agg(
       (sum(($"w" * $"o_totalprice").cast("decimal(28,8)")).cast("double") /
-        sum($"w").cast("double")).as("m"))
+        sum($"w").cast("double")).as("m"),
+      sum($"w").as("sw"))
+      .filter($"sw" > 0).select($"b", $"m")
     val lo = Window.orderBy($"m")
     val hi = Window.orderBy($"m".desc)
     val ranked = means
@@ -4245,7 +4256,7 @@ object RelationalOps {
        |  SELECT b,
        |    CAST(CAST(SUM(CAST(w * o_totalprice AS DECIMAL(28,8)))
        |      AS VARCHAR) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
-       |  FROM wt GROUP BY b),
+       |  FROM wt GROUP BY b HAVING SUM(w) > 0),
        |rk AS (
        |  SELECT m,
        |    ROW_NUMBER() OVER (ORDER BY m) AS ra,
@@ -4270,14 +4281,15 @@ object RelationalOps {
     * a SQL engine should do it.
     *
     * Engine-exactness discipline: x (days since 1990-01-01) and y
-    * (price CENTS) are integers, so all five sums are EXACT 64-bit
-    * integer arithmetic in both engines (no decimal-precision
-    * propagation rules in play, which differ between engines); the
-    * closed-form combination then runs in doubles with one pinned
+    * (price CENTS) are integers, so every sum is EXACT integer
+    * arithmetic in both engines — Σx in int64 (≲ 1e16 even at 1e12
+    * rows) and Σy/Σx²/Σxy widened to decimal(38,0) / HUGEINT
+    * accumulators, because those sums wrap int64 around ~3e8 rows
+    * (silently under Spark's non-ANSI mode, loudly in DuckDB — the
+    * exact divergence the r13 advice flagged). The closed-form
+    * combination then casts the exact sums to double with one pinned
     * parenthesization on both sides — deterministic IEEE, so the
-    * slopes hash-match the oracle bit for bit. (Products like n·Σxy
-    * would overflow int64 at 100×, so the combination casts the exact
-    * sums to double FIRST — same op order, same result, any scale.) */
+    * slopes hash-match the oracle bit for bit at any scale. */
   def q62TrendRegression(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     q62From(t(spark, dir, "orders")
@@ -4293,12 +4305,20 @@ object RelationalOps {
   private[operators] def q62From(o: DataFrame): DataFrame = {
     val spark = o.sparkSession
     import spark.implicits._
+    // Per-row products fit int64 with room (x ≲ 2e4 days, yc ≲ 6e7
+    // cents → x·yc ≲ 1.2e12), but their SUMS would wrap int64 around
+    // ~3e8 rows — silently under Spark's non-ANSI mode, loudly in
+    // DuckDB. The accumulators therefore widen to decimal(38,0)
+    // (exact to 1e38 ≈ 1e26 rows; map-side-partial-friendly fixed
+    // width) before the closed form casts them to double; sx stays
+    // int64 (≲ 1e16 even at 1e12 rows). Mirrored in the oracle via
+    // HUGEINT sums.
     val s = o.groupBy($"o_orderpriority").agg(
       count(lit(1)).as("n"),
       sum($"x").as("sx"),
-      sum($"yc").as("sy"),
-      sum($"x" * $"x").as("sxx"),
-      sum($"x" * $"yc").as("sxy"))
+      sum($"yc".cast("decimal(38,0)")).as("sy"),
+      sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
+      sum(($"x" * $"yc").cast("decimal(38,0)")).as("sxy"))
     val nd = $"n".cast("double")
     val (sx, sy, sxx, sxy) = ($"sx".cast("double"), $"sy".cast("double"),
       $"sxx".cast("double"), $"sxy".cast("double"))
@@ -4320,8 +4340,10 @@ object RelationalOps {
       |  FROM orders),
       |s AS (
       |  SELECT o_orderpriority, COUNT(*) AS n,
-      |    SUM(x) AS sx, SUM(yc) AS sy,
-      |    SUM(x * x) AS sxx, SUM(x * yc) AS sxy
+      |    SUM(x) AS sx,
+      |    SUM(CAST(yc AS HUGEINT)) AS sy,
+      |    SUM(CAST(x * x AS HUGEINT)) AS sxx,
+      |    SUM(CAST(x * yc AS HUGEINT)) AS sxy
       |  FROM o GROUP BY 1)
       |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
       |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)

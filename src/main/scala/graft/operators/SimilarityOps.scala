@@ -2907,12 +2907,19 @@ object SimilarityOps {
           count(lit(1)).as("n_clusters"))
       val byL = ct.groupBy($"label").agg(sum($"n").as("nl"))
         .agg(sum(expr("nl * (nl - 1) div 2")).as("same_lab"))
+      // Degenerate-corpus guard (r13 advice): with 0 or 1 vectors
+      // all_pairs = 0 and Spark `div` yields NULL where DuckDB `//`
+      // raises — both arms now agree on an explicit NULL via the same
+      // CASE. Same guard on purity's nv divisor for the 0-vector case.
       tot.crossJoin(byC).crossJoin(byL)
         .withColumn("all_pairs", expr("nv * (nv - 1) div 2"))
         .select($"nv".as("n_vectors"), $"n_clusters",
-          expr("1000 * purity_num div nv").as("purity_milli"),
-          expr("""1000 * (all_pairs + 2 * same_both - same_clus
-                  - same_lab) div all_pairs""").as("rand_milli"))
+          expr("""CASE WHEN nv > 0 THEN 1000 * purity_num div nv
+                  ELSE NULL END""").as("purity_milli"),
+          expr("""CASE WHEN all_pairs > 0 THEN
+                    1000 * (all_pairs + 2 * same_both - same_clus
+                    - same_lab) div all_pairs
+                  ELSE NULL END""").as("rand_milli"))
         .localCheckpoint() // one row; must outlive ct's release
     } finally DedupOps.unpersistCheckpointed(ct)
   }
@@ -2945,10 +2952,13 @@ object SimilarityOps {
        |  FROM (SELECT label, SUM(n) AS nl FROM ct GROUP BY 1))
        |SELECT CAST(nv AS BIGINT) AS n_vectors,
        |  CAST(n_clusters AS BIGINT) AS n_clusters,
-       |  CAST(1000 * purity_num // nv AS BIGINT) AS purity_milli,
-       |  CAST(1000 * ((nv * (nv - 1) // 2) + 2 * same_both
-       |      - same_clus - same_lab)
-       |    // (nv * (nv - 1) // 2) AS BIGINT) AS rand_milli
+       |  CAST(CASE WHEN nv > 0 THEN 1000 * purity_num // nv
+       |       ELSE NULL END AS BIGINT) AS purity_milli,
+       |  CAST(CASE WHEN nv * (nv - 1) // 2 > 0 THEN
+       |      1000 * ((nv * (nv - 1) // 2) + 2 * same_both
+       |        - same_clus - same_lab)
+       |      // (nv * (nv - 1) // 2)
+       |    ELSE NULL END AS BIGINT) AS rand_milli
        |FROM tot, byc, byl""".stripMargin
   }
 

@@ -370,11 +370,15 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("d22: candidate generation is an equi-join on segment content " +
-      "— never a cartesian/nested-loop pass over the corpus") {
+      "— never a cartesian/nested-loop pass over the corpus — and the " +
+      "hot-key cap's broadcast anti-joins are structurally in the plan") {
     val p = plan("d22_editdist_join")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
+    // the single sanctioned nested-loop is the 1-row n_capped_keys
+    // cross join; the corpus-sized sides must never cartesian
+    assert(!p.contains("CartesianProduct"),
       s"blocking join degenerated:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"hot-key cap anti-join missing — d22 is uncapped:\n$p")
   }
 
   test("e28: every streak window is user-partitioned — no " +

@@ -51,6 +51,24 @@ class Round13bOpsSpec extends AnyFunSuite {
       digest(RelationalOps.q56SkylineNaive(part)))
   }
 
+  test("q56: local-skyline parallelism tracks the session's " +
+      "spark.sql.shuffle.partitions — never a hardcoded width") {
+    val conf = spark.conf
+    val old = conf.get("spark.sql.shuffle.partitions")
+    try {
+      conf.set("spark.sql.shuffle.partitions", "7")
+      val df = RelationalOps.q56From(plantedParts)
+      val reps = df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical
+            .RepartitionByExpression => r
+      }
+      assert(reps.nonEmpty, "expected an explicit local-skyline hash " +
+        "repartition in the plan")
+      assert(reps.forall(_.optNumPartitions.contains(7)),
+        s"partition widths: ${reps.map(_.optNumPartitions)}")
+    } finally conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   // ------------------------------------------------------------- e28
 
   private def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
@@ -117,7 +135,10 @@ class Round13bOpsSpec extends AnyFunSuite {
       (1L, "en", r80), (2L, "en", d1), (3L, "en", dk),
       (4L, "en", dk1), (5L, "de", r80), (6L, "en", shifted)
     ).toDF("doc_id", "lang", "pre")
-    val got = digest(DedupOps.d22From(base))
+    val full = digest(DedupOps.d22From(base))
+    // the tiny corpus has no hot keys — the cap reports 0 everywhere
+    assert(full.forall(_(3) == 0L))
+    val got = full.map(_.take(3))
     // every en-pair among {r80, d1, dk, shifted} within K; dk1 only
     // reaches d1's single-# neighborhood nowhere under K; the de twin
     // is excluded by language despite distance 0
@@ -129,8 +150,8 @@ class Round13bOpsSpec extends AnyFunSuite {
       r(0) == 5L || r(1) == 5L))
   }
 
-  test("d22: PassJoin blocking is output-identical to the quadratic " +
-      "truth arm on the real corpus") {
+  test("d22: UNCAPPED PassJoin blocking is output-identical to the " +
+      "quadratic truth arm on the real corpus (completeness)") {
     import spark.implicits._
     val base = graft.Tables(spark, sf, "documents")
       .filter($"n_chars" >= DedupOps.D22PrefixLen)
@@ -138,9 +159,41 @@ class Round13bOpsSpec extends AnyFunSuite {
         substring($"text", 1, DedupOps.D22PrefixLen).as("pre"))
       .localCheckpoint()
     try
-      assert(digest(DedupOps.d22From(base)) ==
+      assert(digest(DedupOps.d22From(base, Int.MaxValue)
+          .drop("n_capped_keys")) ==
         digest(DedupOps.d22Naive(base)))
     finally DedupOps.unpersistCheckpointed(base)
+  }
+
+  test("d22: a 300-doc template-prefix cohort yields BOUNDED " +
+      "candidates (not cohort²) while a true 1-edit pair still " +
+      "surfaces through its rare shared segment") {
+    import spark.implicits._
+    // 300 docs sharing one 80-char boilerplate prefix verbatim — the
+    // crawl-template pathology the docstring's old defense waved away.
+    val cohort = (100L until 400L).map(id => (id, "en", r80))
+    // A and B: template prefix with segment 5 (chars 46..54, 1-based)
+    // replaced by a distinctive rare block, and B one edit off A in
+    // segment 2 — dist(A,B)=1, their shared rare segment survives the
+    // cap, so the pair must surface even though every template key is
+    // capped away.
+    val preA = r80.take(45) + "ZZZZZZZZZ" + r80.drop(54)
+    val preB = preA.updated(20, '#')
+    assert(preA.length == 80 && preB.length == 80 && lev(preA, preB) == 1)
+    val base = (cohort ++ Seq((1L, "en", preA), (2L, "en", preB)))
+      .toDF("doc_id", "lang", "pre")
+    val (cand, hot) = DedupOps.d22CandidatesAndHot(base, DedupOps.D22KeyCap)
+    val nCand = cand.count()
+    // uncapped, the cohort alone is C(300,2) = 44_850 candidate pairs;
+    // capped, only rare-segment collisions survive — orders smaller.
+    assert(nCand < 100L, s"candidates not bounded: $nCand")
+    // at least the 9 template segment keys are reported capped
+    assert(hot.count() >= 9L)
+    val out = digest(DedupOps.d22From(base))
+    assert(out.contains(Seq(1L, 2L, 1, out.head(3))))
+    // no cohort-internal pair survives (those are d1/d2's job)
+    assert(!out.exists(r => r(0).asInstanceOf[Long] >= 100L &&
+      r(1).asInstanceOf[Long] >= 100L))
   }
 
   // ------------------------------------------------------------- t27
