@@ -3467,15 +3467,69 @@ object RelationalOps {
   private[operators] val Q54MaxHops = 6
   private[operators] val Q54DriverBound = 1000000
 
-  def q54ShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+  /** q54/q55's standing SYMMETRIC weighted co-purchase adjacency
+    * (a, b, w): support-pruned pairs, both directions stored, bucketed
+    * by `a` — built once per warehouse alongside its persisted 1-row
+    * truncation count (q47Edges' discipline). The bucketed scan's
+    * declared hashpartitioning is what lets every BFS/Bellman-Ford
+    * superstep join plan ZERO exchange on the |E|-sized side (r13
+    * verdict #3: the previous per-call `basketPairs → groupBy →
+    * localCheckpoint` re-derived the graph per query and re-shuffled
+    * |E| on every superstep round against a stats-less LogicalRDD).
+    * One table serves both queries — q54 drops the weight, q55 keeps
+    * it; the graph (cap, support threshold) is identical. */
+  private[operators] def q54Adjacency(spark: SparkSession,
+                                      dir: String): DataFrame = {
     import spark.implicits._
-    q54From(t(spark, dir, "lineitem")
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct())
+    val tA = graft.sources.LayoutOps.stateTable("graft_state_q54_adj", dir)
+    val tTr = graft.sources.LayoutOps.stateTable("graft_state_q54_trunc", dir)
+    if (!spark.catalog.tableExists(tA) || !spark.catalog.tableExists(tTr)) {
+      graft.sources.LayoutOps.clearStaleLocation(spark, tTr)
+      val pl = t(spark, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val ed = basketPairs(pl)
+        .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
+        .filter($"w" >= Q49MinSupport)
+      graft.sources.LayoutOps.writeBucketed(
+        ed.unionByName(ed.select($"b".as("a"), $"a".as("b"), $"w")),
+        tA, "a", 32)
+      truncatedBaskets(pl)
+        .write.mode("overwrite").format("parquet").saveAsTable(tTr)
+    }
+    spark.table(tA)
+  }
+
+  /** The persisted 1-row truncation count paired with [[q54Adjacency]]
+    * (which guarantees it exists). */
+  private[operators] def q54TruncCount(spark: SparkSession,
+                                       dir: String): DataFrame =
+    spark.table(graft.sources.LayoutOps.stateTable(
+      "graft_state_q54_trunc", dir))
+
+  def q54ShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val und = q54Adjacency(spark, dir).select("a", "b")
+    val dist = q54Bfs(und, Q54MaxHops, Q54DriverBound)
+    try q54Digest(dist, q54TruncCount(spark, dir))
+    finally DedupOps.unpersistCheckpointed(dist)
+  }
+
+  /** The gate-facing digest over a (id, hops) distance frame: one row
+    * per hop level, eagerly checkpointed past the caller's release. */
+  private def q54Digest(dist: DataFrame, trunc: DataFrame): DataFrame = {
+    val spark = dist.sparkSession
+    import spark.implicits._
+    dist.groupBy($"hops")
+      .agg(count(lit(1)).as("n_nodes"), sum($"id").as("sum_ids"))
+      .transform(withOneRow(_, trunc))
+      .orderBy($"hops")
+      .localCheckpoint()
   }
 
   /** [[q54ShortestPaths]]'s core over an arbitrary (o, p) basket frame
     * — planted-graph specs enter here; `driverBound` parameterized
-    * ONLY so the spec can force the superstep arm. */
+    * ONLY so the spec can force the superstep arm. (The shipped query
+    * routes through [[q54Adjacency]]'s standing bucketed table
+    * instead; the graph derivation is identical.) */
   private[operators] def q54From(pl: DataFrame, cap: Int = BasketItemCap,
       driverBound: Int = Q54DriverBound): DataFrame = {
     val spark = pl.sparkSession
@@ -3483,29 +3537,39 @@ object RelationalOps {
     val ed = basketPairs(pl, cap)
       .groupBy($"a", $"b").agg(count(lit(1)).as("n"))
       .filter($"n" >= Q49MinSupport).select($"a", $"b")
+    val und = ed.unionByName(ed.select($"b".as("a"), $"a".as("b")))
       .localCheckpoint() // feeds the probe and every BFS round — run once
     try {
-      val dist = q54Bfs(ed, Q54MaxHops, driverBound)
-      try
-        dist.groupBy($"hops")
-          .agg(count(lit(1)).as("n_nodes"), sum($"id").as("sum_ids"))
-          .transform(withOneRow(_, truncatedBaskets(pl, cap)))
-          .orderBy($"hops")
-          .localCheckpoint() // eager: backs the result past the finally
+      val dist = q54Bfs(und, Q54MaxHops, driverBound)
+      try q54Digest(dist, truncatedBaskets(pl, cap))
       finally DedupOps.unpersistCheckpointed(dist)
-    } finally DedupOps.unpersistCheckpointed(ed)
+    } finally DedupOps.unpersistCheckpointed(und)
+  }
+
+  /** One BFS superstep's expansion join — the frontier (tiny, hinted
+    * shuffle-hash build side) probes the SYMMETRIC adjacency; when
+    * `und` is [[q54Adjacency]]'s bucketed scan the adjacency side
+    * plans zero exchange (only the frontier shuffles per round).
+    * Exposed so the plan guard can prove exactly that. */
+  private[operators] def q54Round(und: DataFrame,
+                                  frontier: DataFrame): DataFrame = {
+    import und.sparkSession.implicits._
+    frontier.select($"id".as("a")).hint("shuffle_hash")
+      .join(und, Seq("a"))
+      .select($"b".as("id")).distinct()
   }
 
   /** (id, hops) for every node within `maxHops` of the graph's
-    * minimum node, over a canonical (a < b) edge frame; result is
-    * eagerly checkpointed (caller releases). */
-  private def q54Bfs(ed: DataFrame, maxHops: Int,
+    * minimum node, over a SYMMETRIC (a, b) adjacency frame (every
+    * undirected edge stored in both directions — the standing-table
+    * orientation); result is eagerly checkpointed (caller releases). */
+  private def q54Bfs(und: DataFrame, maxHops: Int,
                      driverBound: Int): DataFrame = {
-    val spark = ed.sparkSession
+    val spark = und.sparkSession
     import spark.implicits._
     // size probe + small-graph fast path in one pass (componentsFrom's
     // shape: limit bounds the driver memory, not the upstream work)
-    val probe = ed.limit(driverBound + 1)
+    val probe = und.limit(driverBound + 1)
       .select($"a".cast("long"), $"b".cast("long"))
       .as[(Long, Long)].collect()
     if (probe.length <= driverBound) {
@@ -3513,11 +3577,11 @@ object RelationalOps {
         return Seq.empty[(Long, Int)].toDF("id", "hops").localCheckpoint()
       val adj = new scala.collection.mutable.HashMap[
         Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      // symmetric input: each direction arrives as its own row
       probe.foreach { case (a, b) =>
         adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer()) += b
-        adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer()) += a
       }
-      val src = probe.iterator.map(_._1).min // a < b ⇒ min(a) is global min
+      val src = probe.iterator.map(_._1).min // symmetric ⇒ min(a) is global min
       val hops = scala.collection.mutable.HashMap(src -> 0)
       var frontier = List(src)
       var h = 0
@@ -3531,17 +3595,14 @@ object RelationalOps {
       return hops.toSeq.toDF("id", "hops").localCheckpoint()
     }
     // superstep arm: bounded frontier expansion
-    val und = ed.unionByName(ed.select($"b".as("a"), $"a".as("b")))
-    val src = ed.agg(min($"a")).first().getLong(0)
+    val src = und.agg(min($"a")).first().getLong(0)
     var visited = Seq((src, 0)).toDF("id", "hops").localCheckpoint()
     var frontier = visited
     var h = 0
     var halt = false
     while (h < maxHops && !halt) {
       h += 1
-      val next = frontier.select($"id".as("a"))
-        .join(und, Seq("a"))
-        .select($"b".as("id")).distinct()
+      val next = q54Round(und, frontier)
         .join(visited, Seq("id"), "left_anti")
         .select($"id", lit(h).as("hops"))
         .localCheckpoint()
@@ -3613,14 +3674,30 @@ object RelationalOps {
   private[operators] val Q55DriverBound = 1000000
 
   def q55WeightedPaths(spark: SparkSession, dir: String): DataFrame = {
+    val und = q54Adjacency(spark, dir) // shared standing graph, w kept
+    val dist = q55BellmanFord(und, Q55MaxHops, Q55DriverBound)
+    try q55Digest(dist, q54TruncCount(spark, dir))
+    finally DedupOps.unpersistCheckpointed(dist)
+  }
+
+  /** The gate-facing digest over a (id, cost) distance frame: one row
+    * per distinct cost, eagerly checkpointed past the caller's
+    * release. */
+  private def q55Digest(dist: DataFrame, trunc: DataFrame): DataFrame = {
+    val spark = dist.sparkSession
     import spark.implicits._
-    q55From(t(spark, dir, "lineitem")
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct())
+    dist.groupBy($"cost")
+      .agg(count(lit(1)).as("n_nodes"), sum($"id").as("sum_ids"))
+      .transform(withOneRow(_, trunc))
+      .orderBy($"cost")
+      .localCheckpoint()
   }
 
   /** [[q55WeightedPaths]]'s core over an arbitrary (o, p) basket frame
     * — planted-graph specs enter here; `driverBound` parameterized
-    * ONLY so the spec can force the superstep arm. */
+    * ONLY so the spec can force the superstep arm. (The shipped query
+    * routes through [[q54Adjacency]]'s standing bucketed table
+    * instead; the graph derivation is identical.) */
   private[operators] def q55From(pl: DataFrame, cap: Int = BasketItemCap,
       driverBound: Int = Q55DriverBound): DataFrame = {
     val spark = pl.sparkSession
@@ -3628,27 +3705,39 @@ object RelationalOps {
     val ed = basketPairs(pl, cap)
       .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
       .filter($"w" >= Q49MinSupport)
+    val und = ed.unionByName(ed.select($"b".as("a"), $"a".as("b"), $"w"))
       .localCheckpoint() // feeds the probe and every relax round — run once
     try {
-      val dist = q55BellmanFord(ed, Q55MaxHops, driverBound)
-      try
-        dist.groupBy($"cost")
-          .agg(count(lit(1)).as("n_nodes"), sum($"id").as("sum_ids"))
-          .transform(withOneRow(_, truncatedBaskets(pl, cap)))
-          .orderBy($"cost")
-          .localCheckpoint() // eager: backs the result past the finally
+      val dist = q55BellmanFord(und, Q55MaxHops, driverBound)
+      try q55Digest(dist, truncatedBaskets(pl, cap))
       finally DedupOps.unpersistCheckpointed(dist)
-    } finally DedupOps.unpersistCheckpointed(ed)
+    } finally DedupOps.unpersistCheckpointed(und)
+  }
+
+  /** One Bellman-Ford superstep's relaxation join — the frontier
+    * (tiny, hinted shuffle-hash build side) probes the SYMMETRIC
+    * weighted adjacency; when `und` is [[q54Adjacency]]'s bucketed
+    * scan the adjacency side plans zero exchange (only the frontier
+    * shuffles per round). Exposed so the plan guard can prove exactly
+    * that. */
+  private[operators] def q55Round(und: DataFrame,
+                                  frontier: DataFrame): DataFrame = {
+    import und.sparkSession.implicits._
+    frontier.select($"id".as("a"), $"cost").hint("shuffle_hash")
+      .join(und, Seq("a"))
+      .select($"b".as("id"), ($"cost" + $"w").as("nc"))
+      .groupBy($"id").agg(min($"nc").as("nc"))
   }
 
   /** (id, cost) = exact min path cost within `maxHops` edges of the
-    * graph's minimum node, over a canonical (a < b, w) weighted edge
-    * frame; result is eagerly checkpointed (caller releases). */
-  private def q55BellmanFord(ed: DataFrame, maxHops: Int,
+    * graph's minimum node, over a SYMMETRIC (a, b, w) weighted
+    * adjacency frame (both directions stored — the standing-table
+    * orientation); result is eagerly checkpointed (caller releases). */
+  private def q55BellmanFord(und: DataFrame, maxHops: Int,
                              driverBound: Int): DataFrame = {
-    val spark = ed.sparkSession
+    val spark = und.sparkSession
     import spark.implicits._
-    val probe = ed.limit(driverBound + 1)
+    val probe = und.limit(driverBound + 1)
       .select($"a".cast("long"), $"b".cast("long"), $"w".cast("long"))
       .as[(Long, Long, Long)].collect()
     if (probe.length <= driverBound) {
@@ -3656,13 +3745,12 @@ object RelationalOps {
         return Seq.empty[(Long, Long)].toDF("id", "cost").localCheckpoint()
       val adj = new scala.collection.mutable.HashMap[
         Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+      // symmetric input: each direction arrives as its own row
       probe.foreach { case (a, b, w) =>
         adj.getOrElseUpdate(a,
           scala.collection.mutable.ArrayBuffer()) += ((b, w))
-        adj.getOrElseUpdate(b,
-          scala.collection.mutable.ArrayBuffer()) += ((a, w))
       }
-      val src = probe.iterator.map(_._1).min // a < b ⇒ min(a) is global min
+      val src = probe.iterator.map(_._1).min // symmetric ⇒ min(a) is global min
       val dist = scala.collection.mutable.HashMap(src -> 0L)
       var frontier = List(src)
       var h = 0
@@ -3686,18 +3774,14 @@ object RelationalOps {
       return dist.toSeq.toDF("id", "cost").localCheckpoint()
     }
     // superstep arm: bounded Bellman-Ford relaxation
-    val und = ed.unionByName(ed.select($"b".as("a"), $"a".as("b"), $"w"))
-    val src = ed.agg(min($"a")).first().getLong(0)
+    val src = und.agg(min($"a")).first().getLong(0)
     var dist = Seq((src, 0L)).toDF("id", "cost").localCheckpoint()
     var frontier = dist
     var h = 0
     var halt = false
     while (h < maxHops && !halt) {
       h += 1
-      val improved = frontier.select($"id".as("a"), $"cost")
-        .join(und, Seq("a"))
-        .select($"b".as("id"), ($"cost" + $"w").as("nc"))
-        .groupBy($"id").agg(min($"nc").as("nc"))
+      val improved = q55Round(und, frontier)
         .join(dist.select($"id", $"cost".as("__old")), Seq("id"), "left")
         .filter($"__old".isNull || $"nc" < $"__old")
         .select($"id", $"nc".as("cost"))
