@@ -1840,7 +1840,7 @@ object DedupOps {
     * completeness); and separately plants a 300-doc template cohort
     * proving candidates stay bounded (not cohort²) while a true
     * 1-edit pair still surfaces through its rare shared segment. */
-  private[operators] val D22PrefixLen = 80
+  private[graft] val D22PrefixLen = 80
   private[operators] val D22MaxDist = 8
   private[operators] val D22KeyCap = 50
 
@@ -1867,7 +1867,7 @@ object DedupOps {
     * frame of fixed-length strings — planted-pair specs enter here.
     * `cap` defaults to [[D22KeyCap]]; specs pass `Int.MaxValue` to
     * prove uncapped PassJoin completeness against the naive arm. */
-  private[operators] def d22From(
+  private[graft] def d22From(
       base: DataFrame, cap: Int = D22KeyCap): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._

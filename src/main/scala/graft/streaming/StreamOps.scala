@@ -1199,4 +1199,147 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         mediaDedupBatch(batch.toDF(), prefix, dir)
       }
+
+  /** Streaming skyline maintenance — the q56/q58/q59/q63 family's
+    * online dual (r13 verdict #4: the one day-2 family without one),
+    * handling BOTH change directions through one maintainer. The
+    * change stream carries (p_partkey, p_retailprice, p_size, op) with
+    * op ∈ insert | delete; standing state is the k+1 = [[graft
+    * .operators.RelationalOps.Q63Layers]] skyline layers plus the
+    * pending-deletion key set and its count.
+    *
+    *  - INSERTS cascade through the layers exactly: L1' =
+    *    skyline(L1 ∪ Δ), and each layer's rejects (evicted standing
+    *    points + dominated new points) fold into the next. This is
+    *    EXACT layer maintenance because a point's layer index is
+    *    1 + (max dominator chain above it), which only GROWS under
+    *    insertion — so new-L_i ⊆ old-L_i ∪ rejects-from-L_{i-1},
+    *    and dominance inside that candidate set is dominance in the
+    *    full corpus restricted to layer i. Points rejected from the
+    *    last layer drop from state (recovered from the ins log at
+    *    repair) — they cannot matter until more than k deletions.
+    *  - DELETES are metadata-only: append the keys, bump the count.
+    *    The served frontier is skyline(⋃ layers ∖ deleted) — exact
+    *    while ≤ k deletions are pending (the q63 theorem).
+    *  - When a batch would push pending deletions past k, the
+    *    maintainer runs the amortized REPAIR pass instead: rebuild
+    *    the true layers from {standing corpus ∪ ins log ∪ Δins}
+    *    ∖ {deleted ∪ Δdel} — the one corpus scan per deletion cycle
+    *    the batch twin (q63) documents — and resets the budget, so
+    *    an oversized deletion batch is also correct by construction.
+    *
+    * Replay guard: the processed (key, op) log — Δ = batch ∖
+    * processed, so a replayed micro-batch is a TRUE no-op. Keys are
+    * assumed ingested at most once per direction (no re-insert after
+    * delete — streamingRetractions' one-way-feed contract). All six
+    * tables commit ATOMICALLY through [[EpochStore]]; a crash before
+    * the pointer flip leaves the previous epoch intact (spec-injected
+    * via `crashBeforeCommit`). */
+  private[graft] def skylineBatch(batch: DataFrame,
+      standingCorpus: => DataFrame, prefix: String, dir: String,
+      crashBeforeCommit: Boolean = false): Unit = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    import graft.operators.{DedupOps, RelationalOps}
+    val nLayers = RelationalOps.Q63Layers
+    val layerNames = (1 to nLayers).map(i => s"l$i")
+    val store = new EpochStore(prefix, dir, SkylineTables)
+    if (!store.exists(sp)) {
+      val corpus = standingCorpus
+        .select($"p_partkey", $"p_retailprice", $"p_size")
+      store.transact(sp) { tx =>
+        val layers = RelationalOps.skylineLayers(corpus, nLayers)
+        try {
+          layerNames.zip(layers).foreach { case (ln, l) =>
+            tx.writeSnap(ln, l)
+          }
+          tx.writeSnap("del", Seq.empty[Long].toDF("p_partkey"))
+          tx.writeSnap("meta", Seq(0L).toDF("n_del"))
+          tx.writeLogDelta("ins", corpus.limit(0))
+          tx.writeLogDelta("proc",
+            Seq.empty[(Long, String)].toDF("p_partkey", "op"))
+        } finally layers.foreach(DedupOps.unpersistCheckpointed)
+      }
+    }
+    val ops = batch
+      .select($"p_partkey", $"p_retailprice", $"p_size", $"op").distinct()
+    val newOps = ops
+      .join(store.log(sp, "proc"), Seq("p_partkey", "op"), "left_anti")
+      .localCheckpoint() // one compute for the guard probe and the fold
+    try {
+      if (!newOps.isEmpty) {
+        val ins = newOps.filter($"op" === "insert")
+          .select($"p_partkey", $"p_retailprice", $"p_size")
+        val del = newOps.filter($"op" === "delete").select($"p_partkey")
+        // both bounded reads: a 1-row snapshot and a batch-sized count
+        val nPending = store.snap(sp, "meta").select($"n_del")
+          .as[Long].head()
+        val nDel = del.count()
+        store.transact(sp) { tx =>
+          if (nPending + nDel > nLayers - 1) {
+            // REPAIR: the one amortized corpus pass per deletion cycle
+            val live = standingCorpus
+              .select($"p_partkey", $"p_retailprice", $"p_size")
+              .unionByName(store.log(sp, "ins"))
+              .unionByName(ins)
+              .join(store.snap(sp, "del").unionByName(del),
+                Seq("p_partkey"), "left_anti")
+            val layers = RelationalOps.skylineLayers(live, nLayers)
+            try {
+              layerNames.zip(layers).foreach { case (ln, l) =>
+                tx.writeSnap(ln, l)
+              }
+              tx.writeSnap("del", Seq.empty[Long].toDF("p_partkey"))
+              tx.writeSnap("meta", Seq(0L).toDF("n_del"))
+            } finally layers.foreach(DedupOps.unpersistCheckpointed)
+          } else {
+            // metadata-only fold: cascade inserts, append deletions
+            var add = ins
+            val folded = layerNames.map { ln =>
+              val merged = store.snap(sp, ln).unionByName(add)
+              val li = RelationalOps.q56From(merged).localCheckpoint()
+              add = merged.join(li.select($"p_partkey"),
+                Seq("p_partkey"), "left_anti")
+              (ln, li)
+            }
+            try {
+              folded.foreach { case (ln, l) => tx.writeSnap(ln, l) }
+              tx.writeSnap("del", store.snap(sp, "del").unionByName(del))
+              tx.writeSnap("meta", Seq(nPending + nDel).toDF("n_del"))
+            } finally folded.foreach { case (_, l) =>
+              DedupOps.unpersistCheckpointed(l)
+            }
+          }
+          tx.writeLogDelta("ins", ins)
+          tx.writeLogDelta("proc", newOps.select($"p_partkey", $"op"))
+          if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+        }
+      }
+    } finally DedupOps.unpersistCheckpointed(newOps)
+  }
+
+  /** The served frontier over [[skylineBatch]]'s committed state:
+    * skyline(⋃ layers ∖ pending deletions) — metadata-only, never the
+    * corpus. */
+  private[graft] def skylineServe(sp: org.apache.spark.sql.SparkSession,
+      prefix: String, dir: String): DataFrame = {
+    import graft.operators.RelationalOps
+    val store = new EpochStore(prefix, dir, SkylineTables)
+    RelationalOps.q63Fold(
+      (1 to RelationalOps.Q63Layers).map(i => store.snap(sp, s"l$i")),
+      store.snap(sp, "del"))
+  }
+
+  private[graft] val SkylineTables = EpochTables(
+    snaps = Map("l1" -> Nil, "l2" -> Nil, "l3" -> Nil,
+      "del" -> Nil, "meta" -> Nil),
+    logs = Map("ins" -> Seq("p_partkey"), "proc" -> Seq("p_partkey")))
+
+  def streamingSkyline(changeStream: DataFrame,
+      standingCorpus: DataFrame, prefix: String, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changeStream.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        skylineBatch(batch.toDF(), standingCorpus, prefix, dir)
+      }
 }

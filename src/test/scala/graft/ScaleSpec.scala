@@ -372,7 +372,16 @@ class ScaleSpec extends AnyFunSuite {
   test("d22: candidate generation is an equi-join on segment content " +
       "— never a cartesian/nested-loop pass over the corpus — and the " +
       "hot-key cap's broadcast anti-joins are structurally in the plan") {
-    val p = plan("d22_editdist_join")
+    import spark.implicits._
+    import graft.operators.DedupOps
+    // the SHIPPED query eagerly checkpoints (its plan is an RDD scan),
+    // so the guard inspects the un-checkpointed core over the same base
+    val base = graft.Tables(spark, sf, "documents")
+      .filter($"n_chars" >= DedupOps.D22PrefixLen)
+      .select($"doc_id", $"lang",
+        org.apache.spark.sql.functions
+          .substring($"text", 1, DedupOps.D22PrefixLen).as("pre"))
+    val p = DedupOps.d22From(base).queryExecution.executedPlan.toString
     // the single sanctioned nested-loop is the 1-row n_capped_keys
     // cross join; the corpus-sized sides must never cartesian
     assert(!p.contains("CartesianProduct"),
@@ -415,5 +424,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(partScans <= 1, s"fold rescans the corpus ($partScans scans):\n$p")
     assert(p.contains("graft_state_q58_skyline"),
       s"fold must read the standing skyline state:\n$p")
+  }
+
+  test("q63: the k-deletion fold is metadata-only — the final plan " +
+      "reads the three layer tables and never the corpus parquet") {
+    val p = plan("q63_skyline_batch_retract")
+    assert(!p.contains("part.parquet"),
+      s"batch-retraction fold rescans the corpus:\n$p")
+    assert(p.contains("graft_state_q63_l1") &&
+      p.contains("graft_state_q63_l2") && p.contains("graft_state_q63_l3"),
+      s"fold must read all k+1 skyline layers:\n$p")
   }
 }

@@ -54,4 +54,82 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(digest(RelationalOps.q55WeightedPaths(spark, sf)) ==
       digest(RelationalOps.q55From(pl)))
   }
+
+  // ----------------------------------------------------- q63 skyline
+
+  /** Planted dominance CHAIN (price ↑, size ↓ ⇒ each point dominates
+    * the next): layers resolve one point each — L1={1}, L2={2},
+    * L3={3}; 4 and 5 sit below every stored layer. */
+  private def chain = {
+    import spark.implicits._
+    Seq((1L, 1.0, 10), (2L, 2.0, 9), (3L, 3.0, 8), (4L, 4.0, 7),
+      (5L, 5.0, 1))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+  }
+
+  private def keys(ks: Long*) = {
+    import spark.implicits._
+    ks.toDF("p_partkey")
+  }
+
+  test("q63: skylineLayers peels the planted chain one point per layer") {
+    val ls = RelationalOps.skylineLayers(chain, 3)
+    try assert(ls.map(l => digest(l.select("p_partkey")).map(_.head)) ==
+      Seq(Seq(1L), Seq(2L), Seq(3L)))
+    finally ls.foreach(DedupOps.unpersistCheckpointed)
+  }
+
+  test("q63: deleting 2 points through 2 layers is WRONG, through " +
+      "k+1 = 3 layers exact — the planted case single-layer " +
+      "maintenance cannot answer") {
+    import spark.implicits._
+    val ls = RelationalOps.skylineLayers(chain, 3)
+    try {
+      val d = keys(1L, 2L)
+      val truth = digest(RelationalOps.q56From(
+        chain.join(d, Seq("p_partkey"), "left_anti")))
+      assert(truth.map(_.head) == Seq(3L))
+      // 2 layers: both stored points die, the fold serves an EMPTY
+      // frontier while point 3 should surface — the theorem's bound
+      // |D| ≤ #layers − 1 is tight
+      assert(digest(RelationalOps.q63Fold(ls.take(2), d)).isEmpty)
+      // 3 layers: exact
+      assert(digest(RelationalOps.q63Fold(ls, d)) == truth)
+    } finally ls.foreach(DedupOps.unpersistCheckpointed)
+  }
+
+  test("q63: a full repair cycle — fold, layer rebuild, fold again — " +
+      "matches from-scratch at every step") {
+    import spark.implicits._
+    val d1 = keys(1L, 2L)
+    val live1 = chain.join(d1, Seq("p_partkey"), "left_anti")
+    val ls1 = RelationalOps.skylineLayers(chain, 3)
+    try assert(digest(RelationalOps.q63Fold(ls1, d1)) ==
+      digest(RelationalOps.q56From(live1)))
+    finally ls1.foreach(DedupOps.unpersistCheckpointed)
+    // REPAIR: rebuild the true layers of the surviving corpus —
+    // the amortized corpus pass that resets the deletion budget
+    val ls2 = RelationalOps.skylineLayers(live1, 3)
+    try {
+      assert(ls2.map(l => digest(l.select("p_partkey")).map(_.head)) ==
+        Seq(Seq(3L), Seq(4L), Seq(5L)))
+      val d2 = keys(3L, 4L)
+      assert(digest(RelationalOps.q63Fold(ls2, d2)) ==
+        digest(RelationalOps.q56From(
+          live1.join(d2, Seq("p_partkey"), "left_anti"))))
+    } finally ls2.foreach(DedupOps.unpersistCheckpointed)
+  }
+
+  test("q63: the standing-state batch arm equals the from-scratch " +
+      "skyline minus the same deletion batch on the real table") {
+    import spark.implicits._
+    val part = graft.Tables(spark, sf, "part")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+    val sky = RelationalOps.q56From(part)
+    val del = sky.orderBy($"p_retailprice", $"p_partkey")
+      .limit(RelationalOps.Q63Layers - 1).select($"p_partkey")
+    val truth = digest(RelationalOps.q56From(
+      part.join(del, Seq("p_partkey"), "left_anti")))
+    assert(digest(RelationalOps.q63SkylineBatchRetract(spark, sf)) == truth)
+  }
 }

@@ -552,4 +552,70 @@ class EpochCommitSpec extends AnyFunSuite {
     Seq(c2, l2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     store.destroy(spark)
   }
+
+  test("skyline: cascade inserts, budgeted deletions, crash " +
+      "invisibility, replay inertness, and the repair pass that " +
+      "recovers a dropped layer point — all against from-scratch") {
+    import spark.implicits._
+    val store = new EpochStore("graft_state_esky", "crash",
+      StreamOps.SkylineTables)
+    store.destroy(spark)
+    // the planted chain: each point dominates the next, so the three
+    // stored layers hold exactly {1}, {2}, {3}; 4 and 5 sit below
+    val corpus = Seq((1L, 1.0, 10), (2L, 2.0, 9), (3L, 3.0, 8),
+      (4L, 4.0, 7), (5L, 5.0, 1))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+    def serve() = StreamOps
+      .skylineServe(spark, "graft_state_esky", "crash")
+      .select($"p_partkey").as[Long].collect().toSeq.sorted
+    def truth(live: org.apache.spark.sql.DataFrame) =
+      graft.operators.RelationalOps.q56From(live)
+        .select($"p_partkey").as[Long].collect().toSeq.sorted
+    def batch(rows: (Long, Double, Int, String)*) =
+      rows.toDF("p_partkey", "p_retailprice", "p_size", "op")
+    // batch 1: an insert that EVICTS the standing frontier — the
+    // cascade must demote 1→L2, 2→L3 and drop 3 from state
+    StreamOps.skylineBatch(batch((6L, 0.5, 11, "insert")), corpus,
+      "graft_state_esky", "crash")
+    val c1 = corpus.unionByName(Seq((6L, 0.5, 11))
+      .toDF("p_partkey", "p_retailprice", "p_size"))
+    assert(serve() == truth(c1) && serve() == Seq(6L))
+    assert(store.snap(spark, "l2").select($"p_partkey")
+      .as[Long].collect().toSeq == Seq(1L), "cascade did not demote")
+    // batch 2: two deletions — within the k = 2 budget, so the fold is
+    // metadata-only (no repair) and the count is carried
+    val del2 = batch((6L, 0.0, 0, "delete"), (1L, 0.0, 0, "delete"))
+    StreamOps.skylineBatch(del2, corpus, "graft_state_esky", "crash")
+    val live2 = c1.filter(!$"p_partkey".isin(6L, 1L))
+    assert(serve() == truth(live2) && serve() == Seq(2L))
+    assert(store.snap(spark, "meta").select($"n_del")
+      .as[Long].head() == 2L, "deletion budget not carried")
+    val epoch2 = store.committed(spark)._1
+    // replay of the committed deletion batch: TRUE no-op
+    StreamOps.skylineBatch(del2, corpus, "graft_state_esky", "crash")
+    assert(store.committed(spark)._1 == epoch2,
+      "replayed batch opened a new epoch")
+    // batch 3 (crash first): one more deletion pushes past the budget
+    // → the REPAIR path, which must also RECOVER point 3 (dropped from
+    // state by the cascade, recoverable only from corpus + logs)
+    val del3 = batch((2L, 0.0, 0, "delete"))
+    intercept[EpochStore.InjectedCrash] {
+      StreamOps.skylineBatch(del3, corpus, "graft_state_esky", "crash",
+        crashBeforeCommit = true)
+    }
+    assert(store.committed(spark)._1 == epoch2,
+      "crash moved the committed pointer")
+    assert(serve() == truth(live2),
+      "a reader observed a partially-committed repair")
+    // recovery = plain re-delivery; repair rebuilds the true layers
+    StreamOps.skylineBatch(del3, corpus, "graft_state_esky", "crash")
+    val live3 = live2.filter($"p_partkey" =!= 2L)
+    assert(serve() == truth(live3) && serve() == Seq(3L),
+      "repair did not recover the dropped layer point")
+    assert(store.snap(spark, "meta").select($"n_del")
+      .as[Long].head() == 0L, "repair did not reset the budget")
+    assert(store.snap(spark, "del").count() == 0L,
+      "repair did not clear the pending-deletion set")
+    store.destroy(spark)
+  }
 }
