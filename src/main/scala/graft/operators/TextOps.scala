@@ -1762,6 +1762,101 @@ object TextOps {
       |WHERE n_occ * 1000 >= (SELECT COUNT(*) FROM bi)
       |ORDER BY n_occ DESC, g""".stripMargin
 
+  // ---------------------------------------------------------------- t28
+  /** Winnowed-fingerprint match pairs — substring-level plagiarism /
+    * contamination detection between documents (Schleimer, Wilkerson,
+    * Aiken, SIGMOD 2003: the MOSS scheme). Where t10/d19 score each
+    * document's duplicated-shingle COVERAGE and d3/d11 compare whole
+    * token SETS, t28 finds which document PAIRS share verbatim token
+    * runs: two documents sharing ≥ [[T28Win]] + [[T28Gram]] − 1 = 8
+    * consecutive tokens are GUARANTEED to share a fingerprint (the
+    * shared gram window's minimum hash is selected on both sides — the
+    * paper's theorem, preserved by the distinct-by-value selection in
+    * [[graft.functions.WinnowHash60]]).
+    *
+    * Scale shape: the winnowing selection runs inside the native
+    * expression (ordered gram md5s + monotonic-deque sliding minimum,
+    * one pass per document), so only the ~1/w-density fingerprint
+    * survivors ever explode — the join input is w× smaller than a
+    * full shingle stream. Candidates are an equi-join on fingerprint
+    * value with the d11/d22 df-cap ON BY DEFAULT: fingerprints in more
+    * than [[T28FpCap]] documents (site boilerplate — exactly the runs
+    * winnowing is most likely to select corpus-wide) are dropped from
+    * the join and reported via the honest `n_capped_fps` column, so
+    * the pair count stays linear under any skew. Pairs need ≥
+    * [[T28MinShared]] shared fingerprints (one shared 8-token run is
+    * ambient noise; two is signal). The oracle mirrors the whole
+    * pipeline — positional grams via zipped unnests, the same window
+    * minimum (`ROWS BETWEEN CURRENT ROW AND w−1 FOLLOWING`), the same
+    * cap and threshold. */
+  private[operators] val T28Gram = 4
+  private[operators] val T28Win = 5
+  private[operators] val T28FpCap = 50
+  private[operators] val T28MinShared = 2
+
+  def t28WinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    t28From(docs(spark, dir))
+
+  /** t28 over any (doc_id, text) frame — planted guarantee/cap specs
+    * and the plan guard enter here (un-checkpointed). */
+  private[operators] def t28From(docsDf: DataFrame,
+                                 cap: Int = T28FpCap): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    graft.functions.WinnowHash60.register(spark)
+    val fp = docsDf.select($"doc_id",
+      explode(expr(s"winnow_hashes(text, $T28Gram, $T28Win)")).as("fp"))
+    // expression output is distinct per doc ⇒ count(*) IS document
+    // frequency; the hot set is Zipf-tiny and broadcasts (d11's shape)
+    val hot = fp.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" > cap).select($"fp")
+    val kept = fp.join(broadcast(hot), Seq("fp"), "left_anti")
+    val nHot = hot.agg(count(lit(1)).as("n_capped_fps"))
+    kept.as("a")
+      .join(kept.hint("shuffle_hash").as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= T28MinShared)
+      .crossJoin(broadcast(nHot)) // one row — the honest cap report
+      .orderBy($"i", $"j")
+  }
+
+  val t28WinnowPairsSql: String = {
+    val gram = (0 until T28Gram).map(o => s"toks[i+$o]")
+      .mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(1,
+       |      greatest(len(toks) - ${T28Gram - 1}, 0))) AS i,
+       |    unnest(list_transform(generate_series(1,
+       |        greatest(len(toks) - ${T28Gram - 1}, 0)),
+       |      i -> $gram)) AS gr
+       |  FROM t),
+       |h AS (SELECT doc_id, i, ${sqlMd5Long("gr")} AS h FROM g),
+       |wm AS (
+       |  SELECT doc_id, i,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${T28Win - 1} FOLLOWING) AS fp,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM h),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM wm
+       |        WHERE i <= ng - ${T28Win - 1}),
+       |hot AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > $T28FpCap),
+       |kept AS (SELECT f.* FROM fps f WHERE NOT EXISTS (
+       |  SELECT 1 FROM hot x WHERE x.fp = f.fp)),
+       |nhot AS (SELECT COUNT(*) AS n_capped_fps FROM hot)
+       |SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_shared,
+       |  nhot.n_capped_fps
+       |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |CROSS JOIN nhot
+       |GROUP BY 1, 2, nhot.n_capped_fps
+       |HAVING COUNT(*) >= $T28MinShared
+       |ORDER BY i, j""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"  -> (t1TokenStats _),
     "t2_lang_profile" -> (t2LangProfile _),
@@ -1790,6 +1885,7 @@ object TextOps {
     "t25_lm_surprise_hashed" -> (t25LmSurpriseHashed _),
     "t26_bm25_day2" -> (t26Bm25Day2 _),
     "t27_heavy_bigrams" -> (t27HeavyBigrams _),
+    "t28_winnow_pairs" -> (t28WinnowPairs _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1822,5 +1918,6 @@ object TextOps {
     // contract): the oracle IS t20's SQL
     "t26_bm25_day2" -> t20Bm25Sql,
     "t27_heavy_bigrams" -> t27HeavyBigramsSql,
+    "t28_winnow_pairs" -> t28WinnowPairsSql,
   )
 }

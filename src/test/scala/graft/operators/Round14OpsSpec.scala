@@ -132,4 +132,91 @@ class Round14OpsSpec extends AnyFunSuite {
       part.join(del, Seq("p_partkey"), "left_anti")))
     assert(digest(RelationalOps.q63SkylineBatchRetract(spark, sf)) == truth)
   }
+
+  // ----------------------------------------------------- t28 winnowing
+
+  /** Independent winnowing oracle: brute-force gram hashing (same md5
+    * 60-bit projection) + brute-force window minima — so the
+    * expression's deque is checked against arithmetic, not itself. */
+  private def winnowBrute(text: String, n: Int, w: Int): Set[Long] = {
+    val toks = text.split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grams = (0 to toks.length - n)
+      .map(i => toks.slice(i, i + n).mkString(" "))
+    val hs = grams.map { g =>
+      val d = md.digest(g.getBytes("UTF-8"))
+      var acc = 0L
+      for (b <- 0 until 7) acc = (acc << 8) | (d(b) & 0xffL)
+      (acc << 4) | ((d(7) & 0xffL) >>> 4)
+    }
+    (0 to hs.length - w).map(s => hs.slice(s, s + w).min).toSet
+  }
+
+  private def words(tag: String, n: Int): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  test("t28: the native sliding-minimum selection equals a brute-force " +
+      "winnowing oracle, and short documents yield no fingerprints") {
+    import spark.implicits._
+    graft.functions.WinnowHash60.register(spark)
+    val texts = Seq(words("a", 30), words("b", 9),
+      words("c", 8), words("d", 7), "")
+    val got = texts.toDF("text")
+      .select(expr("winnow_hashes(text, 4, 5)").as("fps"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == winnowBrute(t, 4, 5), s"mismatch for: $t")
+    }
+    // < w+n-1 = 8 tokens ⇒ fewer than w gram windows ⇒ empty
+    assert(got(3).isEmpty && got(4).isEmpty)
+    assert(got(2).size == 1) // exactly 8 tokens = exactly one window
+  }
+
+  test("t28: documents sharing a verbatim ≥ w+n−1 token run share " +
+      "fingerprints and pair up; disjoint documents never do") {
+    import spark.implicits._
+    val shared = words("s", 24)
+    val base = Seq(
+      (1L, words("x", 40) + " " + shared),
+      (2L, shared + " " + words("y", 40)),
+      (3L, words("z", 60))
+    ).toDF("doc_id", "text")
+    val out = digest(TextOps.t28From(base))
+    assert(out.map(r => (r(0), r(1))) == Seq((1L, 2L)),
+      s"expected exactly the planted pair, got $out")
+    // the guarantee is ≥ 1 shared fingerprint per shared window; the
+    // 24-token distinct-word run spans 16 windows — comfortably ≥ 2
+    assert(out.head(2).asInstanceOf[Long] >= 2L)
+    assert(out.head(3) == 0L) // no hot fingerprints on 3 docs
+  }
+
+  test("t28: a 300-doc boilerplate cohort is capped (bounded pairs, " +
+      "honest n_capped_fps) while a rare planted pair still surfaces") {
+    import spark.implicits._
+    val boiler = words("tpl", 30)
+    val cohort = (100L until 400L).map(id =>
+      (id, boiler + " " + words(s"u$id", 10)))
+    val shared = words("rare", 20)
+    val planted = Seq((1L, shared + " " + words("p", 15)),
+      (2L, words("q", 15) + " " + shared))
+    val base = (cohort ++ planted).toDF("doc_id", "text")
+    val out = digest(TextOps.t28From(base))
+    // every boilerplate fingerprint has df ≈ 300 > 50 ⇒ capped away;
+    // the per-doc unique tails share nothing
+    assert(out.map(r => (r(0), r(1))) == Seq((1L, 2L)),
+      s"cohort pairs escaped the cap: ${out.take(5)}")
+    assert(out.head(3).asInstanceOf[Long] >= 1L,
+      "cap fired but reported nothing")
+  }
+
+  test("t28: candidate generation is an equi-join with the hot-fp cap " +
+      "structurally in the plan — never a cartesian pass") {
+    import spark.implicits._
+    val docsDf = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val p = physical(TextOps.t28From(docsDf)).toString
+    assert(!p.contains("CartesianProduct"), s"pair join degenerated:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"hot-fp cap anti-join missing — t28 is uncapped:\n$p")
+  }
 }
