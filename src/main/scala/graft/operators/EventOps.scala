@@ -1460,6 +1460,77 @@ object EventOps {
        |ORDER BY user_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- e30
+  /** Time-decayed engagement score per user — the recency-weighted
+    * activity signal sampling/curation pipelines want next to e29's
+    * RFM quintiles: every event contributes value · 2^(−age/half-life),
+    * so yesterday's purchase outweighs last month's without a hard
+    * recency cutoff.
+    *
+    * Engine-exactness: exponential decay is normally exp/pow territory
+    * — libm doubles that differ across engines in the last bits. This
+    * operator makes the decay EXACT instead: the decay step is a
+    * half-life of [[E30HalfLifeDays]] days, so the weight is 2^(−k)
+    * with k = age_days div half-life an integer, and each event's
+    * decayed contribution is the INTEGER floor((cents · 10^6) >> k) —
+    * one integral shift-divide per event, identical in both engines
+    * (both operands positive, so Spark `div` and DuckDB `//` agree;
+    * k ≥ 62 short-circuits to 0 before the shift could overflow).
+    * Per-event floor loss is ≤ 1 micro-cent, applied identically on
+    * both sides — deterministic, not approximate-and-hope. Sums
+    * accumulate in decimal(38,0)/HUGEINT (q62's overflow discipline).
+    *
+    * Scale shape: one scan, one broadcast of the 1-row as-of date, one
+    * map-side-partial hash aggregate keyed by user — the same
+    * linear-cost shape as e1. */
+  private[operators] val E30HalfLifeDays = 7
+
+  def e30DecayedEngagement(spark: SparkSession, dir: String): DataFrame =
+    e30From(events(spark, dir))
+
+  /** e30 over any (ts, user_id, value) frame — planted exact-weight
+    * specs enter here. */
+  private[operators] def e30From(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val asof = ev.agg(max(to_date($"ts")).as("asof")) // provably one row
+    ev.crossJoin(broadcast(asof))
+      .select($"user_id",
+        round($"value" * 100).cast("long").as("cents"),
+        expr(s"datediff(asof, to_date(ts)) div $E30HalfLifeDays").as("k"))
+      .withColumn("dm", when($"k" >= 62, lit(0L))
+        .otherwise(expr("(cents * 1000000) div " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(least(k, 62) AS INT))")))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"cents".cast("decimal(38,0)")).as("total_cents"),
+        sum($"dm".cast("decimal(38,0)")).as("score_micro"))
+      .orderBy($"user_id")
+  }
+
+  // NOTE: `asof` is a reserved word in DuckDB (ASOF JOIN) — the oracle
+  // aliases the anchor date `as_of`.
+  val e30DecayedEngagementSql: String =
+    s"""WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS as_of FROM events),
+       |e AS (
+       |  SELECT user_id,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    date_diff('day', CAST(ts AS DATE), as_of)
+       |      // $E30HalfLifeDays AS k
+       |  FROM events, mx),
+       |d AS (
+       |  SELECT user_id, cents,
+       |    CASE WHEN k >= 62 THEN 0
+       |         ELSE (cents * 1000000)
+       |           // (CAST(1 AS BIGINT) << CAST(least(k, 62) AS INT))
+       |    END AS dm
+       |  FROM e)
+       |SELECT user_id, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS total_cents,
+       |  CAST(SUM(CAST(dm AS HUGEINT)) AS DECIMAL(38,0)) AS score_micro
+       |FROM d GROUP BY 1
+       |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
     "e2_json_extract" -> (e2JsonExtract _),
@@ -1490,6 +1561,7 @@ object EventOps {
     "e27_unpivot_long" -> (e27UnpivotLong _),
     "e28_streaks" -> (e28Streaks _),
     "e29_rfm_segments" -> (e29RfmSegments _),
+    "e30_decayed_engagement" -> (e30DecayedEngagement _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1522,5 +1594,6 @@ object EventOps {
     "e27_unpivot_long" -> e27UnpivotLongSql,
     "e28_streaks" -> e28StreaksSql,
     "e29_rfm_segments" -> e29RfmSegmentsSql,
+    "e30_decayed_engagement" -> e30DecayedEngagementSql,
   )
 }

@@ -209,6 +209,31 @@ class Round14OpsSpec extends AnyFunSuite {
       "cap fired but reported nothing")
   }
 
+  // ------------------------------------------------------------- e30
+
+  test("e30: planted event ages decay by exact powers of two — floor " +
+      "micro arithmetic, k≥62 short-circuit, per-user decimal sums") {
+    import spark.implicits._
+    def ts(daysBack: Int) =
+      java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 6, 30)
+        .minusDays(daysBack).atTime(12, 0))
+    val ev = Seq(
+      (1L, ts(0), 10.00),   // k=0: 1000 c → 1_000_000_000 µ
+      (1L, ts(7), 10.00),   // k=1: halved → 500_000_000 µ
+      (1L, ts(21), 10.01),  // k=3: 1001e6/8 = 125_125_000 µ
+      (2L, ts(70), 0.01),   // k=10: 1e6/1024 = 976 µ (floor)
+      (3L, ts(500), 5.00)   // k=71 ≥ 62 → exactly 0
+    ).toDF("user_id", "ts", "value")
+    val got = EventOps.e30From(ev)
+      .select($"user_id", $"n_events",
+        $"total_cents".cast("long"), $"score_micro".cast("long"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == Seq(
+      Seq(1L, 3L, 3001L, 1625125000L),
+      Seq(2L, 1L, 1L, 976L),
+      Seq(3L, 1L, 500L, 0L)))
+  }
+
   test("t28: candidate generation is an equi-join with the hot-fp cap " +
       "structurally in the plan — never a cartesian pass") {
     import spark.implicits._
