@@ -1231,10 +1231,14 @@ object StreamOps {
     * Replay guard: the processed (key, op) log — Δ = batch ∖
     * processed, so a replayed micro-batch is a TRUE no-op. Keys are
     * assumed ingested at most once per direction (no re-insert after
-    * delete — streamingRetractions' one-way-feed contract). All six
-    * tables commit ATOMICALLY through [[EpochStore]]; a crash before
-    * the pointer flip leaves the previous epoch intact (spec-injected
-    * via `crashBeforeCommit`). */
+    * delete — streamingRetractions' one-way-feed contract). Deletions
+    * are double-tracked: the PENDING snapshot (cleared at repair, it
+    * is the budget) and the PERMANENT `delx` log that repair subtracts
+    * — repair against the pending set alone would resurrect earlier
+    * repaired-away deletions (the seeded-random multi-repair spec
+    * caught exactly that). All seven tables commit ATOMICALLY through
+    * [[EpochStore]]; a crash before the pointer flip leaves the
+    * previous epoch intact (spec-injected via `crashBeforeCommit`). */
   private[graft] def skylineBatch(batch: DataFrame,
       standingCorpus: => DataFrame, prefix: String, dir: String,
       crashBeforeCommit: Boolean = false): Unit = {
@@ -1256,6 +1260,7 @@ object StreamOps {
           tx.writeSnap("del", Seq.empty[Long].toDF("p_partkey"))
           tx.writeSnap("meta", Seq(0L).toDF("n_del"))
           tx.writeLogDelta("ins", corpus.limit(0))
+          tx.writeLogDelta("delx", Seq.empty[Long].toDF("p_partkey"))
           tx.writeLogDelta("proc",
             Seq.empty[(Long, String)].toDF("p_partkey", "op"))
         } finally layers.foreach(DedupOps.unpersistCheckpointed)
@@ -1277,12 +1282,17 @@ object StreamOps {
         val nDel = del.count()
         store.transact(sp) { tx =>
           if (nPending + nDel > nLayers - 1) {
-            // REPAIR: the one amortized corpus pass per deletion cycle
+            // REPAIR: the one amortized corpus pass per deletion cycle.
+            // Subtracts the FULL deletion LOG, not the pending set —
+            // repair clears the pending budget, so deletions from an
+            // earlier repaired cycle live only in the log; rebuilding
+            // against the pending set alone would RESURRECT them
+            // (caught by the seeded-random multi-repair spec).
             val live = standingCorpus
               .select($"p_partkey", $"p_retailprice", $"p_size")
               .unionByName(store.log(sp, "ins"))
               .unionByName(ins)
-              .join(store.snap(sp, "del").unionByName(del),
+              .join(store.log(sp, "delx").unionByName(del),
                 Seq("p_partkey"), "left_anti")
             val layers = RelationalOps.skylineLayers(live, nLayers)
             try {
@@ -1311,6 +1321,7 @@ object StreamOps {
             }
           }
           tx.writeLogDelta("ins", ins)
+          tx.writeLogDelta("delx", del)
           tx.writeLogDelta("proc", newOps.select($"p_partkey", $"op"))
           if (crashBeforeCommit) throw new EpochStore.InjectedCrash
         }
@@ -1333,7 +1344,8 @@ object StreamOps {
   private[graft] val SkylineTables = EpochTables(
     snaps = Map("l1" -> Nil, "l2" -> Nil, "l3" -> Nil,
       "del" -> Nil, "meta" -> Nil),
-    logs = Map("ins" -> Seq("p_partkey"), "proc" -> Seq("p_partkey")))
+    logs = Map("ins" -> Seq("p_partkey"), "delx" -> Seq("p_partkey"),
+      "proc" -> Seq("p_partkey")))
 
   def streamingSkyline(changeStream: DataFrame,
       standingCorpus: DataFrame, prefix: String, dir: String)
