@@ -1203,4 +1203,54 @@ class StreamingSpec extends AnyFunSuite {
     g.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     store.destroy(spark)
   }
+
+  test("streaming skyline: inserts, a budget-exceeding deletion batch " +
+      "(repair), and a replay through the writeStream path — served " +
+      "frontier equals from-scratch after every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val store = new graft.streaming.EpochStore(
+      "graft_state_ssky", "spec", StreamOps.SkylineTables)
+    store.destroy(spark)
+    // the planted chain (each point dominates the next): layers {1},
+    // {2}, {3}; 4 and 5 below — the EpochCommitSpec scenario driven
+    // through an ACTUAL writeStream this time
+    val corpusRows = Seq((1L, 1.0, 10), (2L, 2.0, 9), (3L, 3.0, 8),
+      (4L, 4.0, 7), (5L, 5.0, 1))
+    val corpus = corpusRows.toDF("p_partkey", "p_retailprice", "p_size")
+    def serve() = StreamOps.skylineServe(spark, "graft_state_ssky", "spec")
+      .select(col("p_partkey")).as[Long].collect().toSet
+    def truth(live: Seq[(Long, Double, Int)]) =
+      graft.operators.RelationalOps.q56From(
+          live.toDF("p_partkey", "p_retailprice", "p_size"))
+        .select(col("p_partkey")).as[Long].collect().toSet
+    val input = MemoryStream[(Long, Double, Int, String)]
+    val q = StreamOps.streamingSkyline(
+      input.toDF().toDF("p_partkey", "p_retailprice", "p_size", "op"),
+      corpus, "graft_state_ssky", "spec").start()
+    try {
+      // batch 1: a frontier-evicting insert cascades through the layers
+      input.addData((6L, 0.5, 11, "insert"))
+      q.processAllAvailable()
+      val live1 = corpusRows :+ ((6L, 0.5, 11))
+      assert(serve() == truth(live1) && serve() == Set(6L))
+      // batch 2: three deletions exceed the k = 2 budget → repair path
+      input.addData((6L, 0.0, 0, "delete"), (1L, 0.0, 0, "delete"),
+        (2L, 0.0, 0, "delete"))
+      q.processAllAvailable()
+      val live2 = live1.filterNot(r => Set(6L, 1L, 2L).contains(r._1))
+      assert(serve() == truth(live2) && serve() == Set(3L),
+        "repair through the stream path diverged")
+      val epochBefore = store.committed(spark)._1
+      // replay the deletion batch verbatim: the (key, op) guard makes
+      // it a true no-op
+      input.addData((6L, 0.0, 0, "delete"), (1L, 0.0, 0, "delete"),
+        (2L, 0.0, 0, "delete"))
+      q.processAllAvailable()
+      assert(store.committed(spark)._1 == epochBefore,
+        "replayed deletion batch opened a new epoch")
+      assert(serve() == Set(3L))
+    } finally q.stop()
+    store.destroy(spark)
+  }
 }
