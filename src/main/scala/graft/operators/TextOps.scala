@@ -1798,28 +1798,38 @@ object TextOps {
     t28From(docs(spark, dir))
 
   /** t28 over any (doc_id, text) frame — planted guarantee/cap specs
-    * and the plan guard enter here (un-checkpointed). */
+    * and the plan guard enter here (`checkpoint = false` keeps the
+    * plan inspectable, t10From's pattern). The fingerprint stream is
+    * PERSISTED for the four consumers (df count, both pair-join
+    * sides, hot count): without the cache the plan re-runs the
+    * winnowing expression over the corpus 4× — four full scans where
+    * one suffices at 100 TB. */
   private[operators] def t28From(docsDf: DataFrame,
-                                 cap: Int = T28FpCap): DataFrame = {
+      cap: Int = T28FpCap, checkpoint: Boolean = true): DataFrame = {
     val spark = docsDf.sparkSession
     import spark.implicits._
     graft.functions.WinnowHash60.register(spark)
     val fp = docsDf.select($"doc_id",
-      explode(expr(s"winnow_hashes(text, $T28Gram, $T28Win)")).as("fp"))
-    // expression output is distinct per doc ⇒ count(*) IS document
-    // frequency; the hot set is Zipf-tiny and broadcasts (d11's shape)
-    val hot = fp.groupBy($"fp").agg(count(lit(1)).as("df"))
-      .filter($"df" > cap).select($"fp")
-    val kept = fp.join(broadcast(hot), Seq("fp"), "left_anti")
-    val nHot = hot.agg(count(lit(1)).as("n_capped_fps"))
-    kept.as("a")
-      .join(kept.hint("shuffle_hash").as("b"),
-        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter($"n_shared" >= T28MinShared)
-      .crossJoin(broadcast(nHot)) // one row — the honest cap report
-      .orderBy($"i", $"j")
+        explode(expr(s"winnow_hashes(text, $T28Gram, $T28Win)")).as("fp"))
+      .persist()
+    try {
+      // expression output is distinct per doc ⇒ count(*) IS document
+      // frequency; the hot set is Zipf-tiny and broadcasts (d11's shape)
+      val hot = fp.groupBy($"fp").agg(count(lit(1)).as("df"))
+        .filter($"df" > cap).select($"fp")
+      val kept = fp.join(broadcast(hot), Seq("fp"), "left_anti")
+      val nHot = hot.agg(count(lit(1)).as("n_capped_fps"))
+      val out = kept.as("a")
+        .join(kept.hint("shuffle_hash").as("b"),
+          $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= T28MinShared)
+        .crossJoin(broadcast(nHot)) // one row — the honest cap report
+        .orderBy($"i", $"j")
+      // eager checkpoint: materialized before the unpersist
+      if (checkpoint) out.localCheckpoint() else out
+    } finally fp.unpersist(blocking = false)
   }
 
   val t28WinnowPairsSql: String = {

@@ -239,7 +239,10 @@ class Round14OpsSpec extends AnyFunSuite {
     import spark.implicits._
     val docsDf = graft.Tables(spark, sf, "documents")
       .select($"doc_id", $"text")
-    val p = physical(TextOps.t28From(docsDf)).toString
+    // checkpoint = false: the shipped form eagerly checkpoints, which
+    // would collapse the inspected plan to an RDD scan
+    val p = physical(TextOps.t28From(docsDf,
+      TextOps.T28FpCap, checkpoint = false)).toString
     assert(!p.contains("CartesianProduct"), s"pair join degenerated:\n$p")
     assert(p.contains("LeftAnti"),
       s"hot-fp cap anti-join missing — t28 is uncapped:\n$p")
