@@ -553,6 +553,45 @@ class EpochCommitSpec extends AnyFunSuite {
     store.destroy(spark)
   }
 
+  test("skyline: compaction folds the ins/delx/proc log chains into " +
+      "bases; folds and repair against the compacted store are " +
+      "identical") {
+    import spark.implicits._
+    val store = new EpochStore("graft_state_csky", "crash",
+      StreamOps.SkylineTables)
+    store.destroy(spark)
+    val corpus = Seq((1L, 1.0, 10), (2L, 2.0, 9), (3L, 3.0, 8),
+      (4L, 4.0, 7), (5L, 5.0, 1))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+    def batch(rows: (Long, Double, Int, String)*) =
+      rows.toDF("p_partkey", "p_retailprice", "p_size", "op")
+    def serve() = StreamOps
+      .skylineServe(spark, "graft_state_csky", "crash")
+      .select($"p_partkey").as[Long].collect().toSet
+    StreamOps.skylineBatch(batch((6L, 0.5, 11, "insert")), corpus,
+      "graft_state_csky", "crash")
+    StreamOps.skylineBatch(batch((6L, 0.0, 0, "delete"),
+      (1L, 0.0, 0, "delete")), corpus, "graft_state_csky", "crash")
+    val before = (store.log(spark, "ins").count(),
+      store.log(spark, "delx").count(), store.log(spark, "proc").count())
+    store.compact(spark)
+    assert((store.log(spark, "ins").count(),
+      store.log(spark, "delx").count(),
+      store.log(spark, "proc").count()) == before,
+      "compaction changed log contents")
+    val (e, b, _) = store.committed(spark)
+    assert(b == e, "compaction did not reset the log base")
+    assert(serve() == Set(2L))
+    // a post-compaction deletion pushes past the budget → the REPAIR
+    // reads the COMPACTED delx log; dropping history here would
+    // resurrect keys 6/1
+    StreamOps.skylineBatch(batch((2L, 0.0, 0, "delete")), corpus,
+      "graft_state_csky", "crash")
+    assert(serve() == Set(3L),
+      "repair against the compacted deletion log diverged")
+    store.destroy(spark)
+  }
+
   test("skyline: cascade inserts, budgeted deletions, crash " +
       "invisibility, replay inertness, and the repair pass that " +
       "recovers a dropped layer point — all against from-scratch") {
