@@ -244,6 +244,18 @@ object Bench {
     if (v < 0) "-1"
     else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Minimal JSON string escaping for every interpolated string field
+    * (paths, query/family names): a detail path containing a quote or
+    * backslash would otherwise reproduce the exact `"parsed": null`
+    * driver failure the compact line exists to fix (r14 ADVICE). */
+  private[graft] def jsonEsc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+
   /** The COMPACT driver-facing stdout line (round 14): totals +
     * per-family subtotals + failed + anchors at 3 decimals. The r12/r13
     * driver artifacts both arrived `"parsed": null` because the old
@@ -257,7 +269,8 @@ object Bench {
       post: Seq[(String, Double)], childAnchors: Seq[(String, Double)],
       wall: Double, detailPath: String): String = {
     def obj3(rs: Seq[(String, Double)]) = rs
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + jsonEsc(k) + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val fams = results.groupBy { case (n, _) => family(n) }.toSeq
@@ -265,25 +278,27 @@ object Bench {
         f -> rs.collect { case (_, v) if v >= 0 => v }.sum }
     s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":${obj3(fams)},"n_queries":${results.size},""" +
-      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""sf":"$sfDir","anchors_pre":${obj3(pre)},""" +
+      s""""failed":${failed.map("\"" + jsonEsc(_) + "\"")
+        .mkString("[", ",", "]")},""" +
+      s""""sf":"${jsonEsc(sfDir)}","anchors_pre":${obj3(pre)},""" +
       s""""anchors_post":${obj3(post)},""" +
       s""""child_anchors":${obj3(childAnchors)},""" +
       s""""wall_sec":${f3(wall)},"isolation":"jvm-per-family",""" +
-      s""""detail":"$detailPath"}"""
+      s""""detail":"${jsonEsc(detailPath)}"}"""
   }
 
   private def resultLine(results: Seq[(String, Double)], sfDir: String,
                          extra: String = ""): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + jsonEsc(k) + "\":" + v }
       .mkString("{", ",", "}")
     // A failed query (-1 marker) must not shrink the total and make the
     // run look faster: sum successes only and report failures explicitly.
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.map("\"" + jsonEsc(_) + "\"")
+      .mkString("[", ",", "]")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedJson,"sf":"$sfDir"$extra}"""
+      s""""failed":$failedJson,"sf":"${jsonEsc(sfDir)}"$extra}"""
   }
 
   // ------------------------------------------------------- orchestrator

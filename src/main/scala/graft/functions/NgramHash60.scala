@@ -81,7 +81,38 @@ object NgramHash60 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_hashes",
-      (exprs: Seq[Expression]) => NgramHash60(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+      (exprs: Seq[Expression]) => {
+        GraftFnArgs.literalInts("ngram_hashes", exprs, arity = 2) match {
+          case Seq(n) => NgramHash60(exprs.head, n)
+        }
+      },
       "built-in")
+}
+
+/** Shared builder-time validation for graft's literal-argument native
+  * functions: a wrong arity or a non-foldable/non-integer trailing
+  * argument must fail as an AnalysisException naming the contract, not
+  * as an IndexOutOfBounds/ClassCast at plan time (r14 ADVICE). */
+private[functions] object GraftFnArgs {
+  /** Validates `exprs` has exactly `arity` members with every member
+    * after the first a foldable integer literal; returns those
+    * literal values. */
+  def literalInts(fn: String, exprs: Seq[Expression], arity: Int): Seq[Int] = {
+    def fail(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "INTERNAL_ERROR",
+        Map("message" ->
+          s"$fn: $msg — expected $fn(str${", <int literal>" * (arity - 1)})"),
+        None)
+    if (exprs.length != arity)
+      fail(s"takes $arity arguments, got ${exprs.length}")
+    exprs.tail.zipWithIndex.map { case (e, i) =>
+      if (!e.foldable) fail(s"argument ${i + 2} must be a literal")
+      e.eval() match {
+        case n: java.lang.Number => n.intValue()
+        case v => fail(s"argument ${i + 2} must be an integer literal, " +
+          s"got $v")
+      }
+    }
+  }
 }

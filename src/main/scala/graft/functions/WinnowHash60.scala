@@ -109,8 +109,10 @@ object WinnowHash60 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_hashes",
-      (exprs: Seq[Expression]) => WinnowHash60(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()),
+      (exprs: Seq[Expression]) => {
+        GraftFnArgs.literalInts("winnow_hashes", exprs, arity = 3) match {
+          case Seq(n, w) => WinnowHash60(exprs.head, n, w)
+        }
+      },
       "built-in")
 }

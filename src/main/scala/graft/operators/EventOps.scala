@@ -1472,18 +1472,45 @@ object EventOps {
     * operator makes the decay EXACT instead: the decay step is a
     * half-life of [[E30HalfLifeDays]] days, so the weight is 2^(−k)
     * with k = age_days div half-life an integer, and each event's
-    * decayed contribution is the INTEGER floor((cents · 10^6) >> k) —
-    * one integral shift-divide per event, identical in both engines
-    * (both operands positive, so Spark `div` and DuckDB `//` agree;
-    * k ≥ 62 short-circuits to 0 before the shift could overflow).
-    * Per-event floor loss is ≤ 1 micro-cent, applied identically on
-    * both sides — deterministic, not approximate-and-hope. Sums
-    * accumulate in decimal(38,0)/HUGEINT (q62's overflow discipline).
+    * decayed contribution is the INTEGER
+    * sign(cents) · ((|cents| · 10^6) div 2^k). Per-event floor loss is
+    * ≤ 1 micro-cent, applied identically on both sides —
+    * deterministic, not approximate-and-hope. Sums accumulate in
+    * decimal(38,0)/HUGEINT (q62's overflow discipline).
     *
-    * Scale shape: one scan, one broadcast of the 1-row as-of date, one
-    * map-side-partial hash aggregate keyed by user — the same
-    * linear-cost shape as e1. */
+    * PORTABLE-DIALECT discipline (the r14 driver gate's one red
+    * entry): the first encoding computed 2^k with a `<<` shift and
+    * the divide as `cents div/\/\/ pow2` directly. The local DuckDB
+    * build and the driver's evaluated that SQL DIFFERENTLY — `<<` was
+    * the only shift operator in all 211 oracles, and the one query
+    * using it was the one that hash-diverged. The weights are
+    * therefore now DATA, not operators: [[E30Pow2]] is a 62-row
+    * (k, 2^k) literal table joined in BOTH the Spark arm and the
+    * oracle's VALUES CTE — generated from the same Scala constant, so
+    * the divisor is identical by construction in every engine build.
+    * The divide runs on |cents| with the sign reapplied (Spark `div`
+    * truncates toward zero, DuckDB `//` floors — they agree only on
+    * non-negative operands, so a refund/adjustment corpus with
+    * negative values would silently split the engines otherwise), and
+    * cents = floor(value·100 + 0.5) instead of round() (half-up in
+    * both engines for EVERY sign, no shortest-representation or
+    * negative-tie hazard). k ≥ 62 short-circuits to weight 0 before
+    * 2^k could overflow int64.
+    *
+    * Scale shape: one scan, one broadcast of the 1-row as-of date,
+    * one broadcast of the 62-row weight table, one map-side-partial
+    * hash aggregate keyed by user — the same linear-cost shape as
+    * e1. */
   private[operators] val E30HalfLifeDays = 7
+
+  /** Largest k with 2^k in int64; k beyond this decays to exactly 0. */
+  private[operators] val E30MaxK = 61
+
+  /** The exact power-of-two weights, as data: joined in the Spark arm
+    * via a broadcast [[org.apache.spark.sql.DataFrame]] and textually
+    * inlined into the oracle's VALUES CTE — one source of truth. */
+  private[operators] val E30Pow2: Seq[(Int, Long)] =
+    (0 to E30MaxK).map(k => k -> (1L << k))
 
   def e30DecayedEngagement(spark: SparkSession, dir: String): DataFrame =
     e30From(events(spark, dir))
@@ -1494,13 +1521,16 @@ object EventOps {
     val spark = ev.sparkSession
     import spark.implicits._
     val asof = ev.agg(max(to_date($"ts")).as("asof")) // provably one row
+    val pow2 = E30Pow2.toDF("k", "pow2") // 62 rows — broadcast, never shuffled
     ev.crossJoin(broadcast(asof))
       .select($"user_id",
-        round($"value" * 100).cast("long").as("cents"),
+        floor($"value" * 100 + 0.5).cast("long").as("cents"),
+        // asof = max(date) ⇒ the diff is ≥ 0, where div and // agree
         expr(s"datediff(asof, to_date(ts)) div $E30HalfLifeDays").as("k"))
-      .withColumn("dm", when($"k" >= 62, lit(0L))
-        .otherwise(expr("(cents * 1000000) div " +
-          "shiftleft(CAST(1 AS BIGINT), CAST(least(k, 62) AS INT))")))
+      .join(broadcast(pow2), Seq("k"), "left")
+      .withColumn("dm", when($"k" > E30MaxK, lit(0L))
+        .otherwise(when($"cents" < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(abs(cents) * 1000000) div pow2")))
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_events"),
         sum($"cents".cast("decimal(38,0)")).as("total_cents"),
@@ -1509,27 +1539,145 @@ object EventOps {
   }
 
   // NOTE: `asof` is a reserved word in DuckDB (ASOF JOIN) — the oracle
-  // aliases the anchor date `as_of`.
-  val e30DecayedEngagementSql: String =
+  // aliases the anchor date `as_of`. The pow2 CTE is pure integer
+  // literals generated from [[E30Pow2]] — the same values the Spark
+  // arm broadcasts, so the decay divisor is identical by construction
+  // (no `<<`, no least(), no round(): see the portable-dialect note).
+  val e30DecayedEngagementSql: String = {
+    val pow2Rows = E30Pow2
+      .map { case (k, p) => s"($k, CAST($p AS BIGINT))" }.mkString(", ")
     s"""WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS as_of FROM events),
+       |p(k, pow2) AS (VALUES $pow2Rows),
        |e AS (
        |  SELECT user_id,
-       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
        |    date_diff('day', CAST(ts AS DATE), as_of)
        |      // $E30HalfLifeDays AS k
        |  FROM events, mx),
        |d AS (
        |  SELECT user_id, cents,
-       |    CASE WHEN k >= 62 THEN 0
-       |         ELSE (cents * 1000000)
-       |           // (CAST(1 AS BIGINT) << CAST(least(k, 62) AS INT))
+       |    CASE WHEN e.k > $E30MaxK THEN 0
+       |         ELSE (CASE WHEN cents < 0 THEN -1 ELSE 1 END)
+       |           * ((abs(cents) * 1000000) // p.pow2)
        |    END AS dm
-       |  FROM e)
+       |  FROM e LEFT JOIN p ON e.k = p.k)
        |SELECT user_id, COUNT(*) AS n_events,
        |  CAST(SUM(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS total_cents,
        |  CAST(SUM(CAST(dm AS HUGEINT)) AS DECIMAL(38,0)) AS score_micro
        |FROM d GROUP BY 1
        |ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- e31
+  /** INCREMENTAL maintenance of e30's decayed engagement — the day-2
+    * story for a time-decayed view. Decayed aggregates are the
+    * canonical "cannot be incrementally maintained" case: advancing
+    * the as-of date changes EVERY row's weight, so a naive standing
+    * score is stale the moment it's written and the refresh rescans
+    * the corpus. e30's half-life quantization dissolves the problem:
+    * the weight 2^(−k) depends only on the event's DATE
+    * (k = days(as_of − date) div half-life), so the per-(user, date)
+    * cents sum is a SUFFICIENT STATISTIC. The standing state is a
+    * daily table (users × active-days rows — metadata-sized next to
+    * the event corpus), today's arrivals fold in ADDITIVELY at the
+    * same grain, and the score recomputes from the folded daily table
+    * under the NEW as-of date without rescanning history — the same
+    * shape q42 gives KMV sketches (mergeable state + exact refold).
+    *
+    * Grain contract: e31 scores at DAILY grain — the micro-floor
+    * divide applies to each (user, date) bucket's summed cents, not
+    * per event. That per-day floor is precisely what makes the daily
+    * table sufficient (a per-event floor would need the events), and
+    * it is applied identically in both engines via e30's portable
+    * encoding: the [[E30Pow2]] literal weight table, magnitude
+    * division with the sign reapplied, floor(x·100 + 0.5) cents.
+    *
+    * Scale shape: the day-1 build collapses the corpus map-side to
+    * (user, date) grain and writes it bucketed by user_id
+    * ([[graft.sources.LayoutOps.stateBuckets]]); day-2 scans ONLY the
+    * delta slice plus the standing daily table; the score pass is a
+    * 1-row as-of broadcast + 62-row weight broadcast over the
+    * users×days frame. ScaleSpec pins ≤ 2 events scans (the delta
+    * feeds both the fold and the as-of derivation) and the standing
+    * table in the plan. */
+  def e31DecayedDay2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    val ev = events(spark, dir)
+    val isNew = pmod(md5Long(concat($"event_id".cast("string"), lit(":e31"))),
+      lit(5L)) === 0L
+    val dayT = graft.sources.LayoutOps.stateTable("graft_state_e31_daily", dir)
+    if (!spark.catalog.tableExists(dayT))
+      graft.sources.LayoutOps.writeBucketed(
+        e31Daily(ev.filter(!isNew)), dayT, "user_id",
+        graft.sources.LayoutOps.stateBuckets(spark))
+    e31Score(spark.table(dayT).unionByName(e31Daily(ev.filter(isNew)))
+      .groupBy($"user_id", $"d")
+      .agg(sum($"n_ev").as("n_ev"), sum($"day_cents").as("day_cents")))
+  }
+
+  /** The sufficient statistic: exact integer cents + event counts at
+    * (user, date) grain — additive, so day-2 folds by plain re-sum. */
+  private[operators] def e31Daily(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select($"user_id", to_date($"ts").as("d"),
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      .groupBy($"user_id", $"d")
+      .agg(count(lit(1)).as("n_ev"), sum($"cents").as("day_cents"))
+  }
+
+  /** e30's portable decay applied to a (user_id, d, n_ev, day_cents)
+    * daily frame — planted fold-vs-from-scratch specs enter here. */
+  private[operators] def e31Score(dailyF: DataFrame): DataFrame = {
+    val spark = dailyF.sparkSession
+    import spark.implicits._
+    val asof = dailyF.agg(max($"d").as("asof")) // provably one row
+    val pow2 = E30Pow2.toDF("k", "pow2")
+    dailyF.crossJoin(broadcast(asof))
+      .withColumn("k", expr(s"datediff(asof, d) div $E30HalfLifeDays"))
+      .join(broadcast(pow2), Seq("k"), "left")
+      .withColumn("dm", when($"k" > E30MaxK, lit(0L))
+        .otherwise(when($"day_cents" < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(abs(day_cents) * 1000000) div pow2")))
+      .groupBy($"user_id")
+      .agg(sum($"n_ev").cast("long").as("n_events"),
+        sum($"day_cents".cast("decimal(38,0)")).as("total_cents"),
+        sum($"dm".cast("decimal(38,0)")).as("score_micro"))
+      .orderBy($"user_id")
+  }
+
+  // The oracle is the FROM-SCRATCH daily-grain decay over all events
+  // (standing ∪ delta = everything): the fold must be indistinguishable
+  // from a full rebuild — integer sums make the equality exact.
+  val e31DecayedDay2Sql: String = {
+    val pow2Rows = E30Pow2
+      .map { case (k, p) => s"($k, CAST($p AS BIGINT))" }.mkString(", ")
+    s"""WITH p(k, pow2) AS (VALUES $pow2Rows),
+       |daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d,
+       |    COUNT(*) AS n_ev,
+       |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS day_cents
+       |  FROM events GROUP BY 1, 2),
+       |mx AS (SELECT MAX(d) AS as_of FROM daily),
+       |e AS (
+       |  SELECT user_id, n_ev, day_cents,
+       |    date_diff('day', d, as_of) // $E30HalfLifeDays AS k
+       |  FROM daily, mx),
+       |d2 AS (
+       |  SELECT user_id, n_ev, day_cents,
+       |    CASE WHEN e.k > $E30MaxK THEN 0
+       |         ELSE (CASE WHEN day_cents < 0 THEN -1 ELSE 1 END)
+       |           * ((abs(day_cents) * 1000000) // p.pow2)
+       |    END AS dm
+       |  FROM e LEFT JOIN p ON e.k = p.k)
+       |SELECT user_id, CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(day_cents AS HUGEINT)) AS DECIMAL(38,0)) AS total_cents,
+       |  CAST(SUM(CAST(dm AS HUGEINT)) AS DECIMAL(38,0)) AS score_micro
+       |FROM d2 GROUP BY 1
+       |ORDER BY user_id""".stripMargin
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
@@ -1562,6 +1710,7 @@ object EventOps {
     "e28_streaks" -> (e28Streaks _),
     "e29_rfm_segments" -> (e29RfmSegments _),
     "e30_decayed_engagement" -> (e30DecayedEngagement _),
+    "e31_decayed_day2" -> (e31DecayedDay2 _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1595,5 +1744,6 @@ object EventOps {
     "e28_streaks" -> e28StreaksSql,
     "e29_rfm_segments" -> e29RfmSegmentsSql,
     "e30_decayed_engagement" -> e30DecayedEngagementSql,
+    "e31_decayed_day2" -> e31DecayedDay2Sql,
   )
 }

@@ -626,7 +626,8 @@ object MultimodalOps {
     Seq(dfT, pairT, nT)
       .foreach(graft.sources.LayoutOps.clearStaleLocation(spark, _))
     graft.sources.LayoutOps.writeBucketed(
-      m9SigsFrom(docsOld), postT, "frame_sig", 32)
+      m9SigsFrom(docsOld), postT, "frame_sig",
+      graft.sources.LayoutOps.stateBuckets(spark))
     val post = spark.table(postT)
     post.groupBy($"frame_sig").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").format("parquet").saveAsTable(dfT)

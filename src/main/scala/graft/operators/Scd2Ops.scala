@@ -36,7 +36,8 @@ object Scd2Ops {
     * (k, seg_v, valid_from, valid_to, is_current) with each version
     * closed by its successor and the latest left open. */
   def initDim(spark: SparkSession, table: String, versions: DataFrame): Unit =
-    graft.sources.LayoutOps.writeBucketed(initDimFrame(versions), table, "k", 32)
+    graft.sources.LayoutOps.writeBucketed(initDimFrame(versions), table, "k",
+      graft.sources.LayoutOps.stateBuckets(versions.sparkSession))
 
   /** Day-2 MERGE: for every key in `batch` (k, seg_v, valid_from),
     * close the dimension's current version at the new valid_from and
@@ -51,7 +52,8 @@ object Scd2Ops {
     // materialize the merged content before overwriting the scanned
     // location (CoW publish), then release the staging blocks
     val next = mergedDim(spark.table(table), batch).localCheckpoint()
-    try graft.sources.LayoutOps.writeBucketed(next, table, "k", 32)
+    try graft.sources.LayoutOps.writeBucketed(next, table, "k",
+      graft.sources.LayoutOps.stateBuckets(next.sparkSession))
     finally DedupOps.unpersistCheckpointed(next)
   }
 

@@ -1654,7 +1654,8 @@ object TextOps {
       Seq(postT, dlT, dfT)
         .foreach(graft.sources.LayoutOps.clearStaleLocation(spark, _))
       val tfOld = tfOf(d.filter(!isNew))
-      graft.sources.LayoutOps.writeBucketed(tfOld, postT, "term", 32)
+      graft.sources.LayoutOps.writeBucketed(tfOld, postT, "term",
+        graft.sources.LayoutOps.stateBuckets(spark))
       tfOld.groupBy($"doc_id").agg(sum($"tf").as("dl"))
         .write.mode("overwrite").format("parquet").saveAsTable(dlT)
       tfOld.groupBy($"term").agg(count(lit(1)).as("df"))

@@ -76,7 +76,8 @@ object TpchSql {
     val t = graft.sources.LayoutOps.stateTable("graft_state_tpch_ps_v1", dir)
     if (!spark.catalog.tableExists(t))
       graft.sources.LayoutOps.writeBucketed(
-        spark.sql(s"WITH $PsCte SELECT * FROM ps"), t, "ps_partkey", 32)
+        spark.sql(s"WITH $PsCte SELECT * FROM ps"), t, "ps_partkey",
+        graft.sources.LayoutOps.stateBuckets(spark))
     spark.table(t).createOrReplaceTempView("ps")
     spark.sql(body)
   }

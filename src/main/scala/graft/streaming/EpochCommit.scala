@@ -298,7 +298,8 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
       write(logDeltaName(name), df, tables.logs(name))
     private def write(t: String, df: DataFrame, buckets: Seq[String]): Unit =
       if (buckets.nonEmpty)
-        graft.sources.LayoutOps.writeBucketed(df, t, buckets, 32)
+        graft.sources.LayoutOps.writeBucketed(df, t, buckets,
+          graft.sources.LayoutOps.stateBuckets(sp))
       else {
         graft.sources.LayoutOps.clearStaleLocation(sp, t)
         df.write.mode("overwrite").format("parquet").saveAsTable(t)
@@ -339,7 +340,8 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
     tables.logs.foreach { case (name, buckets) =>
       val t = tname(name, s"b$next")
       if (buckets.nonEmpty)
-        graft.sources.LayoutOps.writeBucketed(log(sp, name), t, buckets, 32)
+        graft.sources.LayoutOps.writeBucketed(log(sp, name), t, buckets,
+          graft.sources.LayoutOps.stateBuckets(sp))
       else {
         graft.sources.LayoutOps.clearStaleLocation(sp, t)
         log(sp, name).write.mode("overwrite").format("parquet").saveAsTable(t)
@@ -348,7 +350,8 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
     tables.snaps.foreach { case (name, buckets) =>
       val t = tname(name, s"e$next")
       if (buckets.nonEmpty)
-        graft.sources.LayoutOps.writeBucketed(snap(sp, name), t, buckets, 32)
+        graft.sources.LayoutOps.writeBucketed(snap(sp, name), t, buckets,
+          graft.sources.LayoutOps.stateBuckets(sp))
       else {
         graft.sources.LayoutOps.clearStaleLocation(sp, t)
         snap(sp, name).write.mode("overwrite").format("parquet").saveAsTable(t)

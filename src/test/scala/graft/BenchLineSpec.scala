@@ -65,4 +65,17 @@ class BenchLineSpec extends AnyFunSuite {
     val expect = (results.size - 1) * 12.345678901234
     assert(math.abs(node.get("value").asDouble - expect) < 0.01)
   }
+
+  test("string fields are JSON-escaped — a path with quotes or " +
+      "backslashes must not reproduce the parsed:null failure " +
+      "(r14 ADVICE)") {
+    val (results, anchors, childAnchors) = realisticInputs
+    val evilPath = """/tmp/w"eird\dir/BENCH_detail.json"""
+    val evilSf = "/root/test\"data\\sf0.1"
+    val line = Bench.compactLine(results, evilSf, anchors, anchors,
+      childAnchors, 1.0, evilPath)
+    val node = new ObjectMapper().readTree(line) // throws if invalid
+    assert(node.get("detail").asText == evilPath)
+    assert(node.get("sf").asText == evilSf)
+  }
 }
