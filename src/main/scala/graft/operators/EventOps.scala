@@ -1617,8 +1617,10 @@ object EventOps {
   }
 
   /** The sufficient statistic: exact integer cents + event counts at
-    * (user, date) grain — additive, so day-2 folds by plain re-sum. */
-  private[operators] def e31Daily(ev: DataFrame): DataFrame = {
+    * (user, date) grain — additive, so day-2 folds by plain re-sum.
+    * `private[graft]`: [[graft.streaming.StreamOps]]' decay maintainer
+    * folds micro-batches through the same core. */
+  private[graft] def e31Daily(ev: DataFrame): DataFrame = {
     val spark = ev.sparkSession
     import spark.implicits._
     ev.select($"user_id", to_date($"ts").as("d"),
@@ -1628,8 +1630,9 @@ object EventOps {
   }
 
   /** e30's portable decay applied to a (user_id, d, n_ev, day_cents)
-    * daily frame — planted fold-vs-from-scratch specs enter here. */
-  private[operators] def e31Score(dailyF: DataFrame): DataFrame = {
+    * daily frame — planted fold-vs-from-scratch specs and the
+    * streaming maintainer's serve path enter here. */
+  private[graft] def e31Score(dailyF: DataFrame): DataFrame = {
     val spark = dailyF.sparkSession
     import spark.implicits._
     val asof = dailyF.agg(max($"d").as("asof")) // provably one row

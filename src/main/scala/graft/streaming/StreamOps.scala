@@ -1354,4 +1354,85 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         skylineBatch(batch.toDF(), standingCorpus, prefix, dir)
       }
+
+  // -------------------------------------------------- decayed engagement
+
+  /** Streaming decayed-engagement maintenance — e31's online dual and
+    * maintainer #11. The stream carries raw events
+    * `(event_id, ts, user_id, value)`; each micro-batch folds into the
+    * standing (user, date) daily table — e31's SUFFICIENT STATISTIC
+    * for the half-life-quantized decay — by plain additive re-sum
+    * ([[graft.operators.EventOps.e31Daily]]). The decayed score is
+    * computed at SERVE time ([[decayServe]] →
+    * [[graft.operators.EventOps.e31Score]]) under the then-current
+    * as-of date, which is the whole point of maintaining the statistic
+    * instead of the score: a standing SCORE is stale the moment the
+    * as-of date advances (every weight changes), while the daily table
+    * never goes stale — time advancing is just a different broadcast
+    * constant at read time, no state touch at all.
+    *
+    * Re-delivery discipline: daily sums are READ-MODIFY-WRITE (the
+    * components/IVM case, not the set-semantics one), so a standing
+    * processed-event-id log supplies the replay guard. Δevents =
+    * batch ∖ processed; a replayed micro-batch after a restart has
+    * Δevents = ∅ and is a TRUE no-op — no state write, no epoch bump
+    * (spec-pinned). Both tables commit atomically through
+    * [[EpochStore]]; the daily snapshot stays bucketed by user at
+    * every epoch so the fold's standing side remains co-partitioned.
+    *
+    * Scale shape: per batch, one batch-sized dedup + anti-join against
+    * the id log, one batch-days-grain partial aggregate, one
+    * daily-table-sized re-sum (users × active-days — metadata-sized
+    * next to the event corpus). Serve is e31's score pass: 1-row
+    * as-of broadcast + 62-row weight broadcast over the daily frame. */
+  private[graft] def decayBatch(batch: DataFrame, prefix: String,
+      dir: String, crashBeforeCommit: Boolean = false): Unit = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val store = new EpochStore(prefix, dir, DecayTables)
+    val ev = batch
+      .select($"event_id", $"user_id", $"ts", $"value").distinct()
+    if (!store.exists(sp)) {
+      store.transact(sp) { tx =>
+        tx.writeSnap("daily", graft.operators.EventOps.e31Daily(ev))
+        tx.writeLogDelta("proc", ev.select($"event_id").distinct())
+        if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+      }
+    } else {
+      val newEv = ev
+        .join(store.log(sp, "proc"), Seq("event_id"), "left_anti")
+        .localCheckpoint() // one compute for the guard probe and the fold
+      try {
+        if (!newEv.isEmpty) store.transact(sp) { tx =>
+          tx.writeSnap("daily",
+            store.snap(sp, "daily")
+              .unionByName(graft.operators.EventOps.e31Daily(newEv))
+              .groupBy($"user_id", $"d")
+              .agg(sum($"n_ev").as("n_ev"),
+                sum($"day_cents").as("day_cents")))
+          tx.writeLogDelta("proc", newEv.select($"event_id").distinct())
+          if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+        }
+      } finally
+        graft.operators.DedupOps.unpersistCheckpointed(newEv)
+    }
+  }
+
+  /** The decayed scores under the CURRENT as-of date, from the standing
+    * daily table only. */
+  def decayServe(sp: org.apache.spark.sql.SparkSession,
+      prefix: String, dir: String): DataFrame =
+    graft.operators.EventOps.e31Score(
+      new EpochStore(prefix, dir, DecayTables).snap(sp, "daily"))
+
+  private[graft] val DecayTables = EpochTables(
+    snaps = Map("daily" -> Seq("user_id")),
+    logs = Map("proc" -> Seq("event_id")))
+
+  def streamingDecay(eventStream: DataFrame, prefix: String, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    eventStream.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        decayBatch(batch.toDF(), prefix, dir)
+      }
 }

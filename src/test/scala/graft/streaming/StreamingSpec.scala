@@ -1253,4 +1253,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     store.destroy(spark)
   }
+
+  test("streaming decay: micro-batched events fold into the daily " +
+      "sufficient statistic; serve equals from-scratch under the " +
+      "moving as-of date; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val store = new graft.streaming.EpochStore(
+      "graft_state_sdecay", "spec", StreamOps.DecayTables)
+    store.destroy(spark)
+    def ev(id: Long, day: Int, u: Long, v: Double) =
+      (id, t(f"2024-01-${day + 1}%02d 12:00:00"), u, v)
+    // batch 2 advances the as-of date by a week: every batch-1 event's
+    // weight halves between the two serves — the case a standing SCORE
+    // gets wrong and the standing STATISTIC gets right
+    val b1 = Seq(ev(1, 0, 1, 10.00), ev(2, 0, 1, 5.00), ev(3, 0, 2, -0.02))
+    val b2 = Seq(ev(4, 7, 1, 3.00), ev(5, 7, 2, 0.01))
+    def truth(rows: Seq[(Long, Timestamp, Long, Double)]) =
+      graft.operators.EventOps.e31Score(graft.operators.EventOps.e31Daily(
+          rows.toDF("event_id", "ts", "user_id", "value")
+            .select(col("user_id"), col("ts"), col("value"))))
+        .collect().map(_.toSeq).toSeq
+    def serve() = StreamOps.decayServe(spark, "graft_state_sdecay", "spec")
+      .collect().map(_.toSeq).toSeq
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = StreamOps.streamingDecay(
+      input.toDF().toDF("event_id", "ts", "user_id", "value"),
+      "graft_state_sdecay", "spec").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(serve() == truth(b1), "day-1 serve diverged from rebuild")
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(serve() == truth(b1 ++ b2),
+        "serve after the as-of advance diverged from rebuild")
+      val epochBefore = store.committed(spark)._1
+      input.addData(b2: _*) // verbatim re-delivery after a restart
+      q.processAllAvailable()
+      assert(store.committed(spark)._1 == epochBefore,
+        "replayed batch opened a new epoch")
+      assert(serve() == truth(b1 ++ b2), "replayed batch moved the state")
+    } finally q.stop()
+    // crash-before-commit is invisible: inject on a THIRD batch, then
+    // the retry lands it exactly once
+    val b3 = Seq(ev(6, 8, 2, 1.00))
+    intercept[EpochStore.InjectedCrash] {
+      StreamOps.decayBatch(
+        b3.toDF("event_id", "ts", "user_id", "value"),
+        "graft_state_sdecay", "spec", crashBeforeCommit = true)
+    }
+    assert(serve() == truth(b1 ++ b2),
+      "crashed batch became visible before the epoch flip")
+    StreamOps.decayBatch(b3.toDF("event_id", "ts", "user_id", "value"),
+      "graft_state_sdecay", "spec")
+    assert(serve() == truth(b1 ++ b2 ++ b3),
+      "post-crash retry did not land the batch exactly once")
+    // compaction folds the processed-id log into its base table — the
+    // replay guard must survive it (a compaction that dropped history
+    // would double-count any replayed old batch)
+    store.compact(spark)
+    StreamOps.decayBatch(b1.toDF("event_id", "ts", "user_id", "value"),
+      "graft_state_sdecay", "spec") // replay DAY ONE after compaction
+    assert(serve() == truth(b1 ++ b2 ++ b3),
+      "compaction dropped the replay guard: day-1 replay double-counted")
+    store.destroy(spark)
+  }
 }
