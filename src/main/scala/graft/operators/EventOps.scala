@@ -1593,13 +1593,17 @@ object EventOps {
     * division with the sign reapplied, floor(x·100 + 0.5) cents.
     *
     * Scale shape: the day-1 build collapses the corpus map-side to
-    * (user, date) grain and writes it bucketed by user_id
-    * ([[graft.sources.LayoutOps.stateBuckets]]); day-2 scans ONLY the
-    * delta slice plus the standing daily table; the score pass is a
-    * 1-row as-of broadcast + 62-row weight broadcast over the
-    * users×days frame. ScaleSpec pins ≤ 2 events scans (the delta
-    * feeds both the fold and the as-of derivation) and the standing
-    * table in the plan. */
+    * (user, date) grain and writes it bucketed on the FULL fold key
+    * (user_id, d) ([[graft.sources.LayoutOps.stateBuckets]]); day-2
+    * folds by q50Fold's discipline — a full-outer join in which the
+    * standing side plans ZERO exchange (the delta repartitions to the
+    * table's actual bucket spec) — so the daily write moves only the
+    * delta, never the standing table (a union + re-groupBy would
+    * re-shuffle ALL of it every day). The score pass is a 1-row as-of
+    * broadcast + 62-row weight broadcast + a partial-aggregated
+    * groupBy(user) whose exchange carries users-sized partials.
+    * ScaleSpec pins ≤ 2 events scans, the standing table in the plan,
+    * and the standing side exchange-free. */
   def e31DecayedDay2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.EngineFns.md5Long
@@ -1609,11 +1613,32 @@ object EventOps {
     val dayT = graft.sources.LayoutOps.stateTable("graft_state_e31_daily", dir)
     if (!spark.catalog.tableExists(dayT))
       graft.sources.LayoutOps.writeBucketed(
-        e31Daily(ev.filter(!isNew)), dayT, "user_id",
+        e31Daily(ev.filter(!isNew)), dayT, Seq("user_id", "d"),
         graft.sources.LayoutOps.stateBuckets(spark))
-    e31Score(spark.table(dayT).unionByName(e31Daily(ev.filter(isNew)))
-      .groupBy($"user_id", $"d")
-      .agg(sum($"n_ev").as("n_ev"), sum($"day_cents").as("day_cents")))
+    e31Score(e31Fold(dayT, ev.filter(isNew)))
+  }
+
+  /** The delta-only fold: full-outer join of the bucketed standing
+    * daily table with the delta's daily partials, co-partitioned on
+    * the table's actual bucket spec so the standing side plans zero
+    * exchange — additive sums merge by coalesce (q50Fold's shape). */
+  private[graft] def e31Fold(dayT: String, delta: DataFrame): DataFrame = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    spark.table(dayT)
+      .select($"user_id", $"d",
+        $"n_ev".as("n_old"), $"day_cents".as("c_old"))
+      .join(e31Daily(delta)
+          .select($"user_id", $"d",
+            $"n_ev".as("n_new"), $"day_cents".as("c_new"))
+          .repartition(graft.sources.LayoutOps.tableBuckets(spark, dayT),
+            $"user_id", $"d"),
+        Seq("user_id", "d"), "full_outer")
+      .select($"user_id", $"d",
+        (coalesce($"n_old", lit(0L)) + coalesce($"n_new", lit(0L)))
+          .as("n_ev"),
+        (coalesce($"c_old", lit(0L)) + coalesce($"c_new", lit(0L)))
+          .as("day_cents"))
   }
 
   /** The sufficient statistic: exact integer cents + event counts at

@@ -1377,14 +1377,14 @@ object StreamOps {
     * batch ∖ processed; a replayed micro-batch after a restart has
     * Δevents = ∅ and is a TRUE no-op — no state write, no epoch bump
     * (spec-pinned). Both tables commit atomically through
-    * [[EpochStore]]; the daily snapshot stays bucketed by user at
-    * every epoch so the fold's standing side remains co-partitioned.
-    *
-    * Scale shape: per batch, one batch-sized dedup + anti-join against
-    * the id log, one batch-days-grain partial aggregate, one
-    * daily-table-sized re-sum (users × active-days — metadata-sized
-    * next to the event corpus). Serve is e31's score pass: 1-row
-    * as-of broadcast + 62-row weight broadcast over the daily frame. */
+    * [[EpochStore]]; the daily snapshot stays bucketed on the FULL
+    * fold key (user_id, d) at every epoch so
+    * [[graft.operators.EventOps.e31Fold]]'s standing side plans zero
+    * exchange — per batch, only the batch's own daily partials
+    * shuffle, the standing table never moves. Serve is e31's score
+    * pass: 1-row as-of broadcast + 62-row weight broadcast + a
+    * partial-aggregated groupBy(user) whose exchange carries
+    * users-sized partials. */
   private[graft] def decayBatch(batch: DataFrame, prefix: String,
       dir: String, crashBeforeCommit: Boolean = false): Unit = {
     val sp = batch.sparkSession
@@ -1404,12 +1404,10 @@ object StreamOps {
         .localCheckpoint() // one compute for the guard probe and the fold
       try {
         if (!newEv.isEmpty) store.transact(sp) { tx =>
-          tx.writeSnap("daily",
-            store.snap(sp, "daily")
-              .unionByName(graft.operators.EventOps.e31Daily(newEv))
-              .groupBy($"user_id", $"d")
-              .agg(sum($"n_ev").as("n_ev"),
-                sum($"day_cents").as("day_cents")))
+          // e31Fold: co-partitioned full-outer against the bucketed
+          // snapshot — only the batch's daily partials shuffle
+          tx.writeSnap("daily", graft.operators.EventOps.e31Fold(
+            store.snapName(sp, "daily"), newEv))
           tx.writeLogDelta("proc", newEv.select($"event_id").distinct())
           if (crashBeforeCommit) throw new EpochStore.InjectedCrash
         }
@@ -1426,7 +1424,7 @@ object StreamOps {
       new EpochStore(prefix, dir, DecayTables).snap(sp, "daily"))
 
   private[graft] val DecayTables = EpochTables(
-    snaps = Map("daily" -> Seq("user_id")),
+    snaps = Map("daily" -> Seq("user_id", "d")), // the FULL fold key
     logs = Map("proc" -> Seq("event_id")))
 
   def streamingDecay(eventStream: DataFrame, prefix: String, dir: String)

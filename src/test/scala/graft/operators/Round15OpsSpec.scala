@@ -1,5 +1,8 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -11,6 +14,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * under the old direct divide. */
 class Round15OpsSpec extends AnyFunSuite {
   import graft.SharedSpark._
+
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
 
   test("e30: the power-of-two weight table is exact and inlined " +
       "identically into the oracle VALUES CTE") {
@@ -88,6 +97,28 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(got == Seq(
       Seq(1L, 4L, 2000L, 725000000L),
       Seq(2L, 2L, -1L, 500000L)), s"got $got")
+  }
+
+  test("e31: the daily fold is co-partitioned — the bucketed standing " +
+      "side plans zero exchange; only the delta's partials shuffle") {
+    import spark.implicits._
+    // building the query materializes the standing daily table
+    graft.SparkEntry.queries("e31_decayed_day2")(spark, sf)
+    val dayT = graft.sources.LayoutOps
+      .stateTable("graft_state_e31_daily", sf)
+    val fold = EventOps.e31Fold(dayT,
+      graft.Tables(spark, sf, "events")
+        .select($"event_id", $"user_id", $"ts", $"value").limit(64))
+    val joins = physical(fold).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.size == 1, s"expected one fold join:\n${physical(fold)}")
+    val standingClean = joins.forall(j =>
+      j.children.exists(s => s.toString.contains("graft_state_e31_daily") &&
+        !s.toString.contains("Exchange")))
+    assert(standingClean,
+      s"standing daily side is not exchange-free:\n${joins.head}")
   }
 
   test("e30: plan stays one scan + two broadcasts + partial agg — the " +
