@@ -27,10 +27,9 @@ package graft
   * OPERATOR token is any maximal run of `+ - * / % < > = ! | & ^ ~ : #
   * @`. SQL keywords that can precede `(` (CASE arms, OVER, VALUES, …)
   * live in the function allowlist — the lint's job is rejecting NEW
-  * surface, not perfect grammar. Subquery/UNNEST aliases (`t`, `u`,
-  * `v`, …) extracted by the simple tokenizer are allowlisted as part
-  * of the proven text: a future alias outside the set fails the lint
-  * and is added here on purpose, same as a function.
+  * surface, not perfect grammar. Derived-table/UNNEST aliases
+  * (`) t(x)`, `) AS u(x)`) are recognized as query-local, same as
+  * CTE names.
   */
 object OracleDialect {
 
@@ -63,12 +62,12 @@ object OracleDialect {
     // half-up vs shortest-repr across builds; floor(x+0.5) instead)
     "cast", "coalesce", "generate_series", "greatest", "least", "decimal",
     // SQL keywords the simple tokenizer sees before `(`
-    "and", "as", "cube", "else", "except", "exists", "filter", "from",
+    "and", "as", "cube", "else", "except", "exists", "from",
     "grouping", "in", "join", "materialized", "not", "nulls", "or",
     "over", "range", "rollup", "select", "sets", "then", "using",
     "values", "when",
-    // derived-table / unnest aliases present in the proven text
-    "t", "u", "v", "docs", "gramless", "aggregation", "list", "months",
+    // DuckDB list() aggregate + q32's month arithmetic
+    "list", "months",
   )
 
   /** Operator runs proven portable by the r14 driver-green oracles.
@@ -84,7 +83,8 @@ object OracleDialect {
   private val StringLit = "'(?:[^']|'')*'".r
   private val CteName =
     "(?is)(?:\\bwith\\b|,)\\s*([A-Za-z_]\\w*)\\s*(?:\\([^)]*\\))?\\s+as\\s*\\(".r
-  private val DerivedAlias = "\\)\\s*([A-Za-z_]\\w*)\\s*\\(".r
+  private val DerivedAlias =
+    "(?i)\\)\\s*(?:as\\s+)?([A-Za-z_]\\w*)\\s*\\(".r
   private val FuncTok = "\\b([A-Za-z_]\\w*)\\s*\\(".r
   private val OpTok = "[+\\-*/%<>=!|&^~:#@]+".r
 
