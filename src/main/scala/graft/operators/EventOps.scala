@@ -1615,7 +1615,16 @@ object EventOps {
       graft.sources.LayoutOps.writeBucketed(
         e31Daily(ev.filter(!isNew)), dayT, Seq("user_id", "d"),
         graft.sources.LayoutOps.stateBuckets(spark))
-    e31Score(e31Fold(dayT, ev.filter(isNew)))
+    val delta = ev.filter(isNew)
+    // the as-of date from the fold's INPUTS, not its output: deriving
+    // it from the folded frame would re-run the whole join a second
+    // time for a 1-row max (plan-audited), while the inputs need only
+    // two single-column scans — identical by construction, since the
+    // full-outer fold's day set IS the union of its inputs' day sets
+    val asof = spark.table(dayT).select($"d")
+      .unionByName(delta.select(to_date($"ts").as("d")))
+      .agg(max($"d").as("asof"))
+    e31Score(e31Fold(dayT, delta), Some(asof))
   }
 
   /** The delta-only fold: full-outer join of the bucketed standing
@@ -1656,11 +1665,15 @@ object EventOps {
 
   /** e30's portable decay applied to a (user_id, d, n_ev, day_cents)
     * daily frame — planted fold-vs-from-scratch specs and the
-    * streaming maintainer's serve path enter here. */
-  private[graft] def e31Score(dailyF: DataFrame): DataFrame = {
+    * streaming maintainer's serve path enter here. `asofOverride`
+    * supplies a pre-computed 1-row (asof DATE) frame when deriving it
+    * from `dailyF` itself would recompute an expensive plan twice. */
+  private[graft] def e31Score(dailyF: DataFrame,
+      asofOverride: Option[DataFrame] = None): DataFrame = {
     val spark = dailyF.sparkSession
     import spark.implicits._
-    val asof = dailyF.agg(max($"d").as("asof")) // provably one row
+    val asof = asofOverride // provably one row either way
+      .getOrElse(dailyF.agg(max($"d").as("asof")))
     val pow2 = E30Pow2.toDF("k", "pow2")
     dailyF.crossJoin(broadcast(asof))
       .withColumn("k", expr(s"datediff(asof, d) div $E30HalfLifeDays"))

@@ -446,6 +446,13 @@ class ScaleSpec extends AnyFunSuite {
     // rebuild leaked into the steady-state path
     val evScans = "events\\.parquet".r.findAllIn(p).length
     assert(evScans <= 2, s"e31 rescans events ($evScans scans):\n$p")
+    // exactly ONE fold join: the as-of date derives from the fold's
+    // INPUTS (two single-column scans), never by re-running the join
+    // for a 1-row max (the plan-audit regression r15 caught)
+    val foldIds = "\\((\\d+)\\)\\s+(?:SortMergeJoin|ShuffledHashJoin)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(foldIds.size == 1,
+      s"e31 runs the fold join ${foldIds.size} times:\n$p")
   }
 
   test("standing-state bucket count is a CONFIG — writers honor " +
