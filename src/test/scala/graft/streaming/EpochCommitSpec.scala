@@ -657,4 +657,39 @@ class EpochCommitSpec extends AnyFunSuite {
       "repair did not clear the pending-deletion set")
     store.destroy(spark)
   }
+
+  test("epoch snapshots honor graft.state.buckets: every epoch's " +
+      "bucketed snap carries the configured count and the fold's " +
+      "delta side tracks it (r14 verdict item 5, EpochStore arm)") {
+    import spark.implicits._
+    val saved = spark.conf.getOption("graft.state.buckets")
+    val store = new EpochStore("graft_state_ebkt", "crash",
+      StreamOps.DecayTables)
+    store.destroy(spark)
+    def ev(id: Long, u: Long, v: Double) =
+      (id, java.sql.Timestamp.valueOf(s"2024-01-0${id} 12:00:00"), u, v)
+    try {
+      spark.conf.set("graft.state.buckets", "5")
+      StreamOps.decayBatch(
+        Seq(ev(1, 1, 2.0)).toDF("event_id", "ts", "user_id", "value"),
+        "graft_state_ebkt", "crash")
+      assert(graft.sources.LayoutOps.tableBuckets(spark,
+        store.snapName(spark, "daily")) == 5,
+        "epoch-1 snapshot ignored graft.state.buckets")
+      // the day-2 fold must keep the count across the epoch flip
+      StreamOps.decayBatch(
+        Seq(ev(2, 2, 3.0)).toDF("event_id", "ts", "user_id", "value"),
+        "graft_state_ebkt", "crash")
+      assert(graft.sources.LayoutOps.tableBuckets(spark,
+        store.snapName(spark, "daily")) == 5,
+        "epoch-2 snapshot lost the configured bucket count")
+      assert(store.snap(spark, "daily").count() == 2)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("graft.state.buckets", v)
+        case None => spark.conf.unset("graft.state.buckets")
+      }
+      store.destroy(spark)
+    }
+  }
 }
