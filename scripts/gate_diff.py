@@ -5,23 +5,41 @@ driver's gate is the hard signal, and round-close counts must state
 driver numbers, never local ones, wherever a driver artifact exists.
 
 Usage: gate_diff.py CORRECTNESS_local_rN.json CORRECTNESS_rN.json
-Exit 1 if any query differs in (rows/schema/hash) status between the
-two gates or is present in only one of them.
+The first argument MUST be the local gate (scripts/oracle_check.py
+summary, entries {"status": s, "rows": N}); the second MUST be the
+driver artifact (entries with rows_match/schema_match/hash_match
+booleans). Each entry is decoded by its file's format — never sniffed —
+and an entry that doesn't match its file's expected shape is a hard
+error, not a silent fall-through (r15 ADVICE).
+
+Exit 1 if any query differs in status between the two gates or is
+present in only one of them.
 """
 import json
 import sys
 
 
-def status(entry):
-    # local format (scripts/oracle_check.py): {"rows": N, "status": s}
-    if "status" in entry:
-        s = entry["status"]
-        if s == "ok":
-            return "green"
-        if s.startswith("skip"):
-            return "rows_only"
-        return "RED(%s)" % s
-    # driver format: per-check booleans + err
+def local_status(name, entry):
+    if not isinstance(entry, dict) or "status" not in entry:
+        raise SystemExit(
+            "malformed LOCAL gate entry %r: %r — expected oracle_check.py "
+            "summary with a 'status' key (were the arguments swapped?)"
+            % (name, entry))
+    s = entry["status"]
+    if s == "ok":
+        return "green"
+    if s.startswith("skip"):
+        return "rows_only"
+    return "RED(%s)" % s
+
+
+def driver_status(name, entry):
+    if not isinstance(entry, dict) or not (
+            "err" in entry or "hash_match" in entry):
+        raise SystemExit(
+            "malformed DRIVER gate entry %r: %r — expected per-check "
+            "booleans (rows_match/schema_match/hash_match) or err "
+            "(were the arguments swapped?)" % (name, entry))
     if entry.get("err") == "no_oracle":
         return "rows_only"
     ok = all(entry.get(k) is True
@@ -35,7 +53,13 @@ def load(path):
     with open(path) as f:
         d = json.load(f)
     # summaries are either {name: entry} or {"queries": {name: entry}}
-    return d.get("queries", d) if isinstance(d, dict) else d
+    if isinstance(d, dict):
+        inner = d.get("queries", d)
+        if isinstance(inner, dict):
+            return inner
+    raise SystemExit(
+        "unexpected gate artifact shape in %s: top-level %s — expected "
+        "an object of {query_name: entry}" % (path, type(d).__name__))
 
 
 def main(local_path, driver_path):
@@ -46,17 +70,16 @@ def main(local_path, driver_path):
         return 0
     bad = []
     for name in sorted(set(local) | set(driver)):
-        ls = status(local[name]) if name in local else "MISSING"
-        ds = status(driver[name]) if name in driver else "MISSING"
+        ls = local_status(name, local[name]) if name in local else "MISSING"
+        ds = driver_status(name, driver[name]) if name in driver else "MISSING"
         if ls != ds:
             bad.append((name, ls, ds))
             print("DIVERGED %-28s local=%s driver=%s" % (name, ls, ds))
-    greens = sum(1 for n in driver if status(driver[n]) == "green")
+    statuses = {n: driver_status(n, driver[n]) for n in driver}
+    greens = sum(1 for s in statuses.values() if s == "green")
+    rows_only = sum(1 for s in statuses.values() if s == "rows_only")
     print("driver gate: %d queries, %d green, %d rows-only, %d red"
-          % (len(driver), greens,
-             sum(1 for n in driver if status(driver[n]) == "rows_only"),
-             len(driver) - greens
-             - sum(1 for n in driver if status(driver[n]) == "rows_only")))
+          % (len(driver), greens, rows_only, len(driver) - greens - rows_only))
     if bad:
         print("RECONCILE: %d divergent entries — driver status wins; "
               "treat local-green/driver-red as FAIL" % len(bad))

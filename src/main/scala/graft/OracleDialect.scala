@@ -21,7 +21,10 @@ package graft
   * never an accident inside a query string.
   *
   * Tokenizer contract (deterministic, deliberately simple): strip
-  * `--` line comments and `'…'` string literals first; a FUNCTION
+  * `--` line comments and `'…'` string literals in one context-aware
+  * pass (a `--` inside a literal is data, a `'` inside a comment is
+  * commentary — sequential regex passes get one of the two wrong in
+  * either order); then a FUNCTION
   * token is any identifier directly followed by `(` that is not a CTE
   * name or a `) alias(` derived-table alias of the same query; an
   * OPERATOR token is any maximal run of `+ - * / % < > = ! | & ^ ~ : #
@@ -79,8 +82,6 @@ object OracleDialect {
     "!=", "||", "->", ">>", "&", ":", // ":" = DuckDB list-slice l[a:b]
   )
 
-  private val LineComment = "(?m)--.*$".r
-  private val StringLit = "'(?:[^']|'')*'".r
   private val CteName =
     "(?is)(?:\\bwith\\b|,)\\s*([A-Za-z_]\\w*)\\s*(?:\\([^)]*\\))?\\s+as\\s*\\(".r
   private val DerivedAlias =
@@ -91,9 +92,38 @@ object OracleDialect {
   /** Every function/operator token of `sql` outside the allowlists,
     * tagged `func:`/`op:` — empty ⟺ the oracle stays inside the
     * proven-portable dialect. */
+  /** One-pass literal+comment stripper (r15 ADVICE): sequential regex
+    * passes get this wrong in BOTH orders — comments-first truncates a
+    * line at a `--` inside a quoted literal (swallowing its closing
+    * quote), literals-first opens a phantom string at a `'` inside a
+    * comment. A character scan tracks which context it is in, so each
+    * marker only counts outside the other construct. `''` escapes are
+    * honored; literals become `''` so operators stay delimited. */
+  private[graft] def stripLiteralsAndComments(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') { // string literal: skip to its true close
+        out.append("''")
+        i += 1
+        var open = true
+        while (i < n && open) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 2 // '' escape
+            else { i += 1; open = false }
+          } else i += 1
+        }
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') i += 1 // comment to EOL
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   def violations(sql: String): Seq[String] = {
-    val s = StringLit.replaceAllIn(
-      LineComment.replaceAllIn(sql, ""), "''")
+    val s = stripLiteralsAndComments(sql)
     val local = CteName.findAllMatchIn(s).map(_.group(1).toLowerCase).toSet ++
       DerivedAlias.findAllMatchIn(s).map(_.group(1).toLowerCase).toSet
     val badFuncs = FuncTok.findAllMatchIn(s).map(_.group(1).toLowerCase)

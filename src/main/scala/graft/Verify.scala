@@ -19,10 +19,27 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only.toSet).toMap
+    // First-row value dump (r15 verdict item 3): when a driver-side
+    // hash disagrees with the local gate, this pins WHICH column and
+    // WHICH representation diverged — data, not re-theorizing. Values
+    // are read back from the written parquet (coalesce(1) preserves the
+    // query's ORDER BY), rendered with their runtime class so a
+    // BigDecimal-vs-Long or repr-level drift is visible in the diff.
+    val firstRows = scala.collection.mutable.TreeMap.empty[String, String]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val back = spark.read.parquet(s"$outDir/$name")
+        firstRows(name) = back.limit(1).collect().headOption match {
+          case None => "<empty>"
+          case Some(r) => back.columns.zipWithIndex.map { case (c, i) =>
+            val v = r.get(i)
+            val cls = if (v == null) "null" else v.getClass.getSimpleName
+            s"$c=${String.valueOf(v)}:$cls"
+          }.mkString("|")
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -50,6 +67,9 @@ object Verify {
     // absent and the summary under-counts instead of failing
     Files.writeString(Paths.get(s"$outDir/query_names.json"),
       selected.keySet.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/first_rows.json"),
+      firstRows.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -81,11 +81,9 @@ object NgramHash60 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_hashes",
-      (exprs: Seq[Expression]) => {
-        GraftFnArgs.literalInts("ngram_hashes", exprs, arity = 2) match {
-          case Seq(n) => NgramHash60(exprs.head, n)
-        }
-      },
+      (exprs: Seq[Expression]) =>
+        NgramHash60(exprs.head,
+          GraftFnArgs.literalInts("ngram_hashes", exprs, arity = 2).head),
       "built-in")
 }
 
@@ -98,10 +96,13 @@ private[functions] object GraftFnArgs {
     * after the first a foldable integer literal; returns those
     * literal values. */
   def literalInts(fn: String, exprs: Seq[Expression], arity: Int): Seq[Int] = {
+    // USER_RAISED_EXCEPTION renders the message verbatim as a caller
+    // error (SQLSTATE P0001); INTERNAL_ERROR would present a bad arity
+    // as an engine bug ("please report") — r15 ADVICE
     def fail(msg: String): Nothing =
       throw new org.apache.spark.sql.AnalysisException(
-        "INTERNAL_ERROR",
-        Map("message" ->
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
           s"$fn: $msg — expected $fn(str${", <int literal>" * (arity - 1)})"),
         None)
     if (exprs.length != arity)

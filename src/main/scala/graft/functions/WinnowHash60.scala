@@ -110,9 +110,8 @@ object WinnowHash60 {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_hashes",
       (exprs: Seq[Expression]) => {
-        GraftFnArgs.literalInts("winnow_hashes", exprs, arity = 3) match {
-          case Seq(n, w) => WinnowHash60(exprs.head, n, w)
-        }
+        val args = GraftFnArgs.literalInts("winnow_hashes", exprs, arity = 3)
+        WinnowHash60(exprs.head, args(0), args(1))
       },
       "built-in")
 }

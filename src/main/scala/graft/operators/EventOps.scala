@@ -1476,7 +1476,14 @@ object EventOps {
     * sign(cents) · ((|cents| · 10^6) div 2^k). Per-event floor loss is
     * ≤ 1 micro-cent, applied identically on both sides —
     * deterministic, not approximate-and-hope. Sums accumulate in
-    * decimal(38,0)/HUGEINT (q62's overflow discipline).
+    * decimal(38,0)/HUGEINT (q62's overflow discipline) but SURFACE as
+    * BIGINT: the r15 driver gate proved DECIMAL(38,0) OUTPUT columns
+    * are value-hash-unportable across oracle-harness builds — the only
+    * two queries emitting them were the only two red entries, across
+    * two disjoint compute encodings, while every oracle TOKEN was
+    * proven portable by green siblings. Outputs stay inside the
+    * driver-proven type set (OutputSchemaSpec gates this repo-wide);
+    * int64 headroom for the surfaced sums is pinned by a guard spec.
     *
     * PORTABLE-DIALECT discipline (the r14 driver gate's one red
     * entry): the first encoding computed 2^k with a `<<` shift and
@@ -1532,9 +1539,15 @@ object EventOps {
         .otherwise(when($"cents" < 0, lit(-1L)).otherwise(lit(1L)) *
           expr("(abs(cents) * 1000000) div pow2")))
       .groupBy($"user_id")
+      // Accumulate in decimal(38,0) (q62's overflow discipline) but
+      // SURFACE as BIGINT: the r15 driver gate proved wide-decimal
+      // OUTPUT columns are the one non-portable feature of the result
+      // schema (both red queries, both encodings — every oracle token
+      // was proven portable by green siblings). Values fit int64 with
+      // orders of magnitude of headroom (E30HeadroomSpec pins it).
       .agg(count(lit(1)).as("n_events"),
-        sum($"cents".cast("decimal(38,0)")).as("total_cents"),
-        sum($"dm".cast("decimal(38,0)")).as("score_micro"))
+        sum($"cents".cast("decimal(38,0)")).cast("long").as("total_cents"),
+        sum($"dm".cast("decimal(38,0)")).cast("long").as("score_micro"))
       .orderBy($"user_id")
   }
 
@@ -1562,8 +1575,8 @@ object EventOps {
        |    END AS dm
        |  FROM e LEFT JOIN p ON e.k = p.k)
        |SELECT user_id, COUNT(*) AS n_events,
-       |  CAST(SUM(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS total_cents,
-       |  CAST(SUM(CAST(dm AS HUGEINT)) AS DECIMAL(38,0)) AS score_micro
+       |  CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS total_cents,
+       |  CAST(SUM(CAST(dm AS HUGEINT)) AS BIGINT) AS score_micro
        |FROM d GROUP BY 1
        |ORDER BY user_id""".stripMargin
   }
@@ -1682,9 +1695,10 @@ object EventOps {
         .otherwise(when($"day_cents" < 0, lit(-1L)).otherwise(lit(1L)) *
           expr("(abs(day_cents) * 1000000) div pow2")))
       .groupBy($"user_id")
+      // decimal(38,0) accumulators, BIGINT surface — e30's discipline
       .agg(sum($"n_ev").cast("long").as("n_events"),
-        sum($"day_cents".cast("decimal(38,0)")).as("total_cents"),
-        sum($"dm".cast("decimal(38,0)")).as("score_micro"))
+        sum($"day_cents".cast("decimal(38,0)")).cast("long").as("total_cents"),
+        sum($"dm".cast("decimal(38,0)")).cast("long").as("score_micro"))
       .orderBy($"user_id")
   }
 
@@ -1714,11 +1728,163 @@ object EventOps {
        |    END AS dm
        |  FROM e LEFT JOIN p ON e.k = p.k)
        |SELECT user_id, CAST(SUM(n_ev) AS BIGINT) AS n_events,
-       |  CAST(SUM(CAST(day_cents AS HUGEINT)) AS DECIMAL(38,0)) AS total_cents,
-       |  CAST(SUM(CAST(dm AS HUGEINT)) AS DECIMAL(38,0)) AS score_micro
+       |  CAST(SUM(CAST(day_cents AS HUGEINT)) AS BIGINT) AS total_cents,
+       |  CAST(SUM(CAST(dm AS HUGEINT)) AS BIGINT) AS score_micro
        |FROM d2 GROUP BY 1
        |ORDER BY user_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- e32
+  /** INCREMENTAL sessionization — e3's 30-minute-gap sessions with a
+    * day-2 story. Sessions are the canonical NON-ADDITIVE windowed
+    * state: a new event does not just increment a group, it can EXTEND
+    * a standing session, OPEN a new one, or MERGE two standing sessions
+    * into one (a bridge event landing in the > 30 min gap between
+    * them) — so no per-group additive fold exists, and the naive
+    * refresh re-sessionizes the whole corpus.
+    *
+    * The incremental algorithm rests on a connectivity argument. Treat
+    * each event as a point; two events chain into one session iff
+    * consecutive gaps are ≤ G. A standing session is an interval
+    * [s, e] whose internal gaps are all ≤ G, and distinct standing
+    * sessions of a user are > G apart BY CONSTRUCTION. Then for a new
+    * point p: (a) p inside [s−G, e+G] is within G of one of the
+    * session's events (inside the span, the events tile it with gaps
+    * ≤ G; outside, the nearest event IS the span endpoint) — connected;
+    * (b) two standing sessions never connect directly (gap > G), only
+    * through a bridging new point. So a 1-D sweep over {standing
+    * intervals} ∪ {new points} sorted by start, merging whenever
+    * start ≤ runningMaxEnd + G, reproduces EXACTLY the from-scratch
+    * session partition — and only for users that actually received new
+    * events. Session stats recombine exactly: counts add, endpoints
+    * are min/max of member endpoints.
+    *
+    * Scale shape: the standing session table is users×sessions rows —
+    * metadata-sized next to the event corpus — bucketed on user_id;
+    * the delta's touched-user semi/anti split co-partitions against it
+    * with the standing side planning ZERO exchange (delta users
+    * repartition to the table's actual bucket spec), untouched users'
+    * sessions pass through untouched, and only touched users (the
+    * delta's user set, not the corpus's) re-sweep — per-user window
+    * work over per-user-session rows. A full re-sessionize would
+    * re-shuffle every EVENT; the fold moves only sessions of users
+    * that changed. */
+  def e32SessionsDay2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    val ev = events(spark, dir)
+    val isNew = pmod(md5Long(concat($"event_id".cast("string"), lit(":e32"))),
+      lit(5L)) === 0L
+    val sessT = graft.sources.LayoutOps.stateTable("graft_state_e32_sessions", dir)
+    if (!spark.catalog.tableExists(sessT))
+      graft.sources.LayoutOps.writeBucketed(
+        e32Sessions(ev.filter(!isNew)), sessT, Seq("user_id"),
+        graft.sources.LayoutOps.stateBuckets(spark))
+    e32Fold(sessT, ev.filter(isNew))
+  }
+
+  private[operators] val E32GapUs = 30L * 60 * 1000000
+
+  /** Standing-state shape: per-user session INTERVALS (start/end in
+    * epoch micros — both are event timestamps) + member count. */
+  private[graft] def e32Sessions(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val us = unix_micros($"ts")
+    ev.withColumn("prev_us", lag(us, 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || us - $"prev_us" > E32GapUs, 1).otherwise(0))
+      .withColumn("sid", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min(us).as("start_us"), max(us).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+  }
+
+  /** The touched-users-only fold at the QUERY shape. */
+  private[graft] def e32Fold(sessT: String, delta: DataFrame): DataFrame = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val (resw, untouched) = e32MergedParts(sessT, delta)
+    e32Shape(resw).unionByName(e32Shape(untouched))
+      .orderBy($"user_id", $"sess_id")
+  }
+
+  /** (user_id, start_us, end_us, n_events) → the query/serve shape:
+    * per-user sess_id rank + duration. Applied per BRANCH in the fold
+    * (branch user sets are disjoint, so ranks equal a global window)
+    * so untouched standing sessions ride their bucketing instead of a
+    * post-union re-hash; applied once over the bucketed snapshot in
+    * the streaming maintainer's serve. */
+  private[graft] def e32Shape(sessions: DataFrame): DataFrame = {
+    val spark = sessions.sparkSession
+    import spark.implicits._
+    sessions
+      .withColumn("sess_id", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"start_us")).cast("long"))
+      .select($"user_id", $"sess_id", $"n_events",
+        ($"end_us" - $"start_us").as("dur_us"))
+  }
+
+  /** The sweep core shared by the batch day-2 query and the streaming
+    * session maintainer: (re-swept touched users, untouched pass-
+    * through), both at the STATE shape — the maintainer unions and
+    * writes them as the next epoch's snapshot, the query shapes each
+    * branch. */
+  private[graft] def e32MergedParts(sessT: String,
+      delta: DataFrame): (DataFrame, DataFrame) = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val standing = spark.table(sessT)
+    val users = delta.select($"user_id").distinct()
+      .repartition(graft.sources.LayoutOps.tableBuckets(spark, sessT),
+        $"user_id")
+    val touched = standing.join(users, Seq("user_id"), "left_semi")
+    val untouched = standing.join(users, Seq("user_id"), "left_anti")
+    val points = delta
+      .select($"user_id", unix_micros($"ts").as("start_us"),
+        unix_micros($"ts").as("end_us"), lit(1L).as("n_events"))
+    val byUser = Window.partitionBy($"user_id")
+      .orderBy($"start_us", $"end_us")
+    // running max end over PRECEDING items: merge iff this item starts
+    // within G of anything already swept (transitivity via the max)
+    val cumEnd = max($"end_us").over(
+      byUser.rowsBetween(Window.unboundedPreceding, -1))
+    val resw = touched.unionByName(points)
+      .withColumn("new_sess",
+        when(cumEnd.isNull || $"start_us" > cumEnd + E32GapUs, 1).otherwise(0))
+      .withColumn("sid", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"start_us").as("start_us"), max($"end_us").as("end_us"),
+        sum($"n_events").as("n_events"))
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+    (resw, untouched)
+  }
+
+  // The oracle is e3's from-scratch sessionization over ALL events
+  // (standing ∪ delta = everything), at the fold's output shape: the
+  // merge must be indistinguishable from a full re-sessionize.
+  val e32SessionsDay2Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+      |  FROM flagged)
+      |SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |  CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+      |FROM sess
+      |GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
@@ -1752,6 +1918,7 @@ object EventOps {
     "e29_rfm_segments" -> (e29RfmSegments _),
     "e30_decayed_engagement" -> (e30DecayedEngagement _),
     "e31_decayed_day2" -> (e31DecayedDay2 _),
+    "e32_sessions_day2" -> (e32SessionsDay2 _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1786,5 +1953,6 @@ object EventOps {
     "e29_rfm_segments" -> e29RfmSegmentsSql,
     "e30_decayed_engagement" -> e30DecayedEngagementSql,
     "e31_decayed_day2" -> e31DecayedDay2Sql,
+    "e32_sessions_day2" -> e32SessionsDay2Sql,
   )
 }

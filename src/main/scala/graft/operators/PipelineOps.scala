@@ -1100,6 +1100,50 @@ object PipelineOps {
        |ORDER BY tier, shard, pos""".stripMargin
   }
 
+  // --------------------------------------------------------------- p15
+  /** k-anonymity audit — the privacy gate a training-data pipeline runs
+    * before releasing a corpus with person-linked attributes. A row is
+    * re-identifiable when its QUASI-IDENTIFIER combination (here
+    * nation × market segment × account-balance band — the classic
+    * "zip × gender × birthdate" shape) is shared by fewer than k
+    * individuals: linkage with any external dataset carrying the same
+    * QIs singles those rows out. The audit reports every equivalence
+    * class below k = [[P15K]] — the exact set a release must suppress
+    * or generalize (coarser bands) to claim k-anonymity.
+    *
+    * Engine-exactness: the balance band is floor(acctbal / 2000.0) on
+    * the raw DOUBLE — floor agrees across engines for every sign (no
+    * div-vs-`//` hazard since no integer division is involved), and
+    * 2-decimal balances sit ≥ 5·10⁻⁶ band-widths from any band
+    * boundary, 10 orders of magnitude beyond double error.
+    *
+    * Scale shape: ONE map-side-partial hash aggregate on the QI key +
+    * a HAVING filter — the cheapest possible distributive shape; at
+    * 100 TB the shuffle carries only (QI, partial count) pairs, and
+    * the QI-class cardinality (nations × segments × bands) is tiny
+    * next to the row count. */
+  private[operators] val P15K = 5
+
+  def p15KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "customer")
+      .select($"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 2000.0).as("bal_bucket"))
+      .groupBy($"c_nationkey", $"c_mktsegment", $"bal_bucket")
+      .agg(count(lit(1)).as("n_rows"))
+      .filter($"n_rows" < P15K)
+      .orderBy($"c_nationkey", $"c_mktsegment", $"bal_bucket")
+  }
+
+  val p15KAnonymitySql: String =
+    s"""SELECT c_nationkey, c_mktsegment,
+       |  CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_bucket,
+       |  COUNT(*) AS n_rows
+       |FROM customer
+       |GROUP BY 1, 2, 3
+       |HAVING COUNT(*) < $P15K
+       |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_prep_pipeline" -> (p1PrepPipeline _),
     "p2_hash_sample"   -> (p2HashSample _),
@@ -1115,6 +1159,7 @@ object PipelineOps {
     "p12_corpus_funnel" -> (p12CorpusFunnel _),
     "p13_leakage_split" -> (p13LeakageSplit _),
     "p14_curriculum" -> (p14Curriculum _),
+    "p15_k_anonymity" -> (p15KAnonymity _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1133,5 +1178,6 @@ object PipelineOps {
     "p12_corpus_funnel" -> p12CorpusFunnelSql,
     "p13_leakage_split" -> p13LeakageSplitSql,
     "p14_curriculum" -> p14CurriculumSql,
+    "p15_k_anonymity" -> p15KAnonymitySql,
   )
 }

@@ -335,8 +335,17 @@ object LayoutOps {
     * themselves off the standing table's actual spec
     * ([[tableBuckets]]), never off this conf. */
   def stateBuckets(spark: SparkSession): Int =
-    spark.conf.getOption("graft.state.buckets").map(_.toInt)
-      .getOrElse(spark.sessionState.conf.numShufflePartitions)
+    spark.conf.getOption("graft.state.buckets") match {
+      case None => spark.sessionState.conf.numShufflePartitions
+      case Some(v) =>
+        // a bad value must name the conf here, not surface as a bare
+        // NumberFormatException or invalid bucketBy inside the writer
+        val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"graft.state.buckets must be a positive integer, got '$v'"))
+        if (n <= 0) throw new IllegalArgumentException(
+          s"graft.state.buckets must be > 0, got $n")
+        n
+    }
 
   /** The bucket count a standing table was ACTUALLY written with —
     * what a delta-side repartition must match for the fold to

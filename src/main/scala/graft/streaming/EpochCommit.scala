@@ -124,9 +124,31 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
         val in = ctx.open(f)
         val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
                 finally in.close()
-        val Array(e, b, bid) = s.split(" ")
-        (e.toInt, b.toInt, bid.toLong)
+        // ≥ 3 fields: the 4th (bucket count, via [[epochBuckets]]) was
+        // added later — a 3-field pointer from an older store is legal
+        val p = s.split(" ")
+        (p(0).toInt, p(1).toInt, p(2).toLong)
     }
+  }
+
+  /** The bucket count the tables of `epoch` were WRITTEN with, from
+    * that epoch's pointer file (4th field; absent on pre-r16 pointers
+    * and hand-committed test epochs). This is what restart adoption
+    * must re-declare: the conf (or a hardcoded 32) at adoption time
+    * can differ from the count at write time, and a bucket spec that
+    * misdescribes the files makes co-partitioned folds silently MISS
+    * matches (hash%N placement ≠ hash%M claim). */
+  private def epochBuckets(sp: SparkSession, epoch: Int): Option[Int] = {
+    val pd = pointerDir(sp)
+    val ctx = fc(sp, pd)
+    val f = new org.apache.hadoop.fs.Path(pd, s"_EPOCH.$epoch")
+    try {
+      val in = ctx.open(f)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+      val p = s.split(" ")
+      if (p.length >= 4) Some(p(3).toInt).filter(_ > 0) else None
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 
   def exists(sp: SparkSession): Boolean = committed(sp)._1 > 0
@@ -148,7 +170,7 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
     * private[streaming] ONLY so the restart spec can hand-commit a
     * path-written epoch (simulating a prior process's warehouse). */
   private[streaming] def flip(sp: SparkSession, epoch: Int, base: Int,
-                              batchId: Long): Unit = {
+                              batchId: Long, buckets: Int = -1): Unit = {
     val pd = pointerDir(sp)
     val ctx = fc(sp, pd)
     val tmp = new org.apache.hadoop.fs.Path(pd,
@@ -157,7 +179,7 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE),
       org.apache.hadoop.fs.Options.CreateOpts.createParent())
-    try out.write(s"$epoch $base $batchId".getBytes("UTF-8"))
+    try out.write(s"$epoch $base $batchId $buckets".getBytes("UTF-8"))
     finally out.close()
     try ctx.rename(tmp, new org.apache.hadoop.fs.Path(pd, s"_EPOCH.$epoch"))
     catch {
@@ -212,8 +234,21 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
       else {
         val schema = sp.read.parquet(loc.toString).schema
         val cols = buckets.mkString(", ")
+        // the COUNT must be the one the files were written with (the
+        // epoch pointer records it): adoption re-declaring a different
+        // count would misdescribe every file's bucket id and make the
+        // co-partitioned folds silently miss matches. Fallbacks (older
+        // pointers without the field) follow the documented one-count-
+        // per-store discipline: the committed epoch's count, then the
+        // session's stateBuckets conf.
+        val EpochNum = ".*__[edb](\\d+)".r
+        val nb = (t match {
+          case EpochNum(k) => epochBuckets(sp, k.toInt)
+          case _ => None
+        }).orElse(epochBuckets(sp, committed(sp)._1))
+          .getOrElse(graft.sources.LayoutOps.stateBuckets(sp))
         sp.sql(s"CREATE TABLE $t (${schema.toDDL}) USING parquet " +
-          s"CLUSTERED BY ($cols) SORTED BY ($cols) INTO 32 BUCKETS " +
+          s"CLUSTERED BY ($cols) SORTED BY ($cols) INTO $nb BUCKETS " +
           s"LOCATION '$loc'")
       }
     }
@@ -281,7 +316,8 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
   /** One epoch's uncommitted write set. All writes target `__e/d<epoch>`
     * tables invisible to readers until the caller's [[transact]] flips
     * the pointer. */
-  final class Tx private[EpochStore] (sp: SparkSession, val epoch: Int) {
+  final class Tx private[EpochStore] (sp: SparkSession, val epoch: Int,
+      nb: Int) {
     /** Next-epoch snapshot table name, for init cores that write
       * directly ([[graft.operators.RelationalOps.q50InitState]]). */
     def snapName(name: String): String = {
@@ -298,8 +334,10 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
       write(logDeltaName(name), df, tables.logs(name))
     private def write(t: String, df: DataFrame, buckets: Seq[String]): Unit =
       if (buckets.nonEmpty)
-        graft.sources.LayoutOps.writeBucketed(df, t, buckets,
-          graft.sources.LayoutOps.stateBuckets(sp))
+        // nb is read ONCE per transaction and recorded in the epoch
+        // pointer at commit — every table of an epoch shares the count
+        // restart adoption will re-declare
+        graft.sources.LayoutOps.writeBucketed(df, t, buckets, nb)
       else {
         graft.sources.LayoutOps.clearStaleLocation(sp, t)
         df.write.mode("overwrite").format("parquet").saveAsTable(t)
@@ -315,8 +353,9 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
     * overwrites. */
   def transact[A](sp: SparkSession, batchId: Long = -1L)(body: Tx => A): A = {
     val (e, b, _) = committed(sp)
-    val r = body(new Tx(sp, e + 1))
-    flip(sp, e + 1, b, batchId)
+    val nb = graft.sources.LayoutOps.stateBuckets(sp)
+    val r = body(new Tx(sp, e + 1, nb))
+    flip(sp, e + 1, b, batchId, nb)
     r
   }
 
@@ -332,32 +371,48 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
     * lake format's VACUUM documents — default 0 reclaims everything,
     * matching a RETAIN 0 HOURS vacuum). Run on a lake's compaction
     * cadence (the read-amplification bound is one relation per epoch
-    * since the last run). */
-  def compact(sp: SparkSession, retain: Int = 0): Unit = {
+    * since the last run).
+    *
+    * `logRetention` (r15 verdict item 4) applies a RETENTION filter to
+    * a log while it is being folded into the new base — the mechanism
+    * that bounds the otherwise-O(|stream|) growth of read-modify-write
+    * replay-guard logs (processed-id markers). The filter's contract
+    * is the CALLER's: it must only drop rows the maintainer can never
+    * need again (e.g. processed ids older than the source's maximum
+    * re-delivery horizon — a source that can replay beyond the horizon
+    * violates the trim's premise and would double-fold). Rows are
+    * dropped atomically with the compaction epoch: a crash mid-trim
+    * leaves readers on the untrimmed chain. */
+  def compact(sp: SparkSession, retain: Int = 0,
+      logRetention: Map[String, DataFrame => DataFrame] = Map.empty): Unit = {
+    require((logRetention.keySet -- tables.logs.keySet).isEmpty,
+      s"EpochStore($tag): logRetention names undeclared logs " +
+        s"${logRetention.keySet -- tables.logs.keySet}")
     val (e, _, bid) = committed(sp)
     require(e > 0, s"EpochStore($tag): nothing to compact")
     val next = e + 1
+    val nb = graft.sources.LayoutOps.stateBuckets(sp)
     tables.logs.foreach { case (name, buckets) =>
       val t = tname(name, s"b$next")
+      val kept = logRetention.getOrElse(name,
+        identity[DataFrame] _)(log(sp, name))
       if (buckets.nonEmpty)
-        graft.sources.LayoutOps.writeBucketed(log(sp, name), t, buckets,
-          graft.sources.LayoutOps.stateBuckets(sp))
+        graft.sources.LayoutOps.writeBucketed(kept, t, buckets, nb)
       else {
         graft.sources.LayoutOps.clearStaleLocation(sp, t)
-        log(sp, name).write.mode("overwrite").format("parquet").saveAsTable(t)
+        kept.write.mode("overwrite").format("parquet").saveAsTable(t)
       }
     }
     tables.snaps.foreach { case (name, buckets) =>
       val t = tname(name, s"e$next")
       if (buckets.nonEmpty)
-        graft.sources.LayoutOps.writeBucketed(snap(sp, name), t, buckets,
-          graft.sources.LayoutOps.stateBuckets(sp))
+        graft.sources.LayoutOps.writeBucketed(snap(sp, name), t, buckets, nb)
       else {
         graft.sources.LayoutOps.clearStaleLocation(sp, t)
         snap(sp, name).write.mode("overwrite").format("parquet").saveAsTable(t)
       }
     }
-    flip(sp, next, next, bid)
+    flip(sp, next, next, bid, nb)
     vacuum(sp, retain)
   }
 

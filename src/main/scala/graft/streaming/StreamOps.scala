@@ -1390,12 +1390,22 @@ object StreamOps {
     val sp = batch.sparkSession
     import sp.implicits._
     val store = new EpochStore(prefix, dir, DecayTables)
+    // ONE row per event_id (r15 ADVICE): full-row distinct() would let
+    // two same-batch deliveries of one id with differing ts/value BOTH
+    // fold into the daily table while the proc log records the id once
+    // — a silent double count. The arg-max pick (greatest (ts, user_id,
+    // value) struct) is deterministic, so replays of the same messy
+    // batch still converge to the same winner.
     val ev = batch
-      .select($"event_id", $"user_id", $"ts", $"value").distinct()
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .groupBy($"event_id")
+      .agg(max(struct($"ts", $"user_id", $"value")).as("w"))
+      .select($"event_id", $"w.user_id", $"w.ts", $"w.value")
     if (!store.exists(sp)) {
       store.transact(sp) { tx =>
         tx.writeSnap("daily", graft.operators.EventOps.e31Daily(ev))
-        tx.writeLogDelta("proc", ev.select($"event_id").distinct())
+        tx.writeLogDelta("proc", // unique by dedupe; d enables decayTrim
+          ev.select($"event_id", to_date($"ts").as("d")))
         if (crashBeforeCommit) throw new EpochStore.InjectedCrash
       }
     } else {
@@ -1408,7 +1418,8 @@ object StreamOps {
           // snapshot — only the batch's daily partials shuffle
           tx.writeSnap("daily", graft.operators.EventOps.e31Fold(
             store.snapName(sp, "daily"), newEv))
-          tx.writeLogDelta("proc", newEv.select($"event_id").distinct())
+          tx.writeLogDelta("proc", // unique by dedupe; d enables decayTrim
+            newEv.select($"event_id", to_date($"ts").as("d")))
           if (crashBeforeCommit) throw new EpochStore.InjectedCrash
         }
       } finally
@@ -1425,12 +1436,141 @@ object StreamOps {
 
   private[graft] val DecayTables = EpochTables(
     snaps = Map("daily" -> Seq("user_id", "d")), // the FULL fold key
+    // proc rows are (event_id, d): the guard anti-joins on event_id;
+    // the event DATE is carried solely so [[decayTrim]] can apply the
+    // re-delivery-horizon retention. Uniqueness contract: decayBatch
+    // reduces every batch to ONE row per event_id before folding.
     logs = Map("proc" -> Seq("event_id")))
+
+  /** RETENTION for the decay maintainer's processed-id log (r15 verdict
+    * item 4). The replay guard is read-modify-write IVM's cost: the
+    * proc log otherwise grows O(|event stream|) forever, and every
+    * batch anti-joins against all of it. The trim drops ids whose event
+    * date is more than `horizonDays` behind the daily table's max day,
+    * folded atomically into a fresh compacted base (crash mid-trim
+    * leaves readers on the untrimmed chain).
+    *
+    * HORIZON CONTRACT (the caller's to uphold): `horizonDays` must be
+    * ≥ the source's maximum re-delivery horizon — Kafka retention, the
+    * checkpoint replay window, whichever bound says "an event this old
+    * can never arrive again". An in-horizon replay after the trim is
+    * still a true no-op (its id is retained; spec-pinned); a source
+    * that re-delivers BEYOND the horizon violates the premise and
+    * would double-fold, exactly like any lake retention policy shorter
+    * than its upstream's replay window. The same mechanism
+    * ([[EpochStore.compact]]'s logRetention) serves any RMW
+    * maintainer's guard log with a time column. */
+  def decayTrim(sp: org.apache.spark.sql.SparkSession, prefix: String,
+      dir: String, horizonDays: Int): Unit = {
+    import sp.implicits._
+    require(horizonDays >= 0, s"horizonDays must be >= 0, got $horizonDays")
+    val store = new EpochStore(prefix, dir, DecayTables)
+    val cutoff = store.snap(sp, "daily")
+      .agg(max($"d").as("mx")).first().getDate(0)
+      .toLocalDate.minusDays(horizonDays.toLong)
+    store.compact(sp, retain = 0, logRetention = Map(
+      "proc" -> ((log: org.apache.spark.sql.DataFrame) =>
+        log.filter($"d" >= lit(java.sql.Date.valueOf(cutoff))))))
+  }
 
   def streamingDecay(eventStream: DataFrame, prefix: String, dir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     eventStream.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         decayBatch(batch.toDF(), prefix, dir)
+      }
+
+  // ---------------------------------------------- streaming sessions
+
+  /** Maintainer #12: streaming SESSIONIZATION — e32's non-additive
+    * fold behind [[EpochStore]]. Sessions cannot be maintained by any
+    * per-group additive state: one arriving event can MERGE two
+    * standing sessions (a bridge landing in their > 30 min gap), so
+    * the maintainer carries per-user session INTERVALS and each batch
+    * re-sweeps ONLY the users it touches
+    * ([[graft.operators.EventOps.e32MergedParts]] — the same core the
+    * batch day-2 query shapes), writing the merged interval set as the
+    * next epoch's snapshot, bucketed on user_id so the next batch's
+    * touched/untouched split again plans zero exchange on the standing
+    * side. Correctness rests on e32's connectivity proof plus one
+    * inductive step: the written snapshot IS the exact sessionization
+    * of all processed events, so its sessions are > gap apart and the
+    * proof's premises hold for every subsequent batch.
+    *
+    * Re-delivery discipline is decayBatch's verbatim: one row per
+    * event_id per batch (deterministic arg-max), processed-id log
+    * anti-join, replayed batches are true no-ops (no epoch bump), and
+    * the log carries the event DATE so [[sessionTrim]] can apply the
+    * same re-delivery-horizon retention as [[decayTrim]] (same
+    * contract: the horizon must cover the source's replay window). */
+  private[graft] val SessionTables = EpochTables(
+    snaps = Map("sessions" -> Seq("user_id")),
+    logs = Map("proc" -> Seq("event_id")))
+
+  private[graft] def sessionBatch(batch: DataFrame, prefix: String,
+      dir: String, crashBeforeCommit: Boolean = false): Unit = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val store = new EpochStore(prefix, dir, SessionTables)
+    val ev = batch
+      .select($"event_id", $"user_id", $"ts")
+      .groupBy($"event_id")
+      .agg(max(struct($"ts", $"user_id")).as("w"))
+      .select($"event_id", $"w.user_id", $"w.ts")
+    if (!store.exists(sp)) {
+      store.transact(sp) { tx =>
+        tx.writeSnap("sessions", graft.operators.EventOps.e32Sessions(ev))
+        tx.writeLogDelta("proc",
+          ev.select($"event_id", to_date($"ts").as("d")))
+        if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+      }
+    } else {
+      val newEv = ev
+        .join(store.log(sp, "proc"), Seq("event_id"), "left_anti")
+        .localCheckpoint() // one compute for the guard probe and the fold
+      try {
+        if (!newEv.isEmpty) store.transact(sp) { tx =>
+          val (resw, untouched) = graft.operators.EventOps
+            .e32MergedParts(store.snapName(sp, "sessions"), newEv)
+          tx.writeSnap("sessions", resw.unionByName(untouched))
+          tx.writeLogDelta("proc",
+            newEv.select($"event_id", to_date($"ts").as("d")))
+          if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+        }
+      } finally
+        graft.operators.DedupOps.unpersistCheckpointed(newEv)
+    }
+  }
+
+  /** Current sessions at the query shape (per-user rank + duration),
+    * from the standing snapshot only — the shape pass is one window
+    * riding the snapshot's bucketing. */
+  def sessionServe(sp: org.apache.spark.sql.SparkSession,
+      prefix: String, dir: String): DataFrame =
+    graft.operators.EventOps.e32Shape(
+        new EpochStore(prefix, dir, SessionTables).snap(sp, "sessions"))
+      .orderBy(col("user_id"), col("sess_id"))
+
+  /** [[decayTrim]]'s retention for the session maintainer's
+    * processed-id log; same horizon contract. */
+  def sessionTrim(sp: org.apache.spark.sql.SparkSession, prefix: String,
+      dir: String, horizonDays: Int): Unit = {
+    import sp.implicits._
+    require(horizonDays >= 0, s"horizonDays must be >= 0, got $horizonDays")
+    val store = new EpochStore(prefix, dir, SessionTables)
+    val maxUs = store.snap(sp, "sessions")
+      .agg(max($"end_us").as("mx")).first().getLong(0)
+    val cutoff = java.time.LocalDate.ofEpochDay(maxUs / 86400000000L)
+      .minusDays(horizonDays.toLong)
+    store.compact(sp, retain = 0, logRetention = Map(
+      "proc" -> ((log: org.apache.spark.sql.DataFrame) =>
+        log.filter($"d" >= lit(java.sql.Date.valueOf(cutoff))))))
+  }
+
+  def streamingSessions(eventStream: DataFrame, prefix: String, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    eventStream.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sessionBatch(batch.toDF(), prefix, dir)
       }
 }

@@ -48,4 +48,23 @@ class OracleDialectSpec extends AnyFunSuite {
     assert(OracleDialect.violations("SELECT power(2, k) FROM t") ==
       Seq("func:power"))
   }
+
+  test("one-pass stripper: `--` inside a literal is data, `'` inside " +
+      "a comment is commentary (r15 ADVICE)") {
+    // comments-first regex stripping truncated the line at the quoted
+    // `--`, swallowing the closing quote and corrupting the scan —
+    // here the banned power( AFTER the literal must still be seen
+    assert(OracleDialect.violations(
+      "SELECT 'a--b', power(2, k) FROM t") == Seq("func:power"))
+    // and a banned token INSIDE the literal stays invisible
+    assert(OracleDialect.violations(
+      "SELECT 'a--b << power(9)' FROM t").isEmpty)
+    // literals-first stripping would open a phantom string at the
+    // apostrophe inside the comment and hide the next line's tokens
+    assert(OracleDialect.violations(
+      "SELECT a -- don't\n, power(2, k) FROM t") == Seq("func:power"))
+    // escaped '' inside a literal does not close it early
+    assert(OracleDialect.violations(
+      "SELECT 'it''s -- fine << power(1)' FROM t").isEmpty)
+  }
 }

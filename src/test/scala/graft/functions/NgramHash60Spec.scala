@@ -50,4 +50,22 @@ class NgramHash60Spec extends AnyFunSuite {
       .select(expr("ngram_hashes(text, 1)")).collect()(0).getSeq[Long](0)
     assert(r.length == 3)
   }
+
+  test("arity/literal mistakes surface as USER_RAISED_EXCEPTION (a " +
+      "caller error), never INTERNAL_ERROR's 'please report' framing") {
+    NgramHash60.register(spark)
+    val bad = Seq(
+      "select ngram_hashes(text) from t16",          // arity
+      "select ngram_hashes(text, 2, 3) from t16",    // arity
+      "select ngram_hashes(text, text) from t16")    // non-literal n
+    texts.createOrReplaceTempView("t16")
+    bad.foreach { sql =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getCondition == "USER_RAISED_EXCEPTION",
+        s"$sql raised ${e.getCondition}: ${e.getMessage}")
+      assert(e.getMessage.contains("ngram_hashes"))
+    }
+  }
 }

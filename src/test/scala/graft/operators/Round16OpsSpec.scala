@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 specs: e30/e31's BIGINT result surface (the r15 driver
+  * gate proved DECIMAL(38,0) OUTPUT columns are the one non-portable
+  * result-schema feature) and the int64 headroom that makes the final
+  * decimal→long cast provably lossless on the planted corpora. */
+class Round16OpsSpec extends AnyFunSuite {
+  import graft.SharedSpark._
+
+  test("e30/e31 surface BIGINT totals (decimal stays internal)") {
+    for (name <- Seq("e30_decayed_engagement", "e31_decayed_day2")) {
+      val schema = graft.SparkEntry.queries(name)(spark, sf).schema
+      for (c <- Seq("total_cents", "score_micro"))
+        assert(schema(c).dataType == org.apache.spark.sql.types.LongType,
+          s"$name.$c must surface as BIGINT, got ${schema(c).dataType}")
+    }
+  }
+
+  test("e30/e31 int64 headroom: per-user Σ|cents|·10^6 bounds BOTH " +
+      "surfaced sums and sits orders of magnitude under Long.MaxValue") {
+    import spark.implicits._
+    // |score_micro| ≤ Σ|cents|·10^6 (weights ≤ 1) and |total_cents| ≤
+    // Σ|cents|, so one magnitude bound covers both output columns.
+    val worst = graft.Tables(spark, sf, "events")
+      .select(abs(floor($"value" * 100 + 0.5)).cast("decimal(38,0)")
+        .as("acents"))
+      .agg(sum($"acents").as("s")) // corpus-wide ≥ any per-user sum
+      .select(($"s" * lit(1000000L)).cast("decimal(38,0)"))
+      .first().getDecimal(0)
+    val ceiling = new java.math.BigDecimal(Long.MaxValue / 10000L)
+    assert(worst.compareTo(ceiling) <= 0,
+      s"headroom eroded: corpus Σ|cents|·10^6 = $worst exceeds " +
+        s"Long.MaxValue/10^4 — revisit the BIGINT surface cast")
+  }
+
+  // ------------------------------------------------------------- e32
+
+  private def ts32(h: Int, m: Int) =
+    java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 3, 1)
+      .atTime(h, m))
+
+  private def shape(sessions: org.apache.spark.sql.DataFrame) = {
+    import graft.SharedSpark.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    sessions
+      .withColumn("sess_id", org.apache.spark.sql.functions.row_number()
+        .over(Window.partitionBy($"user_id").orderBy($"start_us"))
+        .cast("long"))
+      .select($"user_id", $"sess_id", $"n_events",
+        ($"end_us" - $"start_us").as("dur_us"))
+      .orderBy($"user_id", $"sess_id")
+      .collect().map(_.toSeq).toSeq
+  }
+
+  test("e32: fold of standing sessions + delta points equals the " +
+      "from-scratch sessionization — bridge merges (two standing " +
+      "sessions joined through new points), extensions, brand-new " +
+      "users, duplicate timestamps, untouched pass-through") {
+    import spark.implicits._
+    val old = Seq(
+      // user 1: two standing sessions 80 min apart
+      (101L, ts32(10, 0), 1L), (102L, ts32(10, 10), 1L),
+      (103L, ts32(11, 30), 1L), (104L, ts32(11, 40), 1L),
+      // user 2: one standing session
+      (105L, ts32(9, 0), 2L), (106L, ts32(9, 5), 2L),
+      // user 4: untouched (no delta) — must pass through verbatim
+      (107L, ts32(15, 0), 4L), (108L, ts32(16, 0), 4L))
+    val fresh = Seq(
+      // chain bridging user 1's sessions: 10:35 (25m after A-end),
+      // 11:05 (exactly the 30m gap to 10:35 — boundary INCLUDED),
+      // 25m before B-start ⇒ ALL SIX events collapse into one session
+      (201L, ts32(10, 35), 1L), (202L, ts32(11, 5), 1L),
+      // user 2: duplicate of an old event's timestamp — joins
+      (203L, ts32(9, 5), 2L),
+      // user 3: brand-new user, delta-only session
+      (204L, ts32(12, 0), 3L))
+    def df(rows: Seq[(Long, java.sql.Timestamp, Long)]) =
+      rows.toDF("event_id", "ts", "user_id")
+    val t = "graft_state_e32spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    graft.sources.LayoutOps.writeBucketed(
+      EventOps.e32Sessions(df(old)), t, Seq("user_id"),
+      graft.sources.LayoutOps.stateBuckets(spark))
+    val got = EventOps.e32Fold(t, df(fresh))
+      .collect().map(_.toSeq).toSeq
+    val scratch = shape(EventOps.e32Sessions(df(old ++ fresh)))
+    assert(got == scratch, s"fold diverged from scratch:\n$got\n$scratch")
+    // hand-computed: u1 one merged session of 6, 10:00→11:40 = 100 min
+    val us = (m: Long) => m * 60L * 1000000L
+    assert(got == Seq(
+      Seq(1L, 1L, 6L, us(100)),
+      Seq(2L, 1L, 3L, us(5)),
+      Seq(3L, 1L, 1L, 0L),
+      Seq(4L, 1L, 1L, 0L), Seq(4L, 2L, 1L, 0L)), s"got $got")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("e32: a 31-minute bridge does NOT merge (the gap contract is " +
+      "strict >30min split, same as e3)") {
+    import spark.implicits._
+    val old = Seq((1L, ts32(10, 0), 1L), (2L, ts32(11, 30), 1L))
+    val fresh = Seq((3L, ts32(10, 31), 1L)) // 31m after A, 59m before B
+    val t = "graft_state_e32spec2"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    graft.sources.LayoutOps.writeBucketed(
+      EventOps.e32Sessions(old.toDF("event_id", "ts", "user_id")),
+      t, Seq("user_id"), graft.sources.LayoutOps.stateBuckets(spark))
+    val got = EventOps.e32Fold(t, fresh.toDF("event_id", "ts", "user_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == Seq(Seq(1L, 1L, 1L, 0L), Seq(1L, 2L, 1L, 0L),
+      Seq(1L, 3L, 1L, 0L)), s"got $got")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("e32: the fold never re-shuffles the standing session table — " +
+      "both the semi (touched) and anti (untouched) probes read it " +
+      "co-partitioned, and the untouched branch's sess_id window " +
+      "rides the bucketing instead of a post-union re-hash") {
+    graft.SparkEntry.queries("e32_sessions_day2")(spark, sf) // build state
+    val sessT = graft.sources.LayoutOps
+      .stateTable("graft_state_e32_sessions", sf)
+    val fold = EventOps.e32Fold(sessT,
+      graft.Tables(spark, sf, "events").limit(64))
+    val plan = fold.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    def standing(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collectLeaves().exists(_.toString.contains("graft_state_e32_sessions"))
+    // HASH exchanges above the standing scan may only carry the
+    // delta-sized TOUCHED side (the sweep's necessary shuffle); the
+    // only other exchange over standing rows is the final presentation
+    // sort (range partitioning). An untouched-branch hash exchange
+    // would mean the whole standing table re-shuffles every day.
+    val hashExAboveStanding = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if standing(e) && e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    // the touched sweep's one shuffle carries points ∪ touched — its
+    // subtree must contain the delta scan too; anything hashing a
+    // standing-only subtree is the regression this spec guards
+    val standingOnly = hashExAboveStanding.filterNot(e =>
+      e.collectLeaves().exists(_.toString.contains("events")))
+    assert(standingOnly.isEmpty,
+      s"standing-only subtree re-hashed ${standingOnly.size}x:\n$plan")
+    // and the two fold joins probe the standing side in place
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if standing(j) => j
+    }
+    assert(joins.nonEmpty, s"no fold join over standing sessions:\n$plan")
+    joins.foreach { j =>
+      j.children.filter(standing).foreach { side =>
+        val ex = side.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if standing(e) => e
+        }
+        assert(ex.isEmpty,
+          s"standing side of a fold join rides an exchange:\n$j")
+      }
+    }
+  }
+
+  test("e30 decimal→long surface cast is exact on a planted extreme") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-06-30 12:00:00")
+    // 9e7 value → 9e9 cents → 9e15 micro-score: far beyond any real
+    // per-event value yet still well inside int64 — cast must be exact
+    val got = EventOps.e30From(
+        Seq((1L, ts, 9.0e7)).toDF("user_id", "ts", "value"))
+      .select($"total_cents", $"score_micro").first()
+    assert(got.getLong(0) == 9000000000L)
+    assert(got.getLong(1) == 9000000000000000L)
+  }
+}

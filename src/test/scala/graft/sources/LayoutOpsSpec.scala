@@ -368,4 +368,23 @@ class LayoutOpsSpec extends AnyFunSuite {
     LayoutOps.writeVersioned(v2.select($"score", $"id", $"name"), out)
     assert(LayoutOps.snapshotDiff(spark, out, 2, 3, "id").count() == 0)
   }
+
+  test("stateBuckets: a malformed graft.state.buckets names the conf " +
+      "instead of surfacing a bare NumberFormatException (r15 ADVICE)") {
+    val key = "graft.state.buckets"
+    try {
+      for (bad <- Seq("banana", "0", "-4", "2.5")) {
+        spark.conf.set(key, bad)
+        val e = intercept[IllegalArgumentException] {
+          LayoutOps.stateBuckets(spark)
+        }
+        assert(e.getMessage.contains(key), s"'$bad' error hides the conf")
+      }
+      spark.conf.set(key, "16")
+      assert(LayoutOps.stateBuckets(spark) == 16)
+    } finally spark.conf.unset(key)
+    // default: session shuffle parallelism
+    assert(LayoutOps.stateBuckets(spark) ==
+      spark.sessionState.conf.numShufflePartitions)
+  }
 }

@@ -449,10 +449,24 @@ class EpochCommitSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists(t), "restart simulation leaked")
     // adoption must restore CLUSTERED/SORTED BY from the store's own
     // declaration — the fold shape every maintainer relies on: merge
-    // join with the standing side scanning bucketed, zero exchange
+    // join with the standing side scanning bucketed, zero exchange.
+    // The COUNT must be the count the files were WRITTEN with (the
+    // epoch pointer records it; r16): this session writes with
+    // stateBuckets = 4, and an adoption re-declaring any other count
+    // (the old hardcoded 32) would misdescribe every file's bucket id —
+    // co-partitioned probes would silently MISS matches.
+    val written = graft.sources.LayoutOps.stateBuckets(spark)
+    store.snap(spark, "cnt") // triggers adoption
+    val adopted = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .bucketSpec.map(_.numBuckets)
+    assert(adopted.contains(written),
+      s"adopted bucket count $adopted != written $written")
     val delta = Seq((1L, 1L, 5L)).toDF("a", "b", "n_del")
     val fold = store.snap(spark, "cnt").hint("merge")
-      .join(delta.repartition(32, $"a", $"b"), Seq("a", "b"), "left")
+      .join(delta.repartition(
+        graft.sources.LayoutOps.tableBuckets(spark, t), $"a", $"b"),
+        Seq("a", "b"), "left")
     val plan = fold.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
@@ -481,7 +495,17 @@ class EpochCommitSpec extends AnyFunSuite {
         assert(ex.isEmpty,
           s"post-restart standing side rides ${ex.size} exchange(s):\n$plan")
       }
-    // and the adopted content is intact
+    // and the adopted content is intact — including JOIN CORRECTNESS
+    // through the bucketed path: a co-partitioned probe under a
+    // misdeclared count loses exactly the rows whose hash%written
+    // placement differs from hash%declared, so every key must match
+    val probe = (1L to 200L).map(i => (i, i % 7)).toDF("a", "b")
+      .repartition(graft.sources.LayoutOps.tableBuckets(spark, t),
+        $"a", $"b")
+    val hit = store.snap(spark, "cnt").hint("merge")
+      .join(probe, Seq("a", "b"), "inner").count()
+    assert(hit == 200, s"bucketed probe found $hit of 200 rows — " +
+      "adopted bucket spec misdescribes the files")
     assert(store.snap(spark, "cnt").count() == 200)
     store.destroy(spark)
   }
