@@ -68,7 +68,7 @@ object OracleDialect {
     "and", "as", "cube", "else", "except", "exists", "from",
     "grouping", "in", "join", "materialized", "not", "nulls", "or",
     "over", "range", "rollup", "select", "sets", "then", "using",
-    "values", "when",
+    "values", "when", "where",
     // DuckDB list() aggregate + q32's month arithmetic
     "list", "months",
   )

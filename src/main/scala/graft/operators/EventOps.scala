@@ -1886,6 +1886,101 @@ object EventOps {
       |GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_id""".stripMargin
 
+  // ---------------------------------------------------------------- e33
+  /** Daily GROWTH ACCOUNTING — the user-base decomposition every
+    * product/analytics stack reports: for each day, how many active
+    * users are NEW (first day ever), RETAINED (also active the day
+    * before), RESURRECTED (active before, but not yesterday), and how
+    * many CHURNED INTO this day (active yesterday, silent now). The
+    * streams reconcile: actives(D) = new + retained + resurrected, and
+    * actives(D−1) − retained(D) = churned(D) — the standard
+    * growth-accounting identity (weekly/monthly reports are this exact
+    * query at a coarser index; the testdata spans one month, so the
+    * gated grain is daily).
+    *
+    * Engine-exactness: days are the INTEGER epoch-day index
+    * (datediff from 1970-01-01) — lag/lead comparisons and the churn
+    * day (di + 1) are pure int arithmetic, no interval/date-add
+    * construct (whose calendar semantics vary across engines)
+    * anywhere. Churn past the observation window's last active day is
+    * not counted (nothing can be said about a day after the data
+    * ends).
+    *
+    * Scale shape: one distinct to (user, day) grain — corpus-sized
+    * shuffle ONCE, partial-aggregated — then every window runs over
+    * per-user day sequences, and the report is a days-sized full-outer
+    * join of two tiny aggregates. Nothing after the first distinct
+    * touches event rows. */
+  def e33GrowthAccounting(spark: SparkSession, dir: String): DataFrame =
+    e33From(events(spark, dir))
+
+  /** e33 over any (user_id, ts) frame — planted lifecycle specs enter
+    * here. */
+  private[operators] def e33From(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val um = ev
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("int").as("di"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"di")
+    val maxDi = um.agg(max($"di").as("max_di"))
+    val flagged = um
+      .withColumn("prev", lag($"di", 1).over(w))
+      .withColumn("next", lead($"di", 1).over(w))
+    val act = flagged.groupBy($"di")
+      .agg(sum(when($"prev".isNull, 1).otherwise(0)).as("n_new"),
+        sum(when($"prev" === $"di" - 1, 1).otherwise(0)).as("n_retained"),
+        sum(when($"prev".isNotNull && $"prev" < $"di" - 1, 1).otherwise(0))
+          .as("n_resurrected"))
+    val churn = flagged.crossJoin(broadcast(maxDi))
+      .filter(($"next".isNull || $"next" > $"di" + 1) &&
+        $"di" + 1 <= $"max_di")
+      .select(($"di" + 1).as("di"))
+      .groupBy($"di").agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("di"), "full_outer")
+      .select($"di",
+        coalesce($"n_new", lit(0L)).as("n_new"),
+        coalesce($"n_retained", lit(0L)).as("n_retained"),
+        coalesce($"n_resurrected", lit(0L)).as("n_resurrected"),
+        coalesce($"n_churned", lit(0L)).as("n_churned"))
+      .orderBy($"di")
+  }
+
+  val e33GrowthAccountingSql: String =
+    """WITH um AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS INT) AS di
+      |  FROM events),
+      |mx AS (SELECT MAX(di) AS max_di FROM um),
+      |flagged AS (
+      |  SELECT user_id, di,
+      |    LAG(di) OVER w AS prev, LEAD(di) OVER w AS next
+      |  FROM um WINDOW w AS (PARTITION BY user_id ORDER BY di)),
+      |act AS (
+      |  SELECT di,
+      |    CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new,
+      |    CAST(SUM(CASE WHEN prev = di - 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_retained,
+      |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < di - 1
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM flagged GROUP BY di),
+      |churn AS (
+      |  SELECT di + 1 AS di, COUNT(*) AS n_churned
+      |  FROM flagged, mx
+      |  WHERE (next IS NULL OR next > di + 1) AND di + 1 <= max_di
+      |  GROUP BY di + 1)
+      |SELECT COALESCE(act.di, churn.di) AS di,
+      |  COALESCE(n_new, 0) AS n_new,
+      |  COALESCE(n_retained, 0) AS n_retained,
+      |  COALESCE(n_resurrected, 0) AS n_resurrected,
+      |  COALESCE(n_churned, 0) AS n_churned
+      |FROM act FULL OUTER JOIN churn ON act.di = churn.di
+      |ORDER BY di""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
     "e2_json_extract" -> (e2JsonExtract _),
@@ -1919,6 +2014,7 @@ object EventOps {
     "e30_decayed_engagement" -> (e30DecayedEngagement _),
     "e31_decayed_day2" -> (e31DecayedDay2 _),
     "e32_sessions_day2" -> (e32SessionsDay2 _),
+    "e33_growth_accounting" -> (e33GrowthAccounting _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1954,5 +2050,6 @@ object EventOps {
     "e30_decayed_engagement" -> e30DecayedEngagementSql,
     "e31_decayed_day2" -> e31DecayedDay2Sql,
     "e32_sessions_day2" -> e32SessionsDay2Sql,
+    "e33_growth_accounting" -> e33GrowthAccountingSql,
   )
 }

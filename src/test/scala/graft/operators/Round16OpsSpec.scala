@@ -166,6 +166,48 @@ class Round16OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- e33
+
+  test("e33: planted lifecycle — new/retained/resurrected/churned per " +
+      "day, churn not counted past the observation window") {
+    import spark.implicits._
+    def at(day: Int, h: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, day).atTime(h, 0))
+    // u1: days 1, 2, 4 — new, retained, resurrected (+churn into day 3)
+    // u2: day 1 only — churn into day 2
+    // u3: day 4 only — new on the LAST observed day, so neither u1 nor
+    //     u3 churns into day 5 (window ends)
+    val ev = Seq(
+      (1L, at(1, 5)), (1L, at(1, 20)), (1L, at(2, 3)), (1L, at(4, 9)),
+      (2L, at(1, 7)),
+      (3L, at(4, 2)))
+      .toDF("user_id", "ts")
+    val base = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toInt
+    val rows = EventOps.e33From(ev).collect().map(_.toSeq).toSeq
+    assert(rows == Seq(
+      Seq(base, 2L, 0L, 0L, 0L),
+      Seq(base + 1, 0L, 1L, 0L, 1L),
+      Seq(base + 2, 0L, 0L, 0L, 1L),
+      Seq(base + 3, 1L, 0L, 1L, 0L)), s"got $rows")
+  }
+
+  test("e33: growth-accounting identity on real data — actives(D) = " +
+      "new + retained + resurrected, every day") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("e33_growth_accounting")(spark, sf)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1) + r.getLong(2) + r.getLong(3))).toMap
+    val actives = graft.Tables(spark, sf, "events")
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("int").as("di"))
+      .distinct().groupBy($"di").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(actives.nonEmpty &&
+      actives.forall { case (di, n) => got.getOrElse(di, 0L) == n },
+      s"identity broken: $got vs $actives")
+  }
+
   test("e30 decimal→long surface cast is exact on a planted extreme") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-06-30 12:00:00")
