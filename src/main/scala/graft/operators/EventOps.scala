@@ -1886,6 +1886,135 @@ object EventOps {
       |GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_id""".stripMargin
 
+  // ---------------------------------------------------------------- e34
+  /** DECREMENTAL sessionization — event retraction (GDPR erasure,
+    * bot-traffic purges), the direction e32's interval state cannot
+    * express: deleting an event can SPLIT a session (the two
+    * half-sessions around a removed bridge event are suddenly > gap
+    * apart), and an interval [s, e] carries no information about where
+    * the split lands. The sufficient statistic for deletion is the
+    * session's EVENT-TIME MULTISET, so e34's standing state extends
+    * e32's rows with a sorted `ts_list` (bounded by events-per-session
+    * — human activity inside one 30-minute-gap window, never
+    * corpus-sized).
+    *
+    * The retract is q52's detect-affected + bounded-recompute
+    * discipline at session grain: deletions name their users; ONLY
+    * those users' sessions explode back to (user, time, weight) rows,
+    * subtract the deletion multiset EXACTLY (weight = copies present −
+    * copies deleted, so duplicate timestamps retract one-for-one), and
+    * re-sweep — splits fall out naturally, and deletion can never
+    * MERGE sessions (removing events never shrinks a gap), so
+    * untouched users pass through verbatim. q41's read-only IVM rule:
+    * the fold never persists, so a replayed read cannot double-delete.
+    *
+    * Scale shape: standing sessions bucketed on user_id; the
+    * touched/untouched semi/anti split probes them in place
+    * (spec-pinned); the explode + re-sweep shuffle carries only the
+    * DELETION-TOUCHED users' events, never the corpus; per-branch
+    * sess_id ranks exactly as e32. */
+  def e34SessionsRetract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    val ev = events(spark, dir)
+    val isDel = pmod(md5Long(concat($"event_id".cast("string"), lit(":e34"))),
+      lit(6L)) === 0L
+    val sessT = graft.sources.LayoutOps.stateTable("graft_state_e34_sessions", dir)
+    if (!spark.catalog.tableExists(sessT))
+      graft.sources.LayoutOps.writeBucketed(
+        e34Sessions(ev), sessT, Seq("user_id"),
+        graft.sources.LayoutOps.stateBuckets(spark))
+    e34Retract(sessT,
+      ev.filter(isDel).select($"user_id", unix_micros($"ts").as("us")))
+  }
+
+  /** e32's standing sessions plus the per-session sorted event-time
+    * multiset — the extra column that makes deletion expressible. */
+  private[graft] def e34Sessions(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val us = unix_micros($"ts")
+    ev.withColumn("prev_us", lag(us, 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || us - $"prev_us" > E32GapUs, 1).otherwise(0))
+      .withColumn("sid", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min(us).as("start_us"), max(us).as("end_us"),
+        count(lit(1)).as("n_events"),
+        sort_array(collect_list(us)).as("ts_list"))
+      .select($"user_id", $"start_us", $"end_us", $"n_events", $"ts_list")
+  }
+
+  /** Touched-users-only retraction: exact multiset subtraction of the
+    * deletion feed (user_id, us), then a re-sweep over the surviving
+    * weighted times. Spurious deletions (no matching event) are
+    * no-ops; a user whose every event is deleted vanishes, exactly as
+    * a from-scratch build over the surviving corpus drops them. */
+  private[graft] def e34Retract(sessT: String, del: DataFrame): DataFrame = {
+    val spark = del.sparkSession
+    import spark.implicits._
+    val standing = spark.table(sessT)
+    val users = del.select($"user_id").distinct()
+      .repartition(graft.sources.LayoutOps.tableBuckets(spark, sessT),
+        $"user_id")
+    val touched = standing.join(users, Seq("user_id"), "left_semi")
+    val untouched = standing.join(users, Seq("user_id"), "left_anti")
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+    val wAll = touched
+      .select($"user_id", explode($"ts_list").as("us"))
+      .groupBy($"user_id", $"us").agg(count(lit(1)).as("w_all"))
+    val wDel = del.groupBy($"user_id", $"us").agg(count(lit(1)).as("w_del"))
+    val remaining = wAll
+      .join(wDel, Seq("user_id", "us"), "left")
+      .select($"user_id", $"us",
+        ($"w_all" - coalesce($"w_del", lit(0L))).as("w"))
+      .filter($"w" > 0)
+    val byUser = Window.partitionBy($"user_id").orderBy($"us")
+    val resw = remaining
+      .withColumn("prev", lag($"us", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev".isNull || $"us" - $"prev" > E32GapUs, 1).otherwise(0))
+      .withColumn("sid", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"us").as("start_us"), max($"us").as("end_us"),
+        sum($"w").as("n_events"))
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+    e32Shape(resw).unionByName(e32Shape(untouched))
+      .orderBy($"user_id", $"sess_id")
+  }
+
+  // The oracle is the from-scratch sessionization over the SURVIVING
+  // corpus (events minus the md5-picked deletions — the same 60-bit
+  // pick, driver-proven by q52): the retract must be indistinguishable
+  // from rebuilding without the deleted events.
+  val e34SessionsRetractSql: String = {
+    import graft.functions.EngineFns.sqlMd5Long
+    val kept =
+      "NOT (" + sqlMd5Long("CAST(event_id AS VARCHAR) || ':e34'") + " % 6 = 0)"
+    s"""WITH kept AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us
+       |  FROM events WHERE $kept),
+       |flagged AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN LAG(us) OVER w IS NULL
+       |           OR us - LAG(us) OVER w > $E32GapUs
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |sess AS (
+       |  SELECT user_id, us,
+       |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+       |  FROM flagged)
+       |SELECT user_id, sess_id, COUNT(*) AS n_events,
+       |  CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+       |FROM sess
+       |GROUP BY user_id, sess_id
+       |ORDER BY user_id, sess_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- e33
   /** Daily GROWTH ACCOUNTING — the user-base decomposition every
     * product/analytics stack reports: for each day, how many active
@@ -2015,6 +2144,7 @@ object EventOps {
     "e31_decayed_day2" -> (e31DecayedDay2 _),
     "e32_sessions_day2" -> (e32SessionsDay2 _),
     "e33_growth_accounting" -> (e33GrowthAccounting _),
+    "e34_sessions_retract" -> (e34SessionsRetract _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2051,5 +2181,6 @@ object EventOps {
     "e31_decayed_day2" -> e31DecayedDay2Sql,
     "e32_sessions_day2" -> e32SessionsDay2Sql,
     "e33_growth_accounting" -> e33GrowthAccountingSql,
+    "e34_sessions_retract" -> e34SessionsRetractSql,
   )
 }

@@ -166,6 +166,86 @@ class Round16OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- e34
+
+  test("e34: deleting a bridge event SPLITS its session; a fully " +
+      "deleted user vanishes; duplicate timestamps retract " +
+      "one-for-one; spurious deletions are no-ops; untouched users " +
+      "pass through — retract ≡ from-scratch over the survivors") {
+    import spark.implicits._
+    val old = Seq(
+      // u1: one session 10:00–10:40 via the 10:20 bridge
+      (11L, ts32(10, 0), 1L), (12L, ts32(10, 20), 1L),
+      (13L, ts32(10, 40), 1L),
+      // u2: a single session — fully deleted below
+      (21L, ts32(9, 0), 2L), (22L, ts32(9, 10), 2L),
+      // u3: two events at the SAME timestamp + a neighbor
+      (31L, ts32(14, 0), 3L), (32L, ts32(14, 0), 3L),
+      (33L, ts32(14, 10), 3L),
+      // u4: untouched (but receives a spurious deletion below)
+      (41L, ts32(16, 0), 4L), (42L, ts32(16, 5), 4L))
+    // deletion times go through the same unix_micros path as the
+    // operator, so the spec is timezone-agnostic
+    val dels = Seq(
+      (1L, ts32(10, 20)),                  // the bridge — must split
+      (2L, ts32(9, 0)), (2L, ts32(9, 10)), // all of u2
+      (3L, ts32(14, 0)),                   // ONE of the duplicate copies
+      (4L, ts32(23, 59)))                  // spurious: u4 has no such event
+      .toDF("user_id", "ts")
+      .select($"user_id", unix_micros($"ts").as("us"))
+    val t = "graft_state_e34spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    graft.sources.LayoutOps.writeBucketed(
+      EventOps.e34Sessions(old.toDF("event_id", "ts", "user_id")),
+      t, Seq("user_id"), graft.sources.LayoutOps.stateBuckets(spark))
+    val got = EventOps.e34Retract(t, dels).collect().map(_.toSeq).toSeq
+    // from-scratch over the survivors (event 32 survives: only one of
+    // the two 14:00 copies was deleted)
+    val kept = old.filterNot(e => Set(12L, 21L, 22L, 31L).contains(e._1))
+    val scratch = shape(EventOps.e32Sessions(
+      kept.toDF("event_id", "ts", "user_id")))
+    assert(got == scratch, s"retract diverged from scratch:\n$got\n$scratch")
+    assert(got == Seq(
+      Seq(1L, 1L, 1L, 0L), Seq(1L, 2L, 1L, 0L), // split: two singletons
+      Seq(3L, 1L, 2L, 600000000L),              // one 14:00 copy + 14:10
+      Seq(4L, 1L, 2L, 300000000L)), s"got $got") // untouched, intact
+    assert(!got.exists(_.head == 2L), "fully deleted user did not vanish")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("e34: the retract never re-shuffles the standing session table " +
+      "— both fold joins probe it co-partitioned") {
+    graft.SparkEntry.queries("e34_sessions_retract")(spark, sf) // state
+    val sessT = graft.sources.LayoutOps
+      .stateTable("graft_state_e34_sessions", sf)
+    import spark.implicits._
+    val fold = EventOps.e34Retract(sessT,
+      graft.Tables(spark, sf, "events").limit(32)
+        .select($"user_id", unix_micros($"ts").as("us")))
+    val plan = fold.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    def standing(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collectLeaves().exists(_.toString.contains("graft_state_e34_sessions"))
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if standing(j) => j
+    }
+    assert(joins.nonEmpty, s"no fold join over standing sessions:\n$plan")
+    joins.foreach { j =>
+      j.children.filter(standing).foreach { side =>
+        val ex = side.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if standing(e) => e
+        }
+        assert(ex.isEmpty,
+          s"standing side of a fold join rides an exchange:\n$j")
+      }
+    }
+  }
+
   // ------------------------------------------------------------- e33
 
   test("e33: planted lifecycle — new/retained/resurrected/churned per " +
