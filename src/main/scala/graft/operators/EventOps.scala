@@ -2110,6 +2110,258 @@ object EventOps {
       |FROM act FULL OUTER JOIN churn ON act.di = churn.di
       |ORDER BY di""".stripMargin
 
+  // ---------------------------------------------------------------- e35
+  /** BIDIRECTIONAL session maintenance — one fold applying a mixed
+    * change batch (insertions AND retractions) to standing sessions,
+    * completing the e32 (insert-only) / e34 (delete-only) pair into
+    * the general CDC contract a session store actually faces: a batch
+    * interleaves new activity with GDPR erasures, and the two interact
+    * (an insert can bridge the gap a deletion just opened, a deletion
+    * can split the session an insert just extended).
+    *
+    * Correctness reduces to one observation: the per-user surviving
+    * event-time MULTISET determines the session partition exactly (the
+    * gap rule reads only sorted times), and e34's ts_list state IS
+    * that multiset. The fold therefore never reasons about the
+    * insert/delete interaction at all: touched users' sessions explode
+    * to weighted time rows, the batch folds in as +1 (adds) / −1
+    * (dels) weight deltas, surviving rows (weight > 0) re-sweep — the
+    * same 1-D sweep both parents use — and untouched users pass
+    * through verbatim (their multiset is unchanged; neither direction
+    * can affect another user's gaps). A delete of an event added in
+    * the SAME batch cancels to weight 0 before the sweep ever sees it.
+    *
+    * Scale shape: standing sessions bucketed on user_id, probed in
+    * place by the touched/untouched semi/anti split (spec-pinned); the
+    * explode + re-sweep shuffle carries only batch-touched users'
+    * events; q41's read-only rule — the fold never persists, so
+    * replayed reads cannot double-apply (the PERSISTING variant is
+    * streaming maintainer #13, [[graft.streaming.StreamOps]], which
+    * adds the processed-id guard). */
+  def e35SessionsUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    val ev = events(spark, dir)
+    val h = pmod(md5Long(concat($"event_id".cast("string"), lit(":e35"))),
+      lit(7L))
+    val isNew = h === 0L
+    val isDel = h === 1L
+    val sessT = graft.sources.LayoutOps.stateTable("graft_state_e35_sessions", dir)
+    if (!spark.catalog.tableExists(sessT))
+      graft.sources.LayoutOps.writeBucketed(
+        e34Sessions(ev.filter(!isNew)), sessT, Seq("user_id"),
+        graft.sources.LayoutOps.stateBuckets(spark))
+    e35Upsert(sessT,
+      ev.filter(isNew).select($"user_id", unix_micros($"ts").as("us")),
+      ev.filter(isDel).select($"user_id", unix_micros($"ts").as("us")))
+  }
+
+  /** The mixed fold at the query shape. */
+  private[graft] def e35Upsert(sessT: String, adds: DataFrame,
+      dels: DataFrame): DataFrame = {
+    val spark = adds.sparkSession
+    import spark.implicits._
+    val (resw, untouched) = e35MergedParts(sessT, adds, dels)
+    e32Shape(resw).unionByName(e32Shape(untouched))
+      .orderBy($"user_id", $"sess_id")
+  }
+
+  /** The fold core shared by the batch query and streaming maintainer
+    * #13: (re-swept touched users, untouched pass-through), BOTH at
+    * e34's ts_list STATE shape so the maintainer can union and write
+    * them as the next epoch's snapshot — the written multiset is the
+    * exact multiset of surviving events, which re-establishes this
+    * fold's own premise for the next batch (the inductive step).
+    * Deletes must causally follow the insert they retract (the CDC
+    * contract); a delete with no matching surviving copy is a no-op,
+    * never a negative weight (the `w > 0` filter clips at zero — and
+    * weights below −0 cannot occur because `w_all` counts actual
+    * surviving copies plus this batch's adds). */
+  private[graft] def e35MergedParts(sessT: String, adds: DataFrame,
+      dels: DataFrame): (DataFrame, DataFrame) = {
+    val spark = adds.sparkSession
+    import spark.implicits._
+    val standing = spark.table(sessT)
+    val users = adds.select($"user_id").unionByName(dels.select($"user_id"))
+      .distinct()
+      .repartition(graft.sources.LayoutOps.tableBuckets(spark, sessT),
+        $"user_id")
+    val touched = standing.join(users, Seq("user_id"), "left_semi")
+    val untouched = standing.join(users, Seq("user_id"), "left_anti")
+    val wAll = touched
+      .select($"user_id", explode($"ts_list").as("us"))
+      .unionByName(adds.select($"user_id", $"us"))
+      .groupBy($"user_id", $"us").agg(count(lit(1)).as("w_all"))
+    val wDel = dels.groupBy($"user_id", $"us").agg(count(lit(1)).as("w_del"))
+    val remaining = wAll
+      .join(wDel, Seq("user_id", "us"), "left")
+      .select($"user_id", $"us",
+        ($"w_all" - coalesce($"w_del", lit(0L))).as("w"))
+      .filter($"w" > 0)
+    val byUser = Window.partitionBy($"user_id").orderBy($"us")
+    val resw = remaining
+      .withColumn("prev", lag($"us", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev".isNull || $"us" - $"prev" > E32GapUs, 1).otherwise(0))
+      .withColumn("sid", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"us").as("start_us"), max($"us").as("end_us"),
+        sum($"w").as("n_events"),
+        sort_array(flatten(collect_list(
+          array_repeat($"us", $"w".cast("int"))))).as("ts_list"))
+      .select($"user_id", $"start_us", $"end_us", $"n_events", $"ts_list")
+    (resw, untouched)
+  }
+
+  // The oracle is the from-scratch sessionization over the NET corpus
+  // — all events except the md5-picked deletions (the inserts are
+  // events too, just withheld from day-1 state): the mixed fold must
+  // be indistinguishable from rebuilding over what survives.
+  val e35SessionsUpsertSql: String = {
+    import graft.functions.EngineFns.sqlMd5Long
+    val kept =
+      "NOT (" + sqlMd5Long("CAST(event_id AS VARCHAR) || ':e35'") + " % 7 = 1)"
+    s"""WITH kept AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us
+       |  FROM events WHERE $kept),
+       |flagged AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN LAG(us) OVER w IS NULL
+       |           OR us - LAG(us) OVER w > $E32GapUs
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |sess AS (
+       |  SELECT user_id, us,
+       |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+       |  FROM flagged)
+       |SELECT user_id, sess_id, COUNT(*) AS n_events,
+       |  CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+       |FROM sess
+       |GROUP BY user_id, sess_id
+       |ORDER BY user_id, sess_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- e36
+  /** CUSUM CHANGEPOINT detection — Page's sequential test over each
+    * user's daily engagement series, the ONSET-of-shift question e15's
+    * per-point z-score cannot answer (a level shift spread over many
+    * mildly-elevated days never trips a point test, but its cumulative
+    * excess is unbounded). Page 1954 is public; the two-sided test
+    * keeps S⁺ᵢ = max(0, S⁺ᵢ₋₁ + yᵢ) and S⁻ᵢ = max(0, S⁻ᵢ₋₁ − yᵢ) over
+    * drift-adjusted residuals yᵢ = xᵢ − k and alarms when either
+    * exceeds a threshold h.
+    *
+    * The recurrences look inherently sequential, but both telescope
+    * into window primitives: S⁺ᵢ = cumᵢ − min(0, min_{j≤i} cumⱼ) and
+    * S⁻ᵢ = max(0, max_{j≤i} cumⱼ) − cumᵢ where cum is the running sum
+    * of y — one cumulative sum plus running extrema, all inside one
+    * per-user ordered window. Everything is INTEGER (cents via the
+    * q56/q62 floor discipline; drift k = per-user mean daily cents
+    * rounded down by integer division; h = 4k, four average days of
+    * accumulated excess), so both engines agree bit-for-bit — no
+    * float accumulation order to diverge on.
+    *
+    * Output: each user whose series alarms, the first alarm day per
+    * the earlier-crossing direction (tie → up), and both peak
+    * statistics. Scale shape: one map-side-partial collapse to
+    * (user, day) grain, one per-user window pass, one users-sized
+    * aggregate — no corpus-sized join anywhere; at 100 TB the only
+    * corpus-sized exchange is the daily-grain partial agg. */
+  def e36ChangepointCusum(spark: SparkSession, dir: String): DataFrame =
+    e36From(events(spark, dir))
+
+  /** [[e36ChangepointCusum]] over an arbitrary (user_id, ts, value)
+    * frame — planted-series and recurrence-fuzz specs enter here. */
+  private[graft] def e36From(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val daily = ev
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date")).as("di"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"user_id", $"di").agg(sum($"cents").as("x"))
+    val wu = Window.partitionBy($"user_id")
+    val ord = Window.partitionBy($"user_id").orderBy($"di")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cur = daily
+      .withColumn("tot", sum($"x").over(wu))
+      .withColumn("n", count(lit(1)).over(wu))
+      .withColumn("k", expr("tot div n"))
+      .withColumn("cum", sum($"x" - $"k").over(ord))
+      .withColumn("sp", $"cum" - least(lit(0L), min($"cum").over(ord)))
+      .withColumn("sm", greatest(lit(0L), max($"cum").over(ord)) - $"cum")
+    cur.groupBy($"user_id")
+      .agg(
+        min(when($"sp" > lit(E36HMult) * $"k", $"di")).as("first_up"),
+        min(when($"sm" > lit(E36HMult) * $"k", $"di")).as("first_dn"),
+        max($"sp").as("peak_up"),
+        max($"sm").as("peak_down"))
+      .filter($"first_up".isNotNull || $"first_dn".isNotNull)
+      .select($"user_id",
+        when($"first_dn".isNull ||
+            ($"first_up".isNotNull && $"first_up" <= $"first_dn"), "up")
+          .otherwise("down").as("direction"),
+        least(coalesce($"first_up", $"first_dn"),
+          coalesce($"first_dn", $"first_up")).as("change_di"),
+        $"peak_up", $"peak_down")
+      .orderBy($"user_id")
+  }
+
+  /** Alarm threshold as a multiple of the per-user mean daily cents —
+    * h = 4k alarms on four average-days of accumulated one-sided
+    * excess (91/150 users at sf0.01; 2k alarms everyone, 8k no one). */
+  private[graft] val E36HMult = 4L
+
+  val e36ChangepointCusumSql: String =
+    s"""WITH daily AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS INT) AS di,
+      |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |cur AS (
+      |  SELECT user_id, di,
+      |    CAST(CAST(SUM(x) OVER u AS BIGINT)
+      |      // CAST(COUNT(*) OVER u AS BIGINT) AS BIGINT) AS k,
+      |    SUM(x) OVER w AS raw_cum
+      |  FROM daily
+      |  WINDOW u AS (PARTITION BY user_id),
+      |         w AS (PARTITION BY user_id ORDER BY di
+      |               ROWS UNBOUNDED PRECEDING)),
+      |adj AS (
+      |  SELECT user_id, di, k,
+      |    CAST(raw_cum AS BIGINT)
+      |      - k * CAST(ROW_NUMBER() OVER w AS BIGINT) AS cum
+      |  FROM cur
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY di
+      |               ROWS UNBOUNDED PRECEDING)),
+      |s AS (
+      |  SELECT user_id, di, k,
+      |    cum - LEAST(CAST(0 AS BIGINT), MIN(cum) OVER w) AS sp,
+      |    GREATEST(CAST(0 AS BIGINT), MAX(cum) OVER w) - cum AS sm
+      |  FROM adj
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY di
+      |               ROWS UNBOUNDED PRECEDING)),
+      |det AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN sp > $E36HMult * k THEN di END) AS first_up,
+      |    MIN(CASE WHEN sm > $E36HMult * k THEN di END) AS first_dn,
+      |    CAST(MAX(sp) AS BIGINT) AS peak_up,
+      |    CAST(MAX(sm) AS BIGINT) AS peak_down
+      |  FROM s GROUP BY user_id)
+      |SELECT user_id,
+      |  CASE WHEN first_dn IS NULL
+      |         OR (first_up IS NOT NULL AND first_up <= first_dn)
+      |       THEN 'up' ELSE 'down' END AS direction,
+      |  CAST(LEAST(COALESCE(first_up, first_dn),
+      |             COALESCE(first_dn, first_up)) AS INT) AS change_di,
+      |  peak_up, peak_down
+      |FROM det
+      |WHERE first_up IS NOT NULL OR first_dn IS NOT NULL
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"  -> (e1HourlyAgg _),
     "e2_json_extract" -> (e2JsonExtract _),
@@ -2145,6 +2397,8 @@ object EventOps {
     "e32_sessions_day2" -> (e32SessionsDay2 _),
     "e33_growth_accounting" -> (e33GrowthAccounting _),
     "e34_sessions_retract" -> (e34SessionsRetract _),
+    "e35_sessions_upsert" -> (e35SessionsUpsert _),
+    "e36_changepoint_cusum" -> (e36ChangepointCusum _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2182,5 +2436,7 @@ object EventOps {
     "e32_sessions_day2" -> e32SessionsDay2Sql,
     "e33_growth_accounting" -> e33GrowthAccountingSql,
     "e34_sessions_retract" -> e34SessionsRetractSql,
+    "e35_sessions_upsert" -> e35SessionsUpsertSql,
+    "e36_changepoint_cusum" -> e36ChangepointCusumSql,
   )
 }

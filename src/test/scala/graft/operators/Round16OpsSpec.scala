@@ -246,6 +246,214 @@ class Round16OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- e35
+
+  test("e35: one mixed batch — bridge-adds MERGE, deletes SPLIT, a " +
+      "delete re-bridged by a same-batch add, same-batch add+delete " +
+      "cancels, spurious delete no-ops, new user appears, fully " +
+      "deleted user vanishes, untouched passes through — fold ≡ " +
+      "from-scratch over the net corpus, at BOTH shapes") {
+    import spark.implicits._
+    val old = Seq(
+      // u1: two sessions A=[10:00,10:10] B=[11:30,11:40]; adds bridge
+      (11L, ts32(10, 0), 1L), (12L, ts32(10, 10), 1L),
+      (13L, ts32(11, 30), 1L), (14L, ts32(11, 40), 1L),
+      // u2: one session via the 30-min boundary gap; delete splits it
+      (21L, ts32(9, 0), 2L), (22L, ts32(9, 10), 2L),
+      (23L, ts32(9, 40), 2L),
+      // u3: standing 14:00; batch adds AND deletes 14:00 (one copy
+      // each) — net unchanged through the weight ledger
+      (31L, ts32(14, 0), 3L),
+      // u4: delete the 16:20 bridge AND add 16:25 in the same batch —
+      // the split is immediately re-bridged
+      (41L, ts32(16, 0), 4L), (42L, ts32(16, 20), 4L),
+      (43L, ts32(16, 40), 4L),
+      // u5: spurious delete target (no 23:00 event) — must no-op
+      (51L, ts32(18, 0), 5L),
+      // u7: fully deleted below
+      (71L, ts32(7, 0), 7L), (72L, ts32(7, 10), 7L),
+      // u8: untouched — must pass through verbatim
+      (81L, ts32(20, 0), 8L), (82L, ts32(20, 5), 8L))
+    val adds = Seq(
+      (1L, ts32(10, 40)), // 30 min after u1.A-end: boundary merge
+      (1L, ts32(11, 0)),  // chains A..B into ONE session
+      (3L, ts32(14, 0)),  // cancelled by the same-batch delete below
+      (4L, ts32(16, 25)), // re-bridges u4's deletion split
+      (6L, ts32(12, 0)))  // brand-new user
+      .toDF("user_id", "ts").select($"user_id", unix_micros($"ts").as("us"))
+    val dels = Seq(
+      (2L, ts32(9, 10)),  // splits u2 (9:00 → 9:40 is 40 min)
+      (3L, ts32(14, 0)),  // cancels the same-batch add
+      (4L, ts32(16, 20)), // the bridge — split, then re-bridged
+      (5L, ts32(23, 0)),  // spurious
+      (7L, ts32(7, 0)), (7L, ts32(7, 10))) // all of u7
+      .toDF("user_id", "ts").select($"user_id", unix_micros($"ts").as("us"))
+    val t = "graft_state_e35spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    graft.sources.LayoutOps.writeBucketed(
+      EventOps.e34Sessions(old.toDF("event_id", "ts", "user_id")),
+      t, Seq("user_id"), graft.sources.LayoutOps.stateBuckets(spark))
+    val got = EventOps.e35Upsert(t,
+      adds.toDF(), dels.toDF()).collect().map(_.toSeq).toSeq
+    // net corpus: old minus deleted ids, plus the surviving adds
+    val kept = old.filterNot(e => Set(22L, 42L, 71L, 72L).contains(e._1))
+    val net = kept.map(e => (e._2, e._3)) ++ Seq(
+      (ts32(10, 40), 1L), (ts32(11, 0), 1L), (ts32(16, 25), 4L),
+      (ts32(12, 0), 6L))
+    val scratch = shape(EventOps.e32Sessions(
+      net.zipWithIndex.map { case ((ts, u), i) => (1000L + i, ts, u) }
+        .toDF("event_id", "ts", "user_id")))
+    assert(got == scratch, s"fold diverged from scratch:\n$got\n$scratch")
+    assert(!got.exists(_.head == 7L), "fully deleted user did not vanish")
+    assert(got.filter(_.head == 1L).map(_(2)) == Seq(6L),
+      s"u1 bridge-merge: expected one 6-event session, got $got")
+    assert(got.filter(_.head == 2L).size == 2, "u2 delete did not split")
+    assert(got.filter(_.head == 4L).map(_(2)) == Seq(3L),
+      "u4 same-batch delete+add did not re-bridge into one session")
+    // the STATE shape the maintainer persists must equal a from-scratch
+    // multiset state over the net corpus (the inductive step)
+    val (resw, untouched) = EventOps.e35MergedParts(t, adds, dels)
+    def stateRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", $"start_us", $"end_us", $"n_events", $"ts_list")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getSeq[Long](4).toList)).toSet
+    val gotState = stateRows(resw) ++ stateRows(untouched)
+    val scratchState = stateRows(EventOps.e34Sessions(
+      net.zipWithIndex.map { case ((ts, u), i) => (1000L + i, ts, u) }
+        .toDF("event_id", "ts", "user_id")))
+    assert(gotState == scratchState,
+      s"state shape diverged:\n$gotState\n$scratchState")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("e35: the standing table is probed IN PLACE (semi/anti sides " +
+      "exchange-free) and every standing-carrying shuffle sits above " +
+      "the touched split — only delta rows ever move") {
+    graft.SparkEntry.queries("e35_sessions_upsert")(spark, sf) // state
+    val sessT = graft.sources.LayoutOps
+      .stateTable("graft_state_e35_sessions", sf)
+    import spark.implicits._
+    val feed = graft.Tables(spark, sf, "events").limit(32)
+      .select($"user_id", unix_micros($"ts").as("us"))
+    val fold = EventOps.e35Upsert(sessT, feed, feed)
+    val plan = fold.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    def standing(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collectLeaves().exists(_.toString.contains("graft_state_e35_sessions"))
+    import org.apache.spark.sql.catalyst.plans.{LeftSemi, LeftAnti}
+    val probes = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if standing(j) && (j.joinType == LeftSemi || j.joinType == LeftAnti)
+        => j
+    }
+    assert(probes.size == 2, s"expected the semi+anti probe pair:\n$plan")
+    probes.foreach { j =>
+      j.children.filter(standing).foreach { side =>
+        val ex = side.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if standing(e) => e
+        }
+        assert(ex.isEmpty,
+          s"standing side of a probe join rides an exchange:\n$j")
+      }
+    }
+    // the weight-ledger aggregate does shuffle — but only rows that
+    // already passed the LeftSemi touched split (delta-sized, never
+    // the table): every standing-carrying shuffle must contain the
+    // semi probe in its subtree
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if standing(e) => e
+    }.foreach { e =>
+      val aboveSplit = e.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == LeftSemi && standing(j) => j
+      }.nonEmpty
+      assert(aboveSplit,
+        s"a standing-carrying shuffle below the touched split:\n$e")
+    }
+  }
+
+  // ------------------------------------------------------------- e36
+
+  /** Page's CUSUM by the literal recurrence — the independent oracle
+    * the window-identity implementation must reproduce. */
+  private def cusumByRecurrence(xs: Seq[(Int, Long)]) // (di, cents)
+      : Option[(String, Int, Long, Long)] = {
+    val n = xs.size
+    val k = xs.map(_._2).sum / n // positive totals: floor == truncate
+    val h = EventOps.E36HMult * k
+    var sp = 0L; var sm = 0L
+    var firstUp = Option.empty[Int]; var firstDn = Option.empty[Int]
+    var peakUp = 0L; var peakDn = 0L
+    for ((di, x) <- xs.sortBy(_._1)) {
+      sp = math.max(0L, sp + (x - k)); sm = math.max(0L, sm - (x - k))
+      peakUp = math.max(peakUp, sp); peakDn = math.max(peakDn, sm)
+      if (sp > h && firstUp.isEmpty) firstUp = Some(di)
+      if (sm > h && firstDn.isEmpty) firstDn = Some(di)
+    }
+    if (firstUp.isEmpty && firstDn.isEmpty) None
+    else {
+      val dir = if (firstDn.isEmpty ||
+        (firstUp.nonEmpty && firstUp.get <= firstDn.get)) "up" else "down"
+      Some((dir, math.min(firstUp.getOrElse(Int.MaxValue),
+        firstDn.getOrElse(Int.MaxValue)), peakUp, peakDn))
+    }
+  }
+
+  private def e36Events(rows: Seq[(Long, Int, Long)]) = { // user, di, cents
+    import graft.SharedSpark.spark.implicits._
+    rows.toDF("user_id", "di", "cents")
+      .select($"user_id",
+        to_timestamp(date_add(lit("1970-01-01").cast("date"), $"di"))
+          .as("ts"),
+        ($"cents".cast("double") / 100.0).as("value"))
+  }
+
+  test("e36: hand-verified planted series — a 6-day trough alarms DOWN " +
+      "on day 5 (699·5 = 3495 > h = 2800) before the later up-swing; " +
+      "a flat series never alarms") {
+    import spark.implicits._
+    val trough = (1 to 6).map(d => (9L, d, 1L)) ++
+      (7 to 20).map(d => (9L, d, 1000L))
+    val flat = (1 to 20).map(d => (10L, d, 500L))
+    val got = EventOps.e36From(e36Events(trough ++ flat))
+      .collect().map(_.toSeq).toSeq
+    // k = 14006 div 20 = 700, h = 2800; S⁻ = 699·i crosses on day 5
+    // (3495), peaks 4194 on day 6; S⁺ then climbs 300/day to 4200
+    assert(got == Seq(Seq(9L, "down", 5, 4200L, 4194L)), s"got $got")
+  }
+
+  test("e36: the window identity S⁺=cum−min(0,runmin cum), " +
+      "S⁻=max(0,runmax cum)−cum reproduces Page's literal recurrence " +
+      "on 40 seeded-random user series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1636)
+    val rows = for {
+      u <- 1L to 40L
+      days = 10 + rnd.nextInt(20)
+      base = 50L + rnd.nextInt(2000)
+      d <- 1 to days
+      // occasional regime shifts so some users alarm and some don't
+      x = math.max(1L, base + rnd.nextInt(600) - 300 +
+        (if (d > days / 2 && u % 3 == 0) base * 2 else 0L))
+    } yield (u, d, x)
+    val got = EventOps.e36From(e36Events(rows))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val expected = rows.groupBy(_._1).flatMap { case (u, rs) =>
+      cusumByRecurrence(rs.map(r => (r._2, r._3))).map(u -> _)
+    }
+    assert(got == expected,
+      s"identity diverged from recurrence:\ngot      $got\nexpected $expected")
+    assert(got.nonEmpty && got.size < 40,
+      s"fuzz should alarm some but not all users, alarmed ${got.size}/40")
+  }
+
   // ------------------------------------------------------------- e33
 
   test("e33: planted lifecycle — new/retained/resurrected/churned per " +
