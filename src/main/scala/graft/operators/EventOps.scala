@@ -2188,6 +2188,18 @@ object EventOps {
         $"user_id")
     val touched = standing.join(users, Seq("user_id"), "left_semi")
     val untouched = standing.join(users, Seq("user_id"), "left_anti")
+    (e35Resweep(touched, adds, dels), untouched)
+  }
+
+  /** The weight ledger + re-sweep over one set of touched state rows
+    * and a batch's ± deltas — [[e35MergedParts]] supplies the
+    * semi-probed standing rows; maintainer #13's bootstrap supplies an
+    * EMPTY frame (the first batch sweeps its own adds minus its own
+    * dels). Output at the ts_list STATE shape. */
+  private[graft] def e35Resweep(touched: DataFrame, adds: DataFrame,
+      dels: DataFrame): DataFrame = {
+    val spark = touched.sparkSession
+    import spark.implicits._
     val wAll = touched
       .select($"user_id", explode($"ts_list").as("us"))
       .unionByName(adds.select($"user_id", $"us"))
@@ -2199,7 +2211,7 @@ object EventOps {
         ($"w_all" - coalesce($"w_del", lit(0L))).as("w"))
       .filter($"w" > 0)
     val byUser = Window.partitionBy($"user_id").orderBy($"us")
-    val resw = remaining
+    remaining
       .withColumn("prev", lag($"us", 1).over(byUser))
       .withColumn("new_sess",
         when($"prev".isNull || $"us" - $"prev" > E32GapUs, 1).otherwise(0))
@@ -2211,7 +2223,16 @@ object EventOps {
         sort_array(flatten(collect_list(
           array_repeat($"us", $"w".cast("int"))))).as("ts_list"))
       .select($"user_id", $"start_us", $"end_us", $"n_events", $"ts_list")
-    (resw, untouched)
+  }
+
+  /** The ts_list state schema maintainer #13's bootstrap needs for its
+    * empty day-0 frame. */
+  private[graft] val E35StateSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("user_id", LongType), StructField("start_us", LongType),
+      StructField("end_us", LongType), StructField("n_events", LongType),
+      StructField("ts_list", ArrayType(LongType))))
   }
 
   // The oracle is the from-scratch sessionization over the NET corpus

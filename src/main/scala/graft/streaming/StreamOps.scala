@@ -1573,4 +1573,114 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         sessionBatch(batch.toDF(), prefix, dir)
       }
+
+  // ------------------------------------ streaming session upserts
+
+  /** Maintainer #13: BIDIRECTIONAL streaming sessionization —
+    * [[graft.operators.EventOps.e35MergedParts]]'s mixed fold behind
+    * [[EpochStore]]. Batches are CDC rows (event_id, user_id, ts, op)
+    * with op ∈ {'add', 'del'}: ONE maintainer consumes inserts and
+    * retractions in the same feed (new activity interleaved with GDPR
+    * erasures), where #12 can only grow. State is e34's ts_list
+    * multiset snapshot, bucketed on user_id; the inductive step that
+    * makes the maintainer sound: the snapshot written after every
+    * batch IS the exact multiset of surviving events, so the fold's
+    * premise (standing ts_list = surviving multiset) re-establishes
+    * itself for the next batch.
+    *
+    * Re-delivery discipline extends decayBatch's: the guard key is
+    * (event_id, op) — an event's add and its later del are DISTINCT
+    * ledger entries, each deduped to one row per batch (deterministic
+    * arg-max) and anti-joined against the proc log, so replays of
+    * either are true no-ops (no epoch bump). CDC contract (the
+    * caller's to uphold, exactly like any changelog consumer): a del
+    * names the same (user_id, ts) as the add it retracts and must
+    * causally FOLLOW it — a del for a never-seen event no-ops (the
+    * ledger clips at zero, never negative), so a del delivered before
+    * its add would be silently lost when the add later lands. */
+  private[graft] val UpsertSessionTables = EpochTables(
+    snaps = Map("sessions" -> Seq("user_id")),
+    // proc rows are (event_id, op, d); the guard anti-joins on
+    // (event_id, op), d enables the horizon trim
+    logs = Map("proc" -> Seq("event_id")))
+
+  private[graft] def upsertSessionBatch(batch: DataFrame, prefix: String,
+      dir: String, crashBeforeCommit: Boolean = false): Unit = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val store = new EpochStore(prefix, dir, UpsertSessionTables)
+    // one row per (event_id, op): a messy batch may carry an event's
+    // add AND its del — distinct ledger entries — but duplicates of
+    // either collapse to the deterministic arg-max winner
+    val ev = batch
+      .select($"event_id", $"user_id", $"ts", $"op")
+      .groupBy($"event_id", $"op")
+      .agg(max(struct($"ts", $"user_id")).as("w"))
+      .select($"event_id", $"op", $"w.user_id", $"w.ts")
+    def side(rows: DataFrame, o: String) = rows.filter($"op" === o)
+      .select($"user_id", unix_micros($"ts").as("us"))
+    if (!store.exists(sp)) {
+      store.transact(sp) { tx =>
+        val empty = sp.createDataFrame(
+          sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          graft.operators.EventOps.E35StateSchema)
+        tx.writeSnap("sessions", graft.operators.EventOps.e35Resweep(
+          empty, side(ev, "add"), side(ev, "del")))
+        tx.writeLogDelta("proc",
+          ev.select($"event_id", $"op", to_date($"ts").as("d")))
+        if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+      }
+    } else {
+      val newEv = ev
+        .join(store.log(sp, "proc"), Seq("event_id", "op"), "left_anti")
+        .localCheckpoint() // one compute for the guard probe and the fold
+      try {
+        if (!newEv.isEmpty) store.transact(sp) { tx =>
+          val (resw, untouched) = graft.operators.EventOps
+            .e35MergedParts(store.snapName(sp, "sessions"),
+              side(newEv, "add"), side(newEv, "del"))
+          tx.writeSnap("sessions", resw.unionByName(untouched))
+          tx.writeLogDelta("proc",
+            newEv.select($"event_id", $"op", to_date($"ts").as("d")))
+          if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+        }
+      } finally
+        graft.operators.DedupOps.unpersistCheckpointed(newEv)
+    }
+  }
+
+  /** Surviving sessions at the query shape, from the snapshot only. */
+  def upsertSessionServe(sp: org.apache.spark.sql.SparkSession,
+      prefix: String, dir: String): DataFrame =
+    graft.operators.EventOps.e32Shape(
+        new EpochStore(prefix, dir, UpsertSessionTables).snap(sp, "sessions"))
+      .orderBy(col("user_id"), col("sess_id"))
+
+  /** [[decayTrim]]'s horizon retention for the upsert maintainer's
+    * (event_id, op) guard log; same contract — and note the horizon
+    * must cover re-delivery of DELS as well as adds (a replayed del
+    * whose log entry was trimmed would re-subtract only if a surviving
+    * copy matches; the contract forbids the source re-delivering past
+    * the horizon either way). */
+  def upsertSessionTrim(sp: org.apache.spark.sql.SparkSession,
+      prefix: String, dir: String, horizonDays: Int): Unit = {
+    import sp.implicits._
+    require(horizonDays >= 0, s"horizonDays must be >= 0, got $horizonDays")
+    val store = new EpochStore(prefix, dir, UpsertSessionTables)
+    val maxUs = store.snap(sp, "sessions")
+      .agg(max($"end_us").as("mx")).first().getLong(0)
+    val cutoff = java.time.LocalDate.ofEpochDay(maxUs / 86400000000L)
+      .minusDays(horizonDays.toLong)
+    store.compact(sp, retain = 0, logRetention = Map(
+      "proc" -> ((log: org.apache.spark.sql.DataFrame) =>
+        log.filter($"d" >= lit(java.sql.Date.valueOf(cutoff))))))
+  }
+
+  def streamingSessionUpserts(cdcStream: DataFrame, prefix: String,
+      dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    cdcStream.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        upsertSessionBatch(batch.toDF(), prefix, dir)
+      }
 }
