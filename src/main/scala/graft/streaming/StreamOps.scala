@@ -1465,12 +1465,14 @@ object StreamOps {
     import sp.implicits._
     require(horizonDays >= 0, s"horizonDays must be >= 0, got $horizonDays")
     val store = new EpochStore(prefix, dir, DecayTables)
-    val cutoff = store.snap(sp, "daily")
-      .agg(max($"d").as("mx")).first().getDate(0)
-      .toLocalDate.minusDays(horizonDays.toLong)
-    store.compact(sp, retain = 0, logRetention = Map(
-      "proc" -> ((log: org.apache.spark.sql.DataFrame) =>
-        log.filter($"d" >= lit(java.sql.Date.valueOf(cutoff))))))
+    val mx = store.snap(sp, "daily").agg(max($"d").as("mx")).first()
+    if (mx.isNullAt(0)) store.compact(sp, retain = 0) // empty state: no
+    else {           // reference day — keep the whole log (conservative)
+      val cutoff = mx.getDate(0).toLocalDate.minusDays(horizonDays.toLong)
+      store.compact(sp, retain = 0, logRetention = Map(
+        "proc" -> ((log: org.apache.spark.sql.DataFrame) =>
+          log.filter($"d" >= lit(java.sql.Date.valueOf(cutoff))))))
+    }
   }
 
   def streamingDecay(eventStream: DataFrame, prefix: String, dir: String)
@@ -1558,13 +1560,16 @@ object StreamOps {
     import sp.implicits._
     require(horizonDays >= 0, s"horizonDays must be >= 0, got $horizonDays")
     val store = new EpochStore(prefix, dir, SessionTables)
-    val maxUs = store.snap(sp, "sessions")
-      .agg(max($"end_us").as("mx")).first().getLong(0)
-    val cutoff = java.time.LocalDate.ofEpochDay(maxUs / 86400000000L)
-      .minusDays(horizonDays.toLong)
-    store.compact(sp, retain = 0, logRetention = Map(
-      "proc" -> ((log: org.apache.spark.sql.DataFrame) =>
-        log.filter($"d" >= lit(java.sql.Date.valueOf(cutoff))))))
+    val mx = store.snap(sp, "sessions")
+      .agg(max($"end_us").as("mx")).first()
+    if (mx.isNullAt(0)) store.compact(sp, retain = 0) // empty state: no
+    else {           // reference day — keep the whole log (conservative)
+      val cutoff = java.time.LocalDate.ofEpochDay(mx.getLong(0) / 86400000000L)
+        .minusDays(horizonDays.toLong)
+      store.compact(sp, retain = 0, logRetention = Map(
+        "proc" -> ((log: org.apache.spark.sql.DataFrame) =>
+          log.filter($"d" >= lit(java.sql.Date.valueOf(cutoff))))))
+    }
   }
 
   def streamingSessions(eventStream: DataFrame, prefix: String, dir: String)
@@ -1667,13 +1672,19 @@ object StreamOps {
     import sp.implicits._
     require(horizonDays >= 0, s"horizonDays must be >= 0, got $horizonDays")
     val store = new EpochStore(prefix, dir, UpsertSessionTables)
-    val maxUs = store.snap(sp, "sessions")
-      .agg(max($"end_us").as("mx")).first().getLong(0)
-    val cutoff = java.time.LocalDate.ofEpochDay(maxUs / 86400000000L)
-      .minusDays(horizonDays.toLong)
-    store.compact(sp, retain = 0, logRetention = Map(
-      "proc" -> ((log: org.apache.spark.sql.DataFrame) =>
-        log.filter($"d" >= lit(java.sql.Date.valueOf(cutoff))))))
+    // an ALL-DELETED corpus is legitimate here (total GDPR erasure):
+    // with no surviving event to date the horizon from, keep the whole
+    // guard log — conservative, and replays stay no-ops
+    val mx = store.snap(sp, "sessions")
+      .agg(max($"end_us").as("mx")).first()
+    if (mx.isNullAt(0)) store.compact(sp, retain = 0)
+    else {
+      val cutoff = java.time.LocalDate.ofEpochDay(mx.getLong(0) / 86400000000L)
+        .minusDays(horizonDays.toLong)
+      store.compact(sp, retain = 0, logRetention = Map(
+        "proc" -> ((log: org.apache.spark.sql.DataFrame) =>
+          log.filter($"d" >= lit(java.sql.Date.valueOf(cutoff))))))
+    }
   }
 
   def streamingSessionUpserts(cdcStream: DataFrame, prefix: String,

@@ -142,6 +142,30 @@ class UpsertStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("total erasure: deleting every surviving event leaves an EMPTY " +
+      "snapshot that serves, trims (whole log kept — no reference day), " +
+      "and still no-ops replays of both ops") {
+    val prefix = "graft_state_eusess"
+    val store = new EpochStore(prefix, "spec", StreamOps.UpsertSessionTables)
+    store.destroy(spark)
+    val adds = Seq((1L, at(0, 10, 0), 1L, "add"), (2L, at(1, 11, 0), 2L, "add"))
+    val dels = adds.map(e => (e._1, e._2, e._3, "del"))
+    StreamOps.upsertSessionBatch(cdc(adds), prefix, "spec")
+    StreamOps.upsertSessionBatch(cdc(dels), prefix, "spec")
+    assert(digest(StreamOps.upsertSessionServe(spark, prefix, "spec")).isEmpty,
+      "total erasure left surviving sessions")
+    StreamOps.upsertSessionTrim(spark, prefix, "spec", horizonDays = 7)
+    assert(store.log(spark, "proc").count() == 4,
+      "trim with no reference day must keep the whole guard log")
+    val epochBefore = store.committed(spark)._1
+    StreamOps.upsertSessionBatch(cdc(adds ++ dels), prefix, "spec")
+    assert(store.committed(spark)._1 == epochBefore,
+      "replay into the erased state opened a new epoch")
+    assert(digest(StreamOps.upsertSessionServe(spark, prefix, "spec")).isEmpty,
+      "replay resurrected erased events")
+    store.destroy(spark)
+  }
+
   test("upsertSessionTrim: the (event_id, op) guard log is bounded by " +
       "the horizon; in-horizon replays of BOTH ops stay true no-ops") {
     val prefix = "graft_state_tusess"
