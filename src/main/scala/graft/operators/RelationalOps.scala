@@ -4292,6 +4292,112 @@ object RelationalOps {
       |         OR b.p_size > a.p_size))
       |ORDER BY a.p_retailprice, a.p_partkey""".stripMargin
 
+  // --------------------------------------------------------------- q64
+  /** BUFFERED decremental TOP-K — top-k orders per customer kept
+    * correct under a deletion batch without touching the base table
+    * for any group that doesn't need it. Deletion is the direction
+    * plain top-k state cannot absorb (an insert compares against the
+    * k-th element; a delete may promote a row the state never kept),
+    * and the classical fix is a SLACK BUFFER: keep top (k+s) per
+    * group. A deletion batch then splits groups three ways: untouched
+    * groups serve from their buffer verbatim; touched groups with ≥ k
+    * surviving buffer rows serve from the buffer too (every surviving
+    * buffer row still dominates every non-buffer survivor, so the
+    * buffer's top-k IS the survivors' top-k); only groups whose FULL
+    * buffer lost more than s rows (surviving < k while the buffer held
+    * k+s — rows below the buffer might now qualify) refill by
+    * recomputing from the base's survivors — q52's detect-affected +
+    * bounded-recompute at group grain. A buffer that was never full
+    * holds its ENTIRE group, so it cannot underflow into a refill.
+    * q41's read-only IVM rule: the fold never persists, so replayed
+    * reads cannot double-delete.
+    *
+    * Scale shape: the standing buffer is groups×(k+s) rows —
+    * metadata-sized — bucketed on the group key; the anti/semi probes,
+    * both per-group counts, and the serve window all ride that
+    * bucketing with zero exchange (single-column group key = the
+    * bucket key); the deletion batch repartitions to the buffer's
+    * bucket spec; the ONLY base read on day 2 is the refill scan,
+    * semi-join pruned to the underflowed groups (≈ 3% of groups at
+    * the sf0.01 deletion rate: P[Binomial(6, 1/4) ≥ 4]). A
+    * from-scratch refresh re-windows the whole corpus every time. */
+  private[graft] val Q64K = 3
+  private[graft] val Q64S = 3
+
+  def q64TopkRetract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.EngineFns.md5Long
+    val all = t(spark, dir, "orders").select($"o_custkey".as("g"),
+      $"o_orderkey".as("id"), $"o_totalprice".as("v"))
+    val bufT = graft.sources.LayoutOps.stateTable("graft_state_q64_topk", dir)
+    if (!spark.catalog.tableExists(bufT))
+      graft.sources.LayoutOps.writeBucketed(
+        q64Buffer(all), bufT, Seq("g"),
+        graft.sources.LayoutOps.stateBuckets(spark))
+    val isDel = pmod(md5Long(concat($"id".cast("string"), lit(":q64"))),
+      lit(4L)) === 0L
+    q64Fold(bufT, all.filter(isDel).select($"g", $"id"), all.filter(!isDel))
+  }
+
+  /** Standing per-group top-(k+s) buffer rows. */
+  private[graft] def q64Buffer(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    base.withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy($"v".desc, $"id")))
+      .filter($"rn" <= Q64K + Q64S).select($"g", $"id", $"v")
+  }
+
+  /** The fold: serve untouched and still-covered groups from the
+    * buffer; refill ONLY underflowed-while-full groups from the
+    * surviving base rows. */
+  private[graft] def q64Fold(bufT: String, dels: DataFrame,
+      survivors: DataFrame): DataFrame = {
+    val spark = dels.sparkSession
+    import spark.implicits._
+    val buf = spark.table(bufT)
+    val delsK = dels.repartition(
+      graft.sources.LayoutOps.tableBuckets(spark, bufT), $"g")
+    val survBuf = buf.join(delsK, Seq("g", "id"), "left_anti")
+    val nBuf = buf.groupBy($"g").agg(count(lit(1)).as("n_buf"))
+    val nSurv = survBuf.groupBy($"g").agg(count(lit(1)).as("n_surv"))
+    val refillG = nBuf.join(nSurv, Seq("g"), "left")
+      .filter($"n_buf" === (Q64K + Q64S) &&
+        coalesce($"n_surv", lit(0L)) < Q64K)
+      .select($"g")
+    val byG = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+    val fromBuf = survBuf.join(refillG, Seq("g"), "left_anti")
+      .withColumn("rank", row_number().over(byG).cast("long"))
+      .filter($"rank" <= Q64K)
+    val refill = survivors.join(refillG, Seq("g"), "left_semi")
+      .withColumn("rank", row_number().over(byG).cast("long"))
+      .filter($"rank" <= Q64K)
+    fromBuf.select($"g", $"rank", $"id", $"v")
+      .unionByName(refill.select($"g", $"rank", $"id", $"v"))
+      .orderBy($"g", $"rank")
+  }
+
+  // The oracle is the from-scratch per-group top-k over the SURVIVING
+  // orders: the buffered fold must be indistinguishable from
+  // re-windowing the whole corpus without the deleted rows.
+  val q64TopkRetractSql: String = {
+    import graft.functions.EngineFns.sqlMd5Long
+    val kept =
+      "NOT (" + sqlMd5Long("CAST(o_orderkey AS VARCHAR) || ':q64'") +
+        " % 4 = 0)"
+    s"""WITH kept AS (
+       |  SELECT o_custkey AS g, o_orderkey AS id, o_totalprice AS v
+       |  FROM orders WHERE $kept),
+       |r AS (
+       |  SELECT g, id, v,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC, id)
+       |      AS BIGINT) AS rank
+       |  FROM kept)
+       |SELECT g, rank, id, v FROM r
+       |WHERE rank <= $Q64K
+       |ORDER BY g, rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- q60
   /** Snapshot diff (CDC reconciliation): classify every key of two
     * table snapshots as INSERT / DELETE / UPDATE / unchanged — the
@@ -4639,6 +4745,7 @@ object RelationalOps {
     "q58_skyline_day2"   -> (q58SkylineDay2 _),
     "q59_skyline_retract" -> (q59SkylineRetract _),
     "q63_skyline_batch_retract" -> (q63SkylineBatchRetract _),
+    "q64_topk_retract"   -> (q64TopkRetract _),
     "q60_sync_diff"      -> (q60SyncDiff _),
     "q61_bootstrap_ci"   -> (q61BootstrapCi _),
     "q62_trend_regression" -> (q62TrendRegression _),
@@ -4746,6 +4853,7 @@ object RelationalOps {
     "q58_skyline_day2"   -> q56SkylineSql,
     "q59_skyline_retract" -> q59SkylineRetractSql,
     "q63_skyline_batch_retract" -> q63SkylineBatchRetractSql,
+    "q64_topk_retract"   -> q64TopkRetractSql,
     "q60_sync_diff"      -> q60SyncDiffSql,
     "q61_bootstrap_ci"   -> q61BootstrapCiSql,
     "q62_trend_regression" -> q62TrendRegressionSql,
