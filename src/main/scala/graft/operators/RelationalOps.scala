@@ -4398,6 +4398,70 @@ object RelationalOps {
        |ORDER BY g, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q65
+  /** FUNCTIONAL-DEPENDENCY profiling — the TANE-family data-profiling
+    * primitive q43's domain checks don't cover: for each candidate
+    * dependency lhs → rhs, the EXACT g3 repair distance (the minimum
+    * number of rows to delete for the FD to hold: n − Σ_lhs max_rhs
+    * count), plus exact-hold and 1%-approximate-hold verdicts. This is
+    * what schema-discovery and data-cleaning stacks rank candidates
+    * by (TANE/Huhtala et al. 1999 is public); an FD that "holds at
+    * 1%" flags a latent constraint worth enforcing, and g3 names the
+    * exact cleaning cost.
+    *
+    * Scale shape: each candidate is a two-level hash aggregate —
+    * (lhs, rhs) counts collapse map-side, then per-lhs max/sum, then
+    * one row — so a candidate costs one corpus pass with partial
+    * aggregation and the union is candidate-count×1 rows. Profilers
+    * at 100 TB run the same shape per candidate (or over a sampled
+    * slab — the operator is grain-agnostic). */
+  private[graft] val Q65Candidates: Seq[(String, String, String)] = Seq(
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("lineitem", "l_orderkey", "l_shipdate"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("part", "p_name", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("events", "user_id", "event_type"))
+
+  def q65FdProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Q65Candidates
+      .map { case (tn, lhs, rhs) => q65One(t(spark, dir, tn), tn, lhs, rhs) }
+      .reduce(_ unionByName _)
+      .orderBy($"fd")
+  }
+
+  /** One candidate's exact g3 profile. */
+  private[graft] def q65One(df: DataFrame, table: String, lhs: String,
+      rhs: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(lhs).as("a"), col(rhs).as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cnt"))
+      .groupBy($"a").agg(sum($"cnt").as("n_a"), max($"cnt").as("mx"))
+      .agg(sum($"n_a").as("n_rows"), count(lit(1)).as("n_lhs"),
+        sum($"n_a" - $"mx").as("g3"))
+      .select(lit(s"$table.$lhs->$rhs").as("fd"), $"n_rows", $"n_lhs",
+        $"g3", ($"g3" === 0L).as("holds"),
+        ($"g3" * 100 <= $"n_rows").as("holds_1pct"))
+  }
+
+  val q65FdProfileSql: String =
+    Q65Candidates.map { case (tn, lhs, rhs) =>
+      s"""SELECT '$tn.$lhs->$rhs' AS fd,
+         |  CAST(SUM(n_a) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lhs,
+         |  CAST(SUM(n_a - mx) AS BIGINT) AS g3,
+         |  SUM(n_a - mx) = 0 AS holds,
+         |  SUM(n_a - mx) * 100 <= SUM(n_a) AS holds_1pct
+         |FROM (SELECT a, SUM(cnt) AS n_a, MAX(cnt) AS mx
+         |      FROM (SELECT $lhs AS a, $rhs AS b, COUNT(*) AS cnt
+         |            FROM $tn GROUP BY 1, 2)
+         |      GROUP BY a)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+
   // --------------------------------------------------------------- q60
   /** Snapshot diff (CDC reconciliation): classify every key of two
     * table snapshots as INSERT / DELETE / UPDATE / unchanged — the
@@ -4746,6 +4810,7 @@ object RelationalOps {
     "q59_skyline_retract" -> (q59SkylineRetract _),
     "q63_skyline_batch_retract" -> (q63SkylineBatchRetract _),
     "q64_topk_retract"   -> (q64TopkRetract _),
+    "q65_fd_profile"     -> (q65FdProfile _),
     "q60_sync_diff"      -> (q60SyncDiff _),
     "q61_bootstrap_ci"   -> (q61BootstrapCi _),
     "q62_trend_regression" -> (q62TrendRegression _),
@@ -4854,6 +4919,7 @@ object RelationalOps {
     "q59_skyline_retract" -> q59SkylineRetractSql,
     "q63_skyline_batch_retract" -> q63SkylineBatchRetractSql,
     "q64_topk_retract"   -> q64TopkRetractSql,
+    "q65_fd_profile"     -> q65FdProfileSql,
     "q60_sync_diff"      -> q60SyncDiffSql,
     "q61_bootstrap_ci"   -> q61BootstrapCiSql,
     "q62_trend_regression" -> q62TrendRegressionSql,

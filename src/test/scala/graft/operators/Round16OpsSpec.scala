@@ -455,6 +455,35 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(pruned.nonEmpty, s"refill base read is not semi-pruned:\n$plan")
   }
 
+  // ------------------------------------------------------------- q65
+
+  test("q65: exact g3 repair distance on planted dependencies — " +
+      "hand-counted violations, an exactly-holding FD, the 1% " +
+      "approximate band, and null-group handling") {
+    import spark.implicits._
+    def profile(rows: Seq[(java.lang.Long, String)]) =
+      RelationalOps.q65One(rows.toDF("a", "b"), "t", "a", "b")
+        .collect().map(_.toSeq).head
+    // a=1: {x,x,y} → g3 1; a=2: {z,z,z,z} → 0; a=3: {p,q} → 1;
+    // a=5: {null,null,w} → 1 (nulls form one rhs group)
+    val messy: Seq[(java.lang.Long, String)] = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"),
+      (2L, "z"), (2L, "z"), (2L, "z"), (2L, "z"),
+      (3L, "p"), (3L, "q"),
+      (5L, null), (5L, null), (5L, "w"))
+    assert(profile(messy) ==
+      Seq("t.a->b", 12L, 4L, 3L, false, false), s"got ${profile(messy)}")
+    // exact hold: rhs is a function of lhs
+    val exact: Seq[(java.lang.Long, String)] =
+      (1 to 50).map(i => (java.lang.Long.valueOf(i % 5L), s"v${i % 5}"))
+    assert(profile(exact) == Seq("t.a->b", 50L, 5L, 0L, true, true))
+    // 1% band: 300 rows, 2 violations → g3·100 = 200 ≤ 300
+    val approx: Seq[(java.lang.Long, String)] =
+      (1 to 298).map(_ => (java.lang.Long.valueOf(1L), "u")) ++
+        Seq((1L, "v"), (1L, "v")).map(t => (java.lang.Long.valueOf(t._1), t._2))
+    assert(profile(approx) == Seq("t.a->b", 300L, 1L, 2L, false, true))
+  }
+
   // ------------------------------------------------------------- e36
 
   /** Page's CUSUM by the literal recurrence — the independent oracle
