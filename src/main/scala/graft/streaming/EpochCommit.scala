@@ -280,7 +280,19 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
     resolve(sp, tname(name, s"e$epoch"))
   }
 
-  /** Committed log content: base (if compacted) plus the delta chain. */
+  /** Committed log content: base (if compacted) plus the delta chain.
+    *
+    * A SINGLE part is read as its bucketed table — the partitioning
+    * claim is true and downstream probes may ride it. MULTIPLE parts
+    * are read by PATH, without bucket metadata: Spark plans subset-key
+    * aggregates (and can plan joins) over a union of same-spec
+    * bucketed scans WITHOUT an exchange, but the union CONCATENATES
+    * the children's partitions — identical keys living in different
+    * deltas never meet, silently splitting groups / missing matches.
+    * (Observed: a (g,id,v) ledger fold over a four-delta chain kept a
+    * +1 and its −1 in separate output groups; EpochCommitSpec pins the
+    * regression.) Path reads carry no claim, so every downstream
+    * operator plans its own exchange. */
   def log(sp: SparkSession, name: String): DataFrame = {
     val (e, b, _) = committed(sp)
     require(e > 0, s"EpochStore($tag): no committed epoch")
@@ -297,7 +309,16 @@ final class EpochStore(prefix: String, dir: String, tables: EpochTables) {
             loc.getFileSystem(sp.sparkContext.hadoopConfiguration).exists(loc)
           })
     require(parts.nonEmpty, s"EpochStore($tag): log $name has no parts")
-    parts.map(resolve(sp, _)).reduce(_ unionByName _)
+    if (parts.size == 1) resolve(sp, parts.head)
+    else {
+      // the catalog schema (via resolve) also covers EMPTY deltas,
+      // whose file-less directories defeat parquet schema inference
+      val schema = resolve(sp, parts.head).schema
+      parts
+        .map(t => sp.read.schema(schema)
+          .parquet(tablePath(sp, t).toString))
+        .reduce(_ unionByName _)
+    }
   }
 
   /** [[log]] registered as a temp view, for maintenance cores that take

@@ -716,4 +716,37 @@ class EpochCommitSpec extends AnyFunSuite {
       store.destroy(spark)
     }
   }
+
+  test("log(): identical keys spread across MULTIPLE deltas fold into " +
+      "ONE group and anti-joins see every part — a multi-part log must " +
+      "not expose per-table bucketing claims (a union of same-spec " +
+      "bucketed scans concatenates partitions, so a subset-key " +
+      "aggregate planned exchange-free splits groups)") {
+    import spark.implicits._
+    val store = new EpochStore("graft_state_logu", "spec",
+      EpochTables(snaps = Map.empty, logs = Map("l" -> Seq("g"))))
+    store.destroy(spark)
+    store.transact(spark) { tx =>
+      tx.writeLogDelta("l",
+        Seq((1L, 1.0, 1L), (2L, 2.0, 1L)).toDF("g", "x", "w"))
+    }
+    store.transact(spark) { tx =>
+      tx.writeLogDelta("l", Seq((1L, 1.0, -1L)).toDF("g", "x", "w"))
+    }
+    val folded = store.log(spark, "l")
+      .groupBy($"g", $"x").agg(sum($"w").as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)) -> r.getLong(2))
+      .toMap
+    assert(folded == Map((1L, 1.0) -> 0L, (2L, 2.0) -> 1L),
+      s"cross-delta groups did not merge: $folded")
+    // the replay-guard shape: an anti-join must drop keys from EVERY
+    // part of the chain, not just the ones sharing a claimed partition
+    val remaining = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("g", "y")
+      .join(store.log(spark, "l").select($"g").distinct(),
+        Seq("g"), "left_anti")
+      .collect().map(_.getLong(0)).toSeq
+    assert(remaining == Seq(3L),
+      s"anti-join missed keys across the delta chain: $remaining")
+    store.destroy(spark)
+  }
 }
