@@ -1694,4 +1694,181 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         upsertSessionBatch(batch.toDF(), prefix, dir)
       }
+
+  // ------------------------------------------ streaming top-k upserts
+
+  /** Maintainer #14: streaming TOP-K per group under a mixed CDC feed
+    * (leaderboards under refunds and bans) — the materialized
+    * companion to [[graft.operators.RelationalOps.q64Fold]]'s
+    * read-only fold, built on the THRESHOLD invariant the top-k view
+    * maintenance literature uses (Yi et al., ICDE 2003 — public):
+    *
+    *   INVARIANT: `buf`(g) = EXACTLY the survivors of g with
+    *   (v, id) ≥ θ_g, where θ_g is the group's threshold in `thr`
+    *   (a group with no `thr` row has θ = −∞: its buffer holds ALL
+    *   its survivors).
+    *
+    * Every batch preserves it without reading the corpus: dels remove
+    * from the buffer (survivors ≥ θ lose exactly those rows); adds
+    * ABOVE θ enter the buffer, adds below it touch only the base
+    * ledger (they sit under the known prefix end — the step a naive
+    * buffer-merge gets wrong: merging a below-θ add and later serving
+    * it would mask the deleted-then-still-better rows the buffer no
+    * longer holds). Groups whose buffer UNDERFLOWS K while holding a
+    * finite θ rebuild their prefix from the base ledger (semi-join
+    * pruned to exactly those groups — q64's refill, against a log
+    * instead of a table); groups whose buffer OVERGROWS K+S trim in
+    * place and tighten θ (valid without a log read: the trimmed set is
+    * still survivors ≥ the new, higher θ), which also bounds the
+    * buffer of young groups that never had a θ.
+    *
+    * State: `buf`/`thr` snapshots (group-bucketed, groups×(k+s) and
+    * groups×1 rows) + the `base` ledger log (±1-weighted CDC rows,
+    * group-bucketed — the honest cost of EXACT deletion: a deleted
+    * row's replacement can come from arbitrarily deep below the
+    * prefix; [[topkCompact]] folds the ledger to its net survivors).
+    * Guard: (event_id, op) exactly as maintainer #13; same CDC
+    * contract (a del names its add's (g, v) and follows it). */
+  private[graft] val TopkTables = EpochTables(
+    snaps = Map("buf" -> Seq("g"), "thr" -> Seq("g")),
+    logs = Map("base" -> Seq("g"), "proc" -> Seq("event_id")))
+
+  private[graft] def topkBatch(batch: DataFrame, prefix: String,
+      dir: String, crashBeforeCommit: Boolean = false): Unit = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val cap = graft.operators.RelationalOps.Q64K +
+      graft.operators.RelationalOps.Q64S
+    val store = new EpochStore(prefix, dir, TopkTables)
+    val ev = batch.select($"event_id", $"g", $"v", $"ts", $"op")
+      .groupBy($"event_id", $"op")
+      .agg(max(struct($"ts", $"g", $"v")).as("w"))
+      .select($"event_id", $"op", $"w.g", $"w.v", $"w.ts")
+    def side(rows: DataFrame, o: String) = rows.filter($"op" === o)
+      .select($"g", $"event_id".as("id"), $"v")
+    def ledgerDelta(rows: DataFrame) =
+      side(rows, "add").withColumn("w", lit(1L))
+        .unionByName(side(rows, "del").withColumn("w", lit(-1L)))
+    if (!store.exists(sp)) {
+      store.transact(sp) { tx =>
+        val (buf, thr) = topkPrefix(topkSurvivors(ledgerDelta(ev)), cap)
+        tx.writeSnap("buf", buf)
+        tx.writeSnap("thr", thr)
+        tx.writeLogDelta("base", ledgerDelta(ev))
+        tx.writeLogDelta("proc",
+          ev.select($"event_id", $"op", to_date($"ts").as("d")))
+        if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+      }
+    } else {
+      val newEv = ev
+        .join(store.log(sp, "proc"), Seq("event_id", "op"), "left_anti")
+        .localCheckpoint() // one compute for the guard probe and the fold
+      try {
+        if (!newEv.isEmpty) store.transact(sp) { tx =>
+          val adds = side(newEv, "add")
+          val dels = side(newEv, "del")
+          val buf0 = store.snap(sp, "buf")
+          val thr0 = store.snap(sp, "thr")
+          val delsK = dels.repartition(graft.sources.LayoutOps
+            .tableBuckets(sp, store.snapName(sp, "buf")), $"g")
+          val bufSurv = buf0.join(delsK, Seq("g", "id"), "left_anti")
+          val aboveThr = adds.join(thr0, Seq("g"), "left")
+            .filter($"tv".isNull || $"v" > $"tv" ||
+              ($"v" === $"tv" && $"id" <= $"tid"))
+            .select($"g", $"id", $"v")
+          val merged = bufSurv.unionByName(aboveThr)
+          val nByG = merged.groupBy($"g").agg(count(lit(1)).as("nb"))
+          val refillG = nByG
+            .join(thr0.select($"g"), Seq("g"), "left_semi")
+            .filter($"nb" < graft.operators.RelationalOps.Q64K)
+            .select($"g")
+          val overG = nByG.filter($"nb" > cap).select($"g")
+          val routed = refillG.unionByName(overG)
+          val ledger = store.log(sp, "base").unionByName(ledgerDelta(newEv))
+          val (bufR, thrR) = topkPrefix(
+            topkSurvivors(ledger.join(refillG, Seq("g"), "left_semi")), cap)
+          val (bufO, thrO) = topkPrefix(
+            merged.join(overG, Seq("g"), "left_semi"), cap)
+          val bufP = merged.join(routed, Seq("g"), "left_anti")
+          val thrP = thr0.join(routed, Seq("g"), "left_anti")
+          tx.writeSnap("buf",
+            bufP.unionByName(bufO).unionByName(bufR))
+          tx.writeSnap("thr",
+            thrP.unionByName(thrO).unionByName(thrR))
+          tx.writeLogDelta("base", ledgerDelta(newEv))
+          tx.writeLogDelta("proc",
+            newEv.select($"event_id", $"op", to_date($"ts").as("d")))
+          if (crashBeforeCommit) throw new EpochStore.InjectedCrash
+        }
+      } finally
+        graft.operators.DedupOps.unpersistCheckpointed(newEv)
+    }
+  }
+
+  /** Net survivors of a ±1-weighted (g, id, v, w) ledger. */
+  private def topkSurvivors(ledger: DataFrame): DataFrame = {
+    val sp = ledger.sparkSession
+    import sp.implicits._
+    ledger.groupBy($"g", $"id", $"v").agg(sum($"w").as("n"))
+      .filter($"n" > 0).select($"g", $"id", $"v")
+  }
+
+  /** Top-`cap` prefix per group plus the threshold row for every group
+    * whose prefix is FULL (the cap-th row is θ — groups with fewer
+    * rows keep θ = −∞ by absence: their prefix is the whole group). */
+  private def topkPrefix(rows: DataFrame, cap: Int)
+      : (DataFrame, DataFrame) = {
+    val sp = rows.sparkSession
+    import sp.implicits._
+    val byG = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v".desc, $"id")
+    val ranked = rows.withColumn("rn", row_number().over(byG))
+    (ranked.filter($"rn" <= cap).select($"g", $"id", $"v"),
+      ranked.filter($"rn" === cap)
+        .select($"g", $"v".as("tv"), $"id".as("tid")))
+  }
+
+  /** Current top-k per group, straight off the buffer snapshot — the
+    * threshold invariant makes the buffer's prefix the survivors'. */
+  def topkServe(sp: org.apache.spark.sql.SparkSession, prefix: String,
+      dir: String): DataFrame = {
+    import sp.implicits._
+    val byG = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v".desc, $"id")
+    new EpochStore(prefix, dir, TopkTables).snap(sp, "buf")
+      .withColumn("rank", row_number().over(byG).cast("long"))
+      .filter($"rank" <= graft.operators.RelationalOps.Q64K)
+      .select($"g", $"rank", $"id", $"v")
+      .orderBy($"g", $"rank")
+  }
+
+  /** Fold the base ledger to its net survivors and trim the guard log
+    * to the re-delivery horizon (anchored on the guard log's own max
+    * day), atomically in one compaction. The folded ledger stays
+    * equivalent for every future refill — `w` sums are replaced by a
+    * single +1 row per survivor. */
+  def topkCompact(sp: org.apache.spark.sql.SparkSession, prefix: String,
+      dir: String, horizonDays: Int): Unit = {
+    import sp.implicits._
+    require(horizonDays >= 0, s"horizonDays must be >= 0, got $horizonDays")
+    val store = new EpochStore(prefix, dir, TopkTables)
+    val mx = store.log(sp, "proc").agg(max($"d").as("mx")).first()
+    val procKeep: DataFrame => DataFrame =
+      if (mx.isNullAt(0)) identity
+      else { log =>
+        val cutoff = mx.getDate(0).toLocalDate.minusDays(horizonDays.toLong)
+        log.filter($"d" >= lit(java.sql.Date.valueOf(cutoff)))
+      }
+    store.compact(sp, retain = 0, logRetention = Map(
+      "base" -> ((log: DataFrame) =>
+        topkSurvivors(log).withColumn("w", lit(1L))),
+      "proc" -> procKeep))
+  }
+
+  def streamingTopk(cdcStream: DataFrame, prefix: String, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    cdcStream.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        topkBatch(batch.toDF(), prefix, dir)
+      }
 }
