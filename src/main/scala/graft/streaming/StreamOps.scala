@@ -1778,9 +1778,15 @@ object StreamOps {
             .select($"g", $"id", $"v")
           val merged = bufSurv.unionByName(aboveThr)
           val nByG = merged.groupBy($"g").agg(count(lit(1)).as("nb"))
-          val refillG = nByG
-            .join(thr0.select($"g"), Seq("g"), "left_semi")
-            .filter($"nb" < graft.operators.RelationalOps.Q64K)
+          // refill candidates come from θ's group list LEFT-joined to
+          // the counts, NOT semi-joined from them: a θ'd group whose
+          // ENTIRE buffer a batch deletes has zero merged rows — no
+          // count row at all — and must still refill (below-θ
+          // survivors may exist in the ledger)
+          val refillG = thr0.select($"g")
+            .join(nByG, Seq("g"), "left")
+            .filter(coalesce($"nb", lit(0L)) <
+              graft.operators.RelationalOps.Q64K)
             .select($"g")
           val overG = nByG.filter($"nb" > cap).select($"g")
           val routed = refillG.unionByName(overG)

@@ -110,6 +110,29 @@ class TopkStreamSpec extends AnyFunSuite {
     store.destroy(spark)
   }
 
+  test("streaming top-k: deleting a θ'd group's ENTIRE buffer in one " +
+      "batch (no same-batch adds) still refills from the ledger — the " +
+      "empty group produces no count row, which a count-driven refill " +
+      "set silently skips") {
+    val prefix = "graft_state_etopk"
+    val store = new EpochStore(prefix, "spec", StreamOps.TopkTables)
+    store.destroy(spark)
+    def serve() = digest(StreamOps.topkServe(spark, prefix, "spec"))
+    // 8 rows: buffer = top 6 (100..50), θ = 50; 40 and 30 below θ
+    val b1 = (1L to 8L).map(i => (i, 1L, 110.0 - 10 * i, 0, "add"))
+    StreamOps.topkBatch(cdc(b1), prefix, "spec")
+    // one batch deletes ALL SIX buffer rows
+    val b2 = (1L to 6L).map(i => (i, 1L, 110.0 - 10 * i, 1, "del"))
+    StreamOps.topkBatch(cdc(b2), prefix, "spec")
+    val live = b1.map(r => (r._1, r._2, r._3)).filterNot(r => r._1 <= 6L)
+    assert(serve() == truth(live),
+      s"whole-buffer erasure did not refill the below-θ survivors: ${serve()}")
+    assert(serve().map(_(3)) == Seq(40.0, 30.0), s"got ${serve()}")
+    assert(!store.snap(spark, "thr").collect().exists(_.getLong(0) == 1L),
+      "the refilled 2-row group must drop its stale θ")
+    store.destroy(spark)
+  }
+
   test("streaming top-k: seeded-random mixed CDC drive with a " +
       "mid-drive ledger compaction — serve equals the net top-k after " +
       "EVERY batch (seeds 1..2)") {
