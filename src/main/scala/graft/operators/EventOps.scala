@@ -2151,9 +2151,19 @@ object EventOps {
       graft.sources.LayoutOps.writeBucketed(
         e34Sessions(ev.filter(!isNew)), sessT, Seq("user_id"),
         graft.sources.LayoutOps.stateBuckets(spark))
+    // one corpus scan for the whole change batch: adds and dels are
+    // each referenced twice downstream (the touched-user set and the
+    // weight ledger), and deriving them separately re-ran the events
+    // scan + md5 coin once per reference (r16-opt plan audit: 8 scans
+    // in one fold plan). The batch is the CDC input — small by the
+    // operator's own premise — so an eager checkpoint pins it and
+    // every downstream reference reads the materialized rows.
+    val batch = ev.filter(isNew || isDel)
+      .select($"user_id", unix_micros($"ts").as("us"), isNew.as("is_add"))
+      .localCheckpoint()
     e35Upsert(sessT,
-      ev.filter(isNew).select($"user_id", unix_micros($"ts").as("us")),
-      ev.filter(isDel).select($"user_id", unix_micros($"ts").as("us")))
+      batch.filter($"is_add").select($"user_id", $"us"),
+      batch.filter(!$"is_add").select($"user_id", $"us"))
   }
 
   /** The mixed fold at the query shape. */

@@ -1932,13 +1932,19 @@ object RelationalOps {
         .as("bad_disc"),
       sum(when($"l_shipdate".isNull, 1).otherwise(0)).as("null_ship"),
       count(lit(1)).as("n"))
-    val liChecks = Seq(
-      ("lineitem_quantity_positive", $"bad_qty"),
-      ("lineitem_discount_in_range", $"bad_disc"),
-      ("lineitem_shipdate_not_null", $"null_ship"))
-      .map { case (nm, c) => liDomain.select(lit(nm).as("check"),
-        c.cast("long").as("n_violations"), $"n".cast("long").as("n_checked")) }
-      .reduce(_ unionByName _)
+    // one stack over the single aggregate row, not one select per
+    // check: the per-check union re-evaluated liDomain (a full
+    // lineitem scan + aggregate) once per check row — three corpus
+    // scans for one row of numbers (r16-opt plan audit).
+    val liChecks = liDomain.select(
+      expr("""stack(3,
+             |  'lineitem_quantity_positive', bad_qty,
+             |  'lineitem_discount_in_range', bad_disc,
+             |  'lineitem_shipdate_not_null', null_ship)
+             |  AS (check, n_violations)""".stripMargin),
+      $"n".cast("long").as("n_checked"))
+      .select($"check", $"n_violations".cast("long").as("n_violations"),
+        $"n_checked")
 
     val ordDomain = one("orders_totalprice_positive",
       sum(when($"o_totalprice" <= 0, 1).otherwise(0)), count(lit(1)), ord)
@@ -2363,7 +2369,15 @@ object RelationalOps {
       cap: Int = BasketItemCap): DataFrame = {
     val spark = pl.sparkSession
     import spark.implicits._
+    // cpl is referenced four times (n_orders, the item counts, and both
+    // sides of the pair self-join); each uncheckpointed reference
+    // re-ran the basket-cap window — scan + per-basket sort — so the
+    // plan carried 4 windows over the corpus for one logical stream
+    // (r16-opt plan audit: 30 exchanges / 8 scans). A lazy checkpoint
+    // computes the capped stream once; at 100 TB that is one
+    // scan+window instead of four.
     val cpl = cappedBasketItems(pl, cap).select($"o", $"p")
+      .localCheckpoint(eager = false)
     val nOrders = cpl.agg(count_distinct($"o").as("n_orders"))
     val cnt = cpl.groupBy($"p").agg(count(lit(1)).as("n_p"))
     val pairs = cpl.as("x").join(cpl.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
@@ -2689,8 +2703,25 @@ object RelationalOps {
     // (first cut did; 11.4 → 6.7 s at sf0.1). State stays day-1
     // (q42's idempotent-read discipline: the delta never persists).
     val edOld = spark.table(edT)
+    // delta is referenced five times downstream (dd, the probe, and
+    // edNew's three uses inside the triangle close); without a
+    // materialization Spark re-evaluates the whole batch derivation —
+    // basket-pair window + anti-join — once per reference (the
+    // r16-opt plan audit counted 39 parquet scans / 90 exchanges in
+    // ONE day-2 plan). A lazy checkpoint computes it once and the
+    // other references read the blocks: at 100 TB that is one batch
+    // pass instead of five. Lazy, not eager: an eager checkpoint
+    // serializes the materialization into its own blocking jobs and
+    // measured 22.9 s vs 9.3-9.6 s for lazy/none at sf0.1 (the
+    // redundant subtrees ran in PARALLEL on idle cores, so truncating
+    // them buys little locally — the win is the scan count at scale).
+    // deg stays un-checkpointed for the same reason: its three
+    // re-evaluations are |V|-sized aggregates off the standing degree
+    // table plus the (now checkpointed) delta, and checkpointing it
+    // measured 11.5 s (stats-less RDDs also lose AQE broadcasts).
     val delta = edgesOf(pl.filter(isNew))
       .join(edOld, Seq("a", "b"), "left_anti")
+      .localCheckpoint(eager = false)
     // degrees of the new graph: standing |V|-sized vector + the
     // delta's batch-sized contributions. The second cut re-aggregated
     // 2·|E| undirected edge rows per call for a vector that changes
