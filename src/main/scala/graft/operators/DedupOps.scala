@@ -1668,7 +1668,6 @@ object DedupOps {
       val truth = jaccardTruthPairs(hs)
         .localCheckpoint() // consumed once per config below
       try {
-        val nTrue = truth.count()
         // ALL configs ride one pipeline: a per-config driver loop costs
         // ~4 actions × 5 configs of pure scheduling (measured 12.9 s at
         // sf0.1); unioning the 31 band rows/doc into one frame computes
@@ -1688,10 +1687,6 @@ object DedupOps {
           count(lit(1)).over(Window.partitionBy($"bands", $"band", $"key")))
         val ok = sized.filter($"bn" <= cap)
           .select($"bands", $"doc_id", $"band", $"key")
-        val nCapped = sized.filter($"bn" > cap)
-          .select($"bands", $"band", $"key").distinct()
-          .groupBy($"bands").agg(count(lit(1)).as("c"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         val cand = ok.as("a").join(ok.as("b"),
             $"a.bands" === $"b.bands" && $"a.band" === $"b.band" &&
               $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
@@ -1699,11 +1694,35 @@ object DedupOps {
             $"b.doc_id".as("j")).distinct()
           .localCheckpoint() // consumed twice: count + hit semi-join
         try {
-          val nCand = cand.groupBy($"bands").agg(count(lit(1)).as("c"))
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-          val nHit = cand.join(truth, Seq("i", "j"), "left_semi")
-            .groupBy($"bands").agg(count(lit(1)).as("c"))
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          // ONE stats job for all four scalar counters (capped
+          // buckets, candidates, truth hits, truth size): they were
+          // four separate collect()/count() actions — four driver
+          // round-trips whose job latency, not compute, dominates at
+          // any SF where the frames are metadata-sized (r16-opt).
+          // The union branches are tiny per-bands aggregates, so the
+          // fused job's stages run concurrently on idle cores.
+          def tagged(df: DataFrame, tag: String) =
+            df.select(lit(tag).as("m"), $"bands", $"c")
+          val stats = tagged(sized.filter($"bn" > cap)
+              .select($"bands", $"band", $"key").distinct()
+              .groupBy($"bands").agg(count(lit(1)).as("c")), "capped")
+            .unionByName(tagged(
+              cand.groupBy($"bands").agg(count(lit(1)).as("c")), "cand"))
+            .unionByName(tagged(
+              cand.join(truth, Seq("i", "j"), "left_semi")
+                .groupBy($"bands").agg(count(lit(1)).as("c")), "hit"))
+            .unionByName(tagged(
+              truth.agg(count(lit(1)).as("c"))
+                .select(lit(0).as("bands"), $"c"), "true"))
+            .collect()
+            .groupBy(_.getString(0))
+            .map { case (m, rs) =>
+              m -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap }
+          val nCapped = stats.getOrElse("capped", Map.empty[Int, Long])
+          val nCand = stats.getOrElse("cand", Map.empty[Int, Long])
+          val nHit = stats.getOrElse("hit", Map.empty[Int, Long])
+          val nTrue = stats.getOrElse("true", Map.empty[Int, Long])
+            .getOrElse(0, 0L)
           def pm(a: Long, t: Long): Long =
             if (t == 0) 0L else math.floor(1000.0 * a / t).toLong
           val rows = D21Configs.map { case (b, r) =>

@@ -1703,6 +1703,13 @@ object SimilarityOps {
     * corpus scale. */
   def s13RecallEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // exact is consumed twice (the hit semi-join and the per-qid truth
+    // counts) but deliberately NOT checkpointed: the two references are
+    // token-identical subtrees, so AQE stage reuse already computes the
+    // brute pass once — a lazy checkpoint here measured 3.24 → 5.37 s
+    // at sf0.1 (the stats-less RDD loses broadcast planning and the
+    // materialization serializes the plan). r16-opt anti-lesson: pin
+    // only NON-identical re-derivations (e35), never identical ones.
     val exact = s1KnnBrute(spark, dir).select($"qid", $"nid")
     val approx = s3KnnIvf(spark, dir).select($"qid", $"nid")
     val hits = exact.join(approx, Seq("qid", "nid"), "left_semi")
@@ -2101,6 +2108,9 @@ object SimilarityOps {
       val topk = cand.withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= K)
         .select($"nprobe", $"qid", $"nid")
+      // NOT checkpointed — same anti-lesson as s13's exact: the two
+      // consumers are identical subtrees, AQE stage reuse already
+      // dedupes them, and a checkpoint measured 2.97 → 5.65 s (r16-opt)
       val exact = s1KnnBrute(spark, dir).select($"qid", $"nid")
       val truth = exact.agg(count(lit(1)).as("n_true"))
       topk.join(exact, Seq("qid", "nid"), "left_semi")
