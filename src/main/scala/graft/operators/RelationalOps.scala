@@ -2516,16 +2516,46 @@ object RelationalOps {
       .orderBy($"p_partkey")
   }
 
+  /** Symmetric-edge-row bound under which the whole peel runs as a
+    * driver-side simulation over ONE bounded collect —
+    * [[DedupOps.componentsFrom]]'s DriverCcBound discipline applied to
+    * the peel loop. The rationale is identical: every per-round cost of
+    * the superstep loop (plan+codegen compile, 2 joins + 1 aggregate of
+    * scheduling, one collect per 4-step block) is pure overhead when
+    * the graph fits one bounded collect, and the simulation applies the
+    * EXACT same simultaneous peel step, so the two arms are
+    * output-indistinguishable (spec-forced, including the `rounds`
+    * column). Honest heap budget at the bound: 4M specialized
+    * (Long, Long) tuples ≈ 128 MB + two 4M long/int arrays (CSR
+    * adjacency) ≈ 44 MB + |V|-sized degree/alive arrays — transient,
+    * released when the small result frame's localCheckpoint
+    * distributes it; a crawl-scale co-purchase graph exceeds the bound
+    * and keeps the superstep loop, which is the right shape there. */
+  private val DriverPeelBound = 4000000
+
   /** [[q47KCore]]'s peel loop over an arbitrary symmetric edge frame
     * `(u, v)` and explicit k — planted-graph specs enter here. Throws
     * (componentsFrom's non-convergence discipline) if the peel does not
     * reach its fix-point within [[Q47MaxRounds]]: silently returning
     * the partially-peeled set labeled as a k-core would be a semantic
     * miss the SQL oracle — which mirrors the same round cap — could
-    * never catch. */
-  private[operators] def q47KCoreFrom(edges: DataFrame, k: Long): DataFrame = {
+    * never catch.
+    *
+    * `driverBound` is parameterized ONLY so the spec can force the
+    * superstep arm on a planted graph (componentsFrom's discipline). */
+  private[operators] def q47KCoreFrom(edges: DataFrame, k: Long,
+      driverBound: Int = DriverPeelBound): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // Size probe + small-graph fast path in one pass (componentsFrom's
+    // shape): limit() bounds the driver memory, not the upstream work;
+    // a graph over the bound pays one extra |bound|-row pass, amortized
+    // against ~rounds × 3 jobs of superstep scheduling at that scale.
+    val ec = edges.columns
+    val probe = edges.limit(driverBound + 1)
+      .select(col(ec(0)).cast("long"), col(ec(1)).cast("long"))
+      .as[(Long, Long)].collect()
+    if (probe.length <= driverBound) return driverKCore(spark, probe, k)
     var alive = edges.groupBy($"u").agg(count(lit(1)).as("d"))
       .select($"u".as("n"), $"d")
       .localCheckpoint(eager = false)
@@ -2573,6 +2603,95 @@ object RelationalOps {
     } finally {
       DedupOps.unpersistCheckpointed(alive)
     }
+  }
+
+  /** The small-graph arm of [[q47KCoreFrom]]: the SAME simultaneous
+    * decremental peel ([[q47Peel]]'s step, exactly), simulated over the
+    * collected symmetric edge rows on primitive arrays
+    * (componentsFrom's driverComponents discipline). Step semantics are
+    * replicated bit-for-bit so the arms are output-indistinguishable:
+    * nodes are the distinct FIRST endpoints with degree = their edge
+    * ROW count (duplicates count, as in the loop's groupBy count); one
+    * step marks every alive node with d < k dead SIMULTANEOUSLY, then
+    * survivors (old-d ≥ k) lose one degree per edge row from a dead
+    * node; a step that kills nobody is the zero-delta step that the
+    * loop's convergence count INCLUDES in `rounds`; a peel still
+    * killing at [[Q47MaxRounds]] steps throws the loop's exact
+    * non-convergence error. */
+  private def driverKCore(spark: SparkSession, rows: Array[(Long, Long)],
+      k: Long): DataFrame = {
+    import spark.implicits._
+    // CSR adjacency over the rows, grouped by first endpoint
+    java.util.Arrays.sort(rows, Ordering.by((t: (Long, Long)) => t._1))
+    val m = rows.length
+    // dense node index = distinct sorted srcs
+    val ids0 = new Array[Long](m)
+    var n = 0
+    var i = 0
+    while (i < m) {
+      val u = rows(i)._1
+      if (n == 0 || ids0(n - 1) != u) { ids0(n) = u; n += 1 }
+      i += 1
+    }
+    val ids = java.util.Arrays.copyOf(ids0, n)
+    val start = new Array[Int](n + 1) // CSR offsets into rows
+    val deg = new Array[Long](n)
+    i = 0
+    var ni = 0
+    while (i < m) {
+      while (ids(ni) != rows(i)._1) { ni += 1; start(ni) = i }
+      deg(ni) += 1
+      i += 1
+    }
+    var fill = ni + 1
+    while (fill <= n) { start(fill) = m; fill += 1 }
+    val aliveArr = Array.fill(n)(true)
+    var rounds = 0
+    var converged = false
+    val dead = new Array[Int](n)
+    while (!converged && rounds < Q47MaxRounds) {
+      var nd = 0
+      var j = 0
+      while (j < n) {
+        if (aliveArr(j) && deg(j) < k) { dead(nd) = j; nd += 1 }
+        j += 1
+      }
+      rounds += 1 // the zero-kill step counts, exactly as the loop's
+                  // per-step delta count includes the first zero delta
+      if (nd == 0) converged = true
+      else {
+        // mark first (simultaneous step: survivor test uses OLD d)
+        var di = 0
+        while (di < nd) { aliveArr(dead(di)) = false; di += 1 }
+        di = 0
+        while (di < nd) {
+          val u = dead(di)
+          var e = start(u)
+          val end = start(u + 1)
+          while (e < end) {
+            val v = rows(e)._2
+            val vi = java.util.Arrays.binarySearch(ids, v)
+            if (vi >= 0 && aliveArr(vi)) deg(vi) -= 1
+            e += 1
+          }
+          di += 1
+        }
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"q47KCore: decremental peel did not converge in $Q47MaxRounds rounds")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+    i = 0
+    while (i < n) {
+      if (aliveArr(i)) out += ((ids(i), deg(i), k, rounds))
+      i += 1
+    }
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"q47KCore: driver peel over $m edge rows, $n nodes, $rounds rounds")
+    out.toSeq.toDF("p_partkey", "core_deg", "k", "rounds")
+      .orderBy($"p_partkey")
+      .localCheckpoint() // same eager-checkpointed contract as the loop
   }
 
   val q47KCoreSql: String = {

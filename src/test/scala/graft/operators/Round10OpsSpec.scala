@@ -216,4 +216,32 @@ class Round10OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(rows == Seq((0L, 2L), (1L, 2L), (2L, 2L)))
   }
+
+  test("q47: driver peel arm and superstep arm are output-identical, rounds included") {
+    import spark.implicits._
+    // two 3-cliques bridged by a chain + pendants: peel needs several
+    // rounds (pendant layers die one per step), exercising both the
+    // multi-round path and the zero-kill convergence step in each arm
+    val cliqueA = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    val cliqueB = Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    val chain = Seq((2L, 5L), (5L, 6L), (6L, 10L))
+    val pendants = Seq((0L, 20L), (20L, 21L), (21L, 22L), (12L, 30L))
+    val ed = cliqueA ++ cliqueB ++ chain ++ pendants
+    val sym = (ed ++ ed.map(_.swap)).toDF("u", "v")
+    def run(bound: Int) = RelationalOps.q47KCoreFrom(sym, 2L, bound)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val driverArm = run(1000000)  // 26 rows << bound: driver simulation
+    val loopArm = run(0)          // forced superstep loop
+    assert(driverArm == loopArm)
+    assert(driverArm.nonEmpty)
+    // and the non-convergence contract holds on the DRIVER arm too:
+    // 44-node path graph at k=2 peels one layer per round > Q47MaxRounds
+    val path = (0L until 43L).map(i => (i, i + 1))
+    val psym = (path ++ path.map(_.swap)).toDF("u", "v")
+    val e = intercept[IllegalStateException] {
+      RelationalOps.q47KCoreFrom(psym, 2L, 1000000).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }
