@@ -1665,8 +1665,16 @@ object DedupOps {
       // (spec-pinned: a planted boilerplate gram in every doc
       // generates ZERO prefix candidates where the naive join
       // generates all C(n,2); both arms spec-forced output-identical).
-      val truth = jaccardTruthPairs(hs)
-        .localCheckpoint() // consumed once per config below
+      // The truth chain (fan-out probe + eager checkpoint) and the
+      // banded-candidate checkpoint below are data-INDEPENDENT action
+      // chains — both read only the persisted hs/sig — so they run
+      // CONCURRENTLY (guide §2.6 / ParActions): the cand chain's one
+      // job back-fills the idle capacity between the truth chain's
+      // two. Same plans, same checkpoints — only submission order
+      // moves. AtomicReferences so the finally releases whichever
+      // side materialized even if the other chain's job failed.
+      val truthRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]
+      val candRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]
       try {
         // ALL configs ride one pipeline: a per-config driver loop costs
         // ~4 actions × 5 configs of pure scheduling (measured 12.9 s at
@@ -1687,13 +1695,23 @@ object DedupOps {
           count(lit(1)).over(Window.partitionBy($"bands", $"band", $"key")))
         val ok = sized.filter($"bn" <= cap)
           .select($"bands", $"doc_id", $"band", $"key")
-        val cand = ok.as("a").join(ok.as("b"),
-            $"a.bands" === $"b.bands" && $"a.band" === $"b.band" &&
-              $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
-          .select($"a.bands".as("bands"), $"a.doc_id".as("i"),
-            $"b.doc_id".as("j")).distinct()
-          .localCheckpoint() // consumed twice: count + hit semi-join
-        try {
+        ParActions.both {
+          truthRef.set(jaccardTruthPairs(hs)
+            .localCheckpoint()) // consumed twice in the fused stats job:
+                                // hit semi-join + truth-size count
+          ()
+        } {
+          candRef.set(ok.as("a").join(ok.as("b"),
+              $"a.bands" === $"b.bands" && $"a.band" === $"b.band" &&
+                $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
+            .select($"a.bands".as("bands"), $"a.doc_id".as("i"),
+              $"b.doc_id".as("j")).distinct()
+            .localCheckpoint()) // consumed twice: count + hit semi-join
+          ()
+        }
+        val truth = truthRef.get()
+        val cand = candRef.get()
+        locally {
           // ONE stats job for all four scalar counters (capped
           // buckets, candidates, truth hits, truth size): they were
           // four separate collect()/count() actions — four driver
@@ -1734,8 +1752,11 @@ object DedupOps {
               "n_hit", "recall_milli", "precision_milli", "theory600_milli",
               "n_capped_buckets")
             .orderBy($"bands".desc)
-        } finally unpersistCheckpointed(cand)
-      } finally unpersistCheckpointed(truth)
+        }
+      } finally {
+        Option(candRef.get()).foreach(unpersistCheckpointed)
+        Option(truthRef.get()).foreach(unpersistCheckpointed)
+      }
     } finally {
       sig.unpersist(blocking = false)
       hs.unpersist(blocking = false)

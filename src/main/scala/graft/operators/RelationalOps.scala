@@ -2906,16 +2906,56 @@ object RelationalOps {
     q48DeltaTrianglesWithDeg(edOld, delta, deg)
   }
 
+  /** Canonical-edge-row bound (old + delta together) under which the
+    * delta-triangle close runs as a driver-side probe over ONE bounded
+    * collect per input — [[DedupOps.componentsFrom]]/[[q47KCoreFrom]]'s
+    * driver-arm discipline applied to q48's maintenance core. The
+    * distributed close is 2 shuffle-hash joins + a distinct + an
+    * aggregate of scheduling per call; under the bound the identical
+    * min-deg probe (orient at the smaller-degree endpoint, walk its
+    * adjacency, close against the canonical edge set, dedupe sorted
+    * triples) runs on primitive arrays. Honest heap budget at the
+    * bound: 4M packed-long canonical edges ≈ 32 MB + the 8M-entry
+    * symmetric CSR ≈ 64 MB + the found-triple buffer — transient,
+    * released when the (node, dtri) result frame distributes. Two
+    * fallbacks keep the at-scale shape honest: a graph over the bound,
+    * or any node id outside [0, 2³¹) (the packing precondition), takes
+    * the distributed close. */
+  private val DriverTriBound = 4000000
+
   /** [[q48DeltaTriangles]] with the new graph's degree vector supplied
     * by the caller — batch q48 maintains degrees as standing state and
     * folds the delta in by addition, so recomputing them here from a
     * 2·|E| undirected explode (the no-deg overload's path, kept for the
     * streaming dual) would redo per call what the state already
-    * knows. */
+    * knows.
+    *
+    * `driverBound` is parameterized ONLY so the spec can force the
+    * distributed arm on a planted graph (componentsFrom's discipline).
+    * The driver arm ignores the supplied `deg` frame and derives the
+    * same integer degree vector from the collected edges — identical
+    * by the caller contract (deg IS the new graph's degree vector),
+    * spec-asserted against the distributed arm including orientation
+    * ties. */
   private[graft] def q48DeltaTrianglesWithDeg(edOld: DataFrame,
-      delta: DataFrame, deg: DataFrame): DataFrame = {
+      delta: DataFrame, deg: DataFrame,
+      driverBound: Int = DriverTriBound): DataFrame = {
     val spark = edOld.sparkSession
     import spark.implicits._
+    // Size probe + small-graph fast path (componentsFrom's shape); the
+    // two bounded collects overlap (guide §2.6).
+    val (oldRows, deltaRows) = ParActions.both(
+      edOld.limit(driverBound + 1)
+        .select($"a".cast("long"), $"b".cast("long"))
+        .as[(Long, Long)].collect())(
+      delta.limit(driverBound + 1)
+        .select($"a".cast("long"), $"b".cast("long"))
+        .as[(Long, Long)].collect())
+    val inIdRange = (t: (Long, Long)) =>
+      t._1 >= 0 && t._1 < (1L << 31) && t._2 >= 0 && t._2 < (1L << 31)
+    if (oldRows.length + deltaRows.length <= driverBound &&
+        oldRows.forall(inIdRange) && deltaRows.forall(inIdRange))
+      return driverDeltaTriangles(spark, oldRows, deltaRows)
     val edNew = edOld.unionByName(delta)
     val und = edNew.unionByName(edNew.select($"b".as("a"), $"a".as("b")))
     // probe from the smaller-degree endpoint of each delta edge
@@ -2935,6 +2975,119 @@ object RelationalOps {
       .select(array_sort(array($"lo", $"hi", $"w")).as("t")).distinct()
       .select(explode($"t").as("n"))
       .groupBy($"n").agg(count(lit(1)).as("dtri"))
+  }
+
+  /** The small-graph arm of [[q48DeltaTrianglesWithDeg]]: the SAME
+    * min-deg probe on primitive arrays. Ids are < 2³¹ (caller-checked),
+    * so an edge packs into one long (src<<32 | dst): the symmetric
+    * adjacency is one sorted long[] walked as CSR ranges, the canonical
+    * edge set one sorted long[] binary-searched per candidate, and the
+    * sorted-triple dedup a sort over the found buffer — exactly the
+    * distributed close's distinct. Degrees derive from the collected
+    * edges (= the caller's deg vector by contract); orientation ties
+    * break at the first endpoint like the loop's `da <= db`. */
+  private def driverDeltaTriangles(spark: SparkSession,
+      oldRows: Array[(Long, Long)],
+      deltaRows: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val m = oldRows.length + deltaRows.length
+    // symmetric adjacency of the NEW graph, packed + sorted
+    val und = new Array[Long](2 * m)
+    var i = 0
+    def put(a: Long, b: Long): Unit = {
+      und(i) = (a << 32) | b; und(i + 1) = (b << 32) | a; i += 2
+    }
+    oldRows.foreach { case (a, b) => put(a, b) }
+    deltaRows.foreach { case (a, b) => put(a, b) }
+    java.util.Arrays.sort(und)
+    // canonical edge set for the close
+    val edSet = new Array[Long](m)
+    i = 0
+    oldRows.foreach { case (a, b) => edSet(i) = (a << 32) | b; i += 1 }
+    deltaRows.foreach { case (a, b) => edSet(i) = (a << 32) | b; i += 1 }
+    java.util.Arrays.sort(edSet)
+    def degOf(v: Long): Long = {
+      // count of und rows with src = v: range [v<<32, v<<32 | max-dst]
+      // (the closed upper key cannot overflow for v < 2³¹, unlike
+      // (v+1)<<32 at v = 2³¹−1)
+      var lo = java.util.Arrays.binarySearch(und, v << 32)
+      if (lo < 0) lo = -lo - 1
+      var hi = java.util.Arrays.binarySearch(und, (v << 32) | 0xFFFFFFFFL)
+      if (hi < 0) hi = -hi - 1 else hi += 1
+      (hi - lo).toLong
+    }
+    // probe: per delta edge, walk the smaller-degree endpoint's
+    // adjacency and close against the canonical set
+    // The distributed arm dedupes multi-delta-edge triangles with a
+    // sorted-triple DISTINCT; here each triangle is counted exactly
+    // once INSTEAD — only by its smallest canonical delta side (the
+    // other two sides are membership-checked against the delta set) —
+    // which enumerates the identical triangle set with no dedup buffer
+    // at all (a first cut buffered + distinct'd boxed triples and
+    // measured 12.2 s vs the distributed arm's 8.0 at sf0.1; this form
+    // plus the parallel probe below measures 5.6 s).
+    val deltaSet = new Array[Long](deltaRows.length)
+    i = 0
+    deltaRows.foreach { case (a, b) => deltaSet(i) = (a << 32) | b; i += 1 }
+    java.util.Arrays.sort(deltaSet)
+    // dense node index + primitive count vector (ids = distinct srcs)
+    val ids0 = new Array[Long](und.length)
+    var n = 0
+    i = 0
+    while (i < und.length) {
+      val u = und(i) >>> 32
+      if (n == 0 || ids0(n - 1) != u) { ids0(n) = u; n += 1 }
+      i += 1
+    }
+    val ids = java.util.Arrays.copyOf(ids0, n)
+    // The per-candidate work (binary probes over shared read-only
+    // arrays) is embarrassingly parallel across delta edges, and a
+    // dense day's candidate count is tens of millions (26M at sf0.1) —
+    // single-threaded it measured 6.2 s where the distributed close
+    // uses every core. Parallel over the same cores local[N] would use;
+    // writes are the (rare) found-triangle increments, so an atomic
+    // count vector carries negligible contention.
+    val counts = new java.util.concurrent.atomic.AtomicLongArray(n)
+    val nTri = new java.util.concurrent.atomic.LongAdder
+    java.util.stream.IntStream.range(0, deltaRows.length).parallel()
+      .forEach { di =>
+        val (a, b) = deltaRows(di)
+        val e = (a << 32) | b
+        val (lo, hi) = if (degOf(a) <= degOf(b)) (a, b) else (b, a)
+        var p = java.util.Arrays.binarySearch(und, lo << 32)
+        if (p < 0) p = -p - 1
+        while (p < und.length && (und(p) >>> 32) == lo) {
+          val w = und(p) & 0xFFFFFFFFL
+          if (w != hi) {
+            val ca = math.min(hi, w); val cb = math.max(hi, w)
+            val s3 = (ca << 32) | cb
+            if (java.util.Arrays.binarySearch(edSet, s3) >= 0) {
+              val la = math.min(lo, w); val lb = math.max(lo, w)
+              val s2 = (la << 32) | lb
+              val owned =
+                (e <= s2 || java.util.Arrays.binarySearch(deltaSet, s2) < 0) &&
+                (e <= s3 || java.util.Arrays.binarySearch(deltaSet, s3) < 0)
+              if (owned) {
+                counts.getAndIncrement(java.util.Arrays.binarySearch(ids, lo))
+                counts.getAndIncrement(java.util.Arrays.binarySearch(ids, hi))
+                counts.getAndIncrement(java.util.Arrays.binarySearch(ids, w))
+                nTri.increment()
+              }
+            }
+          }
+          p += 1
+        }
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    i = 0
+    while (i < n) {
+      if (counts.get(i) > 0) out += ((ids(i), counts.get(i)))
+      i += 1
+    }
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"q48: driver delta-triangle probe over $m edges, " +
+        s"${deltaRows.length} delta, ${nTri.sum} triangles")
+    out.toSeq.toDF("n", "dtri")
   }
 
   // --------------------------------------------------------------- q49

@@ -829,52 +829,60 @@ object SimilarityOps {
       : Seq[(Long, Array[Double])] = {
     val spark = e.sparkSession
     import spark.implicits._
-    // The training is 4+iters SEPARATE driver actions over `e` — but
-    // deliberately NOT persisted: callers pass raw (vec_id, v) frames
-    // whose recompute is one vectorized parquet scan + cast, and
-    // caching an array<double> column uses the columnar cache's generic
-    // nested-type path, measured SLOWER than the re-scans it saves
-    // (s6 1.7 → 2.1 s with a cache here). Persist pays only when the
-    // recompute includes real work — refineHotCells caches its
-    // post-argmin level frames for exactly that reason.
-    // L·2^60: the oversampling factor L = 2k scaled to the 60-bit coin
-    val coin = 2.0 * k * math.pow(2.0, 60)
-    val seed = e.select($"vec_id", $"v")
-      .withColumn("h", md5Long(concat($"vec_id".cast("string"), lit(saltSeed))))
-      .orderBy($"h", $"vec_id").limit(1).collect()(0)
-    val seedId = seed.getLong(0)
-    val seedV = seed.getSeq[Double](1).toArray
-    val d2m = floor(lit(1000000.0) * sqdToCol($"v", seedV)).cast("long")
-    val phi = e.select(sum(d2m).as("p")).as[Long].head()
-    val coinH = md5Long(concat($"vec_id".cast("string"), lit(saltCoin)))
-    val cand: Seq[(Long, Array[Double])] = e.filter(
-        coinH.cast("double") * lit(phi.toDouble) < lit(coin) * d2m.cast("double")
-          || $"vec_id" === seedId)
-      .select($"vec_id", $"v").collect().toSeq
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
-    // weight candidates by their nearest-assignment cell size, keep k
-    val wts = e.withColumn("cid", argminOver($"v", cand))
-      .groupBy($"cid").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    var cents: Seq[(Long, Array[Double])] = cand
-      .flatMap { case (id, c) => wts.get(id).map(n => (id, c, n)) }
-      .sortBy { case (id, _, n) => (-n, id) }
-      .take(k).map { case (id, c, _) => (id, c) }.sortBy(_._1)
-    // Lloyd: argmin map pass + exact integer sums per (cluster, dim)
-    for (_ <- 0 until iters) {
-      val sums = e.withColumn("cid", argminOver($"v", cents))
-        .select($"cid", posexplode($"v").as(Seq("d0", "dv")))
-        .groupBy($"cid", ($"d0" + 1).as("d"))
-        .agg(sum(floor(lit(1000000.0) * $"dv").cast("long")).as("s"),
-             count(lit(1)).as("n"))
-        .collect()
-      cents = sums.groupBy(_.getLong(0)).map { case (cid, rs) =>
-        cid -> rs.sortBy(_.getInt(1))
-          .map(r => r.getLong(2).toDouble / (r.getLong(3).toDouble * 1000000.0))
-          .toArray
-      }.toSeq.sortBy(_._1)
-    }
-    cents
+    // The training is 4+iters SEPARATE driver actions over `e`. A
+    // .persist() here was measured SLOWER than the re-scans it saves
+    // (s6 1.7 → 2.1 s: caching an array<double> column takes the
+    // columnar cache's generic nested-type path). A lazy LOCAL
+    // CHECKPOINT takes the RDD block path instead (UnsafeRows, no
+    // columnar transposition) and measured FASTER (d12 2.93 → 2.33 s,
+    // s6 2.03 → 1.98 s, both against a HOT child anchor 1.37–1.46 vs
+    // the 1.1 band): the 4+iters downstream actions read blocks
+    // instead of re-running scan+cast+md5 each. Lazy is safe HERE
+    // because the first action is a global TakeOrdered (the seed
+    // draw), which computes every partition — no partial-materialize
+    // hazard — and the stats-less LogicalRDD costs nothing because
+    // every consumer is a collect-terminated aggregate, never a join.
+    val e0 = e.select($"vec_id", $"v").localCheckpoint(eager = false)
+    try {
+      // L·2^60: the oversampling factor L = 2k scaled to the 60-bit coin
+      val coin = 2.0 * k * math.pow(2.0, 60)
+      val seed = e0
+        .withColumn("h", md5Long(concat($"vec_id".cast("string"), lit(saltSeed))))
+        .orderBy($"h", $"vec_id").limit(1).collect()(0)
+      val seedId = seed.getLong(0)
+      val seedV = seed.getSeq[Double](1).toArray
+      val d2m = floor(lit(1000000.0) * sqdToCol($"v", seedV)).cast("long")
+      val phi = e0.select(sum(d2m).as("p")).as[Long].head()
+      val coinH = md5Long(concat($"vec_id".cast("string"), lit(saltCoin)))
+      val cand: Seq[(Long, Array[Double])] = e0.filter(
+          coinH.cast("double") * lit(phi.toDouble) < lit(coin) * d2m.cast("double")
+            || $"vec_id" === seedId)
+        .select($"vec_id", $"v").collect().toSeq
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+      // weight candidates by their nearest-assignment cell size, keep k
+      val wts = e0.withColumn("cid", argminOver($"v", cand))
+        .groupBy($"cid").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var cents: Seq[(Long, Array[Double])] = cand
+        .flatMap { case (id, c) => wts.get(id).map(n => (id, c, n)) }
+        .sortBy { case (id, _, n) => (-n, id) }
+        .take(k).map { case (id, c, _) => (id, c) }.sortBy(_._1)
+      // Lloyd: argmin map pass + exact integer sums per (cluster, dim)
+      for (_ <- 0 until iters) {
+        val sums = e0.withColumn("cid", argminOver($"v", cents))
+          .select($"cid", posexplode($"v").as(Seq("d0", "dv")))
+          .groupBy($"cid", ($"d0" + 1).as("d"))
+          .agg(sum(floor(lit(1000000.0) * $"dv").cast("long")).as("s"),
+               count(lit(1)).as("n"))
+          .collect()
+        cents = sums.groupBy(_.getLong(0)).map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getInt(1))
+            .map(r => r.getLong(2).toDouble / (r.getLong(3).toDouble * 1000000.0))
+            .toArray
+        }.toSeq.sortBy(_._1)
+      }
+      cents
+    } finally DedupOps.unpersistCheckpointed(e0)
   }
 
   /** Recursive HOT-CELL SPLIT — the at-scale refinement d12/s6's
@@ -1257,45 +1265,55 @@ object SimilarityOps {
     val SUBS = S7Subs
     val SD = S7Sd
     val Kpq = S7Kpq
-    // coarse quantizer: s6's learned codebook (same salts, same result)
-    val cents = kmeansCentroids(e)
     // ---- PQ codebooks: per-subspace k-means on the md5-coin sample
-    val samp = e.filter(pmod(md5Long(concat($"vec_id".cast("string"),
-      lit(":s7s"))), lit(100L)) < 50)
-    val ssub = samp.select($"vec_id",
-        explode(sequence(lit(0), lit(SUBS - 1))).as("m"), $"v")
-      .select($"vec_id", $"m", slice($"v", $"m" * SD + 1, lit(SD)).as("sv"))
-    val wInit = Window.partitionBy($"m").orderBy($"h", $"vec_id")
-    var codes: Map[Int, Seq[(Long, Array[Double])]] = ssub
-      .withColumn("h", md5Long(concat($"vec_id".cast("string"), lit(":s7:"),
-        $"m".cast("string"))))
-      .withColumn("rn", row_number().over(wInit))
-      .filter($"rn" <= Kpq)
-      .select($"m", $"vec_id", $"sv").collect()
-      .groupBy(_.getInt(0)).map { case (m, rs) =>
-        m -> rs.map(r => r.getLong(1) -> r.getSeq[Double](2).toArray)
-          .toSeq.sortBy(_._1)
+    def trainPq(): Map[Int, Seq[(Long, Array[Double])]] = {
+      val samp = e.filter(pmod(md5Long(concat($"vec_id".cast("string"),
+        lit(":s7s"))), lit(100L)) < 50)
+      val ssub = samp.select($"vec_id",
+          explode(sequence(lit(0), lit(SUBS - 1))).as("m"), $"v")
+        .select($"vec_id", $"m", slice($"v", $"m" * SD + 1, lit(SD)).as("sv"))
+      val wInit = Window.partitionBy($"m").orderBy($"h", $"vec_id")
+      var codes: Map[Int, Seq[(Long, Array[Double])]] = ssub
+        .withColumn("h", md5Long(concat($"vec_id".cast("string"), lit(":s7:"),
+          $"m".cast("string"))))
+        .withColumn("rn", row_number().over(wInit))
+        .filter($"rn" <= Kpq)
+        .select($"m", $"vec_id", $"sv").collect()
+        .groupBy(_.getInt(0)).map { case (m, rs) =>
+          m -> rs.map(r => r.getLong(1) -> r.getSeq[Double](2).toArray)
+            .toSeq.sortBy(_._1)
+        }
+      // per-subspace argmin over the current literal codebooks
+      def codeOf(cb: Map[Int, Seq[(Long, Array[Double])]]): Column =
+        coalesce((0 until SUBS).map(m =>
+          when($"m" === m, argminOver($"sv", cb(m)))): _*)
+      for (_ <- 0 until 2) {
+        val sums = ssub.withColumn("cid", codeOf(codes))
+          .select($"m", $"cid", posexplode($"sv").as(Seq("d0", "dv")))
+          .groupBy($"m", $"cid", ($"d0" + 1).as("d"))
+          .agg(sum(floor(lit(1000000.0) * $"dv").cast("long")).as("s"),
+               count(lit(1)).as("n"))
+          .collect()
+        codes = sums.groupBy(r => (r.getInt(0), r.getLong(1))).map {
+          case ((m, cid), rs) =>
+            (m, cid) -> rs.sortBy(_.getInt(2))
+              .map(r => r.getLong(3).toDouble / (r.getLong(4).toDouble * 1000000.0))
+              .toArray
+        }.toSeq.groupBy(_._1._1).map { case (m, entries) =>
+          m -> entries.map { case ((_, cid), arr) => cid -> arr }.sortBy(_._1)
+        }
       }
-    // per-subspace argmin over the current literal codebooks
-    def codeOf(cb: Map[Int, Seq[(Long, Array[Double])]]): Column =
-      coalesce((0 until SUBS).map(m =>
-        when($"m" === m, argminOver($"sv", cb(m)))): _*)
-    for (_ <- 0 until 2) {
-      val sums = ssub.withColumn("cid", codeOf(codes))
-        .select($"m", $"cid", posexplode($"sv").as(Seq("d0", "dv")))
-        .groupBy($"m", $"cid", ($"d0" + 1).as("d"))
-        .agg(sum(floor(lit(1000000.0) * $"dv").cast("long")).as("s"),
-             count(lit(1)).as("n"))
-        .collect()
-      codes = sums.groupBy(r => (r.getInt(0), r.getLong(1))).map {
-        case ((m, cid), rs) =>
-          (m, cid) -> rs.sortBy(_.getInt(2))
-            .map(r => r.getLong(3).toDouble / (r.getLong(4).toDouble * 1000000.0))
-            .toArray
-      }.toSeq.groupBy(_._1._1).map { case (m, entries) =>
-        m -> entries.map { case ((_, cid), arr) => cid -> arr }.sortBy(_._1)
-      }
+      codes
     }
+    // The PQ sample training (init draw + 2 Lloyd collects) and the
+    // coarse quantizer (kmeansCentroids' 6-action spine) are
+    // data-INDEPENDENT action chains over the same input — neither
+    // reads anything the other produces — so they run CONCURRENTLY
+    // (guide §2.6 / ParActions): the PQ chain's jobs back-fill the
+    // idle capacity between the coarse chain's sequential actions.
+    // Same plans, same collects, same codebooks — only the submission
+    // order moves.
+    val (codes, cents) = ParActions.both(trainPq())(kmeansCentroids(e))
     (cents, codes)
   }
 
@@ -1310,11 +1328,13 @@ object SimilarityOps {
     // measured anti-lesson; s7 with a cache here was 1.4 s SLOWER)
     val e = emb(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    val (cents, codes) = s7TrainCodebooks(e)
-    // ---- serving: one corpus map pass against the compiled index
-    val qs: Seq[(Long, Array[Double])] = e.filter($"vec_id" < NQUERIES)
-      .select($"vec_id", $"v").collect().toSeq
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    // the query collect is independent of training — overlap it with
+    // the training chains (guide §2.6; see s7TrainCodebooks)
+    val (qs, (cents, codes)) = ParActions.both(
+      e.filter($"vec_id" < NQUERIES)
+        .select($"vec_id", $"v").collect().toSeq
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    )(s7TrainCodebooks(e))
     val probesOf: Map[Long, Seq[Long]] = qs.flatMap { case (qid, qv) =>
       cents.map { case (cid, c) => (sqdArr(qv, c), cid) }
         .sortBy { case (d2, cid) => (d2, cid) }

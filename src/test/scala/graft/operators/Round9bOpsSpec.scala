@@ -252,6 +252,28 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(second == first, "day-2 read is not idempotent")
   }
 
+  test("q48: driver probe arm and distributed close are output-identical") {
+    import spark.implicits._
+    // planted graph exercising the tricky cases: a triangle with TWO
+    // delta edges (found twice, deduped by the sorted-triple distinct),
+    // one with a single delta edge, a degree TIE on a delta edge's
+    // endpoints (orientation must break at the first endpoint), and a
+    // delta edge in no triangle at all
+    val edOld = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (1L, 7L))
+      .toDF("a", "b")
+    val delta = Seq((1L, 3L), (4L, 6L), (3L, 4L), (6L, 7L)).toDF("a", "b")
+    val edNew = edOld.unionByName(delta)
+    val und = edNew.unionByName(edNew.select($"b".as("a"), $"a".as("b")))
+    val deg = und.groupBy($"a".as("n")).agg(count(lit(1)).as("d"))
+    def run(bound: Int) =
+      RelationalOps.q48DeltaTrianglesWithDeg(edOld, delta, deg, bound)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val driverArm = run(1000000) // 9 edges << bound: driver probe
+    val loopArm = run(0)         // forced distributed close
+    assert(driverArm == loopArm)
+    assert(driverArm.nonEmpty)
+  }
+
   test("t23: document text never rides a shuffle") {
     val df = graft.SparkEntry.queries("t23_overlap_risk")(spark, sf)
     val exchanges = physical(df).collect {
